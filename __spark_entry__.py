@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every implemented operator from SURVEY.md §2 as a
+(spark, sf_dir) -> DataFrame callable; ``oracle_sql()`` gives the DuckDB
+equivalent over the same parquet views. Crawl-shaped inputs (frontier,
+status_updates) are derived deterministically from the TPC-H-ish tables in
+both engines — see incubator_stormcrawler_spark/operators/synthetic.py.
 """
 
 from __future__ import annotations
@@ -12,27 +12,282 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from incubator_stormcrawler_spark.operators import synthetic as syn
+from incubator_stormcrawler_spark.operators.frontier import (
+    frontier_topk,
+    next_fetch_histogram,
+    status_counts,
+)
+from incubator_stormcrawler_spark.operators.status_merge import merge_status_updates
+from incubator_stormcrawler_spark.functions.urls import (
+    bucket_expr,
+    host_key_expr,
+    sha256_doc_id_expr,
+    strip_fragment_expr,
+)
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+# Shared constants (must match operators/synthetic.py)
+NOW = syn.NOW
+_DUCK_PRELUDE = f"WITH {syn.FRONTIER_CTE.strip()}, {syn.UPDATES_CTE.strip()}"
+
+
+# ---------------------------------------------------------------------------
+# Crawl-core queries (SURVEY.md §2.1, §2.2, §2.8, §2.9-metrics)
+# ---------------------------------------------------------------------------
+
+def q_frontier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The frontier query (SQLSpout.java:120-139 semantics): ≤5 due URLs per
+    politeness key, oldest first, global LIMIT 100 — deterministic order."""
+    frontier = syn.synthetic_frontier(spark, sf_dir)
+    out = frontier_topk(frontier, NOW, max_per_bucket=5, max_results=100)
+    return out.select("url", "status", "next_fetch_date", "key", "rn")
+
+
+def q_frontier_topk_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same, restricted to one bucket shard (SQLSpout.java:84-90 sharding)."""
+    frontier = syn.synthetic_frontier(spark, sf_dir)
+    out = frontier_topk(frontier, NOW, max_per_bucket=3, max_results=50, bucket=4)
+    return out.select("url", "status", "next_fetch_date", "key", "bucket", "rn")
+
+
+def q_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StatusMetricsBolt: URL count per status over the frontier."""
+    return status_counts(syn.synthetic_frontier(spark, sf_dir))
+
+
+def q_due_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Due-backlog histogram by 6h bucket (generation sizing)."""
+    return next_fetch_histogram(syn.synthetic_frontier(spark, sf_dir), 360)
+
+
+def q_status_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The status-merge core (AbstractStatusUpdaterBolt.java:139-242):
+    one generation's emissions merged into the frontier — insert-if-absent
+    for DISCOVERED, error escalation at 3, DefaultScheduler dates."""
+    frontier = syn.synthetic_frontier(spark, sf_dir)
+    updates = syn.synthetic_status_updates(spark, sf_dir)
+    return merge_status_updates(frontier, updates, NOW)
+
+
+def q_status_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-merge per-status counts — a compact invariant over the merge."""
+    return status_counts(q_status_merge(spark, sf_dir))
+
+
+def q_url_partition_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URLPartitioner byHost + bucket + sha256 doc id over frontier URLs
+    (URLPartitioner.java:44-93; StatusUpdaterBolt.java:157-163; doc id
+    AbstractStatusUpdaterBolt.java:251-253)."""
+    frontier = syn.synthetic_frontier(spark, sf_dir)
+    url = F.col("url")
+    return frontier.select(
+        url,
+        host_key_expr(url).alias("host_key"),
+        bucket_expr(host_key_expr(url)).alias("host_bucket"),
+        sha256_doc_id_expr(url).alias("doc_id"),
+    )
+
+
+def q_deletion_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion stream (AbstractStatusUpdaterBolt.java:217-220): URLs that
+    became ERROR in this merge — newly-terminal docs to purge from indexes."""
+    frontier = syn.synthetic_frontier(spark, sf_dir)
+    merged = merge_status_updates(
+        frontier, syn.synthetic_status_updates(spark, sf_dir), NOW
+    )
+    now_err = merged.where(F.col("status") == "ERROR").select("url")
+    was_err = frontier.where(F.col("status") == "ERROR").select("url")
+    return now_err.join(was_err, "url", "left_anti")
+
+
+def q_url_normalize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native (codegen) subset of BasicURLNormalizer over synthesized messy
+    URLs: strip #fragment (BasicURLNormalizer.java:101-106), drop utm_*
+    params, lowercase scheme+host. The exact-parity Python port is exercised
+    in tests/test_urls.py against the reference's own test table."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    messy = part.selectExpr(
+        "p_partkey",
+        "'https://Shop' || cast(mod(p_partkey, 50) as string) || '.Example.COM/item/'"
+        " || cast(p_partkey as string) || '?id=' || cast(p_partkey as string)"
+        " || '&utm_source=feed&utm_campaign=c' || cast(mod(p_partkey, 7) as string)"
+        " || '#sec' as url"
+    )
+    defrag = strip_fragment_expr(F.col("url"))
+    no_utm = F.regexp_replace(defrag, r"[?&]utm_[A-Za-z]*=[^&#]*", "")
+    prefix = F.regexp_extract(no_utm, r"^https?://[^/?#]*", 0)
+    rest = F.substr(no_utm, F.length(prefix) + 1, F.lit(1 << 30))
+    normalized = F.concat(F.lower(prefix), rest)
+    return messy.select(F.col("p_partkey").alias("id"), normalized.alias("norm_url"))
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL (DuckDB) — same computations over the same parquet views
+# ---------------------------------------------------------------------------
+
+_ORACLES: dict[str, str] = {}
+
+_ORACLES["frontier_topk"] = f"""
+{_DUCK_PRELUDE}
+SELECT url, status, next_fetch_date, key, rn FROM (
+  SELECT *, row_number() OVER (ORDER BY next_fetch_date, url) AS gn
+  FROM (
+    SELECT url, status, next_fetch_date, key,
+           row_number() OVER (PARTITION BY key ORDER BY next_fetch_date, url) AS rn
+    FROM frontier WHERE next_fetch_date <= TIMESTAMP '{NOW}'
+  ) WHERE rn <= 5
+) WHERE gn <= 100
+"""
+
+_ORACLES["frontier_topk_sharded"] = f"""
+{_DUCK_PRELUDE}
+SELECT url, status, next_fetch_date, key, bucket, rn FROM (
+  SELECT *, row_number() OVER (ORDER BY next_fetch_date, url) AS gn
+  FROM (
+    SELECT url, status, next_fetch_date, key, bucket,
+           row_number() OVER (PARTITION BY key ORDER BY next_fetch_date, url) AS rn
+    FROM frontier
+    WHERE next_fetch_date <= TIMESTAMP '{NOW}' AND bucket = 4
+  ) WHERE rn <= 3
+) WHERE gn <= 50
+"""
+
+_ORACLES["frontier_status_counts"] = f"""
+{_DUCK_PRELUDE}
+SELECT status, count(*) AS num_urls FROM frontier GROUP BY status
+"""
+
+_ORACLES["frontier_due_histogram"] = f"""
+{_DUCK_PRELUDE}
+SELECT to_timestamp((epoch(next_fetch_date)::BIGINT // 21600) * 21600)::TIMESTAMP
+         AS due_bucket,
+       count(*) AS num_urls
+FROM frontier WHERE status <> 'ERROR' GROUP BY 1
+"""
+
+_MERGE_SQL_BODY = f"""
+deduped AS (
+  SELECT url, max_by(status,
+           lpad(cast(CASE status WHEN 'ERROR' THEN 5 WHEN 'FETCHED' THEN 4
+             WHEN 'REDIRECTION' THEN 3 WHEN 'FETCH_ERROR' THEN 2
+             WHEN 'DISCOVERED' THEN 1 ELSE 0 END as varchar), 2, '0')
+           || ':' || status) AS u_status
+  FROM status_updates GROUP BY url
+),
+joined AS (
+  SELECT coalesce(f.url, u.url) AS url, f.status AS f_status,
+         f.next_fetch_date AS f_nfd, f.error_count AS f_ec,
+         f.key AS f_key, f.bucket AS f_bucket, u.u_status
+  FROM frontier f FULL OUTER JOIN deduped u ON f.url = u.url
+),
+merged AS (
+  SELECT url,
+    CASE
+      WHEN u_status IS NULL THEN f_status
+      WHEN u_status = 'DISCOVERED' AND f_status IS NOT NULL THEN f_status
+      WHEN u_status = 'FETCH_ERROR' AND coalesce(f_ec, 0) + 1 >= 3 THEN 'ERROR'
+      ELSE u_status END AS status,
+    CASE
+      WHEN u_status IS NULL OR (u_status = 'DISCOVERED' AND f_status IS NOT NULL)
+        THEN f_ec
+      WHEN u_status = 'FETCH_ERROR' THEN coalesce(f_ec, 0) + 1
+      WHEN u_status IN ('FETCHED', 'REDIRECTION') THEN 0
+      ELSE coalesce(f_ec, 0) END AS error_count,
+    CASE
+      WHEN u_status IS NULL OR (u_status = 'DISCOVERED' AND f_status IS NOT NULL)
+        THEN f_nfd
+      WHEN u_status = 'FETCH_ERROR' AND coalesce(f_ec, 0) + 1 >= 3
+        THEN TIMESTAMP '{syn.NEVER}'
+      WHEN u_status = 'FETCH_ERROR' THEN TIMESTAMP '{NOW}' + to_minutes(120)
+      WHEN u_status IN ('FETCHED', 'REDIRECTION')
+        THEN TIMESTAMP '{NOW}' + to_minutes(1440)
+      ELSE TIMESTAMP '{NOW}' END AS next_fetch_date,
+    coalesce(f_key,
+      lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)))
+      AS key,
+    coalesce(f_bucket, cast(mod(ascii(substr(md5(
+      lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1))
+      ), 1, 1)), 10) as int)) AS bucket
+  FROM joined
+)
+"""
+
+_ORACLES["status_merge"] = f"""
+{_DUCK_PRELUDE}, {_MERGE_SQL_BODY.strip()}
+SELECT url, status, next_fetch_date, error_count, key, bucket FROM merged
+"""
+
+_ORACLES["status_merge_counts"] = f"""
+{_DUCK_PRELUDE}, {_MERGE_SQL_BODY.strip()}
+SELECT status, count(*) AS num_urls FROM merged GROUP BY status
+"""
+
+_ORACLES["deletion_stream"] = f"""
+{_DUCK_PRELUDE}, {_MERGE_SQL_BODY.strip()}
+SELECT m.url FROM merged m
+WHERE m.status = 'ERROR'
+  AND m.url NOT IN (SELECT url FROM frontier WHERE status = 'ERROR')
+"""
+
+_ORACLES["url_partition_keys"] = f"""
+{_DUCK_PRELUDE}
+SELECT url,
+  lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS host_key,
+  cast(mod(ascii(substr(md5(
+    lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1))
+    ), 1, 1)), 10) as int) AS host_bucket,
+  sha256(url) AS doc_id
+FROM frontier
+"""
+
+_ORACLES["url_normalize_native"] = """
+WITH messy AS (
+  SELECT p_partkey,
+    'https://Shop' || cast(mod(p_partkey, 50) as varchar) || '.Example.COM/item/'
+      || cast(p_partkey as varchar) || '?id=' || cast(p_partkey as varchar)
+      || '&utm_source=feed&utm_campaign=c' || cast(mod(p_partkey, 7) as varchar)
+      || '#sec' AS url
+  FROM part
+), step AS (
+  SELECT p_partkey,
+    regexp_replace(regexp_replace(url, '#[^#]*$', ''),
+                   '[?&]utm_[A-Za-z]*=[^&#]*', '', 'g') AS no_utm
+  FROM messy
+)
+SELECT p_partkey AS id,
+  lower(regexp_extract(no_utm, '^https?://[^/?#]*', 0))
+    || substr(no_utm, length(regexp_extract(no_utm, '^https?://[^/?#]*', 0)) + 1)
+    AS norm_url
+FROM step
+"""
+
+
+# ---------------------------------------------------------------------------
+# Contract functions
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the frontier grouped-top-k query at sf0.001."""
+    return q_frontier_topk(spark, SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "frontier_topk": q_frontier_topk,
+        "frontier_topk_sharded": q_frontier_topk_sharded,
+        "frontier_status_counts": q_status_counts,
+        "frontier_due_histogram": q_due_histogram,
+        "status_merge": q_status_merge,
+        "status_merge_counts": q_status_merge_counts,
+        "deletion_stream": q_deletion_stream,
+        "url_partition_keys": q_url_partition_keys,
+        "url_normalize_native": q_url_normalize_native,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_ORACLES)

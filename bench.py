@@ -1,0 +1,57 @@
+"""Headline benchmark: runs the engine's flagship queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line with per-query wall times.
+
+Each query is materialized via a count-ish action (noop write would hide
+collect cost; .count() after a cache-free run measures the full plan).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import __spark_entry__ as e
+    from incubator_stormcrawler_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footers once
+    spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name, fn in e.queries().items():
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            n = df.count()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as ex:  # a failing query gets a sentinel, not a crash
+            print(f"bench error in {name}: {ex}", file=sys.stderr)
+            timings[name] = -1.0
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,105 @@
+"""Frontier query — the reference's core "query": which URLs are due next,
+diversified per politeness key.
+
+Reference semantics (all equivalent):
+  - SQL spout window query: ``rank() over (partition by host order by
+    nextfetchdate desc, url) ... where ranking <= maxDocsPerBucket ...
+    LIMIT maxNumResults`` (external/sql/.../SQLSpout.java:120-139)
+  - OpenSearch terms-agg + top-N per bucket + optional global bucket sort
+    (external/opensearch/.../persistence/AggregationSpout.java:99-181)
+
+Spark-first shape: a single Window ``row_number`` over the frontier scan.
+At 100 TB the scan is the cost center, so the operator is written to let
+Catalyst push ``next_fetch_date <= now`` and the bucket-shard predicate into
+the parquet/Delta scan (PushedFilters), prune to the needed columns, and do
+the grouped top-k with one shuffle on ``key``. With AQE, skewed hosts
+(Zipf-distributed) split automatically. If the frontier table is stored
+partitioned by ``bucket`` (pmod(hash(key), n) — mirrors
+sql/StatusUpdaterBolt.java:157-163), the shard predicate becomes partition
+pruning and each generation touches only its shard's files.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def frontier_topk(
+    frontier: DataFrame,
+    now: datetime | str,
+    max_per_bucket: int = 5,
+    max_results: int | None = 100,
+    key_col: str = "key",
+    bucket: int | None = None,
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """Grouped top-k over the frontier: up to ``max_per_bucket`` URLs per
+    politeness key, earliest ``next_fetch_date`` first, overall capped at
+    ``max_results``.
+
+    Ties broken by ``url`` so results are deterministic (the reference orders
+    by ``(nextfetchdate, url)`` too — SQLSpout.java:126-131; note the
+    reference sorts nextfetchdate DESC within a bucket only as an OpenSearch
+    artifact; the SQL spout's documented intent is "oldest due first", which
+    is what we implement).
+
+    ``bucket``/``num_buckets``: shard the query like the reference's
+    spout-per-bucket sharding (SQLSpout.java:84-90) — lets N concurrent
+    generations each own a disjoint frontier shard.
+    """
+    due = frontier.where(F.col("next_fetch_date") <= F.lit(now))
+    if bucket is not None:
+        due = due.where(F.col("bucket") == F.lit(bucket))
+    elif num_buckets is not None:
+        due = due.where(F.col("bucket") < F.lit(num_buckets))
+
+    w = Window.partitionBy(key_col).orderBy(
+        F.col("next_fetch_date").asc(), F.col("url").asc()
+    )
+    ranked = due.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= F.lit(max_per_bucket)
+    )
+    if max_results is not None:
+        # Global cap needs a total order; (next_fetch_date, url) keeps it
+        # deterministic. At scale this is a TakeOrderedAndProject, not a full
+        # sort: Spark plans limit+orderBy as a per-partition top-k + merge.
+        ranked = ranked.orderBy(
+            F.col("next_fetch_date").asc(), F.col("url").asc()
+        ).limit(max_results)
+    return ranked
+
+
+def status_counts(frontier: DataFrame) -> DataFrame:
+    """Per-status URL counts — the reference's ``StatusMetricsBolt``
+    (external/opensearch/.../metrics/StatusMetricsBolt.java): periodic
+    ``count(*) group by status`` over the status store.
+
+    Map-side partial aggregation makes this one narrow shuffle of ≤5 rows
+    per partition regardless of frontier size.
+    """
+    return frontier.groupBy("status").agg(F.count(F.lit(1)).alias("num_urls"))
+
+
+def next_fetch_histogram(frontier: DataFrame, bucket_minutes: int = 60) -> DataFrame:
+    """Due-date histogram: how many URLs become due per time bucket.
+
+    Operational query for sizing generations (the reference sizes via
+    ``max.buckets`` × ``urls.per.bucket``; at 100 TB you want to know the
+    due-backlog before picking batch size).
+    """
+    secs = bucket_minutes * 60
+    return (
+        frontier.where(F.col("status") != F.lit("ERROR"))
+        .groupBy(
+            (
+                F.floor(F.unix_timestamp(F.col("next_fetch_date")) / F.lit(secs))
+                * F.lit(secs)
+            )
+            .cast("timestamp")
+            .alias("due_bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("num_urls"))
+    )

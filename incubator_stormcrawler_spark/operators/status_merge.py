@@ -1,0 +1,138 @@
+"""Status merge — the engine's aggregation/upsert core.
+
+Re-expresses ``AbstractStatusUpdaterBolt``
+(core/.../persistence/AbstractStatusUpdaterBolt.java:139-242) as a batch
+MERGE: one generation's status emissions are deduped per URL, then
+full-outer-joined against the frontier; the result is the next frontier.
+
+Semantic mapping (reference → here):
+  - Caffeine dedup of DISCOVERED (:150-161) → within-batch dedupe by status
+    priority + insert-only-if-absent in the merge.
+  - FETCH_ERROR counting with escalation to ERROR after ``max.fetch.errors``
+    = 3 (:188-203, crawler-default.yaml) → error_count accumulation column.
+  - Error-metadata clearing on success (:205-216) → error_count reset to 0.
+  - nextFetchDate from Scheduler (:222-223) → ``schedule_next_fetch``.
+  - ERROR rows → ``deletion`` stream (:217-220) → ``deletion_stream``.
+
+Scale notes: the merge is ONE shuffle (full outer join on url). Updates are
+pre-deduped with a map-side-combinable ``max_by`` aggregation, not a window,
+so the dedupe is also a single partial-agg shuffle. At 100 TB the frontier
+side should be a bucketed/partitioned table so the join co-locates; with AQE
+on, the (much smaller) updates side broadcast-joins automatically when it
+fits. Lineage + idempotent MERGE replace Storm's ack/fail at-least-once
+machinery (SURVEY.md §3.1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..schemas import NEVER_FETCH_DATE
+from .scheduler import schedule_next_fetch
+
+# Within-batch winner when one URL gets several emissions: terminal ERROR
+# beats concrete fetch outcomes, which beat rediscovery. Mirrors the effect
+# of the reference's per-tuple sequential processing + DISCOVERED dedup.
+STATUS_PRIORITY = {
+    "ERROR": 5,
+    "FETCHED": 4,
+    "REDIRECTION": 3,
+    "FETCH_ERROR": 2,
+    "DISCOVERED": 1,
+}
+
+
+def status_priority(status: Column) -> Column:
+    expr = F.when(status == "ERROR", 5)
+    for st, p in STATUS_PRIORITY.items():
+        if st != "ERROR":
+            expr = expr.when(status == st, p)
+    return expr.otherwise(0)
+
+
+def dedupe_updates(updates: DataFrame) -> DataFrame:
+    """Collapse one generation's emissions to one row per URL.
+
+    ``max_by(status, priority)`` instead of a window: partial aggregation
+    happens map-side before the shuffle, so a URL emitted 1000× (a hub page
+    discovered from everywhere) ships once per map partition, not 1000 rows
+    through the shuffle. Priority ties are broken by status string (all
+    same-priority statuses are identical anyway).
+    """
+    pr = status_priority(F.col("status"))
+    # Encode (priority, status) so max_by is total and deterministic.
+    ranked = F.concat(F.lpad(pr.cast("string"), 2, "0"), F.lit(":"), F.col("status"))
+    return updates.groupBy("url").agg(
+        F.max_by(F.col("status"), ranked).alias("status")
+    )
+
+
+def merge_status_updates(
+    frontier: DataFrame,
+    updates: DataFrame,
+    now: str,
+    max_fetch_errors: int = 3,
+    intervals: dict[str, int] | None = None,
+) -> DataFrame:
+    """Produce the next-generation frontier (flat schema:
+    url/status/next_fetch_date/error_count/key/bucket).
+
+    Rules (AbstractStatusUpdaterBolt semantics):
+      no update                     → row unchanged
+      DISCOVERED & exists           → unchanged (insert-if-absent)
+      DISCOVERED & new              → insert, due immediately
+      FETCHED/REDIRECTION           → update, error_count := 0, +1440 min
+      FETCH_ERROR                   → error_count += 1; >= max → ERROR+never
+      ERROR                         → terminal, never refetch
+    """
+    from ..functions.urls import host_key_expr, bucket_expr
+
+    u = dedupe_updates(updates).withColumnRenamed("status", "u_status")
+    f = frontier
+    j = f.join(u, on="url", how="full_outer")
+
+    fs, us = F.col("status"), F.col("u_status")
+    ec = F.coalesce(F.col("error_count"), F.lit(0))
+    effective = (
+        F.when(us.isNull(), fs)
+        .when((us == "DISCOVERED") & fs.isNotNull(), fs)
+        .when(
+            (us == "FETCH_ERROR") & (ec + 1 >= max_fetch_errors), F.lit("ERROR")
+        )
+        .otherwise(us)
+    )
+    new_ec = (
+        F.when(us.isNull() | ((us == "DISCOVERED") & fs.isNotNull()), ec)
+        .when(us == "FETCH_ERROR", ec + 1)
+        .when(us.isin("FETCHED", "REDIRECTION"), F.lit(0))
+        .otherwise(ec)
+    )
+    touched = us.isNotNull() & ~((us == "DISCOVERED") & fs.isNotNull())
+    new_nfd = F.when(~touched, F.col("next_fetch_date")).otherwise(
+        schedule_next_fetch(effective, now, intervals)
+    )
+
+    return j.select(
+        F.col("url"),
+        effective.alias("status"),
+        new_nfd.alias("next_fetch_date"),
+        new_ec.alias("error_count"),
+        F.coalesce(F.col("key"), host_key_expr(F.col("url"))).alias("key"),
+        F.coalesce(F.col("bucket"), bucket_expr(host_key_expr(F.col("url")))).alias(
+            "bucket"
+        ),
+    )
+
+
+def deletion_stream(merged: DataFrame, previous: DataFrame) -> DataFrame:
+    """URLs that just became ERROR — the reference's ``deletion`` stream
+    (AbstractStatusUpdaterBolt.java:217-220): downstream indexes drop these
+    docs (opensearch/.../bolt/DeletionBolt.java:53-58).
+
+    Computed as an anti-join of new-ERRORs against previously-ERRORs —
+    broadcast-able since ERROR fractions are small.
+    """
+    now_err = merged.where(F.col("status") == "ERROR").select("url")
+    was_err = previous.where(F.col("status") == "ERROR").select("url")
+    return now_err.join(was_err, "url", "left_anti")

@@ -1,0 +1,80 @@
+"""SparkSession factory tuned for the crawl/analytics engine.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]`` (default all cores), but
+every setting here is chosen to also hold on a 1000-executor cluster:
+AQE handles runtime re-planning (skew joins, partition coalescing), Arrow
+makes the few Pandas-UDF stages cheap, and shuffle partitions default to a
+value sized for the local harness while production deployments override via
+``spark.sql.shuffle.partitions``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "stormcrawler-spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    AQE is enabled so the physical plan adapts at runtime: small shuffle
+    partitions are coalesced, skewed frontier keys (Zipf-distributed hosts)
+    are split, and sort-merge joins downgrade to broadcast when a side turns
+    out to be small — all critical at 100 TB, free at test scale.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Parquet scans: push filters + prune columns (Catalyst default, kept
+        # explicit because frontier queries depend on it at scale).
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
+    """Register the driver's parquet tables as temp views and return them.
+
+    Mirrors TESTDATA.md: region nation customer supplier part orders
+    lineitem events documents embeddings.
+    """
+    names = [
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+        "documents",
+        "embeddings",
+    ]
+    out = {}
+    for name in names:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = spark.read.parquet(path)
+            df.createOrReplaceTempView(name)
+            out[name] = df
+    return out

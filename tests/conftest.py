@@ -1,0 +1,23 @@
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from incubator_stormcrawler_spark.session import get_spark
+
+    s = get_spark("tests", shuffle_partitions=4)
+    yield s
+
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF_DIR

@@ -1,0 +1,162 @@
+"""Unit tests for frontier query + status merge semantics
+(SURVEY.md §2.8; AbstractStatusUpdaterBolt / DefaultScheduler /
+SQLSpout window-query behavior) over tiny hand-built inputs."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import Row
+
+from incubator_stormcrawler_spark.operators.frontier import frontier_topk
+from incubator_stormcrawler_spark.operators.status_merge import (
+    dedupe_updates,
+    merge_status_updates,
+)
+
+NOW = "2024-01-15 00:00:00"
+
+
+def ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+def make_frontier(spark, rows):
+    return spark.createDataFrame(
+        [
+            Row(
+                url=u,
+                status=st,
+                next_fetch_date=ts(d),
+                error_count=ec,
+                key=k,
+                bucket=0,
+            )
+            for (u, st, d, ec, k) in rows
+        ]
+    )
+
+
+def test_frontier_topk_per_key_cap_and_order(spark):
+    f = make_frontier(
+        spark,
+        [
+            ("https://a.com/1", "DISCOVERED", "2024-01-14 00:00:00", 0, "a.com"),
+            ("https://a.com/2", "DISCOVERED", "2024-01-13 00:00:00", 0, "a.com"),
+            ("https://a.com/3", "DISCOVERED", "2024-01-12 00:00:00", 0, "a.com"),
+            ("https://b.com/1", "DISCOVERED", "2024-01-14 00:00:00", 0, "b.com"),
+            # not due:
+            ("https://b.com/2", "DISCOVERED", "2024-01-16 00:00:00", 0, "b.com"),
+            # never (ERROR sentinel):
+            ("https://c.com/1", "ERROR", "3000-01-01 00:00:00", 0, "c.com"),
+        ],
+    )
+    got = frontier_topk(f, NOW, max_per_bucket=2, max_results=10)
+    rows = [(r.url, r.rn) for r in got.collect()]
+    # oldest-first within key, capped at 2/key, b.com/2 & c.com excluded
+    assert ("https://a.com/3", 1) in rows and ("https://a.com/2", 2) in rows
+    assert all(u != "https://a.com/1" for u, _ in rows)
+    assert ("https://b.com/1", 1) in rows
+    assert len(rows) == 3
+
+
+def test_frontier_topk_global_limit_deterministic(spark):
+    f = make_frontier(
+        spark,
+        [
+            (f"https://h{i}.com/x", "DISCOVERED", "2024-01-10 00:00:00", 0, f"h{i}.com")
+            for i in range(10)
+        ],
+    )
+    got = frontier_topk(f, NOW, max_per_bucket=1, max_results=3)
+    urls = [r.url for r in got.collect()]
+    assert urls == sorted(urls)[:3]  # same date → url tiebreak
+
+
+def test_dedupe_updates_priority(spark):
+    u = spark.createDataFrame(
+        [
+            Row(url="u", status="DISCOVERED"),
+            Row(url="u", status="FETCHED"),
+            Row(url="u", status="FETCH_ERROR"),
+            Row(url="v", status="DISCOVERED"),
+        ]
+    )
+    got = {r.url: r.status for r in dedupe_updates(u).collect()}
+    assert got == {"u": "FETCHED", "v": "DISCOVERED"}
+
+
+def _merge(spark, frontier_rows, update_rows, **kw):
+    f = make_frontier(spark, frontier_rows)
+    u = spark.createDataFrame([Row(url=a, status=b) for a, b in update_rows])
+    out = merge_status_updates(f, u, NOW, **kw)
+    return {r.url: r for r in out.collect()}
+
+
+def test_merge_discovered_insert_if_absent(spark):
+    got = _merge(
+        spark,
+        [("https://a.com/old", "FETCHED", "2024-01-10 00:00:00", 0, "a.com")],
+        [("https://a.com/old", "DISCOVERED"), ("https://a.com/new", "DISCOVERED")],
+    )
+    # existing row untouched (insert-if-absent), including its schedule
+    assert got["https://a.com/old"].status == "FETCHED"
+    assert str(got["https://a.com/old"].next_fetch_date) == "2024-01-10 00:00:00"
+    # new row due immediately
+    assert got["https://a.com/new"].status == "DISCOVERED"
+    assert str(got["https://a.com/new"].next_fetch_date) == NOW.replace("T", " ")
+    assert got["https://a.com/new"].key == "a.com"
+
+
+def test_merge_fetched_schedules_1440(spark):
+    got = _merge(
+        spark,
+        [("https://a.com/p", "DISCOVERED", "2024-01-10 00:00:00", 0, "a.com")],
+        [("https://a.com/p", "FETCHED")],
+    )
+    r = got["https://a.com/p"]
+    assert r.status == "FETCHED" and r.error_count == 0
+    assert str(r.next_fetch_date) == "2024-01-16 00:00:00"  # +1440 min
+
+
+def test_merge_fetch_error_counts_and_escalates(spark):
+    # first error: count 0→1, +120 min
+    got = _merge(
+        spark,
+        [("https://a.com/p", "FETCHED", "2024-01-10 00:00:00", 0, "a.com")],
+        [("https://a.com/p", "FETCH_ERROR")],
+    )
+    r = got["https://a.com/p"]
+    assert r.status == "FETCH_ERROR" and r.error_count == 1
+    assert str(r.next_fetch_date) == "2024-01-15 02:00:00"
+    # third error escalates to ERROR + never (max.fetch.errors=3,
+    # AbstractStatusUpdaterBolt.java:188-203)
+    got = _merge(
+        spark,
+        [("https://a.com/p", "FETCH_ERROR", "2024-01-10 00:00:00", 2, "a.com")],
+        [("https://a.com/p", "FETCH_ERROR")],
+    )
+    r = got["https://a.com/p"]
+    assert r.status == "ERROR" and r.error_count == 3
+    assert str(r.next_fetch_date) == "3000-01-01 00:00:00"
+
+
+def test_merge_success_clears_error_count(spark):
+    got = _merge(
+        spark,
+        [("https://a.com/p", "FETCH_ERROR", "2024-01-10 00:00:00", 2, "a.com")],
+        [("https://a.com/p", "FETCHED")],
+    )
+    r = got["https://a.com/p"]
+    assert r.status == "FETCHED" and r.error_count == 0
+
+
+def test_merge_untouched_rows_pass_through(spark):
+    got = _merge(
+        spark,
+        [("https://a.com/p", "FETCHED", "2024-01-10 00:00:00", 0, "a.com")],
+        [("https://b.com/q", "FETCHED")],
+    )
+    assert str(got["https://a.com/p"].next_fetch_date) == "2024-01-10 00:00:00"
+    assert got["https://b.com/q"].status == "FETCHED"
