@@ -14,6 +14,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from incubator_stormcrawler_spark.operators import relational as rel
 from incubator_stormcrawler_spark.operators import synthetic as syn
 from incubator_stormcrawler_spark.operators.frontier import (
     frontier_topk,
@@ -130,6 +131,127 @@ def q_url_normalize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _ORACLES: dict[str, str] = {}
+
+_ORACLES["tpch_pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity), 2) AS sum_qty,
+  round(sum(l_extendedprice), 2) AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+  round(avg(l_quantity), 6) AS avg_qty,
+  round(avg(l_discount), 6) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+_ORACLES["tpch_shipping_priority"] = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+_ORACLES["tpch_local_supplier_volume"] = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name IN ('AMERICA', 'ASIA')
+GROUP BY n_name
+"""
+
+_ORACLES["tpch_forecast_revenue"] = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+_ORACLES["top_orders_per_customer"] = """
+SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+    row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders
+) WHERE rk <= 3
+"""
+
+_ORACLES["customer_value_bands"] = """
+WITH per_cust AS (
+  SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spend,
+         count(*) AS num_orders
+  FROM orders GROUP BY o_custkey
+)
+SELECT CASE WHEN total_spend >= 1000000 THEN 'platinum'
+            WHEN total_spend >= 300000 THEN 'gold'
+            ELSE 'standard' END AS band,
+       count(*) AS num_customers,
+       round(avg(total_spend), 2) AS avg_spend
+FROM per_cust WHERE num_orders >= 2 GROUP BY 1
+"""
+
+_ORACLES["customers_without_urgent_orders"] = """
+SELECT c_custkey, c_name, c_nationkey FROM customer
+WHERE c_custkey NOT IN
+  (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+"""
+
+_ORACLES["nations_by_activity"] = """
+SELECT DISTINCT nationkey FROM (
+  SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 0
+  UNION ALL
+  SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 0
+)
+"""
+
+_ORACLES["events_hourly"] = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS num_events, round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+_ORACLES["events_sessionize"] = """
+WITH tagged AS (
+  SELECT user_id, ts, event_id, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, value,
+    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM tagged
+), per_sess AS (
+  SELECT user_id, session_id, count(*) AS num_events,
+         round(sum(value), 2) AS session_value
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT user_id, max(session_id) AS num_sessions,
+       sum(num_events) AS num_events,
+       round(max(session_value), 2) AS max_session_value
+FROM per_sess GROUP BY user_id
+"""
+
+_ORACLES["events_json_props"] = """
+SELECT cast(floor(cast(json_extract_string(props, '$.k') as int) / 10) as int)
+         AS k_decile,
+       count(*) AS num_events, round(avg(value), 4) AS avg_value
+FROM events GROUP BY 1
+"""
 
 _ORACLES["frontier_topk"] = f"""
 {_DUCK_PRELUDE}
@@ -286,6 +408,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deletion_stream": q_deletion_stream,
         "url_partition_keys": q_url_partition_keys,
         "url_normalize_native": q_url_normalize_native,
+        # relational surface (SURVEY.md §2.10)
+        "tpch_pricing_summary": rel.pricing_summary,
+        "tpch_shipping_priority": rel.shipping_priority,
+        "tpch_local_supplier_volume": rel.local_supplier_volume,
+        "tpch_forecast_revenue": rel.forecast_revenue,
+        "top_orders_per_customer": rel.top_orders_per_customer,
+        "customer_value_bands": rel.customer_value_bands,
+        "customers_without_urgent_orders": rel.customers_without_urgent_orders,
+        "nations_by_activity": rel.nations_by_activity,
+        "events_hourly": rel.events_hourly,
+        "events_sessionize": rel.events_sessionize,
+        "events_json_props": rel.events_json_props,
     }
 
 

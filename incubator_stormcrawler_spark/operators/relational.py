@@ -1,0 +1,252 @@
+"""Generic relational operator surface (SURVEY.md §2.10).
+
+The reference's dataflow embeds these implicitly (anti-join dedup, broadcast
+robots lookup, grouped top-k, per-status counts); our engine exposes them as
+first-class DataFrame plans over the driver's TPC-H-ish tables. Each query
+here is written so Catalyst produces the plan you'd hand-pick at 100 TB:
+
+- dimension joins are broadcast (``F.broadcast`` on region/nation/supplier),
+- aggregations are partial (map-side combine) before the shuffle,
+- top-k is window + filter (one shuffle) or orderBy+limit
+  (TakeOrderedAndProject — no full sort),
+- filters sit directly on the scan so parquet pushdown applies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table with a true TIMESTAMP ``ts``.
+
+    The driver's parquet stores TIMESTAMP(NANOS); Spark reads it as long
+    (``spark.sql.legacy.parquet.nanosAsLong``, set in session.py), which we
+    convert to microsecond timestamps at the scan — the cast composes with
+    column pruning, so only queries touching ``ts`` pay it.
+    """
+    ev = _t(spark, sf_dir, "events")
+    if dict(ev.dtypes).get("ts") in ("bigint", "long"):
+        ev = ev.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return ev
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: wide aggregate over lineitem.
+
+    One shuffle over a tiny key space; every agg is partial-aggregable so
+    the shuffle moves O(#groups) rows per partition at any scale.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: top-10 order revenue for one market segment.
+
+    customer is the small side — broadcast; the orders⋈lineitem join
+    shuffles on orderkey; final top-10 is TakeOrderedAndProject.
+    """
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1998-03-15")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1998-03-15")
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(revenue, 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style: revenue per nation where customer and supplier share
+    the nation. All dimension joins broadcast; one real shuffle (orderkey).
+    """
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .where(F.col("r_name").isin("AMERICA", "ASIA"))
+        .groupBy("n_name")
+        .agg(F.round(revenue, 2).alias("revenue"))
+    )
+
+
+def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style: pure filter+sum — tests predicate pushdown; the scan
+    should read 3 columns and skip row groups on shipdate."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped top-k window — same physical shape as the frontier query,
+    exercised on a relational table (rank/filter, one shuffle)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+def customer_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation + HAVING + CASE banding over a join."""
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        F.count(F.lit(1)).alias("num_orders"),
+    )
+    band = (
+        F.when(F.col("total_spend") >= 1000000, "platinum")
+        .when(F.col("total_spend") >= 300000, "gold")
+        .otherwise("standard")
+    )
+    return (
+        per_cust.where(F.col("num_orders") >= 2)
+        .withColumn("band", band)
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("num_customers"),
+            F.round(F.avg("total_spend"), 2).alias("avg_spend"),
+        )
+    )
+
+
+def customers_without_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-ops surface: anti-join (the reference's discovered-URL dedup
+    shape, AbstractStatusUpdaterBolt.java:150-161, as a relational op) —
+    customers who never placed a 1-URGENT order."""
+    cust = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_nationkey")
+    )
+
+
+def nations_by_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union + distinct set-op: nations having customers or suppliers with
+    positive account balance."""
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    a = cust.where(F.col("c_acctbal") > 0).select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    b = supp.where(F.col("s_acctbal") > 0).select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return a.union(b).distinct()
+
+
+# -- events (the streaming-shaped batch surface) ---------------------------
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregate (batch twin of the Structured-Streaming
+    windowed agg in streaming/): events per hour per type + value sum."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("num_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via gap detection (30 min): lag + cumulative sum —
+    the classic two-window sessionizer, one shuffle on user_id."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess_id = F.sum(new_sess).over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+    )
+    sessions = ev.withColumn("session_id", sess_id)
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("num_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max("session_id").alias("num_sessions"),
+            F.sum("num_events").alias("num_events"),
+            F.round(F.max("session_value"), 2).alias("max_session_value"),
+        )
+    )
+
+
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar surface (LDJsonParseFilter-alike): extract props.k,
+    aggregate by its decile."""
+    ev = load_events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.withColumn("k", k)
+        .groupBy((F.col("k") / 10).cast("int").alias("k_decile"))
+        .agg(
+            F.count(F.lit(1)).alias("num_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )

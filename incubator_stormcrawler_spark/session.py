@@ -43,6 +43,10 @@ def get_spark(
         # Parquet scans: push filters + prune columns (Catalyst default, kept
         # explicit because frontier queries depend on it at scale).
         .config("spark.sql.parquet.filterPushdown", "true")
+        # the driver's events.parquet stores TIMESTAMP(NANOS) which Spark
+        # has no native type for — read as long, convert at the source
+        # (see operators/relational.py load_events).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
