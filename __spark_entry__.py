@@ -14,7 +14,14 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from incubator_stormcrawler_spark.functions.text import (
+    doc_fingerprint,
+    langid_scores,
+    quality_metrics,
+)
+from incubator_stormcrawler_spark.operators import dedup as dd
 from incubator_stormcrawler_spark.operators import relational as rel
+from incubator_stormcrawler_spark.operators import similarity as sim
 from incubator_stormcrawler_spark.operators import synthetic as syn
 from incubator_stormcrawler_spark.operators.frontier import (
     frontier_topk,
@@ -124,6 +131,104 @@ def q_url_normalize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     rest = F.substr(no_utm, F.length(prefix) + 1, F.lit(1 << 30))
     normalized = F.concat(F.lower(prefix), rest)
     return messy.select(F.col("p_partkey").alias("id"), normalized.alias("norm_url"))
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline queries (dedup / similarity / text analysis)
+# ---------------------------------------------------------------------------
+
+def _docs_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + deterministic exact copies (4%) and near copies (4%) so
+    dedup operators have known positives; identical CTE on the DuckDB side."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    dups = docs.where(F.expr("mod(doc_id, 25) = 0")).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    nears = docs.where(F.expr("mod(doc_id, 25) = 1")).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz extra tail")).alias("text"),
+    )
+    return docs.union(dups).union(nears)
+
+
+_DOCS_AUG_CTE = """
+docs_aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE mod(doc_id, 25) = 0
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text || ' zz extra tail' AS text
+  FROM documents WHERE mod(doc_id, 25) = 1
+)
+"""
+
+_SHINGLE_CTE = """
+sh AS (
+  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM docs_aug) d,
+       unnest(generate_series(1, len(toks) - 2)) AS t(i)
+)
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-text fingerprint (dedup.exact_duplicates)."""
+    return dd.exact_duplicates(_docs_augmented(spark, sf_dir))
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs ≥ 0.6."""
+    return dd.ngram_jaccard_pairs(_docs_augmented(spark, sf_dir), n=3, threshold=0.6)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates (8 hashes, 4 bands × 2 rows) with est_sim ≥ 0.5."""
+    return dd.lsh_candidate_pairs(
+        _docs_augmented(spark, sf_dir), num_hashes=8, band_rows=2, min_est_sim=0.5
+    )
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 3) via byte-band candidate join;
+    oracle verifies against the equivalent all-pairs computation."""
+    return dd.simhash_pairs(_docs_augmented(spark, sf_dir), max_hamming=3)
+
+
+def q_text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dd.simhash(docs)
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring metrics per document."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return quality_metrics(docs)
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-anchor language ID with per-language scores."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return langid_scores(docs)
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint + 8-token anchor hash per document."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return doc_fingerprint(docs)
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the first 20 query vectors."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 20)
+    return sim.cosine_topk(emb, queries, k=5)
+
+
+def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs with cosine ≥ 0.4 (corpus max ≈ 0.51)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return sim.embedding_cosine_dedup(emb, threshold=0.4)
 
 
 # ---------------------------------------------------------------------------
@@ -244,6 +349,168 @@ SELECT user_id, max(session_id) AS num_sessions,
        sum(num_events) AS num_events,
        round(max(session_value), 2) AS max_session_value
 FROM per_sess GROUP BY user_id
+"""
+
+_ORACLES["dedup_exact"] = f"""
+WITH {_DOCS_AUG_CTE.strip()}
+SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint,
+       min(doc_id) AS keeper, count(*) AS n_docs
+FROM docs_aug GROUP BY 1 HAVING count(*) > 1
+"""
+
+_ORACLES["dedup_ngram_jaccard"] = f"""
+WITH {_DOCS_AUG_CTE.strip()}, {_SHINGLE_CTE.strip()},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT doc1, doc2,
+       round(n_common / (s1.n_sh + s2.n_sh - n_common), 4) AS jaccard
+FROM common
+JOIN sizes s1 ON s1.doc_id = doc1
+JOIN sizes s2 ON s2.doc_id = doc2
+WHERE round(n_common / (s1.n_sh + s2.n_sh - n_common), 4) >= 0.6
+"""
+
+_MINHASH_CTE = """
+mh AS (
+  SELECT doc_id, h, min(md5(cast(h as varchar) || '|' || shingle)) AS v
+  FROM sh, unnest(generate_series(0, 7)) AS t(h)
+  GROUP BY doc_id, h
+),
+bands AS (
+  SELECT doc_id, cast(floor(h / 2) as int) AS b,
+         md5(min_by(v, h) || max_by(v, h)) AS bkey
+  FROM mh GROUP BY doc_id, 2
+),
+cand AS (
+  SELECT DISTINCT b1.doc_id AS doc1, b2.doc_id AS doc2
+  FROM bands b1 JOIN bands b2 USING (b, bkey)
+  WHERE b1.doc_id < b2.doc_id
+)
+"""
+
+_ORACLES["dedup_minhash_lsh"] = f"""
+WITH {_DOCS_AUG_CTE.strip()}, {_SHINGLE_CTE.strip()}, {_MINHASH_CTE.strip()}
+SELECT doc1, doc2,
+       round(sum(cast(m1.v = m2.v as int)) / 8, 4) AS est_sim
+FROM cand
+JOIN mh m1 ON m1.doc_id = doc1
+JOIN mh m2 ON m2.doc_id = doc2 AND m2.h = m1.h
+GROUP BY doc1, doc2
+HAVING round(sum(cast(m1.v = m2.v as int)) / 8, 4) >= 0.5
+"""
+
+_SIMHASH_SQL = """
+tok AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM {src}
+  )
+),
+bits AS (
+  SELECT doc_id, j,
+         2 * (ascii(substr(md5(tok), j + 1, 1)) % 2) - 1 AS w
+  FROM tok, unnest(generate_series(0, 31)) AS t(j)
+),
+sums AS (SELECT doc_id, j, sum(w) AS s FROM bits GROUP BY 1, 2),
+sig AS (
+  SELECT doc_id,
+         cast(sum(CASE WHEN s >= 0 THEN 2 ** j ELSE 0 END) as bigint) AS simhash
+  FROM sums GROUP BY doc_id
+)
+"""
+
+_ORACLES["text_simhash"] = f"""
+WITH {_SIMHASH_SQL.strip().format(src='documents')}
+SELECT doc_id, simhash FROM sig
+"""
+
+_ORACLES["dedup_simhash_pairs"] = f"""
+WITH {_DOCS_AUG_CTE.strip()}, {_SIMHASH_SQL.strip().format(src='docs_aug')}
+SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sig a, sig b
+WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+_ORACLES["text_quality"] = """
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+)
+SELECT doc_id,
+  length(text) AS n_chars,
+  len(toks) AS n_tokens,
+  len(list_distinct(toks)) AS n_uniq_tokens,
+  round(len(list_distinct(toks)) / len(toks), 4) AS uniq_ratio,
+  round(length(replace(text, ' ', '')) / len(toks), 4) AS mean_token_len,
+  round(len(list_filter(toks,
+    t2 -> list_contains(['the','a','of','and','to'], t2))) / len(toks), 4)
+    AS stopword_ratio
+FROM t
+"""
+
+_ORACLES["text_langid"] = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), s AS (
+  SELECT doc_id, len(toks) AS n_tok,
+    len(list_filter(toks, x -> list_contains(['the','a','of','and','to'], x))) AS score_en,
+    len(list_filter(toks, x -> list_contains(['der','die','das','und','nicht'], x))) AS score_de,
+    len(list_filter(toks, x -> list_contains(['le','la','les','et','pas'], x))) AS score_fr,
+    len(list_filter(toks, x -> list_contains(['el','los','las','y','no'], x))) AS score_es
+  FROM t
+)
+SELECT doc_id, score_en, score_de, score_fr, score_es,
+  round(greatest(score_en, score_de, score_fr, score_es)
+        / greatest(n_tok, 1), 4) AS confidence,
+  CASE
+    WHEN greatest(score_en, score_de, score_fr, score_es) = 0 THEN 'und'
+    WHEN score_en = greatest(score_en, score_de, score_fr, score_es) THEN 'en'
+    WHEN score_de = greatest(score_en, score_de, score_fr, score_es) THEN 'de'
+    WHEN score_fr = greatest(score_en, score_de, score_fr, score_es) THEN 'fr'
+    WHEN score_es = greatest(score_en, score_de, score_fr, score_es) THEN 'es'
+    ELSE 'und' END AS lang_pred
+FROM s
+"""
+
+_ORACLES["doc_fingerprint"] = """
+WITH n AS (
+  SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS norm
+  FROM documents
+)
+SELECT doc_id, md5(norm) AS fingerprint,
+       md5(array_to_string(list_slice(string_split(norm, ' '), 1, 8), ' '))
+         AS anchor_hash
+FROM n
+"""
+
+_ORACLES["ann_cosine_topk"] = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20
+), scored AS (
+  SELECT query_id, vec_id, list_cosine_similarity(qv, v) AS sim_raw
+  FROM q, e WHERE vec_id <> query_id
+)
+SELECT query_id, vec_id, round(sim_raw, 4) AS sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim_raw DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+_ORACLES["embedding_cosine_pairs"] = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+)
+SELECT a.vec_id AS id1, b.vec_id AS id2,
+       round(list_cosine_similarity(a.v, b.v), 4) AS sim
+FROM e a, e b
+WHERE a.vec_id < b.vec_id
+  AND round(list_cosine_similarity(a.v, b.v), 4) >= 0.4
 """
 
 _ORACLES["events_json_props"] = """
@@ -420,6 +687,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": rel.events_hourly,
         "events_sessionize": rel.events_sessionize,
         "events_json_props": rel.events_json_props,
+        # LLM-data-pipeline operators
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "text_simhash": q_text_simhash,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "doc_fingerprint": q_doc_fingerprint,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "embedding_cosine_pairs": q_embedding_cosine_pairs,
     }
 
 

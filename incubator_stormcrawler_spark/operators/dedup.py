@@ -1,0 +1,268 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, each scale-designed:
+
+* **Exact** — fingerprint (md5 of normalized text) + hash groupBy. One
+  partial-aggregable shuffle; at 100 TB this is the cheapest pass and runs
+  first to shrink the corpus for the fuzzier passes.
+* **N-gram Jaccard** — word-shingle explode + self-join on shingle. Exact
+  pairwise similarity, quadratic in the worst case — correct baseline and
+  verification stage, not the scale path.
+* **MinHash + LSH** — minhash signatures (min over md5-salted shingle
+  hashes) banded into buckets; only pairs sharing a band bucket are
+  compared. Linear-ish in corpus size: the classic 100 TB near-dup design
+  (shingle→minhash→band→bucket-join).
+* **SimHash** — 32-bit parity-of-hex-digit signature; hamming-close pairs
+  via prefix banding. Complements MinHash for token-multiset similarity.
+
+The crawl-side analog is the reference's MD5 page signature
+(core/.../parse/filter/MD5SignatureParseFilter.java:48,52-92) used for
+change detection; here signatures become corpus-dedup keys.
+
+Everything below is pure DataFrame/SQL ops — md5/substr/ascii arithmetic —
+no UDFs, so whole-stage codegen applies and the DuckDB oracle can run the
+identical computation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT = " "
+
+
+def fingerprint_expr(text: F.Column) -> F.Column:
+    """Normalized-text fingerprint: lowercase, collapse whitespace, md5."""
+    return F.md5(F.lower(F.regexp_replace(text, r"\s+", " ")))
+
+
+def with_shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """(doc_id, shingle) — distinct word n-grams per document.
+
+    Built with sequence/transform (no UDF); the explode is the only
+    row-multiplying step and feeds a partial-aggregable groupBy downstream.
+    """
+    toks = F.split(F.col(text_col), TOKEN_SPLIT)
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
+        ),
+    )
+    shingles = F.when(F.size(toks) >= n, gram).otherwise(
+        F.array().cast("array<string>")
+    )
+    return (
+        docs.select("doc_id", F.explode(shingles).alias("shingle"))
+        .distinct()
+    )
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup groups: fingerprint → (fingerprint, keeper, n_docs>1).
+
+    Keeper = min(doc_id), the canonical survivor; map-side combine makes the
+    shuffle O(distinct fingerprints)."""
+    return (
+        docs.select(
+            fingerprint_expr(F.col(text_col)).alias("fingerprint"), "doc_id"
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keeper"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.6
+) -> DataFrame:
+    """Exact Jaccard near-dup pairs over word n-gram shingle sets.
+
+    shingle self-join → common counts → |A∪B| = |A|+|B|−|A∩B|. The
+    self-join key is the shingle, so hot shingles fan out — at scale run
+    AFTER LSH candidate generation (this is the verify stage), or cap
+    shingle document-frequency first (stop-shingle removal).
+    """
+    sh = with_shingles(docs, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    s1 = sizes.select(
+        F.col("doc_id").alias("doc1"), F.col("n_sh").alias("n1")
+    )
+    s2 = sizes.select(
+        F.col("doc_id").alias("doc2"), F.col("n_sh").alias("n2")
+    )
+    jac = F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common"))
+    return (
+        common.join(s1, "doc1")
+        .join(s2, "doc2")
+        .withColumn("jaccard", F.round(jac, 4))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc1", "doc2", "jaccard")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, num_hashes: int = 8, n: int = 3
+) -> DataFrame:
+    """(doc_id, h, v): v = min over shingles of md5(h || '|' || shingle).
+
+    Lexicographic min over salted md5 hex is a valid minwise family for
+    set-similarity banding (identical sets agree on every h; similar sets
+    agree with probability ≈ Jaccard). One explode (×num_hashes) + one
+    partial-aggregable groupBy.
+    """
+    sh = with_shingles(docs, n)
+    h = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("h")
+    salted = sh.select("doc_id", "shingle", h).select(
+        "doc_id",
+        "h",
+        F.md5(F.concat(F.col("h").cast("string"), F.lit("|"), F.col("shingle"))).alias(
+            "hv"
+        ),
+    )
+    return salted.groupBy("doc_id", "h").agg(F.min("hv").alias("v"))
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    num_hashes: int = 8,
+    band_rows: int = 2,
+    n: int = 3,
+    min_est_sim: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH near-dup candidates with estimated similarity.
+
+    Bands of ``band_rows`` minhashes; band key = md5(v_even || v_odd);
+    pairs sharing any band bucket become candidates; est_sim = fraction of
+    agreeing minhash positions. With b bands of r rows the capture
+    threshold is ≈ (1/b)^(1/r) — defaults give ≈0.5. At 100 TB the band
+    join replaces the quadratic shingle self-join; skew in hot buckets is
+    handled by AQE skew-join splitting.
+    """
+    assert band_rows == 2, "band key built from (min_by, max_by); r=2 for now"
+    mh = minhash_signatures(docs, num_hashes, n)
+    bands = (
+        mh.withColumn("b", (F.col("h") / band_rows).cast("int"))
+        .groupBy("doc_id", "b")
+        .agg(
+            F.md5(
+                F.concat(F.min_by("v", "h"), F.max_by("v", "h"))
+            ).alias("bkey")
+        )
+    )
+    b1 = bands.alias("b1")
+    b2 = bands.alias("b2")
+    cands = (
+        b1.join(b2, ["b", "bkey"])
+        .where(F.col("b1.doc_id") < F.col("b2.doc_id"))
+        .select(
+            F.col("b1.doc_id").alias("doc1"), F.col("b2.doc_id").alias("doc2")
+        )
+        .distinct()
+    )
+    m1 = mh.select(F.col("doc_id").alias("doc1"), "h", F.col("v").alias("v1"))
+    m2 = mh.select(F.col("doc_id").alias("doc2"), "h", F.col("v").alias("v2"))
+    est = (
+        cands.join(m1, "doc1")
+        .join(m2, ["doc2", "h"])
+        .groupBy("doc1", "doc2")
+        .agg(
+            F.round(
+                F.sum((F.col("v1") == F.col("v2")).cast("int")) / F.lit(num_hashes),
+                4,
+            ).alias("est_sim")
+        )
+    )
+    return est.where(F.col("est_sim") >= min_est_sim)
+
+
+def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """32-bit SimHash per document: bit j = sign of Σ_tokens (2·parity−1),
+    where parity = ascii(md5(token)[j]) mod 2.
+
+    Parity-of-hex-digit gives 32 independent-ish bits from one md5 — no
+    bigint hex parsing needed, so Spark and DuckDB compute identical values.
+    Output fits an INT; near-dup = small hamming distance (see
+    ``simhash_pairs``).
+    """
+    toks = F.array_distinct(F.split(F.col(text_col), TOKEN_SPLIT))
+    exploded = docs.select("doc_id", F.explode(toks).alias("tok")).select(
+        "doc_id", F.md5("tok").alias("th")
+    )
+    j = F.explode(F.sequence(F.lit(0), F.lit(31))).alias("j")
+    bits = exploded.select("doc_id", "th", j).select(
+        "doc_id",
+        "j",
+        (2 * (F.ascii(F.substring(F.col("th"), F.col("j") + 1, 1)) % 2) - 1).alias(
+            "w"
+        ),
+    )
+    return (
+        bits.groupBy("doc_id", "j")
+        .agg(F.sum("w").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("s") >= 0, F.pow(F.lit(2.0), F.col("j"))).otherwise(
+                    F.lit(0.0)
+                )
+            )
+            .cast("long")
+            .alias("simhash")
+        )
+    )
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, banded for scale.
+
+    Splits the 32-bit signature into 4 bytes; by pigeonhole, any pair
+    within hamming ≤ 3 agrees on ≥1 byte — join per byte-band, then verify
+    the exact distance with bit_count(xor). Avoids the all-pairs cross
+    join entirely.
+    """
+    sig = simhash(docs)
+    byte_of = lambda v, i: F.shiftrightunsigned(v, 8 * i).bitwiseAND(F.lit(255))
+    banded = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("band"), byte_of(F.col("simhash"), i).alias("bv"))
+                for i in range(4)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, ["band", "bv"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc1"),
+            F.col("b.doc_id").alias("doc2"),
+            F.col("a.simhash").alias("s1"),
+            F.col("b.simhash").alias("s2"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
+    return (
+        cand.withColumn("hamming", ham)
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc1", "doc2", "hamming")
+    )

@@ -1,0 +1,180 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+* ``cosine_topk`` — brute-force exact top-k: query×candidate join with a
+  JVM-side fold (``aggregate``/``zip_with``) for the dot product, window
+  top-k per query. Correctness baseline; cost O(|Q|·|C|·d) — fine when the
+  query set is small or as the verify stage.
+* ``lsh_cosine_topk`` — sign-random-projection LSH: vectors hash to a
+  small bit-bucket; candidates share a bucket in ≥1 table; exact rerank of
+  candidates only. The 100 TB path: bucket join instead of cross join, and
+  the planes are a broadcast literal (deterministic seed) so every executor
+  hashes identically.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    sq = F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.sqrt(sq)
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors by cosine for each query vector.
+
+    Returns (query_id, vec_id, sim, rank). ``sim`` is rounded for stable
+    cross-engine comparison; ranking uses the unrounded value (ties then
+    broken by vec_id, so output is deterministic).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")
+    )
+    sim = _dot(F.col("qv"), F.col("cv")) / (
+        _norm(F.col("qv")) * _norm(F.col("cv"))
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("vec_id"))
+        .withColumn("sim_raw", sim)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim_raw").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(F.col("sim_raw"), 4).alias("sim"),
+            "rank",
+        )
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes for sign-LSH (broadcast literal)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).round(6).tolist()
+
+
+def lsh_bucket_expr(vec, planes: list[list[float]]):
+    """Bucket id = bits of sign(v·p) over the plane set — a tiny int key."""
+    bits = []
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bits.append(
+            F.when(_dot(vec, plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def lsh_cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 4,
+    n_tables: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates = vectors sharing an LSH bucket with
+    the query in any of ``n_tables`` independent plane sets; exact cosine
+    rerank of candidates only.
+
+    2^n_planes buckets per table → expected candidate set shrinks by
+    ~2^-n_planes per table; recall grows with n_tables. Both knobs trade
+    compute for recall — measured in tests against ``cosine_topk``.
+    """
+    c = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    cand_parts = []
+    for t in range(n_tables):
+        planes = random_hyperplanes(dim, n_planes, seed=42 + t)
+        cb = c.select(
+            "vec_id", "cv", lsh_bucket_expr(F.col("cv"), planes).alias("bucket")
+        )
+        qb = q.select(
+            "query_id", "qv", lsh_bucket_expr(F.col("qv"), planes).alias("bucket")
+        )
+        cand_parts.append(
+            cb.join(F.broadcast(qb), "bucket").select(
+                "query_id", "qv", "vec_id", "cv"
+            )
+        )
+    cands = cand_parts[0]
+    for p in cand_parts[1:]:
+        cands = cands.union(p)
+    cands = cands.where(F.col("query_id") != F.col("vec_id")).dropDuplicates(
+        ["query_id", "vec_id"]
+    )
+    sim = _dot(F.col("qv"), F.col("cv")) / (
+        _norm(F.col("qv")) * _norm(F.col("cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim_raw").desc(), F.col("vec_id")
+    )
+    return (
+        cands.withColumn("sim_raw", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(F.col("sim_raw"), 4).alias("sim"),
+            "rank",
+        )
+    )
+
+
+def embedding_cosine_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ threshold, id1 < id2.
+
+    Brute-force form (all-pairs); at scale, swap the cross join for the
+    LSH bucket join above — same rerank expression.
+    """
+    a = embeddings.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
+    b = embeddings.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
+    sim = _dot(F.col("v1"), F.col("v2")) / (_norm(F.col("v1")) * _norm(F.col("v2")))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id1") < F.col("id2"))
+        .withColumn("sim", F.round(sim, 4))
+        .where(F.col("sim") >= threshold)
+        .select("id1", "id2", "sim")
+    )

@@ -1,0 +1,105 @@
+"""Dedup + similarity operator tests: known-positive detection and
+approximate-vs-exact agreement (LSH recall)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from incubator_stormcrawler_spark.operators import dedup as dd
+from incubator_stormcrawler_spark.operators import similarity as sim
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        Row(doc_id=1, text=base),
+        Row(doc_id=2, text=base),  # exact dup of 1
+        Row(doc_id=3, text=base + " lambda"),  # near dup of 1
+        Row(doc_id=4, text="one two three four five six seven eight nine ten"),
+        Row(doc_id=5, text="cat dog bird fish mouse horse cow sheep goat pig"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_exact_duplicates(docs):
+    got = dd.exact_duplicates(docs).collect()
+    assert len(got) == 1
+    assert got[0].keeper == 1 and got[0].n_docs == 2
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = {(r.doc1, r.doc2): r.jaccard for r in
+             dd.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (2, 3) in pairs and 0.5 < pairs[(2, 3)] < 1.0
+    assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_minhash_lsh_candidates(docs):
+    got = {(r.doc1, r.doc2): r.est_sim for r in
+           dd.lsh_candidate_pairs(docs, min_est_sim=0.5).collect()}
+    assert got.get((1, 2)) == 1.0  # identical sets agree on every hash
+    assert (1, 3) in got  # near dup shares ≥1 band w.h.p.
+    assert not any((4 in p or 5 in p) for p in got)
+
+
+def test_simhash_identical_and_distinct(docs):
+    s = {r.doc_id: r.simhash for r in dd.simhash(docs).collect()}
+    assert s[1] == s[2]
+    assert 0 <= s[1] < (1 << 32)
+    assert s[1] != s[4]
+
+
+def test_simhash_pairs_banding_equals_brute(spark, docs):
+    """Banded candidate join must find exactly the all-pairs hamming≤3 set
+    (pigeonhole: ≤3 differing bits leave ≥1 of 4 bytes intact)."""
+    got = {(r.doc1, r.doc2) for r in dd.simhash_pairs(docs, max_hamming=3).collect()}
+    sig = {r.doc_id: r.simhash for r in dd.simhash(docs).collect()}
+    ids = sorted(sig)
+    brute = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sig[a] ^ sig[b]).count("1") <= 3
+    }
+    assert got == brute
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_lsh_cosine_recall(emb):
+    """LSH ANN must recover a solid share of the exact top-5. Random 64-dim
+    data is the worst case for sign-LSH (neighbors sit at cosine ~0.3-0.5),
+    so the bar is recall ≥ 0.5 with the default 6 tables × 4 planes; real
+    clustered embeddings do far better."""
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in sim.cosine_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in sim.lsh_cosine_topk(emb, queries, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_cosine_topk_self_excluded_and_ranked(emb):
+    queries = emb.where(F.col("vec_id") < 3)
+    rows = sim.cosine_topk(emb, queries, k=5).collect()
+    by_q = {}
+    for r in rows:
+        assert r.query_id != r.vec_id
+        by_q.setdefault(r.query_id, []).append((r.rank, r.sim))
+    for q, rs in by_q.items():
+        rs.sort()
+        assert [x[0] for x in rs] == [1, 2, 3, 4, 5]
+        sims = [x[1] for x in rs]
+        assert sims == sorted(sims, reverse=True)
