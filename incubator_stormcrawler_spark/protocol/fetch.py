@@ -1,0 +1,302 @@
+"""Polite distributed fetching — FetcherBolt
+(core/.../bolt/FetcherBolt.java:69; queues :251-302, delay :191-245,
+robots :525-634, emit :706-782) re-expressed for Spark's execution model.
+
+Design: ``repartition(key)`` co-locates every URL of a politeness key in
+one partition, then ``fetch_partition`` runs inside ``mapInPandas`` /
+``mapPartitions`` enforcing, per key: serial fetching, crawl-delay
+(robots ``Crawl-delay`` adopted when ≤ max_crawl_delay, else the queue is
+skipped — FetcherBolt.java:592-634), and robots allow/deny (deny →
+status ERROR with ``error.cause=robots.txt``, :525-590). Keys interleave
+within the partition so delay-waiting on one host overlaps with fetching
+others — the same effect as the reference's round-robin queue scan
+(:385-435), implemented as a priority queue on next-allowed-time.
+
+Politeness is per-key state; Spark's shuffle guarantees a key never spans
+partitions, so per-partition state IS global state for that key — this is
+the crux of making politeness correct on a 1000-executor cluster.
+
+``Protocol`` implementations are pluggable (ProtocolFactory.java:27):
+``MemoryProtocol`` (tests/local), ``FileProtocol`` (file:// fixtures),
+``HttpProtocol`` (urllib; gated — no network in the build sandbox).
+"""
+
+from __future__ import annotations
+
+import heapq
+import time
+from dataclasses import dataclass, field
+from urllib.parse import urlsplit
+
+from .robots import ALLOW_ALL, RobotsCache
+
+
+@dataclass
+class ProtocolResponse:
+    """core/.../protocol/ProtocolResponse.java:80-88."""
+
+    content: bytes | None
+    status_code: int
+    metadata: dict[str, list[str]] = field(default_factory=dict)
+
+
+class Protocol:
+    """core/.../protocol/Protocol.java:41-57."""
+
+    def get_protocol_output(self, url: str, metadata: dict) -> ProtocolResponse:
+        raise NotImplementedError
+
+    def get_robots(self, host: str) -> tuple[int, str | None]:
+        """(status_code, body) for http(s)://host/robots.txt."""
+        return 404, None
+
+
+class MemoryProtocol(Protocol):
+    """In-memory site for tests/local crawls (MemorySpout-style loopback):
+    ``site``: url -> (status_code, bytes | str) or url -> bytes."""
+
+    def __init__(self, site: dict, robots: dict | None = None):
+        self.site = site
+        self.robots = robots or {}
+        self.fetch_log: list[tuple[float, str]] = []
+
+    def get_protocol_output(self, url, metadata):
+        entry = self.site.get(url)
+        self.fetch_log.append((time.monotonic(), url))
+        if entry is None:
+            return ProtocolResponse(None, 404)
+        if isinstance(entry, tuple):
+            code, body = entry
+        else:
+            code, body = 200, entry
+        if isinstance(body, str):
+            body = body.encode()
+        return ProtocolResponse(body, code)
+
+    def get_robots(self, host):
+        body = self.robots.get(host)
+        return (200, body) if body is not None else (404, None)
+
+
+class FileProtocol(Protocol):
+    """file:// fetches (core/.../protocol/file/FileProtocol.java)."""
+
+    def get_protocol_output(self, url, metadata):
+        path = urlsplit(url).path
+        try:
+            with open(path, "rb") as f:
+                return ProtocolResponse(f.read(), 200)
+        except FileNotFoundError:
+            return ProtocolResponse(None, 404)
+        except OSError as e:
+            return ProtocolResponse(None, 500, {"error.cause": [str(e)]})
+
+
+class HttpProtocol(Protocol):
+    """urllib-based HTTP protocol with content limit + trim metadata
+    (okhttp/HttpProtocol.java:78,368-426 semantics: partial content keeps
+    ``http.trimmed``/``http.trimmed.reason``)."""
+
+    def __init__(self, content_limit: int = 1 << 20, timeout: float = 10.0,
+                 agent: str = "stormcrawler-spark"):
+        self.content_limit = content_limit
+        self.timeout = timeout
+        self.agent = agent
+
+    def get_protocol_output(self, url, metadata):
+        import urllib.error
+        import urllib.request
+
+        req = urllib.request.Request(url, headers={"User-Agent": self.agent})
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                body = resp.read(self.content_limit + 1)
+                md = {
+                    "fetch.statusCode": [str(resp.status)],
+                    "_request.time_": [str(int(time.time() * 1000))],
+                }
+                for k, v in resp.headers.items():
+                    md.setdefault(f"http.{k.lower()}", []).append(v)
+                if len(body) > self.content_limit:
+                    body = body[: self.content_limit]
+                    md["http.trimmed"] = ["true"]
+                    md["http.trimmed.reason"] = ["LENGTH"]
+                return ProtocolResponse(body, resp.status, md)
+        except urllib.error.HTTPError as e:
+            return ProtocolResponse(None, e.code)
+        except Exception as e:
+            return ProtocolResponse(None, -1, {"error.cause": [str(e)]})
+
+    def get_robots(self, host):
+        import urllib.error
+        import urllib.request
+
+        try:
+            with urllib.request.urlopen(
+                f"http://{host}/robots.txt", timeout=self.timeout
+            ) as resp:
+                return resp.status, resp.read(1 << 18).decode("utf-8", "replace")
+        except urllib.error.HTTPError as e:
+            return e.code, None
+        except Exception:
+            return 500, None
+
+
+def status_from_http_code(code: int) -> str:
+    """HTTP code → Status (persistence/Status.java fromHTTPCode +
+    FetcherBolt.java:702-746)."""
+    if code == 200:
+        return "FETCHED"
+    if code == 304:
+        return "FETCHED"  # not modified — still a successful visit
+    if 300 <= code < 400:
+        return "REDIRECTION"
+    if code in (404, 410):
+        return "ERROR"
+    if 400 <= code < 500:
+        return "FETCH_ERROR"
+    return "FETCH_ERROR"  # 5xx / -1 connection errors → retryable
+
+
+@dataclass
+class FetchResult:
+    url: str
+    key: str
+    status: str
+    status_code: int
+    content: bytes | None
+    error_cause: str | None = None
+
+
+def fetch_partition(
+    rows,  # iterable of (url, key) or objects with .url/.key
+    protocol: Protocol,
+    server_delay: float = 1.0,
+    max_crawl_delay: float = 30.0,
+    robots_cache: RobotsCache | None = None,
+    respect_robots: bool = True,
+    clock=time.monotonic,
+    sleep=time.sleep,
+):
+    """Fetch one partition's URLs with per-key politeness.
+
+    Priority queue keyed by next-allowed-fetch-time per politeness key:
+    pop the earliest-eligible key, fetch one URL, reschedule the key at
+    ``now + delay``. Keys interleave, each key is serial + delayed —
+    exactly FetcherBolt's queue semantics without its thread pool (Spark
+    tasks are already the parallelism; more partitions = more throughput,
+    still ≤ 1/delay per host GLOBALLY because a key lives in one partition).
+    """
+    queues: dict[str, list] = {}
+    for r in rows:
+        url, key = (r[0], r[1]) if isinstance(r, (tuple, list)) else (r.url, r.key)
+        queues.setdefault(key, []).append(url)
+
+    results: list[FetchResult] = []
+    heap: list[tuple[float, str]] = [(0.0, k) for k in sorted(queues)]
+    heapq.heapify(heap)
+    delays: dict[str, float] = {}
+    key_rules: dict[str, "object"] = {}
+
+    while heap:
+        ready_at, key = heapq.heappop(heap)
+        now = clock()
+        if ready_at > now:
+            sleep(ready_at - now)
+        q = queues[key]
+
+        if key not in delays:
+            delay = server_delay
+            if respect_robots and robots_cache is not None:
+                rules = robots_cache.get(key)
+            else:
+                rules = ALLOW_ALL
+            if rules.crawl_delay is not None:
+                if rules.crawl_delay > max_crawl_delay:
+                    # skip the whole queue (FetcherBolt.java:592-618)
+                    for url in q:
+                        results.append(
+                            FetchResult(url, key, "ERROR", -1, None,
+                                        "crawl delay too long"))
+                    q.clear()
+                else:
+                    delay = max(delay, rules.crawl_delay)
+            delays[key] = delay
+            key_rules[key] = rules
+        rules = key_rules.get(key, ALLOW_ALL)
+
+        if not q:
+            continue
+        url = q.pop(0)
+        if respect_robots and not rules.is_allowed(url):
+            # robots denial → ERROR with cause (FetcherBolt.java:525-590)
+            results.append(
+                FetchResult(url, key, "ERROR", -1, None, "robots.txt"))
+        else:
+            resp = protocol.get_protocol_output(url, {})
+            status = status_from_http_code(resp.status_code)
+            results.append(
+                FetchResult(
+                    url, key, status, resp.status_code,
+                    resp.content if status == "FETCHED" else None,
+                )
+            )
+        if q:
+            heapq.heappush(heap, (clock() + delays[key], key))
+    return results
+
+
+def fetch(
+    frontier_batch,
+    protocol_factory,
+    server_delay: float = 1.0,
+    max_crawl_delay: float = 30.0,
+    respect_robots: bool = True,
+    num_partitions: int | None = None,
+):
+    """Spark stage: DataFrame(url, key, ...) → DataFrame(url, key, status,
+    status_code, content, error_cause).
+
+    ``protocol_factory``: zero-arg callable run ONCE PER EXECUTOR PROCESS
+    (module-level memo) returning a Protocol — connection pools and robots
+    caches live per executor, like the reference's per-bolt-instance caches.
+    """
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType(), False),
+        T.StructField("key", T.StringType(), True),
+        T.StructField("status", T.StringType(), False),
+        T.StructField("status_code", T.IntegerType(), True),
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("error_cause", T.StringType(), True),
+    ])
+
+    df = frontier_batch.select("url", "key")
+    df = df.repartition(*( [num_partitions] if num_partitions else [] ), "key")
+
+    def run(it):
+        proto = _executor_protocol(protocol_factory)
+        cache = RobotsCache(proto.get_robots, ["stormcrawler-spark"])
+        res = fetch_partition(
+            ((row.url, row.key) for row in it),
+            proto,
+            server_delay=server_delay,
+            max_crawl_delay=max_crawl_delay,
+            robots_cache=cache,
+            respect_robots=respect_robots,
+        )
+        for r in res:
+            yield (r.url, r.key, r.status, r.status_code, r.content, r.error_cause)
+
+    return df.rdd.mapPartitions(run).toDF(schema)
+
+
+_EXECUTOR_PROTOCOL = {}
+
+
+def _executor_protocol(factory):
+    key = id(factory)
+    if key not in _EXECUTOR_PROTOCOL:
+        _EXECUTOR_PROTOCOL[key] = factory()
+    return _EXECUTOR_PROTOCOL[key]

@@ -1,0 +1,161 @@
+"""The recursive crawl as generations — SURVEY.md §3.1's Spark lifecycle.
+
+The reference's topology is a cycle through storage: status updater writes
+the frontier, the spout re-queries it
+(persistence/AbstractQueryingSpout.java:178-217). Here each generation is
+one batch plan:
+
+  frontier query (grouped top-k)            — operators/frontier.py
+    → repartition(key) → polite fetch       — protocol/fetch.py
+    → parse (HTML / sitemap / feed)         — parse/
+    → outlink filter chain + metadata       — functions/filtering.py
+    → status updates union                  — this module
+    → MERGE into frontier                   — operators/status_merge.py
+
+State between generations is the frontier table (parquet dir locally;
+Delta/Iceberg on a cluster — the MERGE is expressed as a full-plan rewrite
+here and maps 1:1 onto ``MERGE INTO`` where available). Lineage + an
+idempotent merge replace Storm's ack/fail at-least-once contract.
+
+At 100 TB: write the frontier partitioned by ``bucket`` and run
+generations per bucket-shard (frontier_topk's ``bucket`` arg) — each
+generation then scans one shard's files only, and multiple shards can
+crawl concurrently without overlapping politeness keys.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.filtering import URLFilterChain, apply_filter_chain
+from ..functions.urls import bucket_expr, host_key_expr
+from ..operators.frontier import frontier_topk
+from ..operators.status_merge import merge_status_updates
+from ..parse.html import parse_pages, split_parse_streams
+from ..protocol.fetch import fetch
+
+
+class CrawlLoop:
+    def __init__(
+        self,
+        spark: SparkSession,
+        frontier_path: str,
+        protocol_factory,
+        filter_chain: URLFilterChain | None = None,
+        now_fn=None,
+        max_per_bucket: int = 5,
+        max_results: int = 1000,
+        server_delay: float = 0.0,
+        respect_robots: bool = False,
+        max_outlinks: int = 100,
+    ):
+        self.spark = spark
+        self.frontier_path = frontier_path
+        self.protocol_factory = protocol_factory
+        self.filter_chain = filter_chain or URLFilterChain([])
+        self.now_fn = now_fn or (lambda gen: f"2024-01-15 {gen:02d}:00:00")
+        self.max_per_bucket = max_per_bucket
+        self.max_results = max_results
+        self.server_delay = server_delay
+        self.respect_robots = respect_robots
+        self.max_outlinks = max_outlinks
+        self.generation = 0
+
+    # -- frontier table ----------------------------------------------------
+    def read_frontier(self) -> DataFrame:
+        return self.spark.read.parquet(self.frontier_path)
+
+    def _write_frontier(self, df: DataFrame) -> None:
+        tmp = self.frontier_path + ".next"
+        df.write.mode("overwrite").parquet(tmp)
+        final = self.spark.read.parquet(tmp)
+        final.write.mode("overwrite").parquet(self.frontier_path)
+
+    def inject_seeds(self, seeds: DataFrame) -> None:
+        """Seed URLs → DISCOVERED frontier rows (SURVEY.md §3.2). Idempotent
+        merge: existing URLs keep their state."""
+        now = self.now_fn(self.generation)
+        updates = seeds.select("url").withColumn("status", F.lit("DISCOVERED"))
+        if os.path.exists(self.frontier_path):
+            frontier = self.read_frontier()
+        else:
+            frontier = self.spark.createDataFrame(
+                [],
+                "url string, status string, next_fetch_date timestamp, "
+                "error_count int, key string, bucket int",
+            )
+        merged = merge_status_updates(frontier, updates, now)
+        self._write_frontier(merged)
+
+    # -- one generation ----------------------------------------------------
+    def run_generation(self) -> dict:
+        """Run one fetch-parse-merge generation; returns counters."""
+        self.generation += 1
+        now = self.now_fn(self.generation)
+        frontier = self.read_frontier()
+        batch = frontier_topk(
+            frontier, now,
+            max_per_bucket=self.max_per_bucket, max_results=self.max_results,
+        ).select("url", "key")
+        fetched = fetch(
+            batch,
+            self.protocol_factory,
+            server_delay=self.server_delay,
+            respect_robots=self.respect_robots,
+        ).cache()
+
+        pages = fetched.where(F.col("status") == "FETCHED").select(
+            "url", "content"
+        )
+        parsed = parse_pages(pages, max_outlinks=self.max_outlinks).cache()
+        docs, outlinks, parse_status = split_parse_streams(parsed)
+
+        # outlink filtering → DISCOVERED updates
+        chain = self.filter_chain
+        filtered = apply_filter_chain(
+            outlinks.select("source_url", "target_url"), chain
+        )
+        discovered = (
+            filtered.where(F.col("filtered_url").isNotNull())
+            .select(F.col("filtered_url").alias("url"))
+            .withColumn("status", F.lit("DISCOVERED"))
+        )
+
+        # fetch-level statuses for everything that was attempted
+        fetch_status = fetched.select(
+            "url",
+            F.when(F.col("status") == "FETCHED", F.lit(None)).otherwise(
+                F.col("status")
+            ).alias("status"),
+        ).where(F.col("status").isNotNull())
+        # parse-level statuses for the fetched ones (FETCHED/REDIRECTION/ERROR)
+        updates = (
+            parse_status.select("url", "status")
+            .union(fetch_status.select("url", "status"))
+            .union(discovered.select("url", "status"))
+        )
+
+        counts = {
+            "generation": self.generation,
+            "batch": batch.count(),
+            "fetched_ok": pages.count(),
+            "docs": docs.count(),
+            "outlinks": outlinks.count(),
+            "discovered": discovered.count(),
+        }
+        merged = merge_status_updates(frontier, updates, now)
+        merged = merged.withColumn(
+            "key", F.coalesce(F.col("key"), host_key_expr(F.col("url")))
+        ).withColumn(
+            "bucket", F.coalesce(F.col("bucket"), bucket_expr(F.col("key")))
+        )
+        self._write_frontier(merged)
+        fetched.unpersist()
+        parsed.unpersist()
+        return counts
+
+    def run(self, generations: int) -> list[dict]:
+        return [self.run_generation() for _ in range(generations)]

@@ -1,0 +1,75 @@
+"""End-to-end recursive crawl over a closed in-memory site graph
+(SURVEY.md §3.1 lifecycle; the MemorySpout/MemoryStatusUpdater loopback
+pattern, core/.../spout/MemorySpout.java:44)."""
+
+from __future__ import annotations
+
+import pytest
+
+from incubator_stormcrawler_spark.functions.filtering import URLFilterChain
+from incubator_stormcrawler_spark.protocol.fetch import MemoryProtocol
+from incubator_stormcrawler_spark.streaming.crawl_loop import CrawlLoop
+
+
+def build_site(n_hosts: int = 2, pages_per_host: int = 5) -> dict:
+    """Closed graph: each page links to the next page on its host and to
+    page 0 of the next host; host pages 0 link to all their siblings."""
+    site = {}
+    hosts = [f"h{i}.example" for i in range(n_hosts)]
+    for hi, host in enumerate(hosts):
+        for p in range(pages_per_host):
+            links = []
+            if p == 0:
+                links = [f"https://{host}/p{q}" for q in range(1, pages_per_host)]
+            else:
+                links = [f"https://{host}/p{(p + 1) % pages_per_host}"]
+            links.append(f"https://{hosts[(hi + 1) % n_hosts]}/p0")
+            body = "".join(f'<a href="{u}">x</a>' for u in links)
+            site[f"https://{host}/p{p}"] = f"<html><body>{body}</body></html>"
+    return site
+
+
+def test_recursive_crawl_converges(spark, tmp_path):
+    site = build_site(2, 5)
+    loop = CrawlLoop(
+        spark,
+        frontier_path=str(tmp_path / "frontier"),
+        protocol_factory=lambda: MemoryProtocol(site),
+        filter_chain=URLFilterChain.from_config(
+            [{"class": "BasicURLNormalizer", "params": {}}]
+        ),
+        server_delay=0.0,
+        max_per_bucket=10,
+        max_results=100,
+    )
+    seeds = spark.createDataFrame([("https://h0.example/p0",)], ["url"])
+    loop.inject_seeds(seeds)
+
+    f0 = {r.url: r.status for r in loop.read_frontier().collect()}
+    assert f0 == {"https://h0.example/p0": "DISCOVERED"}
+
+    stats = loop.run(4)
+    frontier = {r.url: r.status for r in loop.read_frontier().collect()}
+    # the whole closed graph must be discovered and fetched
+    assert set(frontier) == set(site)
+    assert all(st == "FETCHED" for st in frontier.values()), frontier
+    # nothing due anymore → an extra generation fetches nothing
+    extra = loop.run_generation()
+    assert extra["batch"] == 0
+
+
+def test_crawl_records_fetch_errors(spark, tmp_path):
+    site = {"https://h0.example/p0":
+            '<html><a href="https://h0.example/missing">x</a></html>'}
+    loop = CrawlLoop(
+        spark,
+        frontier_path=str(tmp_path / "frontier"),
+        protocol_factory=lambda: MemoryProtocol(site),
+        server_delay=0.0,
+    )
+    loop.inject_seeds(spark.createDataFrame([("https://h0.example/p0",)], ["url"]))
+    loop.run(2)
+    frontier = {r.url: r for r in loop.read_frontier().collect()}
+    assert frontier["https://h0.example/p0"].status == "FETCHED"
+    # missing page 404 → ERROR (404 is terminal per Status.fromHTTPCode)
+    assert frontier["https://h0.example/missing"].status == "ERROR"
