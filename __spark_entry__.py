@@ -133,6 +133,35 @@ def q_url_normalize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     return messy.select(F.col("p_partkey").alias("id"), normalized.alias("norm_url"))
 
 
+def q_adaptive_scheduler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AdaptiveScheduler (core/.../persistence/AdaptiveScheduler.java:121,
+    doc :33-119): signature-compare on refetch — unchanged → interval
+    ×1.5 capped at 10080; changed → ×0.5 floored at 60; non-FETCHED →
+    default 1440. Inputs synthesized deterministically from orders."""
+    from incubator_stormcrawler_spark.operators.scheduler import adaptive_interval
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    base = orders.selectExpr(
+        "o_orderkey as id",
+        "case when mod(o_orderkey, 10) < 7 then 'FETCHED' else 'REDIRECTION' end"
+        " as status",
+        "md5(cast(mod(o_orderkey, 10) as string)) as signature",
+        "md5(cast(mod(o_orderkey, 20) as string)) as signature_old",
+        "cast(100 + mod(o_orderkey, 1000) as double) as prev_interval",
+    )
+    newiv = adaptive_interval(
+        F.col("status"), F.col("signature"), F.col("signature_old"),
+        F.col("prev_interval"),
+    )
+    return base.select(
+        "id", "status",
+        F.round(newiv, 4).alias("new_interval_min"),
+        F.timestamp_add(
+            "MINUTE", F.round(newiv, 0).cast("int"), F.lit(NOW).cast("timestamp")
+        ).alias("next_fetch_date"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # LLM-data-pipeline queries (dedup / similarity / text analysis)
 # ---------------------------------------------------------------------------
@@ -349,6 +378,30 @@ SELECT user_id, max(session_id) AS num_sessions,
        sum(num_events) AS num_events,
        round(max(session_value), 2) AS max_session_value
 FROM per_sess GROUP BY user_id
+"""
+
+_ORACLES["adaptive_scheduler"] = f"""
+WITH base AS (
+  SELECT o_orderkey AS id,
+    CASE WHEN mod(o_orderkey, 10) < 7 THEN 'FETCHED' ELSE 'REDIRECTION' END
+      AS status,
+    md5(cast(mod(o_orderkey, 10) as varchar)) AS signature,
+    md5(cast(mod(o_orderkey, 20) as varchar)) AS signature_old,
+    cast(100 + mod(o_orderkey, 1000) as double) AS prev_interval
+  FROM orders
+), calc AS (
+  SELECT id, status,
+    CASE
+      WHEN status <> 'FETCHED' THEN 1440.0
+      WHEN signature = signature_old
+        THEN least(prev_interval * 1.5, 10080.0)
+      ELSE greatest(prev_interval * 0.5, 60.0) END AS new_interval
+  FROM base
+)
+SELECT id, status, round(new_interval, 4) AS new_interval_min,
+       TIMESTAMP '{NOW}' + to_minutes(cast(round(new_interval, 0) as int))
+         AS next_fetch_date
+FROM calc
 """
 
 _ORACLES["dedup_exact"] = f"""
@@ -687,6 +740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": rel.events_hourly,
         "events_sessionize": rel.events_sessionize,
         "events_json_props": rel.events_json_props,
+        "adaptive_scheduler": q_adaptive_scheduler,
         # LLM-data-pipeline operators
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,

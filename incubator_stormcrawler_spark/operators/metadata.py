@@ -54,16 +54,16 @@ def outlink_metadata(
     (MetadataTransfer.getMetaForOutlink, :124-145)."""
     md = F.coalesce(
         F.col(metadata_col),
-        F.lit(None).cast("map<string,array<string>>"),
+        F.expr("map()").cast("map<string,array<string>>"),
     )
     kept = filter_metadata_keys(md, transfer_keys)
     additions = []
     if track_path:
         additions.append((F.lit("url.path"), F.array(F.col(source_url_col))))
     if track_depth:
-        depth_vals = F.element_at(md, "depth")
+        depth_vals = F.try_element_at(md, F.lit("depth"))
         depth = F.coalesce(
-            F.element_at(depth_vals, 1).cast("int"), F.lit(0)
+            F.try_element_at(depth_vals, F.lit(1)).cast("int"), F.lit(0)
         )
         additions.append(
             (F.lit("depth"), F.array((depth + 1).cast("string")))
@@ -90,7 +90,7 @@ def persist_metadata(
 
 def metadata_value(metadata: Column, key: str) -> Column:
     """First value for a key (Metadata.getFirstValue)."""
-    return F.element_at(F.element_at(metadata, key), 1)
+    return F.try_element_at(F.try_element_at(metadata, F.lit(key)), F.lit(1))
 
 
 def indexer_projection(
@@ -117,7 +117,7 @@ def indexer_projection(
     if filter_key is not None:
         out = out.where(
             F.array_contains(
-                F.coalesce(F.element_at(md, filter_key), F.array()),
+                F.coalesce(F.try_element_at(md, F.lit(filter_key)), F.array()),
                 filter_value,
             )
         )

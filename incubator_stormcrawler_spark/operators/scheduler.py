@@ -48,6 +48,51 @@ def schedule_next_fetch(
     return expr.otherwise(now_ts)
 
 
+def schedule_with_custom_rules(
+    status: Column,
+    metadata: Column,
+    now: str,
+    custom_rules: list[tuple[str | None, str, str, int]],
+    intervals: dict[str, int] | None = None,
+) -> Column:
+    """DefaultScheduler with per-metadata custom intervals
+    (DefaultScheduler.java:56-97: ``fetchInterval(.STATUS)?.key=value:
+    minutes`` — first matching rule wins, then the per-status default).
+
+    ``custom_rules``: ordered [(status-or-None, md_key, md_value, minutes)].
+    ``metadata``: the MAP<STRING,ARRAY<STRING>> column.
+    """
+    now_ts = F.lit(now).cast("timestamp")
+    expr = None
+    for rule_status, key, value, minutes in custom_rules:
+        cond = F.array_contains(
+            F.coalesce(F.try_element_at(metadata, F.lit(key)), F.array().cast("array<string>")),
+            value,
+        )
+        if rule_status is not None:
+            cond = cond & (status == rule_status)
+        hit = F.timestamp_add("MINUTE", F.lit(minutes), now_ts)
+        expr = F.when(cond, hit) if expr is None else expr.when(cond, hit)
+    default = schedule_next_fetch(status, now, intervals)
+    return default if expr is None else expr.otherwise(default)
+
+
+def schedule_as_is(
+    scheduled: Column, metadata: Column, as_is_key: str = "nextFetchDate"
+) -> Column:
+    """AS_IS_NEXTFETCHDATE passthrough
+    (AbstractStatusUpdaterBolt.java:165-178): an explicitly-set metadata
+    date overrides the scheduler's output."""
+    override = F.try_element_at(
+        F.coalesce(
+            F.try_element_at(metadata, F.lit(as_is_key)),
+            F.array().cast("array<string>"),
+        ),
+        F.lit(1),
+    ).cast("timestamp")
+    return F.coalesce(override, scheduled)
+
+
 def adaptive_interval(
     status: Column,
     signature: Column,

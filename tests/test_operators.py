@@ -160,3 +160,62 @@ def test_merge_untouched_rows_pass_through(spark):
     )
     assert str(got["https://a.com/p"].next_fetch_date) == "2024-01-10 00:00:00"
     assert got["https://b.com/q"].status == "FETCHED"
+
+
+def test_schedule_with_custom_rules(spark):
+    """DefaultScheduler custom fetchInterval rules
+    (DefaultScheduler.java:56-97): metadata-matched intervals override
+    per-status defaults; status-specific rules gate on status."""
+    from pyspark.sql import functions as F
+    from incubator_stormcrawler_spark.operators.scheduler import (
+        schedule_with_custom_rules,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a", "FETCHED", {"isFeed": ["true"]}),
+            ("b", "FETCHED", {}),
+            ("c", "FETCH_ERROR", {"isFeed": ["true"]}),
+        ],
+        "url string, status string, metadata map<string,array<string>>",
+    )
+    out = df.select(
+        "url",
+        schedule_with_custom_rules(
+            F.col("status"), F.col("metadata"), NOW,
+            custom_rules=[
+                ("FETCH_ERROR", "isFeed", "true", 30),
+                (None, "isFeed", "true", 10),
+            ],
+        ).alias("nfd"),
+    )
+    got = {r.url: str(r.nfd) for r in out.collect()}
+    assert got["a"] == "2024-01-15 00:10:00"   # generic feed rule
+    assert got["b"] == "2024-01-16 00:00:00"   # default FETCHED 1440
+    assert got["c"] == "2024-01-15 00:30:00"   # status-specific rule wins
+
+
+def test_schedule_as_is_override(spark):
+    """AS_IS_NEXTFETCHDATE (AbstractStatusUpdaterBolt.java:165-178)."""
+    from pyspark.sql import functions as F
+    from incubator_stormcrawler_spark.operators.scheduler import (
+        schedule_as_is,
+        schedule_next_fetch,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a", "FETCHED", {"nextFetchDate": ["2030-06-01 12:00:00"]}),
+            ("b", "FETCHED", {}),
+        ],
+        "url string, status string, metadata map<string,array<string>>",
+    )
+    out = df.select(
+        "url",
+        schedule_as_is(
+            schedule_next_fetch(F.col("status"), NOW), F.col("metadata")
+        ).alias("nfd"),
+    )
+    got = {r.url: str(r.nfd) for r in out.collect()}
+    assert got["a"] == "2030-06-01 12:00:00"
+    assert got["b"] == "2024-01-16 00:00:00"
