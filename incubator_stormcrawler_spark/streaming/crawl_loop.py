@@ -25,7 +25,7 @@ crawl concurrently without overlapping politeness keys.
 
 from __future__ import annotations
 
-import os
+
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -36,6 +36,7 @@ from ..operators.frontier import frontier_topk
 from ..operators.status_merge import merge_status_updates
 from ..parse.html import parse_pages, split_parse_streams
 from ..protocol.fetch import fetch
+from .frontier_table import FrontierTable
 
 
 class CrawlLoop:
@@ -63,31 +64,21 @@ class CrawlLoop:
         self.respect_robots = respect_robots
         self.max_outlinks = max_outlinks
         self.generation = 0
+        self.table = FrontierTable(frontier_path)
 
     # -- frontier table ----------------------------------------------------
     def read_frontier(self) -> DataFrame:
-        return self.spark.read.parquet(self.frontier_path)
+        return self.table.read(self.spark)
 
     def _write_frontier(self, df: DataFrame) -> None:
-        tmp = self.frontier_path + ".next"
-        df.write.mode("overwrite").parquet(tmp)
-        final = self.spark.read.parquet(tmp)
-        final.write.mode("overwrite").parquet(self.frontier_path)
+        self.table.commit(df)
 
     def inject_seeds(self, seeds: DataFrame) -> None:
         """Seed URLs → DISCOVERED frontier rows (SURVEY.md §3.2). Idempotent
         merge: existing URLs keep their state."""
         now = self.now_fn(self.generation)
         updates = seeds.select("url").withColumn("status", F.lit("DISCOVERED"))
-        if os.path.exists(self.frontier_path):
-            frontier = self.read_frontier()
-        else:
-            frontier = self.spark.createDataFrame(
-                [],
-                "url string, status string, next_fetch_date timestamp, "
-                "error_count int, key string, bucket int",
-            )
-        merged = merge_status_updates(frontier, updates, now)
+        merged = merge_status_updates(self.read_frontier(), updates, now)
         self._write_frontier(merged)
 
     # -- one generation ----------------------------------------------------

@@ -1,0 +1,162 @@
+"""Structured Streaming tests: watermarked window agg, stateful sessions,
+and the continuous frontier merge (foreachBatch)."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+
+from incubator_stormcrawler_spark.streaming.frontier_table import FrontierTable
+from incubator_stormcrawler_spark.streaming.streams import (
+    read_event_stream,
+    stream_status_updates_into_frontier,
+    windowed_event_counts,
+)
+
+
+def write_events(path: str, name: str, events: list[dict]) -> None:
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, f".{name}.tmp")
+    with open(tmp, "w") as f:
+        for e in events:
+            f.write(json.dumps(e) + "\n")
+    os.replace(tmp, os.path.join(path, name))
+
+
+def _wait(cond, timeout=60):
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        if cond():
+            return True
+        time.sleep(0.5)
+    return False
+
+
+def test_windowed_counts_stream(spark, tmp_path):
+    src = str(tmp_path / "events")
+    write_events(
+        src,
+        "batch0.json",
+        [
+            {"event_id": 1, "ts": "2024-01-15T10:05:00", "user_id": 1,
+             "event_type": "click", "value": 1.0},
+            {"event_id": 2, "ts": "2024-01-15T10:45:00", "user_id": 2,
+             "event_type": "click", "value": 2.0},
+            {"event_id": 3, "ts": "2024-01-15T11:10:00", "user_id": 1,
+             "event_type": "view", "value": 3.0},
+        ],
+    )
+    stream = read_event_stream(spark, src)
+    assert stream.isStreaming
+    agg = windowed_event_counts(stream, "1 hour", "2 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        ok = _wait(
+            lambda: spark.sql("select * from win_counts").count() >= 2
+        )
+        assert ok, "stream produced no rows"
+        rows = {
+            (str(r.window_start), r.event_type): (r.num_events, r.total_value)
+            for r in spark.sql("select * from win_counts").collect()
+        }
+        assert rows[("2024-01-15 10:00:00", "click")] == (2, 3.0)
+        assert rows[("2024-01-15 11:00:00", "view")] == (1, 3.0)
+    finally:
+        q.stop()
+
+
+def test_streaming_frontier_merge(spark, tmp_path):
+    """Status updates stream → foreachBatch MERGE → frontier table evolves
+    with the same semantics as the batch loop."""
+    src = str(tmp_path / "updates")
+    frontier_path = str(tmp_path / "frontier")
+    ckpt = str(tmp_path / "ckpt")
+
+    write_events(
+        src,
+        "b0.json",
+        [
+            {"url": "https://a.com/1", "status": "DISCOVERED"},
+            {"url": "https://a.com/2", "status": "DISCOVERED"},
+        ],
+    )
+    updates = (
+        spark.readStream.schema("url string, status string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    table = FrontierTable(frontier_path)
+    q = stream_status_updates_into_frontier(updates, frontier_path, ckpt).start()
+    try:
+        assert _wait(lambda: table.exists() and table.read(spark).count() == 2)
+        # second micro-batch: one fetch success, one error
+        write_events(
+            src,
+            "b1.json",
+            [
+                {"url": "https://a.com/1", "status": "FETCHED"},
+                {"url": "https://a.com/2", "status": "FETCH_ERROR"},
+                {"url": "https://a.com/3", "status": "DISCOVERED"},
+            ],
+        )
+        def done():
+            got = {r.url: r for r in table.read(spark).collect()}
+            return (
+                len(got) == 3
+                and got.get("https://a.com/1") is not None
+                and got["https://a.com/1"].status == "FETCHED"
+            )
+        assert _wait(done), table.read(spark).collect()
+        got = {r.url: r for r in table.read(spark).collect()}
+        assert got["https://a.com/2"].status == "FETCH_ERROR"
+        assert got["https://a.com/2"].error_count == 1
+        assert got["https://a.com/3"].status == "DISCOVERED"
+    finally:
+        q.stop()
+
+
+def test_stateful_sessionize(spark, tmp_path):
+    """applyInPandasWithState session operator: sessions flush on state
+    timeout (the TTL'd-state pattern of the reference's purgatory caches)."""
+    from incubator_stormcrawler_spark.streaming.streams import (
+        stateful_sessionize,
+    )
+
+    src = str(tmp_path / "ev")
+    write_events(
+        src,
+        "b0.json",
+        [
+            {"event_id": i, "ts": f"2024-01-15T10:0{i}:00", "user_id": i % 2,
+             "event_type": "c", "value": 1.0}
+            for i in range(5)
+        ],
+    )
+    stream = read_event_stream(spark, src)
+    sess = stateful_sessionize(stream, gap_minutes=0.001 / 60)  # ~1ms gap
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sessions_t")
+        .outputMode("append")
+        .trigger(processingTime="2 seconds")
+        .start()
+    )
+    try:
+        assert _wait(
+            lambda: spark.sql("select * from sessions_t").count() >= 2, timeout=90
+        ), "no sessions flushed"
+        got = {r.user_id: r for r in spark.sql("select * from sessions_t").collect()}
+        assert got[0].n_events == 3 and got[0].total_value == 3.0
+        assert got[1].n_events == 2
+        assert str(got[0].session_start) == "2024-01-15 10:00:00"
+        assert str(got[0].session_end) == "2024-01-15 10:04:00"
+    finally:
+        q.stop()
