@@ -1,0 +1,61 @@
+"""Index sink + content cache tests (SURVEY.md §2.9)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from incubator_stormcrawler_spark.operators.indexing import ContentCache, IndexTable
+
+
+def docs_df(spark, rows):
+    return spark.createDataFrame(
+        [Row(url=u, title=t, text=x) for (u, t, x) in rows]
+    )
+
+
+def test_index_upsert_and_delete(spark, tmp_path):
+    idx = IndexTable(str(tmp_path / "index"))
+    idx.upsert(docs_df(spark, [
+        ("https://a.com/1", "One", "body one"),
+        ("https://a.com/2", "Two", "body two"),
+    ]))
+    assert idx.read(spark).count() == 2
+
+    # upsert newer version of doc 1 + a new doc
+    idx.upsert(docs_df(spark, [
+        ("https://a.com/1", "One v2", "body one v2"),
+        ("https://a.com/3", "Three", "body three"),
+    ]))
+    got = {r.url: r.title for r in idx.read(spark).collect()}
+    assert got == {
+        "https://a.com/1": "One v2",
+        "https://a.com/2": "Two",
+        "https://a.com/3": "Three",
+    }
+
+    # deletion stream drops ERROR'd docs
+    idx.delete(spark.createDataFrame([("https://a.com/2",)], ["url"]))
+    assert set(r.url for r in idx.read(spark).collect()) == {
+        "https://a.com/1", "https://a.com/3",
+    }
+
+
+def test_content_cache_split(spark, tmp_path):
+    cache = ContentCache(str(tmp_path / "cache"))
+    pages = spark.createDataFrame(
+        [Row(url="https://a.com/1", content=bytearray(b"ONE")),
+         Row(url="https://a.com/2", content=bytearray(b"TWO"))]
+    )
+    cache.store(pages)
+
+    batch = spark.createDataFrame(
+        [Row(url="https://a.com/1", key="a.com"),
+         Row(url="https://a.com/9", key="a.com")]
+    )
+    hits, misses = cache.split_cached(batch)
+    h = hits.collect()
+    assert len(h) == 1 and h[0].url == "https://a.com/1"
+    assert bytes(h[0].content) == b"ONE"
+    m = misses.collect()
+    assert len(m) == 1 and m[0].url == "https://a.com/9"
