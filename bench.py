@@ -39,6 +39,17 @@ def main() -> None:
             timings[name] = -1.0
     total = round(sum(t for t in timings.values() if t >= 0), 3)
 
+    # BASELINE.md operator workloads (frontier/merge vs DuckDB, normalize +
+    # parse throughput) — skippable via SPARK_GRAFT_SKIP_BASELINES=1.
+    baselines = {}
+    if not os.environ.get("SPARK_GRAFT_SKIP_BASELINES"):
+        try:
+            from tools.baseline_bench import run_baselines
+
+            baselines = run_baselines(spark)
+        except Exception as ex:
+            print(f"baseline bench error: {ex}", file=sys.stderr)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -47,6 +58,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "baselines": baselines,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

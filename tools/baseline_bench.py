@@ -1,0 +1,269 @@
+"""BASELINE.md workloads: the network-free operator benchmarks with their
+DuckDB comparison (targets: frontier/merge ≤ 2× DuckDB; normalize + parse
+throughput reported).
+
+Synthetic inputs sized per BASELINE.md: 1 M-URL frontier over 10k hosts
+(Zipf-ish via pow), 100k-row status-update batch, 1 M URLs to normalize,
+10k HTML pages to parse. All deterministic (md5/mod arithmetic, fixed now).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def best_of(fn, runs: int = 2) -> tuple[float, object]:
+    """Hot timing: run twice (page cache + JIT warm), keep the best."""
+    best, result = None, None
+    for _ in range(runs):
+        t0 = time.time()
+        result = fn()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return best, result
+
+NOW = "2024-01-15 00:00:00"
+
+FRONTIER_SQL_COLS = [
+    "'https://host' || cast(h as string) || '.example/p' || cast(id as string)"
+    " AS url",
+    "case when mod(id, 100) < 60 then 'DISCOVERED'"
+    " when mod(id, 100) < 85 then 'FETCHED'"
+    " when mod(id, 100) < 93 then 'FETCH_ERROR'"
+    " when mod(id, 100) < 98 then 'REDIRECTION'"
+    " else 'ERROR' end AS status",
+    "timestampadd(MINUTE, cast(mod(id * 7, 20160) as int),"
+    " timestamp '2024-01-08 00:00:00') AS next_fetch_date",
+    "0 AS error_count",
+    "'host' || cast(h as string) || '.example' AS key",
+    "cast(mod(h, 10) as int) AS bucket",
+]
+
+
+def build_frontier_parquet(spark: SparkSession, path: str, n: int = 1_000_000,
+                           hosts: int = 10_000) -> None:
+    # Zipf-ish host popularity: h = floor(hosts * (id/n)^3) — a few hosts
+    # get big queues, most get few (exercises the skew path of the window).
+    df = spark.range(n).selectExpr(
+        f"cast(floor({hosts} * pow(id / {n}, 3)) as bigint) AS h", "id"
+    ).selectExpr(*FRONTIER_SQL_COLS)
+    df.write.mode("overwrite").parquet(path)
+
+
+def bench_frontier_query(spark, frontier_path: str) -> dict:
+    from incubator_stormcrawler_spark.operators.frontier import frontier_topk
+
+    frontier = spark.read.parquet(frontier_path).select(
+        "url", "next_fetch_date", "key"
+    )
+    spark_t, n = best_of(
+        lambda: frontier_topk(
+            frontier, NOW, max_per_bucket=2, max_results=10_000
+        ).count()
+    )
+
+    import duckdb
+
+    con = duckdb.connect()
+    duck_t, dn0 = best_of(lambda: con.sql(f"""
+        SELECT count(*) FROM (
+          SELECT *, row_number() OVER (ORDER BY next_fetch_date, url) AS gn
+          FROM (
+            SELECT url, next_fetch_date, key,
+                   row_number() OVER (PARTITION BY key
+                                      ORDER BY next_fetch_date, url) AS rn
+            FROM '{frontier_path}/*.parquet'
+            WHERE next_fetch_date <= TIMESTAMP '{NOW}'
+          ) WHERE rn <= 2
+        ) WHERE gn <= 10000
+    """).fetchall())
+    dn = dn0[0][0]
+    assert n == dn, (n, dn)
+    return {"spark_sec": round(spark_t, 3), "duckdb_sec": round(duck_t, 3),
+            "ratio": round(spark_t / max(duck_t, 1e-9), 2), "rows": n}
+
+
+def bench_status_merge(spark, frontier_path: str, n_updates: int = 100_000) -> dict:
+    from incubator_stormcrawler_spark.operators.status_merge import (
+        merge_status_updates,
+    )
+
+    frontier = spark.read.parquet(frontier_path)
+    updates = spark.range(n_updates).selectExpr(
+        "'https://host' || cast(mod(id, 10000) as string) || '.example/p' ||"
+        " cast(id * 11 as string) AS url",
+        "case when mod(id, 10) < 5 then 'DISCOVERED'"
+        " when mod(id, 10) < 8 then 'FETCHED' else 'FETCH_ERROR' end AS status",
+    )
+    # count() prunes unused columns in BOTH engines, so make both sides
+    # materialize the full merge output via an aggregate over its columns.
+    spark_t, agg = best_of(
+        lambda: merge_status_updates(frontier, updates, NOW)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.crc32(F.col("status"))).alias("s"),
+            F.sum("error_count").alias("e"),
+            F.sum("bucket").alias("b"),
+        )
+        .collect()[0]
+    )
+    n = agg["n"]
+
+    import duckdb
+
+    con = duckdb.connect()
+    duck_t, dres = best_of(lambda: con.sql(f"""
+        WITH updates AS (
+          SELECT 'https://host' || cast(mod(id, 10000) as varchar) ||
+                 '.example/p' || cast(id * 11 as varchar) AS url,
+                 CASE WHEN mod(id, 10) < 5 THEN 'DISCOVERED'
+                      WHEN mod(id, 10) < 8 THEN 'FETCHED'
+                      ELSE 'FETCH_ERROR' END AS status
+          FROM range({n_updates}) t(id)
+        ), dedup AS (
+          SELECT url, max_by(status, CASE status WHEN 'FETCHED' THEN 4
+            WHEN 'REDIRECTION' THEN 3 WHEN 'FETCH_ERROR' THEN 2
+            ELSE 1 END) AS u_status
+          FROM updates GROUP BY url
+        ), merged AS (
+          SELECT coalesce(f.url, u.url) AS url,
+            CASE WHEN u.u_status IS NULL THEN f.status
+                 WHEN u.u_status = 'DISCOVERED' AND f.status IS NOT NULL
+                   THEN f.status
+                 WHEN u.u_status = 'FETCH_ERROR'
+                      AND coalesce(f.error_count, 0) + 1 >= 3 THEN 'ERROR'
+                 ELSE u.u_status END AS status,
+            CASE WHEN u.u_status IS NULL
+                   OR (u.u_status = 'DISCOVERED' AND f.status IS NOT NULL)
+                   THEN f.error_count
+                 WHEN u.u_status = 'FETCH_ERROR'
+                   THEN coalesce(f.error_count, 0) + 1
+                 WHEN u.u_status IN ('FETCHED', 'REDIRECTION') THEN 0
+                 ELSE coalesce(f.error_count, 0) END AS error_count,
+            coalesce(f.bucket, cast(mod(ascii(substr(md5(
+              lower(regexp_extract(coalesce(f.url, u.url),
+                '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1))), 1, 1)), 10)
+              as int)) AS bucket
+          FROM '{frontier_path}/*.parquet' f
+          FULL OUTER JOIN dedup u ON f.url = u.url
+        )
+        SELECT count(*), sum(error_count), sum(bucket) FROM merged
+    """).fetchall())
+    dn = dres[0][0]
+    assert n == dn, (n, dn)
+    assert int(agg["e"]) == int(dres[0][1]) and int(agg["b"]) == int(dres[0][2])
+    return {"spark_sec": round(spark_t, 3), "duckdb_sec": round(duck_t, 3),
+            "ratio": round(spark_t / max(duck_t, 1e-9), 2), "rows": n}
+
+
+def bench_normalize(spark, n: int = 1_000_000) -> dict:
+    """Native normalization chain over 1 M messy URLs → URLs/sec."""
+    from incubator_stormcrawler_spark.functions.urls import (
+        remove_query_params_expr,
+        strip_fragment_expr,
+    )
+
+    urls = spark.range(n).selectExpr(
+        "'https://Host' || cast(mod(id, 50000) as string) ||"
+        " '.Example.com/path/' || cast(id as string) ||"
+        " '?id=' || cast(id as string) ||"
+        " '&utm_source=x&utm_medium=y#frag' AS url"
+    )
+    cleaned = remove_query_params_expr(
+        strip_fragment_expr(F.col("url")), ["utm_*"]
+    )
+    out = urls.select(F.lower(cleaned).alias("u"))
+    dt, n_out = best_of(lambda: out.where(~F.col("u").contains("utm_")).count())
+    assert n_out == n
+    return {"spark_sec": round(dt, 3), "urls_per_sec": int(n / dt)}
+
+
+def bench_python_normalize(spark, n: int = 200_000) -> dict:
+    """Exact-parity Python normalizer via Arrow batches → URLs/sec."""
+    import pandas as pd
+
+    from incubator_stormcrawler_spark.functions.urls import BasicURLNormalizer
+
+    urls = spark.range(n).selectExpr(
+        "'https://Host' || cast(mod(id, 50000) as string) ||"
+        " '.Example.com/a/../p/' || cast(id as string) || '#frag' AS url"
+    )
+    norm = BasicURLNormalizer()
+
+    def run(batches):
+        for pdf in batches:
+            yield pd.DataFrame({"u": [norm.filter(u) for u in pdf["url"]]})
+
+    dt, n_out = best_of(
+        lambda: urls.mapInPandas(run, schema="u string")
+        .where(F.col("u").isNotNull())
+        .count()
+    )
+    assert n_out == n
+    return {"spark_sec": round(dt, 3), "urls_per_sec": int(n / dt)}
+
+
+def bench_parse(spark, n_pages: int = 10_000) -> dict:
+    """HTML parse stage over synthetic pages → pages/sec."""
+    from incubator_stormcrawler_spark.parse.html import parse_pages
+
+    link = (
+        "'<a href=\"/p' || cast(id + 1 as string) || '\">next</a>"
+        "<a href=\"https://other.example/x' || cast(mod(id, 7) as string)"
+        " || '\" rel=\"nofollow\">o</a>'"
+    )
+    pages = spark.range(n_pages).selectExpr(
+        "'https://bench.example/p' || cast(id as string) AS url",
+        "cast('<html><head><title>t</title></head><body>' || "
+        + link +
+        " || '<p>some body text for extraction</p></body></html>' as binary)"
+        " AS content",
+    )
+    parsed = parse_pages(pages, max_outlinks=50)
+    dt, n_links = best_of(
+        lambda: parsed.select(F.explode("outlinks")).count()
+    )
+    assert n_links == 2 * n_pages
+    return {"spark_sec": round(dt, 3), "pages_per_sec": int(n_pages / dt)}
+
+
+def run_baselines(spark, with_8m: bool = True) -> dict:
+    tmp = tempfile.mkdtemp(prefix="baseline_bench_")
+    f1m = os.path.join(tmp, "frontier1m")
+    f8m = os.path.join(tmp, "frontier8m")
+    try:
+        build_frontier_parquet(spark, f1m)
+        out = {
+            "frontier_query_1m": bench_frontier_query(spark, f1m),
+            "status_merge_100k_into_1m": bench_status_merge(spark, f1m),
+            "url_normalize_native_1m": bench_normalize(spark),
+            "url_normalize_python_200k": bench_python_normalize(spark),
+            "html_parse_10k": bench_parse(spark),
+        }
+        if with_8m:
+            # the scale point where Spark's fixed overheads amortize:
+            # ratio vs DuckDB drops from ~7x (1M) to ~1x (8M)
+            build_frontier_parquet(spark, f8m, n=8_000_000, hosts=80_000)
+            out["frontier_query_8m"] = bench_frontier_query(spark, f8m)
+            out["status_merge_100k_into_8m"] = bench_status_merge(spark, f8m)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+if __name__ == "__main__":
+    import json
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from incubator_stormcrawler_spark.session import get_spark
+
+    spark = get_spark("baseline-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    print(json.dumps(run_baselines(spark), indent=2))
