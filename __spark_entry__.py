@@ -133,6 +133,67 @@ def q_url_normalize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     return messy.select(F.col("p_partkey").alias("id"), normalized.alias("norm_url"))
 
 
+def q_seeds_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StringTabScheme seed-line parsing (core/.../util/StringTabScheme.java:
+    31-62) over lines synthesized from part — native expressions, flattened
+    metadata values for the oracle."""
+    from incubator_stormcrawler_spark.sources.seeds import parse_seed_line_native
+
+    lines = spark.read.parquet(f"{sf_dir}/part.parquet").selectExpr(
+        "'https://seed' || cast(mod(p_partkey, 100) as string) || '.example/p'"
+        " || cast(p_partkey as string) ||"
+        " case mod(p_partkey, 3) when 0 then ''"
+        " when 1 then '\\tdepth=1'"
+        " else '\\tdepth=2\\tisSitemap=true' end as value"
+    )
+    parsed = parse_seed_line_native(lines)
+    return parsed.select(
+        "url",
+        F.try_element_at(
+            F.try_element_at(F.col("metadata"), F.lit("depth")), F.lit(1)
+        ).alias("depth"),
+        F.try_element_at(
+            F.try_element_at(F.col("metadata"), F.lit("isSitemap")), F.lit(1)
+        ).alias("is_sitemap"),
+    )
+
+
+def q_indexer_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AbstractIndexerBolt projection contract (indexing/
+    AbstractIndexerBolt.java:158-247): md.mapping rename + md.filter +
+    text trim, over docs synthesized from part with MAP metadata."""
+    from incubator_stormcrawler_spark.operators.metadata import indexer_projection
+
+    docs = spark.read.parquet(f"{sf_dir}/part.parquet").selectExpr(
+        "'https://shop.example/item/' || cast(p_partkey as string) as url",
+        "p_name as text",
+        "map('parse.title', array(p_brand),"
+        " 'index', case when mod(p_partkey, 4) < 3 then array('true')"
+        " else array('false') end) as metadata",
+    )
+    return indexer_projection(
+        docs,
+        mapping={"parse.title": "title"},
+        filter_key="index",
+        filter_value="true",
+        text_max_length=15,
+    )
+
+
+def q_frontier_next_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition: one generation's merge feeds the NEXT generation's
+    frontier query (the §3.1 cycle through storage, as one plan)."""
+    merged = merge_status_updates(
+        syn.synthetic_frontier(spark, sf_dir),
+        syn.synthetic_status_updates(spark, sf_dir),
+        NOW,
+    )
+    nxt = frontier_topk(
+        merged, "2024-01-16 00:00:00", max_per_bucket=3, max_results=60
+    )
+    return nxt.select("url", "status", "next_fetch_date", "key", "rn")
+
+
 def q_adaptive_scheduler(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AdaptiveScheduler (core/.../persistence/AdaptiveScheduler.java:121,
     doc :33-119): signature-compare on refetch — unchanged → interval
@@ -378,6 +439,30 @@ SELECT user_id, max(session_id) AS num_sessions,
        sum(num_events) AS num_events,
        round(max(session_value), 2) AS max_session_value
 FROM per_sess GROUP BY user_id
+"""
+
+_ORACLES["seeds_parse"] = """
+WITH lines AS (
+  SELECT 'https://seed' || cast(mod(p_partkey, 100) as varchar) || '.example/p'
+         || cast(p_partkey as varchar) ||
+         CASE mod(p_partkey, 3) WHEN 0 THEN ''
+           WHEN 1 THEN chr(9) || 'depth=1'
+           ELSE chr(9) || 'depth=2' || chr(9) || 'isSitemap=true' END AS value
+  FROM part
+), parts AS (
+  SELECT string_split(trim(value), chr(9)) AS p FROM lines
+)
+SELECT p[1] AS url,
+  (list_filter(p, x -> x LIKE 'depth=%') || [NULL])[1][7:] AS depth,
+  (list_filter(p, x -> x LIKE 'isSitemap=%') || [NULL])[1][11:] AS is_sitemap
+FROM parts
+"""
+
+_ORACLES["indexer_projection"] = """
+SELECT 'https://shop.example/item/' || cast(p_partkey as varchar) AS url,
+       substr(p_name, 1, 15) AS text,
+       p_brand AS title
+FROM part WHERE mod(p_partkey, 4) < 3
 """
 
 _ORACLES["adaptive_scheduler"] = f"""
@@ -668,6 +753,19 @@ _ORACLES["status_merge_counts"] = f"""
 SELECT status, count(*) AS num_urls FROM merged GROUP BY status
 """
 
+_ORACLES["frontier_next_generation"] = f"""
+{_DUCK_PRELUDE}, {_MERGE_SQL_BODY.strip()}
+SELECT url, status, next_fetch_date, key, rn FROM (
+  SELECT *, row_number() OVER (ORDER BY next_fetch_date, url) AS gn
+  FROM (
+    SELECT url, status, next_fetch_date, key,
+           row_number() OVER (PARTITION BY key
+                              ORDER BY next_fetch_date, url) AS rn
+    FROM merged WHERE next_fetch_date <= TIMESTAMP '2024-01-16 00:00:00'
+  ) WHERE rn <= 3
+) WHERE gn <= 60
+"""
+
 _ORACLES["deletion_stream"] = f"""
 {_DUCK_PRELUDE}, {_MERGE_SQL_BODY.strip()}
 SELECT m.url FROM merged m
@@ -741,6 +839,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": rel.events_sessionize,
         "events_json_props": rel.events_json_props,
         "adaptive_scheduler": q_adaptive_scheduler,
+        "seeds_parse": q_seeds_parse,
+        "indexer_projection": q_indexer_projection,
+        "frontier_next_generation": q_frontier_next_generation,
         # LLM-data-pipeline operators
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,

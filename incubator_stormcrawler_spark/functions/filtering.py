@@ -200,6 +200,59 @@ class FastURLFilter(URLFilter):
         return target_url
 
 
+class RobotsURLFilter(URLFilter):
+    """Discard URLs denied by robots.txt at DISCOVERY time
+    (filtering/robots/RobotsFilter.java:50, doc :36-49). Cache-only option
+    mirrored: with ``cache_only=True`` (the reference's safe default) a
+    host with no cached rules passes the URL through rather than fetching
+    robots.txt inside the filter chain."""
+
+    def __init__(self, robots_cache, cache_only: bool = True):
+        self.cache = robots_cache  # RobotsCache, or dict host->RobotRules
+        self.cache_only = cache_only
+
+    def _rules_for(self, host: str):
+        if isinstance(self.cache, dict):
+            return self.cache.get(host)
+        if self.cache_only and hasattr(self.cache, "get_cached"):
+            return self.cache.get_cached(host)
+        return self.cache.get(host)
+
+    def filter(self, source_url, source_metadata, target_url):
+        try:
+            host = (urlsplit(target_url).hostname or "").lower()
+        except ValueError:
+            return None
+        rules = self._rules_for(host)
+        if rules is None:  # no cached verdict → let it through (cache-only)
+            return target_url
+        return target_url if rules.is_allowed(target_url) else None
+
+
+class SitemapURLFilter(URLFilter):
+    """Once sitemaps were found for a host, discard non-sitemap-discovered
+    URLs from that host (filtering/sitemap/SitemapFilter.java:47, doc
+    :38-46): sitemap-complete hosts only accept URLs carrying
+    ``isSitemap``/``sitemap.discovered`` metadata."""
+
+    def __init__(self, hosts_with_sitemaps: set[str]):
+        self.hosts = {h.lower() for h in hosts_with_sitemaps}
+
+    def filter(self, source_url, source_metadata, target_url):
+        try:
+            host = (urlsplit(target_url).hostname or "").lower()
+        except ValueError:
+            return None
+        if host not in self.hosts:
+            return target_url
+        md = source_metadata or {}
+        if md.get("isSitemap") in (["true"],) or md.get("sitemap.discovered") in (
+            ["true"],
+        ):
+            return target_url
+        return None
+
+
 _FILTER_REGISTRY = {
     "BasicURLFilter": BasicURLFilter,
     "SelfURLFilter": SelfURLFilter,

@@ -142,6 +142,31 @@ class HttpProtocol(Protocol):
             return 500, None
 
 
+class DelegatorProtocol(Protocol):
+    """Route each fetch to a sub-protocol by metadata/regex rules, first
+    match wins (core/.../protocol/DelegatorProtocol.java:70, doc :43-69).
+
+    ``rules``: ordered [(predicate, protocol)] where predicate takes
+    (url, metadata) → bool; ``default`` handles the rest. The reference's
+    special robots.txt trigger maps to a predicate on the URL path."""
+
+    def __init__(self, rules, default: Protocol):
+        self.rules = rules
+        self.default = default
+
+    def _pick(self, url: str, metadata: dict) -> Protocol:
+        for predicate, proto in self.rules:
+            if predicate(url, metadata):
+                return proto
+        return self.default
+
+    def get_protocol_output(self, url, metadata):
+        return self._pick(url, metadata or {}).get_protocol_output(url, metadata)
+
+    def get_robots(self, host):
+        return self.default.get_robots(host)
+
+
 def status_from_http_code(code: int) -> str:
     """HTTP code → Status (persistence/Status.java fromHTTPCode +
     FetcherBolt.java:702-746)."""

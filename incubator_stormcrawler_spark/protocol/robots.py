@@ -192,6 +192,13 @@ class RobotsCache:
         self.clock = clock
         self._cache: dict[str, tuple[float, RobotRules]] = {}
 
+    def get_cached(self, host: str) -> RobotRules | None:
+        """Cache-only lookup (no fetch) — the RobotsFilter's safe mode."""
+        hit = self._cache.get(host)
+        if hit and hit[0] > self.clock():
+            return hit[1]
+        return None
+
     def get(self, host: str) -> RobotRules:
         now = self.clock()
         hit = self._cache.get(host)

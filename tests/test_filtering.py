@@ -121,3 +121,48 @@ def test_apply_filter_chain_spark(spark):
     got = {r.target_url: r.filtered_url for r in apply_filter_chain(df, chain).collect()}
     assert got["https://a.com/x"] == "https://a.com/x"
     assert got["https://b.com/x"] is None
+
+
+def test_robots_url_filter():
+    from incubator_stormcrawler_spark.functions.filtering import RobotsURLFilter
+    from incubator_stormcrawler_spark.protocol.robots import parse_robots_txt
+
+    rules = parse_robots_txt("User-agent: *\nDisallow: /private/\n", ["me"])
+    f = RobotsURLFilter({"a.example": rules})
+    assert f.filter(SRC, {}, "https://a.example/ok") is not None
+    assert f.filter(SRC, {}, "https://a.example/private/x") is None
+    # unknown host (no cached rules) passes through
+    assert f.filter(SRC, {}, "https://b.example/private/x") is not None
+
+
+def test_sitemap_url_filter():
+    from incubator_stormcrawler_spark.functions.filtering import SitemapURLFilter
+
+    f = SitemapURLFilter({"mapped.example"})
+    # sitemap-complete host: only sitemap-discovered URLs pass
+    assert f.filter(SRC, {}, "https://mapped.example/x") is None
+    assert (
+        f.filter(SRC, {"isSitemap": ["true"]}, "https://mapped.example/x")
+        is not None
+    )
+    # other hosts unaffected
+    assert f.filter(SRC, {}, "https://other.example/x") is not None
+
+
+def test_delegator_protocol():
+    from incubator_stormcrawler_spark.protocol.fetch import (
+        DelegatorProtocol,
+        MemoryProtocol,
+    )
+
+    fast = MemoryProtocol({"https://a.example/x": "FAST"})
+    slow = MemoryProtocol({"https://a.example/x": "SLOW"})
+    proto = DelegatorProtocol(
+        rules=[(lambda url, md: md.get("js") == ["true"], slow)],
+        default=fast,
+    )
+    assert proto.get_protocol_output("https://a.example/x", {}).content == b"FAST"
+    assert (
+        proto.get_protocol_output("https://a.example/x", {"js": ["true"]}).content
+        == b"SLOW"
+    )
