@@ -133,6 +133,16 @@ def q_url_normalize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     return messy.select(F.col("p_partkey").alias("id"), normalized.alias("norm_url"))
 
 
+def q_frontier_topk_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase (salted) grouped top-k — same RESULT as frontier_topk, so
+    it shares that oracle; the plan bounds per-task work under host skew."""
+    from incubator_stormcrawler_spark.operators.frontier import frontier_topk_salted
+
+    frontier = syn.synthetic_frontier(spark, sf_dir)
+    out = frontier_topk_salted(frontier, NOW, max_per_bucket=5, max_results=100)
+    return out.select("url", "status", "next_fetch_date", "key", "rn")
+
+
 def q_seeds_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """StringTabScheme seed-line parsing (core/.../util/StringTabScheme.java:
     31-62) over lines synthesized from part — native expressions, flattened
@@ -670,6 +680,9 @@ SELECT url, status, next_fetch_date, key, rn FROM (
 ) WHERE gn <= 100
 """
 
+# salted variant produces the identical result set
+_ORACLES["frontier_topk_salted"] = _ORACLES["frontier_topk"]
+
 _ORACLES["frontier_topk_sharded"] = f"""
 {_DUCK_PRELUDE}
 SELECT url, status, next_fetch_date, key, bucket, rn FROM (
@@ -839,6 +852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": rel.events_sessionize,
         "events_json_props": rel.events_json_props,
         "adaptive_scheduler": q_adaptive_scheduler,
+        "frontier_topk_salted": q_frontier_topk_salted,
         "seeds_parse": q_seeds_parse,
         "indexer_projection": q_indexer_projection,
         "frontier_next_generation": q_frontier_next_generation,

@@ -72,6 +72,55 @@ def frontier_topk(
     return ranked
 
 
+def frontier_topk_salted(
+    frontier: DataFrame,
+    now: datetime | str,
+    max_per_bucket: int = 5,
+    max_results: int | None = 100,
+    key_col: str = "key",
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Skew-resistant grouped top-k: identical result to ``frontier_topk``,
+    different physical plan.
+
+    A Zipf-heavy frontier has hosts with millions of due URLs; a plain
+    window puts each whole host on one task. Two-phase instead:
+
+      1. local top-k per (key, salt) where salt = a deterministic hash of
+         the url into ``salt_buckets`` — the giant host's queue splits
+         across ``salt_buckets`` tasks, each keeping only k rows;
+      2. global top-k per key over the ≤ k·salt_buckets survivors.
+
+    Phase 1 shuffles on (key, salt) — skew bounded by 1/salt_buckets;
+    phase 2 shuffles ≤ k·salt_buckets rows per key. Correct because the
+    per-key top-k is contained in the union of per-salt top-ks. (AQE's
+    skew handling can't split a window partition — salting is the only
+    lever for windowed top-k.)
+    """
+    due = frontier.where(F.col("next_fetch_date") <= F.lit(now))
+    salt = F.pmod(F.xxhash64(F.col("url")), F.lit(salt_buckets))
+    w_local = Window.partitionBy(key_col, "salt").orderBy(
+        F.col("next_fetch_date").asc(), F.col("url").asc()
+    )
+    survivors = (
+        due.withColumn("salt", salt)
+        .withColumn("lrn", F.row_number().over(w_local))
+        .where(F.col("lrn") <= F.lit(max_per_bucket))
+        .drop("salt", "lrn")
+    )
+    w = Window.partitionBy(key_col).orderBy(
+        F.col("next_fetch_date").asc(), F.col("url").asc()
+    )
+    ranked = survivors.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= F.lit(max_per_bucket)
+    )
+    if max_results is not None:
+        ranked = ranked.orderBy(
+            F.col("next_fetch_date").asc(), F.col("url").asc()
+        ).limit(max_results)
+    return ranked
+
+
 def status_counts(frontier: DataFrame) -> DataFrame:
     """Per-status URL counts — the reference's ``StatusMetricsBolt``
     (external/opensearch/.../metrics/StatusMetricsBolt.java): periodic

@@ -23,8 +23,16 @@ FRONTIER_DDL = (
 
 
 class FrontierTable:
-    def __init__(self, path: str):
+    """``partition_by="bucket"`` stores each snapshot hive-partitioned by
+    the politeness-bucket column (Phase-4 layout, SURVEY.md §7): a
+    generation that crawls one shard (``frontier_topk(..., bucket=b)``)
+    then scans ONLY that bucket's files — the filter becomes a
+    PartitionFilter, not a row filter. At 100 TB this is the difference
+    between reading 1/N of the table and reading all of it."""
+
+    def __init__(self, path: str, partition_by: str | None = None):
         self.path = path
+        self.partition_by = partition_by
         os.makedirs(path, exist_ok=True)
 
     @property
@@ -53,7 +61,10 @@ class FrontierTable:
         targets a different directory, so no self-overwrite)."""
         v = self.current_version() + 1
         snap = os.path.join(self.path, f"v{v:06d}")
-        df.write.mode("overwrite").parquet(snap)
+        writer = df.write.mode("overwrite")
+        if self.partition_by:
+            writer = writer.partitionBy(self.partition_by)
+        writer.parquet(snap)
         tmp = self._pointer + ".tmp"
         with open(tmp, "w") as f:
             f.write(str(v))

@@ -219,3 +219,23 @@ def test_schedule_as_is_override(spark):
     got = {r.url: str(r.nfd) for r in out.collect()}
     assert got["a"] == "2030-06-01 12:00:00"
     assert got["b"] == "2024-01-16 00:00:00"
+
+
+def test_frontier_topk_salted_equals_plain(spark):
+    """Two-phase salted top-k must produce the identical result set."""
+    from incubator_stormcrawler_spark.operators.frontier import (
+        frontier_topk_salted,
+    )
+
+    rows = [
+        (f"https://h{i % 5}.com/p{i}", "DISCOVERED",
+         f"2024-01-{1 + (i % 14):02d} 00:00:00", 0, f"h{i % 5}.com")
+        for i in range(200)
+    ]
+    f = make_frontier(spark, rows)
+    plain = frontier_topk(f, NOW, max_per_bucket=4, max_results=15)
+    salted = frontier_topk_salted(f, NOW, max_per_bucket=4, max_results=15,
+                                  salt_buckets=4)
+    p = sorted((r.url, r.rn) for r in plain.collect())
+    s = sorted((r.url, r.rn) for r in salted.collect())
+    assert p == s and len(p) == 15

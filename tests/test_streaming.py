@@ -160,3 +160,26 @@ def test_stateful_sessionize(spark, tmp_path):
         assert str(got[0].session_end) == "2024-01-15 10:04:00"
     finally:
         q.stop()
+
+
+def test_bucket_partitioned_frontier_prunes(spark, tmp_path):
+    """Bucket-partitioned snapshots turn the shard predicate into
+    partition pruning (PartitionFilters, not row filters)."""
+    from incubator_stormcrawler_spark.operators.frontier import frontier_topk
+    from incubator_stormcrawler_spark.operators.synthetic import (
+        synthetic_frontier,
+    )
+
+    table = FrontierTable(str(tmp_path / "f"), partition_by="bucket")
+    table.commit(synthetic_frontier(spark, "/root/testdata/sf0.001"))
+
+    shard = frontier_topk(
+        table.read(spark), "2024-01-15 00:00:00",
+        max_per_bucket=3, max_results=50, bucket=4,
+    )
+    plan = shard._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(bucket" in plan or \
+           "PartitionFilters: [" in plan and "bucket" in plan.split(
+               "PartitionFilters:")[1][:120]
+    rows = shard.collect()
+    assert rows and all(r.bucket == 4 for r in rows)
