@@ -143,6 +143,15 @@ def q_frontier_topk_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("url", "status", "next_fetch_date", "key", "rn")
 
 
+def q_events_rate_10s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PerSecondReducer analog (util/PerSecondReducer.java; FetcherBolt
+    fetched_perSec metric): per-10s-bucket event rates."""
+    from incubator_stormcrawler_spark.operators.metrics import per_second_rates
+
+    ev = rel.load_events(spark, sf_dir)
+    return per_second_rates(ev, value_col="value", bucket_secs=10)
+
+
 def q_seeds_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """StringTabScheme seed-line parsing (core/.../util/StringTabScheme.java:
     31-62) over lines synthesized from part — native expressions, flattened
@@ -449,6 +458,14 @@ SELECT user_id, max(session_id) AS num_sessions,
        sum(num_events) AS num_events,
        round(max(session_value), 2) AS max_session_value
 FROM per_sess GROUP BY user_id
+"""
+
+_ORACLES["events_rate_10s"] = """
+SELECT to_timestamp((floor(epoch(ts))::BIGINT // 10) * 10)::TIMESTAMP AS bucket,
+       count(*) AS n,
+       round(count(*) / 10, 4) AS per_sec,
+       round(sum(value) / 10, 4) AS value_per_sec
+FROM events GROUP BY 1
 """
 
 _ORACLES["seeds_parse"] = """
@@ -853,6 +870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_props": rel.events_json_props,
         "adaptive_scheduler": q_adaptive_scheduler,
         "frontier_topk_salted": q_frontier_topk_salted,
+        "events_rate_10s": q_events_rate_10s,
         "seeds_parse": q_seeds_parse,
         "indexer_projection": q_indexer_projection,
         "frontier_next_generation": q_frontier_next_generation,

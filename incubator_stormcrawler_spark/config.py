@@ -1,0 +1,74 @@
+"""Config-driven topology assembly — the engine's ConfigurableTopology
+(core/.../ConfigurableTopology.java:40-74 loads crawler-default.yaml +
+user conf and wires the DAG; Flux YAML declares it).
+
+Ours: one JSON/YAML dict wires a ``CrawlLoop`` — URL filter chain
+(urlfilters.json-style), parse filters (parsefilters.json-style), fetch
+politeness knobs (crawler-default.yaml names kept where they map 1:1),
+frontier location. A user of the reference's config model finds the same
+shape here:
+
+    {
+      "frontier.path": "/data/frontier",
+      "fetcher.server.delay": 1.0,          # crawler-default.yaml:22
+      "fetcher.max.crawl.delay": 30.0,      # crawler-default.yaml:33
+      "http.agent.name": "stormcrawler-spark",
+      "urlfilters": [{"class": "BasicURLNormalizer", "params": {}}, ...],
+      "parsefilters": [{"class": "MD5SignatureParseFilter"}, ...],
+      "spout.max.results": 1000,
+      "spout.max.urls.per.bucket": 5,
+      "parser.max.outlinks": 100            # parser.emitOutlinks cap
+    }
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import SparkSession
+
+from .functions.filtering import URLFilterChain
+from .parse.parse_filters import ParseFilterChain
+from .streaming.crawl_loop import CrawlLoop
+
+
+def load_config(path_or_dict) -> dict:
+    if isinstance(path_or_dict, dict):
+        return path_or_dict
+    with open(path_or_dict) as f:
+        text = f.read()
+    try:
+        return json.loads(text)
+    except json.JSONDecodeError:
+        try:  # YAML configs accepted when pyyaml is available
+            import yaml
+
+            return yaml.safe_load(text)
+        except ImportError as e:
+            raise ValueError(
+                f"{path_or_dict}: not JSON and pyyaml unavailable"
+            ) from e
+
+
+def build_crawl_loop(
+    spark: SparkSession, config, protocol_factory
+) -> CrawlLoop:
+    """Assemble a CrawlLoop from a config dict (see module doc)."""
+    conf = load_config(config)
+    chain = URLFilterChain.from_config(conf.get("urlfilters", []))
+    return CrawlLoop(
+        spark,
+        frontier_path=conf["frontier.path"],
+        protocol_factory=protocol_factory,
+        filter_chain=chain,
+        max_per_bucket=int(conf.get("spout.max.urls.per.bucket", 5)),
+        max_results=int(conf.get("spout.max.results", 1000)),
+        server_delay=float(conf.get("fetcher.server.delay", 1.0)),
+        respect_robots=bool(conf.get("http.robots.enabled", False)),
+        max_outlinks=int(conf.get("parser.max.outlinks", 100)),
+    )
+
+
+def build_parse_filter_chain(config) -> ParseFilterChain:
+    conf = load_config(config)
+    return ParseFilterChain(conf.get("parsefilters", []))

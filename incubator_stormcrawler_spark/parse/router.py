@@ -1,0 +1,83 @@
+"""Parse routing — the shunt pattern (tika/RedirectionBolt.java:54,43-53
+plus SiteMapParserBolt/FeedParserBolt pass-through): classify each fetched
+page by sniffing, route to the right parse branch, union the statuses.
+
+Branches: sitemap → sitemap parser; feed → feed parser; html → HTML
+parser; text/plain → trivial text doc; everything else → the rich-document
+branch (Tika in the reference) — stubbed here with a clear error row, the
+pluggable slot for a tika-python/pdfminer stage.
+
+Classification runs in ONE Arrow pass over the head bytes; each branch
+then processes only its rows (filter pushdown keeps bytes out of branches
+that don't need them).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .feed import parse_feeds, sniff_feed
+from .html import looks_like_html, parse_pages
+from .sitemap import parse_sitemaps, sniff_sitemap
+
+KIND_DDL = "url string, kind string"
+
+
+def classify_pages(pages: DataFrame) -> DataFrame:
+    """Adds a ``kind`` column: sitemap | feed | html | text | other."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            kinds = []
+            for row in pdf.itertuples(index=False):
+                content = bytes(row.content) if row.content is not None else b""
+                head = content[:512].lstrip()
+                if sniff_sitemap(content):
+                    kinds.append("sitemap")
+                elif sniff_feed(content):
+                    kinds.append("feed")
+                elif looks_like_html(content):
+                    kinds.append("html")
+                elif head.startswith(
+                    (b"%PDF", b"PK\x03\x04", b"\x89PNG", b"GIF8", b"\xff\xd8",
+                     b"\x1f\x8b")
+                ):
+                    kinds.append("other")  # known binary magic → rich-doc branch
+                elif not content[:512].translate(
+                    None, bytes(range(32, 127)) + b"\t\r\n"
+                ):
+                    kinds.append("text")
+                else:
+                    kinds.append("other")
+            yield pd.DataFrame({"url": pdf["url"], "kind": kinds})
+
+    kinds = pages.select("url", "content").mapInPandas(run, schema=KIND_DDL)
+    return pages.join(kinds, "url")
+
+
+def parse_routed(pages: DataFrame, max_outlinks: int = 100):
+    """Returns dict of branch outputs:
+    {"html": parsed-html DF, "sitemaps": sitemap results, "feeds": feed
+    results, "texts": plain-text docs, "other": unparsed rows}."""
+    classified = classify_pages(pages).cache()
+    html = parse_pages(
+        classified.where(F.col("kind") == "html"), max_outlinks=max_outlinks
+    )
+    sitemaps = parse_sitemaps(classified.where(F.col("kind") == "sitemap"))
+    feeds = parse_feeds(classified.where(F.col("kind") == "feed"))
+    texts = classified.where(F.col("kind") == "text").select(
+        "url",
+        F.col("content").cast("string").alias("text"),
+    )
+    other = classified.where(F.col("kind") == "other").select(
+        "url", F.lit("unsupported content type (rich-document branch)").alias("error")
+    )
+    return {
+        "html": html,
+        "sitemaps": sitemaps,
+        "feeds": feeds,
+        "texts": texts,
+        "other": other,
+    }

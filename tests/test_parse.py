@@ -191,3 +191,27 @@ def test_parse_pages_spark_stage(spark):
     assert rows["https://a.example/"].error is None
     assert len(rows["https://a.example/"].outlinks) == 3
     assert rows["https://a.example/bad"].error == "content not HTML"
+
+
+def test_parse_router(spark):
+    """Shunt routing (RedirectionBolt pattern): each content kind lands in
+    its branch."""
+    from pyspark.sql import Row
+    from incubator_stormcrawler_spark.parse.router import parse_routed
+
+    df = spark.createDataFrame(
+        [
+            Row(url="https://a.example/page", content=bytearray(HTML)),
+            Row(url="https://a.example/map", content=bytearray(SITEMAP)),
+            Row(url="https://a.example/feed", content=bytearray(RSS)),
+            Row(url="https://a.example/note", content=bytearray(b"just plain text")),
+            Row(url="https://a.example/doc.pdf", content=bytearray(b"%PDF-1.4 xx")),
+        ]
+    )
+    out = parse_routed(df)
+    assert [r.url for r in out["html"].collect()] == ["https://a.example/page"]
+    assert [r.url for r in out["sitemaps"].collect()] == ["https://a.example/map"]
+    assert [r.url for r in out["feeds"].collect()] == ["https://a.example/feed"]
+    texts = out["texts"].collect()
+    assert texts[0].url == "https://a.example/note" and texts[0].text == "just plain text"
+    assert [r.url for r in out["other"].collect()] == ["https://a.example/doc.pdf"]
