@@ -127,15 +127,22 @@ def minhash_signatures(
     partial-aggregable groupBy.
     """
     sh = with_shingles(docs, n)
-    h = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("h")
-    salted = sh.select("doc_id", "shingle", h).select(
-        "doc_id",
-        "h",
-        F.md5(F.concat(F.col("h").cast("string"), F.lit("|"), F.col("shingle"))).alias(
-            "hv"
-        ),
+    # One groupBy with num_hashes parallel min() aggregates instead of a
+    # ×num_hashes explode: the shuffle moves each (doc, shingle) row once,
+    # and every partial min combines map-side. Then unpivot to (doc, h, v)
+    # rows (stack is a projection — no extra shuffle).
+    aggs = [
+        F.min(
+            F.md5(F.concat(F.lit(f"{h}|"), F.col("shingle")))
+        ).alias(f"v{h}")
+        for h in range(num_hashes)
+    ]
+    wide = sh.groupBy("doc_id").agg(*aggs)
+    stack_expr = "stack({n}, {args}) as (h, v)".format(
+        n=num_hashes,
+        args=", ".join(f"{h}, v{h}" for h in range(num_hashes)),
     )
-    return salted.groupBy("doc_id", "h").agg(F.min("hv").alias("v"))
+    return wide.select("doc_id", F.expr(stack_expr))
 
 
 def lsh_candidate_pairs(
@@ -204,28 +211,21 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     exploded = docs.select("doc_id", F.explode(toks).alias("tok")).select(
         "doc_id", F.md5("tok").alias("th")
     )
-    j = F.explode(F.sequence(F.lit(0), F.lit(31))).alias("j")
-    bits = exploded.select("doc_id", "th", j).select(
-        "doc_id",
-        "j",
-        (2 * (F.ascii(F.substring(F.col("th"), F.col("j") + 1, 1)) % 2) - 1).alias(
-            "w"
-        ),
-    )
-    return (
-        bits.groupBy("doc_id", "j")
-        .agg(F.sum("w").alias("s"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(F.col("s") >= 0, F.pow(F.lit(2.0), F.col("j"))).otherwise(
-                    F.lit(0.0)
-                )
-            )
-            .cast("long")
-            .alias("simhash")
-        )
-    )
+    # 32 parallel sum() aggregates over the token rows (not a ×32 explode):
+    # one shuffle of (doc, token-hash), partial sums map-side, then the
+    # signature assembles as a pure projection.
+    sums = [
+        F.sum(
+            2 * (F.ascii(F.substring(F.col("th"), j + 1, 1)) % 2) - 1
+        ).alias(f"s{j}")
+        for j in range(32)
+    ]
+    wide = exploded.groupBy("doc_id").agg(*sums)
+    sig = None
+    for j in range(32):
+        bit = F.when(F.col(f"s{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return wide.select("doc_id", sig.cast("long").alias("simhash"))
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:

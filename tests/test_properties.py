@@ -1,0 +1,101 @@
+"""Property-based tests (hypothesis) — invariants the example-based suites
+can't sweep: normalizer idempotence/robustness, robots parser totality,
+merge invariants, simhash banding soundness."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from incubator_stormcrawler_spark.functions.urls import (
+    BasicURLNormalizer,
+    partition_key,
+)
+from incubator_stormcrawler_spark.protocol.robots import parse_robots_txt
+
+HOSTS = st.from_regex(r"[a-z][a-z0-9]{0,10}(\.[a-z]{2,6}){1,2}", fullmatch=True)
+PATHS = st.from_regex(r"(/[a-zA-Z0-9._~%\-]{0,12}){0,4}", fullmatch=True)
+QUERIES = st.from_regex(r"(\?[a-z]{1,5}=[a-zA-Z0-9%]{0,8}(&[a-z]{1,5}=[a-zA-Z0-9%]{0,8}){0,3})?", fullmatch=True)
+FRAGS = st.from_regex(r"(#[a-zA-Z0-9]{0,8})?", fullmatch=True)
+
+
+@st.composite
+def urls(draw):
+    return (
+        draw(st.sampled_from(["http", "https"]))
+        + "://"
+        + draw(HOSTS)
+        + draw(PATHS)
+        + draw(QUERIES)
+        + draw(FRAGS)
+    )
+
+
+@given(urls())
+@settings(max_examples=300, deadline=None)
+def test_normalizer_idempotent(url):
+    """filter(filter(u)) == filter(u) — dedup keys must be stable."""
+    n = BasicURLNormalizer()
+    once = n.filter(url)
+    if once is not None:
+        assert n.filter(once) == once
+
+
+@given(urls())
+@settings(max_examples=300, deadline=None)
+def test_normalizer_strips_fragment_and_keeps_scheme(url):
+    n = BasicURLNormalizer()
+    out = n.filter(url)
+    if out is not None:
+        assert "#" not in out
+        assert out.startswith(("http://", "https://"))
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_normalizer_never_raises(junk):
+    BasicURLNormalizer().filter(junk)  # None or str, never an exception
+
+
+@given(urls())
+@settings(max_examples=200, deadline=None)
+def test_partition_key_consistent_with_normalizer(url):
+    """byHost key survives normalization (politeness must not change)."""
+    n = BasicURLNormalizer()
+    out = n.filter(url)
+    if out is not None:
+        assert partition_key(url, "byHost") == partition_key(out, "byHost")
+
+
+@given(st.text(max_size=400), st.lists(st.sampled_from(["me", "bot", "x"]),
+                                       min_size=1, max_size=2))
+@settings(max_examples=200, deadline=None)
+def test_robots_parser_total(content, agents):
+    """Any input parses to usable rules; is_allowed is total."""
+    rules = parse_robots_txt(content, agents)
+    assert rules.is_allowed("https://h.example/some/path") in (True, False)
+
+
+@given(st.lists(st.sampled_from(
+    ["DISCOVERED", "FETCHED", "FETCH_ERROR", "REDIRECTION", "ERROR"]),
+    min_size=1, max_size=5))
+@settings(max_examples=100, deadline=None)
+def test_status_priority_total_order(statuses):
+    from incubator_stormcrawler_spark.operators.status_merge import (
+        STATUS_PRIORITY,
+    )
+
+    best = max(statuses, key=lambda s: STATUS_PRIORITY[s])
+    assert STATUS_PRIORITY[best] == max(STATUS_PRIORITY[s] for s in statuses)
+
+
+@given(st.integers(0, (1 << 32) - 1), st.integers(0, (1 << 32) - 1))
+@settings(max_examples=300, deadline=None)
+def test_simhash_banding_pigeonhole(a, b):
+    """Hamming ≤ 3 ⇒ some byte of the 32-bit signature matches — the
+    soundness condition the banded candidate join relies on."""
+    ham = bin(a ^ b).count("1")
+    bytes_equal = any(((a >> (8 * i)) & 255) == ((b >> (8 * i)) & 255)
+                      for i in range(4))
+    if ham <= 3:
+        assert bytes_equal
