@@ -143,6 +143,19 @@ def q_frontier_topk_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("url", "status", "next_fetch_date", "key", "rn")
 
 
+def q_link_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative operator: 5-iteration PageRank over a link graph derived
+    from lineitem (order-page → part-page edges). The oracle unrolls the
+    identical iterations as chained SQL CTEs."""
+    from incubator_stormcrawler_spark.operators.linkrank import link_rank
+
+    edges = spark.read.parquet(f"{sf_dir}/lineitem.parquet").selectExpr(
+        "'o' || cast(mod(l_orderkey, 500) as string) as src",
+        "'p' || cast(mod(l_partkey, 300) as string) as dst",
+    )
+    return link_rank(edges, iterations=5)
+
+
 def q_events_rate_10s(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PerSecondReducer analog (util/PerSecondReducer.java; FetcherBolt
     fetched_perSec metric): per-10s-bucket event rates."""
@@ -459,6 +472,14 @@ SELECT user_id, max(session_id) AS num_sessions,
        round(max(session_value), 2) AS max_session_value
 FROM per_sess GROUP BY user_id
 """
+
+from incubator_stormcrawler_spark.operators.linkrank import unrolled_pagerank_sql
+
+_ORACLES["link_rank"] = unrolled_pagerank_sql(
+    "edges AS (SELECT 'o' || cast(mod(l_orderkey, 500) as varchar) AS src,"
+    " 'p' || cast(mod(l_partkey, 300) as varchar) AS dst FROM lineitem)",
+    iterations=5,
+)
 
 _ORACLES["events_rate_10s"] = """
 SELECT to_timestamp((floor(epoch(ts))::BIGINT // 10) * 10)::TIMESTAMP AS bucket,
@@ -871,6 +892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adaptive_scheduler": q_adaptive_scheduler,
         "frontier_topk_salted": q_frontier_topk_salted,
         "events_rate_10s": q_events_rate_10s,
+        "link_rank": q_link_rank,
         "seeds_parse": q_seeds_parse,
         "indexer_projection": q_indexer_projection,
         "frontier_next_generation": q_frontier_next_generation,

@@ -239,3 +239,19 @@ def test_frontier_topk_salted_equals_plain(spark):
     p = sorted((r.url, r.rn) for r in plain.collect())
     s = sorted((r.url, r.rn) for r in salted.collect())
     assert p == s and len(p) == 15
+
+
+def test_link_rank_known_graph(spark):
+    """PageRank sanity on a hand-checkable graph: a->b, a->c, b->c, c->a.
+    c collects from two nodes and must outrank b."""
+    from incubator_stormcrawler_spark.operators.linkrank import link_rank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    ranks = {r.node: r.rank for r in link_rank(edges, iterations=10).collect()}
+    assert set(ranks) == {"a", "b", "c"}
+    assert ranks["c"] > ranks["b"]
+    assert ranks["a"] > ranks["b"]  # a gets all of c's mass
+    # iteration-10 value for b: 0.15 + 0.85 * (rank(a)/2)
+    assert abs(ranks["b"] - (0.15 + 0.425 * ranks["a"])) < 0.15
