@@ -104,7 +104,18 @@ def merge_status_updates(
     """
     from ..functions.urls import host_key_expr, bucket_expr
 
-    u = dedupe_updates(updates).withColumnRenamed("status", "u_status")
+    # Optional crawl-depth tracking: when both sides carry ``depth``, the
+    # merged row keeps the MINIMUM depth seen (a URL rediscovered closer to
+    # a seed gets the shallower depth — MetadataTransfer's depth semantics
+    # collapsed onto the flat schema).
+    with_depth = "depth" in updates.columns and "depth" in frontier.columns
+    if with_depth:
+        u_depth = updates.groupBy("url").agg(F.min("depth").alias("u_depth"))
+        u = dedupe_updates(updates.drop("depth")).withColumnRenamed(
+            "status", "u_status"
+        ).join(u_depth, "url")
+    else:
+        u = dedupe_updates(updates).withColumnRenamed("status", "u_status")
     f = frontier
 
     def merged_cols(j: DataFrame) -> DataFrame:
@@ -129,7 +140,7 @@ def merge_status_updates(
         new_nfd = F.when(~touched, F.col("next_fetch_date")).otherwise(
             schedule_next_fetch(effective, now, intervals)
         )
-        return j.select(
+        cols = [
             F.col("url"),
             effective.alias("status"),
             new_nfd.alias("next_fetch_date"),
@@ -138,7 +149,15 @@ def merge_status_updates(
             F.coalesce(
                 F.col("bucket"), bucket_expr(host_key_expr(F.col("url")))
             ).alias("bucket"),
-        )
+        ]
+        if with_depth:
+            cols.append(
+                F.least(
+                    F.coalesce(F.col("depth"), F.col("u_depth")),
+                    F.coalesce(F.col("u_depth"), F.col("depth")),
+                ).alias("depth")
+            )
+        return j.select(*cols)
 
     if not assume_small_updates:
         return merged_cols(f.join(u, on="url", how="full_outer"))

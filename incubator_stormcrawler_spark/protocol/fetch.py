@@ -200,6 +200,8 @@ def fetch_partition(
     max_crawl_delay: float = 30.0,
     robots_cache: RobotsCache | None = None,
     respect_robots: bool = True,
+    threads_per_queue: int = 1,
+    server_min_delay: float = 0.0,
     clock=time.monotonic,
     sleep=time.sleep,
 ):
@@ -231,7 +233,10 @@ def fetch_partition(
         q = queues[key]
 
         if key not in delays:
-            delay = server_delay
+            # fetcher.threads.per.queue > 1 switches a queue to the
+            # multithreaded minimum delay (fetcher.server.min.delay,
+            # crawler-default.yaml:22-27; FetcherBolt.java:241-244)
+            delay = server_min_delay if threads_per_queue > 1 else server_delay
             if respect_robots and robots_cache is not None:
                 rules = robots_cache.get(key)
             else:

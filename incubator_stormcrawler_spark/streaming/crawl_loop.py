@@ -52,6 +52,7 @@ class CrawlLoop:
         server_delay: float = 0.0,
         respect_robots: bool = False,
         max_outlinks: int = 100,
+        max_depth: int | None = None,
     ):
         self.spark = spark
         self.frontier_path = frontier_path
@@ -63,11 +64,19 @@ class CrawlLoop:
         self.server_delay = server_delay
         self.respect_robots = respect_robots
         self.max_outlinks = max_outlinks
+        self.max_depth = max_depth
         self.generation = 0
         self.table = FrontierTable(frontier_path)
+        # crawl depth rides as a flat column next to the frontier schema
+        self.table_ddl = (
+            "url string, status string, next_fetch_date timestamp, "
+            "error_count int, key string, bucket int, depth int"
+        )
 
     # -- frontier table ----------------------------------------------------
     def read_frontier(self) -> DataFrame:
+        if not self.table.exists():
+            return self.spark.createDataFrame([], self.table_ddl)
         return self.table.read(self.spark)
 
     def _write_frontier(self, df: DataFrame) -> None:
@@ -77,7 +86,11 @@ class CrawlLoop:
         """Seed URLs → DISCOVERED frontier rows (SURVEY.md §3.2). Idempotent
         merge: existing URLs keep their state."""
         now = self.now_fn(self.generation)
-        updates = seeds.select("url").withColumn("status", F.lit("DISCOVERED"))
+        updates = (
+            seeds.select("url")
+            .withColumn("status", F.lit("DISCOVERED"))
+            .withColumn("depth", F.lit(0))
+        )
         merged = merge_status_updates(self.read_frontier(), updates, now)
         self._write_frontier(merged)
 
@@ -90,7 +103,7 @@ class CrawlLoop:
         batch = frontier_topk(
             frontier, now,
             max_per_bucket=self.max_per_bucket, max_results=self.max_results,
-        ).select("url", "key")
+        ).select("url", "key", "depth")
         fetched = fetch(
             batch,
             self.protocol_factory,
@@ -104,14 +117,41 @@ class CrawlLoop:
         parsed = parse_pages(pages, max_outlinks=self.max_outlinks).cache()
         docs, outlinks, parse_status = split_parse_streams(parsed)
 
-        # outlink filtering → DISCOVERED updates
-        chain = self.filter_chain
+        # outlink filtering → DISCOVERED updates; the parent's depth rides
+        # along as metadata for depth-aware filters (MaxDepthFilter) and the
+        # child's frontier depth is parent+1 (MetadataTransfer.java:124-145)
+        src_depth = batch.select(
+            F.col("url").alias("source_url"), F.col("depth").alias("src_depth")
+        )
+        with_md = (
+            outlinks.select("source_url", "target_url")
+            .join(F.broadcast(src_depth), "source_url", "left")
+            .withColumn(
+                "metadata",
+                F.create_map(
+                    F.lit("depth"),
+                    F.array(F.coalesce(F.col("src_depth"), F.lit(0)).cast("string")),
+                ),
+            )
+        )
+        if self.max_depth is not None:
+            from ..functions.filtering import MaxDepthFilter, URLFilterChain
+
+            chain = URLFilterChain(
+                [MaxDepthFilter(self.max_depth)] + self.filter_chain.filters
+            )
+        else:
+            chain = self.filter_chain
         filtered = apply_filter_chain(
-            outlinks.select("source_url", "target_url"), chain
+            with_md.select("source_url", "target_url", "metadata", "src_depth"),
+            chain,
         )
         discovered = (
             filtered.where(F.col("filtered_url").isNotNull())
-            .select(F.col("filtered_url").alias("url"))
+            .select(
+                F.col("filtered_url").alias("url"),
+                (F.coalesce(F.col("src_depth"), F.lit(0)) + 1).alias("depth"),
+            )
             .withColumn("status", F.lit("DISCOVERED"))
         )
 
@@ -123,10 +163,11 @@ class CrawlLoop:
             ).alias("status"),
         ).where(F.col("status").isNotNull())
         # parse-level statuses for the fetched ones (FETCHED/REDIRECTION/ERROR)
+        null_depth = F.lit(None).cast("int").alias("depth")
         updates = (
-            parse_status.select("url", "status")
-            .union(fetch_status.select("url", "status"))
-            .union(discovered.select("url", "status"))
+            parse_status.select("url", "status", null_depth)
+            .union(fetch_status.select("url", "status", null_depth))
+            .union(discovered.select("url", "status", "depth"))
         )
 
         counts = {

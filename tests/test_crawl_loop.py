@@ -73,3 +73,30 @@ def test_crawl_records_fetch_errors(spark, tmp_path):
     assert frontier["https://h0.example/p0"].status == "FETCHED"
     # missing page 404 → ERROR (404 is terminal per Status.fromHTTPCode)
     assert frontier["https://h0.example/missing"].status == "ERROR"
+
+
+def test_depth_limited_crawl(spark, tmp_path):
+    """max_depth stops discovery at the configured hop count
+    (MaxDepthFilter semantics wired through the loop; depth rides the
+    frontier and increments per hop)."""
+    site = {
+        "https://h0.example/p0": '<html><a href="/p1">a</a></html>',
+        "https://h0.example/p1": '<html><a href="/p2">a</a></html>',
+        "https://h0.example/p2": '<html><a href="/p3">a</a></html>',
+        "https://h0.example/p3": "<html>end</html>",
+    }
+    loop = CrawlLoop(
+        spark,
+        frontier_path=str(tmp_path / "frontier"),
+        protocol_factory=lambda: MemoryProtocol(site),
+        server_delay=0.0,
+        max_depth=2,
+    )
+    loop.inject_seeds(spark.createDataFrame([("https://h0.example/p0",)], ["url"]))
+    loop.run(4)
+    frontier = {r.url: (r.status, r.depth) for r in loop.read_frontier().collect()}
+    # depth 0,1,2 crawled; p2's outlinks (would be depth 3) filtered out
+    assert frontier["https://h0.example/p0"] == ("FETCHED", 0)
+    assert frontier["https://h0.example/p1"] == ("FETCHED", 1)
+    assert frontier["https://h0.example/p2"] == ("FETCHED", 2)
+    assert "https://h0.example/p3" not in frontier

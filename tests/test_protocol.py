@@ -165,3 +165,18 @@ def test_fetch_spark_stage(spark):
     assert len(rows) == 12
     assert all(r.status == "FETCHED" for r in rows)
     assert {bytes(r.content).decode() for r in rows} == set(site.values())
+
+
+def test_threads_per_queue_min_delay():
+    """fetcher.threads.per.queue > 1 → queue uses fetcher.server.min.delay
+    (FetcherBolt.java:241-244): fake clock barely advances."""
+    site = {f"https://a.example/p{i}": "x" for i in range(4)}
+    proto = MemoryProtocol(site)
+    fc = FakeClock()
+    fetch_partition(
+        [(u, "a.example") for u in sorted(site)], proto,
+        server_delay=1.0, threads_per_queue=2, server_min_delay=0.0,
+        respect_robots=False, clock=fc.clock, sleep=fc.sleep,
+    )
+    assert fc.t == 0.0  # no politeness waits with min-delay 0
+    assert len(proto.fetch_log) == 4
