@@ -52,6 +52,8 @@ class ParsedPage:
     charset: str = "utf-8"
     outlinks: list[tuple[str, str, bool]] = field(default_factory=list)
     #                 (target, anchor, nofollow)
+    media_links: list[tuple[str, str]] = field(default_factory=list)
+    #                 (tag, url) — LinkParseFilter-style extraction
     redirect: str | None = None  # meta-refresh target
     robots_noindex: bool = False
     robots_nofollow: bool = False
@@ -59,9 +61,13 @@ class ParsedPage:
 
 
 class _Extractor(HTMLParser):
-    def __init__(self, base_url: str):
+    def __init__(self, base_url: str, media_tags: dict[str, str] | None = None):
         super().__init__(convert_charrefs=True)
         self.base = base_url
+        # LinkParseFilter analog (parse/filter/LinkParseFilter.java:53 —
+        # e.g. //IMG/@src): {tag: attribute} to harvest as media links
+        self.media_tags = media_tags or {}
+        self.media_links: list[tuple[str, str]] = []  # (tag, resolved url)
         self.text_parts: list[str] = []
         self.links: list[tuple[str, str, bool]] = []
         self.title: str | None = None
@@ -104,6 +110,13 @@ class _Extractor(HTMLParser):
                 m = _REFRESH_URL_RE.match(content)
                 if m and not self.redirect:
                     self.redirect = urljoin(self.base, m.group(1))
+        if tag in self.media_tags:
+            attr_val = a.get(self.media_tags[tag])
+            if attr_val:
+                try:
+                    self.media_links.append((tag, urljoin(self.base, attr_val)))
+                except ValueError:
+                    pass
         if tag in BLOCK_TAGS:
             self.text_parts.append("\n")
 
@@ -161,9 +174,12 @@ def parse_html_page(
     content_type: str | None = None,
     max_outlinks: int | None = None,
     normalize=None,
+    media_tags: dict[str, str] | None = None,
 ) -> ParsedPage:
     """Parse one page. ``normalize``: optional url-normalizer callable
-    applied to each outlink before dedup (None keeps raw resolution)."""
+    applied to each outlink before dedup (None keeps raw resolution).
+    ``media_tags`` ({tag: attr}, e.g. {"img": "src"}): extra link
+    harvesting à la LinkParseFilter."""
     page = ParsedPage(url=url)
     if not content:
         page.error = "empty content"
@@ -178,7 +194,7 @@ def parse_html_page(
         page.charset = "utf-8"
         html = content.decode("utf-8", errors="replace")
 
-    ex = _Extractor(url)
+    ex = _Extractor(url, media_tags=media_tags)
     try:
         ex.feed(html)
         ex.close()
@@ -187,6 +203,7 @@ def parse_html_page(
         return page
 
     page.title = ex.title
+    page.media_links = ex.media_links
     page.redirect = ex.redirect
     page.robots_noindex = ex.robots_noindex
     page.robots_nofollow = ex.robots_nofollow

@@ -29,6 +29,9 @@ class SitemapResult:
     is_sitemap: bool
     sub_sitemaps: list[str] = field(default_factory=list)
     urls: list[tuple[str, str | None]] = field(default_factory=list)  # (loc, lastmod)
+    # sitemap extensions (IMAGE/NEWS/VIDEO..., crawler-default.yaml:259-269):
+    # per-URL {loc: [(ext_tag, text), ...]} for namespaced child elements
+    extensions: dict[str, list[tuple[str, str]]] = field(default_factory=dict)
     error: str | None = None
 
 
@@ -95,14 +98,28 @@ def parse_sitemap(
             continue
         loc = None
         lastmod = None
+        exts: list[tuple[str, str]] = []
         for el in child:
             t = _strip_ns(el.tag)
             if t == "loc":
                 loc = (el.text or "").strip()
             elif t == "lastmod":
                 lastmod = (el.text or "").strip()
+            else:
+                # extension element (image:image, news:news, video:video...)
+                # — flatten leaf texts as (tag.path, text)
+                for leaf in el.iter():
+                    if leaf is not el and (leaf.text or "").strip():
+                        exts.append(
+                            (
+                                f"{_strip_ns(el.tag)}.{_strip_ns(leaf.tag)}",
+                                leaf.text.strip(),
+                            )
+                        )
         if not loc:
             continue
+        if exts:
+            res.extensions[loc] = exts
         if kind == "sitemapindex":
             res.sub_sitemaps.append(loc)
         else:

@@ -215,3 +215,35 @@ def test_parse_router(spark):
     texts = out["texts"].collect()
     assert texts[0].url == "https://a.example/note" and texts[0].text == "just plain text"
     assert [r.url for r in out["other"].collect()] == ["https://a.example/doc.pdf"]
+
+
+def test_media_link_extraction():
+    """LinkParseFilter analog (parse/filter/LinkParseFilter.java): harvest
+    //IMG/@src-style links."""
+    html = (b'<html><body><img src="/pics/a.jpg"><img src="https://cdn.x/b.png">'
+            b'<a href="/page">p</a></body></html>')
+    p = parse_html_page("https://s.example/", html,
+                        media_tags={"img": "src"})
+    assert p.media_links == [
+        ("img", "https://s.example/pics/a.jpg"),
+        ("img", "https://cdn.x/b.png"),
+    ]
+    assert [t for t, _, _ in p.outlinks] == ["https://s.example/page"]
+
+
+def test_sitemap_extensions():
+    """Sitemap extensions (IMAGE/NEWS..., SiteMapParserBolt extension
+    support, crawler-default.yaml:259-269)."""
+    sm = b"""<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"
+        xmlns:image="http://www.google.com/schemas/sitemap-image/1.1">
+  <url><loc>https://s.example/a</loc>
+    <image:image><image:loc>https://s.example/img.jpg</image:loc>
+      <image:title>Pic</image:title></image:image>
+  </url>
+</urlset>"""
+    r = parse_sitemap(sm)
+    assert [u for u, _ in r.urls] == ["https://s.example/a"]
+    exts = dict(r.extensions["https://s.example/a"])
+    assert exts["image.loc"] == "https://s.example/img.jpg"
+    assert exts["image.title"] == "Pic"
