@@ -353,6 +353,48 @@ def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.embedding_cosine_dedup(emb, threshold=0.4)
 
 
+def q_corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish-regex token accounting per document."""
+    from incubator_stormcrawler_spark.operators.corpus import token_stats
+
+    return token_stats(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% hash sample — stable across engines/reshards."""
+    from incubator_stormcrawler_spark.operators.corpus import hash_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return hash_sample(docs, 0.1).select("doc_id", "source", "lang")
+
+
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-weighted data mixing (100% src0 / 50% src1 / 20% src2)."""
+    from incubator_stormcrawler_spark.operators.corpus import mix_sources
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return mix_sources(
+        docs, {"src0": 1.0, "src1": 0.5, "src2": 0.2}
+    ).select("doc_id", "source")
+
+
+def q_corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style keep/drop with failing-rule audit tags."""
+    from incubator_stormcrawler_spark.operators.corpus import quality_filter
+
+    return quality_filter(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → clusters via 4-iteration min-label propagation
+    (keeper = min doc_id); pairs come from the 3-gram Jaccard operator."""
+    from incubator_stormcrawler_spark.operators.corpus import dedup_clusters
+
+    pairs = dd.ngram_jaccard_pairs(_docs_augmented(spark, sf_dir), n=3,
+                                   threshold=0.6)
+    return dedup_clusters(pairs, iterations=4)
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB) — same computations over the same parquet views
 # ---------------------------------------------------------------------------
@@ -699,6 +741,103 @@ WHERE a.vec_id < b.vec_id
   AND round(list_cosine_similarity(a.v, b.v), 4) >= 0.4
 """
 
+_BPEISH = r"'[a-z]+|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+_BPEISH_SQL = _BPEISH.replace("'", "''")  # escape for the SQL literal
+
+_ORACLES["corpus_token_stats"] = f"""
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_words,
+         len(regexp_extract_all(text, '{_BPEISH_SQL}', 0)) AS n_bpeish_tokens
+  FROM documents
+)
+SELECT doc_id, n_words, n_bpeish_tokens,
+       round(n_bpeish_tokens / n_words, 4) AS tokens_per_word
+FROM t
+"""
+
+_HASH_BUCKET = "(('0x' || substr(md5('{salt}|' || cast(doc_id as varchar)), 1, 4))::INT)"
+
+_ORACLES["corpus_sample"] = f"""
+SELECT doc_id, source, lang FROM documents
+WHERE {_HASH_BUCKET.format(salt='s1')} < {int(0.1 * 65536)}
+"""
+
+_ORACLES["corpus_mix"] = f"""
+SELECT doc_id, source FROM documents
+WHERE (source = 'src0' AND {_HASH_BUCKET.format(salt='mix')} < 65536)
+   OR (source = 'src1' AND {_HASH_BUCKET.format(salt='mix')} < {int(0.5 * 65536)})
+   OR (source = 'src2' AND {_HASH_BUCKET.format(salt='mix')} < {int(0.2 * 65536)})
+"""
+
+_ORACLES["corpus_quality_filter"] = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         length(replace(text, ' ', '')) AS n_nonspace
+  FROM documents
+), m AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         len(list_distinct(toks)) / len(toks) AS uniq_ratio,
+         n_nonspace / len(toks) AS mean_token_len
+  FROM t
+)
+SELECT doc_id, n_tokens, round(uniq_ratio, 4) AS uniq_ratio,
+  round(mean_token_len, 4) AS mean_token_len,
+  CASE WHEN n_tokens < 20 THEN 'too_short'
+       WHEN n_tokens > 100000 THEN 'too_long'
+       WHEN uniq_ratio < 0.3 THEN 'repetitive'
+       WHEN mean_token_len < 2.0 THEN 'short_tokens'
+       WHEN mean_token_len > 12.0 THEN 'long_tokens'
+       ELSE 'ok' END AS reason,
+  CASE WHEN n_tokens < 20 THEN 'too_short'
+       WHEN n_tokens > 100000 THEN 'too_long'
+       WHEN uniq_ratio < 0.3 THEN 'repetitive'
+       WHEN mean_token_len < 2.0 THEN 'short_tokens'
+       WHEN mean_token_len > 12.0 THEN 'long_tokens'
+       ELSE 'ok' END = 'ok' AS keep
+FROM m
+"""
+
+
+def _unrolled_label_propagation(pairs_ctes: str, iterations: int = 4) -> str:
+    parts = [
+        pairs_ctes,
+        "sym AS (SELECT doc1 AS a, doc2 AS b FROM dpairs"
+        " UNION ALL SELECT doc2, doc1 FROM dpairs)",
+        "cnodes AS (SELECT DISTINCT a AS node FROM sym)",
+        "l0 AS (SELECT node, node AS label FROM cnodes)",
+    ]
+    for k in range(iterations):
+        parts.append(
+            f"nm{k} AS (SELECT sym.a AS node, min(l{k}.label) AS nmin"
+            f" FROM sym JOIN l{k} ON sym.b = l{k}.node GROUP BY sym.a)"
+        )
+        parts.append(
+            f"l{k + 1} AS (SELECT l{k}.node,"
+            f" least(l{k}.label, coalesce(nm{k}.nmin, l{k}.label)) AS label"
+            f" FROM l{k} LEFT JOIN nm{k} ON l{k}.node = nm{k}.node)"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT node AS doc_id, label AS cluster FROM l{iterations}"
+    )
+
+
+_JACCARD_PAIRS_CTES = f"""{_DOCS_AUG_CTE.strip()}, {_SHINGLE_CTE.strip()},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+),
+dpairs AS (
+  SELECT doc1, doc2 FROM common
+  JOIN sizes s1 ON s1.doc_id = doc1
+  JOIN sizes s2 ON s2.doc_id = doc2
+  WHERE round(n_common / (s1.n_sh + s2.n_sh - n_common), 4) >= 0.6
+)"""
+
+_ORACLES["dedup_clusters"] = _unrolled_label_propagation(_JACCARD_PAIRS_CTES, 4)
+
 _ORACLES["events_json_props"] = """
 SELECT cast(floor(cast(json_extract_string(props, '$.k') as int) / 10) as int)
          AS k_decile,
@@ -907,6 +1046,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
+        # corpus construction
+        "corpus_token_stats": q_corpus_token_stats,
+        "corpus_sample": q_corpus_sample,
+        "corpus_mix": q_corpus_mix,
+        "corpus_quality_filter": q_corpus_quality_filter,
+        "dedup_clusters": q_dedup_clusters,
     }
 
 

@@ -1,0 +1,150 @@
+"""Corpus-construction operators: the steps between "crawled docs" and
+"training data" — tokenization accounting, deterministic sampling/mixing,
+quality filtering, and dedup-cluster resolution.
+
+All pure DataFrame expressions (codegen'd, partial-aggregable) so the
+DuckDB oracle can run the identical computation; all deterministic (hash
+sampling — no RNG, reproducible across runs/engines/cluster sizes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# GPT-2-ish pretokenizer shape: contractions | letter-runs | digit-runs |
+# punct-runs (whitespace-prefixed). Kept regex-portable between Spark
+# (Java regex) and DuckDB (RE2): no lookarounds.
+BPEISH_PATTERN = r"'[a-z]+|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token accounting both ways: whitespace words and BPE-ish subword
+    pieces (the regex family GPT-style tokenizers pretokenize with) —
+    the corpus-sizing numbers every training-data pipeline reports."""
+    text = F.col(text_col)
+    ws = F.size(F.split(text, " "))
+    pieces = F.regexp_extract_all(text, F.lit(BPEISH_PATTERN), 0)
+    return docs.select(
+        "doc_id",
+        ws.alias("n_words"),
+        F.size(pieces).alias("n_bpeish_tokens"),
+        F.round(F.size(pieces) / ws, 4).alias("tokens_per_word"),
+    )
+
+
+def hash_sample(
+    docs: DataFrame,
+    fraction: float,
+    salt: str = "s1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic Bernoulli-by-hash sampling: keep iff the first 4 md5
+    hex digits of (salt|id) fall under fraction·16^4. Engine-portable and
+    stable — re-running, resharding, or switching engines keeps the SAME
+    sample (unlike rand()-based sampling)."""
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))), 1, 4),
+        16,
+        10,
+    ).cast("int")
+    return docs.where(bucket < int(fraction * 65536))
+
+
+def mix_sources(
+    docs: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    salt: str = "mix",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Source-weighted mixing: per-source deterministic sampling rates —
+    the 'data mixture' step of corpus assembly, as one filter."""
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))), 1, 4),
+        16,
+        10,
+    ).cast("int")
+    keep = F.lit(False)
+    for src, w in weights.items():
+        keep = keep | ((F.col(source_col) == src) & (bucket < int(w * 65536)))
+    return docs.where(keep)
+
+
+def quality_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 20,
+    max_tokens: int = 100_000,
+    min_uniq_ratio: float = 0.3,
+    min_mean_token_len: float = 2.0,
+    max_mean_token_len: float = 12.0,
+) -> DataFrame:
+    """C4/Gopher-style keep/drop: length bounds, repetition (uniq ratio),
+    gibberish (mean token length) — emitted as a ``keep`` flag plus the
+    failing-rule tag so filter efficacy is auditable."""
+    text = F.col(text_col)
+    toks = F.split(text, " ")
+    n = F.size(toks)
+    uniq_ratio = F.size(F.array_distinct(toks)) / n
+    mean_len = F.length(F.regexp_replace(text, " ", "")) / n
+    reason = (
+        F.when(n < min_tokens, "too_short")
+        .when(n > max_tokens, "too_long")
+        .when(uniq_ratio < min_uniq_ratio, "repetitive")
+        .when(mean_len < min_mean_token_len, "short_tokens")
+        .when(mean_len > max_mean_token_len, "long_tokens")
+        .otherwise("ok")
+    )
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.round(uniq_ratio, 4).alias("uniq_ratio"),
+        F.round(mean_len, 4).alias("mean_token_len"),
+        reason.alias("reason"),
+        (reason == "ok").alias("keep"),
+    )
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    iterations: int = 4,
+    a_col: str = "doc1",
+    b_col: str = "doc2",
+) -> DataFrame:
+    """Resolve near-dup PAIRS into clusters: min-label propagation over the
+    similarity graph for a fixed iteration count; the cluster id is the
+    smallest doc_id reachable (= the keeper). Pairs from any dedup family
+    (exact groups, MinHash-LSH candidates, SimHash hamming pairs) feed in.
+
+    Fixed iterations keep it oracle-checkable (unrolled CTEs); components
+    here are near-dup chains whose diameter is tiny, so 4 hops converge.
+    At web scale swap in the alternating large/small-star algorithm —
+    same contract.
+    """
+    edges = pairs.select(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    )
+    # undirected: both directions + self-loops keep isolated endpoint labels
+    sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    nodes = sym.select(F.col("a").alias("node")).distinct()
+    labels = nodes.withColumn("label", F.col("node"))
+    for _ in range(iterations):
+        neighbor_min = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster")
+    )

@@ -103,3 +103,30 @@ def test_cosine_topk_self_excluded_and_ranked(emb):
         assert [x[0] for x in rs] == [1, 2, 3, 4, 5]
         sims = [x[1] for x in rs]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_dedup_clusters_chain(spark):
+    """Label propagation resolves pair chains into one cluster with the
+    min doc_id as keeper."""
+    from pyspark.sql import Row
+    from incubator_stormcrawler_spark.operators.corpus import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [Row(doc1=1, doc2=5), Row(doc1=5, doc2=9), Row(doc1=20, doc2=21)]
+    )
+    got = {r.doc_id: r.cluster for r in dedup_clusters(pairs, 4).collect()}
+    assert got == {1: 1, 5: 1, 9: 1, 20: 20, 21: 20}
+
+
+def test_hash_sample_deterministic_and_sized(spark, sf_dir):
+    from incubator_stormcrawler_spark.operators.corpus import hash_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = {r.doc_id for r in hash_sample(docs, 0.3).select("doc_id").collect()}
+    b = {r.doc_id for r in hash_sample(docs, 0.3).select("doc_id").collect()}
+    assert a == b  # deterministic
+    n = docs.count()
+    assert 0.15 * n < len(a) < 0.45 * n  # roughly the asked fraction
+    # nested property: smaller fraction is a subset of larger
+    c = {r.doc_id for r in hash_sample(docs, 0.1).select("doc_id").collect()}
+    assert c <= a
