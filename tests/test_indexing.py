@@ -59,3 +59,49 @@ def test_content_cache_split(spark, tmp_path):
     assert bytes(h[0].content) == b"ONE"
     m = misses.collect()
     assert len(m) == 1 and m[0].url == "https://a.com/9"
+
+
+def test_bulk_payload_builder():
+    from incubator_stormcrawler_spark.operators.search_sink import (
+        build_bulk_payload,
+        doc_id_for,
+    )
+    import json as _json
+
+    docs = [
+        {"url": "https://a.com/1", "title": "One", "key": "a.com"},
+        {"url": "https://a.com/2", "title": "Two", "key": "a.com"},
+    ]
+    body = build_bulk_payload(docs, "docs", create_only=True,
+                              routing_field="key")
+    lines = body.strip().split("\n")
+    assert len(lines) == 4
+    action = _json.loads(lines[0])
+    assert "create" in action
+    assert action["create"]["_id"] == doc_id_for("https://a.com/1")
+    assert action["create"]["routing"] == "a.com"
+    assert _json.loads(lines[1])["title"] == "One"
+    # default verb is index
+    assert "index" in _json.loads(
+        build_bulk_payload(docs, "docs").split("\n")[0]
+    )
+
+
+def test_bulk_batching_bounds():
+    from incubator_stormcrawler_spark.operators.search_sink import (
+        batch_documents,
+    )
+
+    rows = [{"url": f"https://a.com/{i}", "text": "x" * 100} for i in range(25)]
+    batches = list(batch_documents(rows, max_docs=10))
+    assert [len(b) for b in batches] == [10, 10, 5]
+    # size-bounded: tiny byte cap forces one doc per batch
+    batches = list(batch_documents(rows[:5], max_docs=100, max_bytes=120))
+    assert [len(b) for b in batches] == [1, 1, 1, 1, 1]
+
+
+def test_playwright_protocol_gated():
+    from incubator_stormcrawler_spark.protocol.browser import PlaywrightProtocol
+
+    with pytest.raises(ImportError, match="playwright"):
+        PlaywrightProtocol()
