@@ -52,14 +52,20 @@ def q_frontier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     politeness key, oldest first, global LIMIT 100 — deterministic order."""
     frontier = syn.synthetic_frontier(spark, sf_dir)
     out = frontier_topk(frontier, NOW, max_per_bucket=5, max_results=100)
-    return out.select("url", "status", "next_fetch_date", "key", "rn")
+    return out.select(
+        "url", "status", "next_fetch_date", "key",
+        F.col("rn").cast("bigint").alias("rn"),
+    )
 
 
 def q_frontier_topk_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same, restricted to one bucket shard (SQLSpout.java:84-90 sharding)."""
     frontier = syn.synthetic_frontier(spark, sf_dir)
     out = frontier_topk(frontier, NOW, max_per_bucket=3, max_results=50, bucket=4)
-    return out.select("url", "status", "next_fetch_date", "key", "bucket", "rn")
+    return out.select(
+        "url", "status", "next_fetch_date", "key", "bucket",
+        F.col("rn").cast("bigint").alias("rn"),
+    )
 
 
 def q_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -140,7 +146,10 @@ def q_frontier_topk_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     frontier = syn.synthetic_frontier(spark, sf_dir)
     out = frontier_topk_salted(frontier, NOW, max_per_bucket=5, max_results=100)
-    return out.select("url", "status", "next_fetch_date", "key", "rn")
+    return out.select(
+        "url", "status", "next_fetch_date", "key",
+        F.col("rn").cast("bigint").alias("rn"),
+    )
 
 
 def q_link_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -223,7 +232,10 @@ def q_frontier_next_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
     nxt = frontier_topk(
         merged, "2024-01-16 00:00:00", max_per_bucket=3, max_results=60
     )
-    return nxt.select("url", "status", "next_fetch_date", "key", "rn")
+    return nxt.select(
+        "url", "status", "next_fetch_date", "key",
+        F.col("rn").cast("bigint").alias("rn"),
+    )
 
 
 def q_adaptive_scheduler(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -509,8 +521,8 @@ WITH tagged AS (
          round(sum(value), 2) AS session_value
   FROM sess GROUP BY user_id, session_id
 )
-SELECT user_id, max(session_id) AS num_sessions,
-       sum(num_events) AS num_events,
+SELECT user_id, cast(max(session_id) as bigint) AS num_sessions,
+       cast(sum(num_events) as bigint) AS num_events,
        round(max(session_value), 2) AS max_session_value
 FROM per_sess GROUP BY user_id
 """
@@ -658,7 +670,7 @@ SELECT doc_id, simhash FROM sig
 _ORACLES["dedup_simhash_pairs"] = f"""
 WITH {_DOCS_AUG_CTE.strip()}, {_SIMHASH_SQL.strip().format(src='docs_aug')}
 SELECT a.doc_id AS doc1, b.doc_id AS doc2,
-       bit_count(xor(a.simhash, b.simhash)) AS hamming
+       cast(bit_count(xor(a.simhash, b.simhash)) as bigint) AS hamming
 FROM sig a, sig b
 WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3
 """

@@ -53,9 +53,9 @@ def quality_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
     stop_ratio = stopword_hits_expr(text, STOPWORDS["en"]) / n_tok
     return docs.select(
         "doc_id",
-        F.length(text).alias("n_chars"),
-        n_tok.alias("n_tokens"),
-        n_uniq.alias("n_uniq_tokens"),
+        F.length(text).cast("bigint").alias("n_chars"),
+        n_tok.cast("bigint").alias("n_tokens"),
+        n_uniq.cast("bigint").alias("n_uniq_tokens"),
         F.round(n_uniq / n_tok, 4).alias("uniq_ratio"),
         F.round(mean_len, 4).alias("mean_token_len"),
         F.round(stop_ratio, 4).alias("stopword_ratio"),
@@ -85,7 +85,8 @@ def langid_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
     return out.select(
         "doc_id",
-        *[F.col(f"score_{lang}") for lang in STOPWORDS],
+        *[F.col(f"score_{lang}").cast("bigint").alias(f"score_{lang}")
+          for lang in STOPWORDS],
         F.round(best / F.greatest(n_tok, F.lit(1)), 4).alias("confidence"),
         pred.alias("lang_pred"),
     )

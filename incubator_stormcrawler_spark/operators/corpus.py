@@ -27,8 +27,8 @@ def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     pieces = F.regexp_extract_all(text, F.lit(BPEISH_PATTERN), 0)
     return docs.select(
         "doc_id",
-        ws.alias("n_words"),
-        F.size(pieces).alias("n_bpeish_tokens"),
+        ws.cast("bigint").alias("n_words"),
+        F.size(pieces).cast("bigint").alias("n_bpeish_tokens"),
         F.round(F.size(pieces) / ws, 4).alias("tokens_per_word"),
     )
 
@@ -98,7 +98,7 @@ def quality_filter(
     )
     return docs.select(
         "doc_id",
-        n.alias("n_tokens"),
+        n.cast("bigint").alias("n_tokens"),
         F.round(uniq_ratio, 4).alias("uniq_ratio"),
         F.round(mean_len, 4).alias("mean_token_len"),
         reason.alias("reason"),

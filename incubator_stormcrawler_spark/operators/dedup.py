@@ -262,7 +262,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     )
     ham = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
     return (
-        cand.withColumn("hamming", ham)
+        cand.withColumn("hamming", ham.cast("bigint"))
         .where(F.col("hamming") <= max_hamming)
         .select("doc1", "doc2", "hamming")
     )

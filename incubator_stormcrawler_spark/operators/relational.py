@@ -75,7 +75,11 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .groupBy(
+            "l_orderkey",
+            F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+            "o_orderpriority",
+        )
         .agg(F.round(revenue, 2).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
@@ -134,7 +138,7 @@ def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
     return (
-        orders.withColumn("rk", F.row_number().over(w))
+        orders.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .where(F.col("rk") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
     )
@@ -230,7 +234,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("user_id")
         .agg(
-            F.max("session_id").alias("num_sessions"),
+            F.max("session_id").cast("bigint").alias("num_sessions"),
             F.sum("num_events").alias("num_events"),
             F.round(F.max("session_value"), 2).alias("max_session_value"),
         )

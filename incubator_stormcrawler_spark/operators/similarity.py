@@ -69,7 +69,7 @@ def cosine_topk(
             "query_id",
             "vec_id",
             F.round(F.col("sim_raw"), 4).alias("sim"),
-            "rank",
+            F.col("rank").cast("bigint").alias("rank"),
         )
     )
 
