@@ -109,11 +109,25 @@ def merge_status_updates(
     # a seed gets the shallower depth — MetadataTransfer's depth semantics
     # collapsed onto the flat schema).
     with_depth = "depth" in updates.columns and "depth" in frontier.columns
-    if with_depth:
-        u_depth = updates.groupBy("url").agg(F.min("depth").alias("u_depth"))
-        u = dedupe_updates(updates.drop("depth")).withColumnRenamed(
+    # Adaptive scheduling (AdaptiveScheduler.java:121): updates carrying a
+    # content ``signature`` + a frontier with (signature, fetch_interval)
+    # switch FETCHED rows to signature-compare interval adaptation.
+    with_signature = (
+        "signature" in updates.columns and "signature" in frontier.columns
+    )
+    extra_cols = (["depth"] if with_depth else []) + (
+        ["signature"] if with_signature else []
+    )
+    if extra_cols:
+        aggs = []
+        if with_depth:
+            aggs.append(F.min("depth").alias("u_depth"))
+        if with_signature:
+            aggs.append(F.max("signature").alias("u_signature"))
+        u_extra = updates.groupBy("url").agg(*aggs)
+        u = dedupe_updates(updates.drop(*extra_cols)).withColumnRenamed(
             "status", "u_status"
-        ).join(u_depth, "url")
+        ).join(u_extra, "url")
     else:
         u = dedupe_updates(updates).withColumnRenamed("status", "u_status")
     f = frontier
@@ -137,9 +151,37 @@ def merge_status_updates(
             .otherwise(ec)
         )
         touched = us.isNotNull() & ~((us == "DISCOVERED") & fs.isNotNull())
-        new_nfd = F.when(~touched, F.col("next_fetch_date")).otherwise(
-            schedule_next_fetch(effective, now, intervals)
-        )
+        scheduled = schedule_next_fetch(effective, now, intervals)
+        if with_signature:
+            from .scheduler import adaptive_interval
+
+            # fetched-with-signature rows adapt their interval; first fetch
+            # (no previous signature) takes the default interval
+            new_iv = F.when(
+                F.col("signature").isNull(),
+                F.lit(float((intervals or {}).get("FETCHED", 1440))),
+            ).otherwise(
+                adaptive_interval(
+                    effective,
+                    F.col("u_signature"),
+                    F.col("signature"),
+                    F.col("fetch_interval"),
+                )
+            )
+            adaptive_case = (
+                touched
+                & (effective == "FETCHED")
+                & F.col("u_signature").isNotNull()
+            )
+            scheduled = F.when(
+                adaptive_case,
+                F.timestamp_add(
+                    "MINUTE",
+                    F.round(new_iv, 0).cast("int"),
+                    F.lit(now).cast("timestamp"),
+                ),
+            ).otherwise(scheduled)
+        new_nfd = F.when(~touched, F.col("next_fetch_date")).otherwise(scheduled)
         cols = [
             F.col("url"),
             effective.alias("status"),
@@ -156,6 +198,17 @@ def merge_status_updates(
                     F.coalesce(F.col("depth"), F.col("u_depth")),
                     F.coalesce(F.col("u_depth"), F.col("depth")),
                 ).alias("depth")
+            )
+        if with_signature:
+            cols.append(
+                F.when(adaptive_case, F.col("u_signature"))
+                .otherwise(F.col("signature"))
+                .alias("signature")
+            )
+            cols.append(
+                F.when(adaptive_case, F.round(new_iv, 4))
+                .otherwise(F.col("fetch_interval"))
+                .alias("fetch_interval")
             )
         return j.select(*cols)
 

@@ -53,6 +53,7 @@ class CrawlLoop:
         respect_robots: bool = False,
         max_outlinks: int = 100,
         max_depth: int | None = None,
+        adaptive: bool = False,
     ):
         self.spark = spark
         self.frontier_path = frontier_path
@@ -65,13 +66,18 @@ class CrawlLoop:
         self.respect_robots = respect_robots
         self.max_outlinks = max_outlinks
         self.max_depth = max_depth
+        self.adaptive = adaptive
         self.generation = 0
         self.table = FrontierTable(frontier_path)
-        # crawl depth rides as a flat column next to the frontier schema
+        # crawl depth rides as a flat column next to the frontier schema;
+        # adaptive mode adds (signature, fetch_interval) for change-driven
+        # refetch intervals (AdaptiveScheduler)
         self.table_ddl = (
             "url string, status string, next_fetch_date timestamp, "
             "error_count int, key string, bucket int, depth int"
         )
+        if adaptive:
+            self.table_ddl += ", signature string, fetch_interval double"
 
     # -- frontier table ----------------------------------------------------
     def read_frontier(self) -> DataFrame:
@@ -91,6 +97,10 @@ class CrawlLoop:
             .withColumn("status", F.lit("DISCOVERED"))
             .withColumn("depth", F.lit(0))
         )
+        if self.adaptive:
+            updates = updates.withColumn(
+                "signature", F.lit(None).cast("string")
+            )
         merged = merge_status_updates(self.read_frontier(), updates, now)
         self._write_frontier(merged)
 
@@ -169,6 +179,12 @@ class CrawlLoop:
             .union(fetch_status.select("url", "status", null_depth))
             .union(discovered.select("url", "status", "depth"))
         )
+        if self.adaptive:
+            # content signature for fetched pages drives interval adaptation
+            sigs = fetched.where(F.col("status") == "FETCHED").select(
+                "url", F.md5(F.col("content")).alias("signature")
+            )
+            updates = updates.join(sigs, "url", "left")
 
         counts = {
             "generation": self.generation,

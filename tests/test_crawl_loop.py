@@ -100,3 +100,38 @@ def test_depth_limited_crawl(spark, tmp_path):
     assert frontier["https://h0.example/p1"] == ("FETCHED", 1)
     assert frontier["https://h0.example/p2"] == ("FETCHED", 2)
     assert "https://h0.example/p3" not in frontier
+
+
+def test_adaptive_refetch_intervals(spark, tmp_path):
+    """AdaptiveScheduler wired through the loop: first fetch takes the
+    default interval; an unchanged refetch grows it 1.5x; a changed one
+    shrinks it (AdaptiveScheduler.java:33-119 semantics on the flat
+    signature/fetch_interval columns)."""
+    site = {"https://h0.example/p0": "<html>version one</html>"}
+    proto = MemoryProtocol(site)
+    loop = CrawlLoop(
+        spark,
+        frontier_path=str(tmp_path / "frontier"),
+        protocol_factory=lambda: proto,
+        server_delay=0.0,
+        adaptive=True,
+        # daily generations so +1440/2160-minute schedules come due again
+        now_fn=lambda gen: f"2024-01-{15 + 2 * gen:02d} 00:00:00",
+    )
+    loop.inject_seeds(spark.createDataFrame([("https://h0.example/p0",)], ["url"]))
+
+    loop.run_generation()  # first fetch → default interval
+    r = loop.read_frontier().collect()[0]
+    assert r.status == "FETCHED" and r.fetch_interval == 1440.0
+    sig1 = r.signature
+    assert sig1 is not None
+
+    loop.run_generation()  # unchanged content → interval × 1.5
+    r = loop.read_frontier().collect()[0]
+    assert r.fetch_interval == 2160.0 and r.signature == sig1
+
+    site["https://h0.example/p0"] = "<html>version TWO</html>"
+    loop.run_generation()  # changed content → interval × 0.5
+    r = loop.read_frontier().collect()[0]
+    assert r.fetch_interval == 1080.0
+    assert r.signature != sig1
