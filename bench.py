@@ -27,13 +27,17 @@ def main() -> None:
     # warm the JVM + parquet footers once
     spark.read.parquet(f"{sf_dir}/orders.parquet").count()
 
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name, fn in e.queries().items():
-        t0 = time.time()
+        best = None
         try:
-            df = fn(spark, sf_dir)
-            n = df.count()
-            timings[name] = round(time.time() - t0, 3)
+            for _ in range(runs):  # hot best-of-N: page cache + JIT warm
+                t0 = time.time()
+                fn(spark, sf_dir).count()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            timings[name] = round(best, 3)
         except Exception as ex:  # a failing query gets a sentinel, not a crash
             print(f"bench error in {name}: {ex}", file=sys.stderr)
             timings[name] = -1.0

@@ -125,9 +125,12 @@ def dedup_clusters(
     edges = pairs.select(
         F.col(a_col).alias("a"), F.col(b_col).alias("b")
     )
-    # undirected: both directions + self-loops keep isolated endpoint labels
-    sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    nodes = sym.select(F.col("a").alias("node")).distinct()
+    # undirected; cached — every iteration joins it, and without the cache
+    # each pass would replay the (possibly expensive) pair-generation plan
+    sym = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).cache()
+    nodes = sym.select(F.col("a").alias("node")).distinct().cache()
     labels = nodes.withColumn("label", F.col("node"))
     for _ in range(iterations):
         neighbor_min = (

@@ -180,3 +180,35 @@ def test_threads_per_queue_min_delay():
     )
     assert fc.t == 0.0  # no politeness waits with min-delay 0
     assert len(proto.fetch_log) == 4
+
+
+def test_fetch_global_rate_limit_wallclock(spark):
+    """The politeness core claim: after repartition(key), a host's fetch
+    rate holds GLOBALLY (a key never spans partitions). Real wall-clock:
+    6 URLs on one host at 0.3s delay must take ≥ 1.5s; a 6-host batch of
+    6 URLs runs concurrently and far faster than serial."""
+    import time
+    from pyspark.sql import Row
+    from incubator_stormcrawler_spark.protocol.fetch import fetch
+
+    one_host = {f"https://slow.example/p{i}": "x" for i in range(6)}
+    batch = spark.createDataFrame(
+        [Row(url=u, key="slow.example") for u in one_host]
+    )
+    t0 = time.time()
+    rows = fetch(batch, lambda: MemoryProtocol(one_host),
+                 server_delay=0.3, respect_robots=False).collect()
+    serial_t = time.time() - t0
+    assert len(rows) == 6
+    assert serial_t >= 1.5  # 5 inter-fetch delays × 0.3s
+
+    many = {f"https://h{i}.example/p": "x" for i in range(6)}
+    batch2 = spark.createDataFrame(
+        [Row(url=u, key=u.split("/")[2]) for u in many]
+    )
+    t0 = time.time()
+    rows = fetch(batch2, lambda: MemoryProtocol(many),
+                 server_delay=0.3, respect_robots=False).collect()
+    multi_t = time.time() - t0
+    assert len(rows) == 6
+    assert multi_t < serial_t  # independent hosts don't serialize
