@@ -291,35 +291,46 @@ def fetch(
     (module-level memo) returning a Protocol — connection pools and robots
     caches live per executor, like the reference's per-bolt-instance caches.
     """
-    from pyspark.sql import types as T
+    import pandas as pd
 
-    schema = T.StructType([
-        T.StructField("url", T.StringType(), False),
-        T.StructField("key", T.StringType(), True),
-        T.StructField("status", T.StringType(), False),
-        T.StructField("status_code", T.IntegerType(), True),
-        T.StructField("content", T.BinaryType(), True),
-        T.StructField("error_cause", T.StringType(), True),
-    ])
+    schema = (
+        "url string, key string, status string, status_code int, "
+        "content binary, error_cause string"
+    )
 
     df = frontier_batch.select("url", "key")
-    df = df.repartition(*( [num_partitions] if num_partitions else [] ), "key")
+    df = df.repartition(*([num_partitions] if num_partitions else []), "key")
 
-    def run(it):
+    def run(batches):
+        # Politeness needs the WHOLE partition's queues before fetching
+        # (keys interleave across the full batch), so drain the Arrow
+        # batches first — a generation partition is bounded by the frontier
+        # query's LIMIT, not by table size, so this is small by design.
+        rows: list[tuple[str, str]] = []
+        for pdf in batches:
+            rows.extend(zip(pdf["url"], pdf["key"]))
         proto = _executor_protocol(protocol_factory)
         cache = RobotsCache(proto.get_robots, ["stormcrawler-spark"])
         res = fetch_partition(
-            ((row.url, row.key) for row in it),
+            rows,
             proto,
             server_delay=server_delay,
             max_crawl_delay=max_crawl_delay,
             robots_cache=cache,
             respect_robots=respect_robots,
         )
-        for r in res:
-            yield (r.url, r.key, r.status, r.status_code, r.content, r.error_cause)
+        yield pd.DataFrame(
+            {
+                "url": [r.url for r in res],
+                "key": [r.key for r in res],
+                "status": [r.status for r in res],
+                "status_code": [r.status_code for r in res],
+                "content": [r.content for r in res],
+                "error_cause": [r.error_cause for r in res],
+            }
+        )
 
-    return df.rdd.mapPartitions(run).toDF(schema)
+    return df.mapInPandas(run, schema=schema)
 
 
 _EXECUTOR_PROTOCOL = {}

@@ -135,3 +135,25 @@ def test_adaptive_refetch_intervals(spark, tmp_path):
     r = loop.read_frontier().collect()[0]
     assert r.fetch_interval == 1080.0
     assert r.signature != sig1
+
+
+def test_crawl_respects_robots(spark, tmp_path):
+    """respect_robots in the loop: denied paths become terminal ERROR with
+    cause, allowed paths crawl normally."""
+    site = {
+        "https://h0.example/ok": '<html><a href="/private/x">x</a></html>',
+        "https://h0.example/private/x": "<html>secret</html>",
+    }
+    robots = {"h0.example": "User-agent: *\nDisallow: /private/\n"}
+    loop = CrawlLoop(
+        spark,
+        frontier_path=str(tmp_path / "frontier"),
+        protocol_factory=lambda: MemoryProtocol(site, robots=robots),
+        server_delay=0.0,
+        respect_robots=True,
+    )
+    loop.inject_seeds(spark.createDataFrame([("https://h0.example/ok",)], ["url"]))
+    loop.run(2)
+    frontier = {r.url: r.status for r in loop.read_frontier().collect()}
+    assert frontier["https://h0.example/ok"] == "FETCHED"
+    assert frontier["https://h0.example/private/x"] == "ERROR"

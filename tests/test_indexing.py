@@ -105,3 +105,54 @@ def test_playwright_protocol_gated():
 
     with pytest.raises(ImportError, match="playwright"):
         PlaywrightProtocol()
+
+
+def test_write_opensearch_bulk_http(spark, tmp_path):
+    """Drive the bulk sink against a live local HTTP stub accepting
+    /_bulk — the transport layer end-to-end, not just the payload."""
+    import http.server
+    import json as _json
+    import threading
+    from pyspark.sql import Row
+    from incubator_stormcrawler_spark.operators.search_sink import (
+        write_opensearch,
+    )
+
+    received = []
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers["Content-Length"]))
+            received.append((self.path, body.decode()))
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(b'{"errors": false, "items": []}')
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        docs = spark.createDataFrame(
+            [Row(url=f"https://a.com/{i}", title=f"T{i}", key="a.com")
+             for i in range(7)]
+        ).coalesce(2)
+        write_opensearch(docs, f"http://127.0.0.1:{port}", "docs",
+                         routing_field="key", max_docs_per_batch=3)
+    finally:
+        srv.shutdown()
+
+    assert all(path == "/_bulk" for path, _ in received)
+    all_lines = [l for _, b in received for l in b.strip().split("\n")]
+    actions = [_json.loads(l) for l in all_lines[::2]]
+    sources = [_json.loads(l) for l in all_lines[1::2]]
+    assert len(actions) == 7
+    assert {s["title"] for s in sources} == {f"T{i}" for i in range(7)}
+    assert all(a["index"]["routing"] == "a.com" for a in actions)
+    # batching respected: no request carried more than 3 docs
+    for _, b in received:
+        assert len(b.strip().split("\n")) <= 6
