@@ -54,6 +54,8 @@ class CrawlLoop:
         max_outlinks: int = 100,
         max_depth: int | None = None,
         adaptive: bool = False,
+        content_cache=None,
+        metrics_path: str | None = None,
     ):
         self.spark = spark
         self.frontier_path = frontier_path
@@ -67,6 +69,10 @@ class CrawlLoop:
         self.max_outlinks = max_outlinks
         self.max_depth = max_depth
         self.adaptive = adaptive
+        # operators/indexing.ContentCache — cached URLs skip the fetcher
+        # entirely (S3CacheChecker join, external/aws/.../s3/S3CacheChecker.java)
+        self.content_cache = content_cache
+        self.metrics_path = metrics_path
         self.generation = 0
         self.table = FrontierTable(frontier_path)
         # crawl depth rides as a flat column next to the frontier schema;
@@ -114,12 +120,43 @@ class CrawlLoop:
             frontier, now,
             max_per_bucket=self.max_per_bucket, max_results=self.max_results,
         ).select("url", "key", "depth")
+
+        cache_hits = 0
+        if self.content_cache is not None:
+            hits, misses = self.content_cache.split_cached(batch)
+            hits = hits.cache()
+            cache_hits = hits.count()
+            to_fetch = misses.select("url", "key", "depth")
+        else:
+            hits, to_fetch = None, batch
+
         fetched = fetch(
-            batch,
+            to_fetch,
             self.protocol_factory,
             server_delay=self.server_delay,
             respect_robots=self.respect_robots,
-        ).cache()
+        )
+        if hits is not None:
+            # cached pages re-enter as successful fetches (no network)
+            fetched = fetched.unionByName(
+                hits.select(
+                    "url",
+                    "key",
+                    F.lit("FETCHED").alias("status"),
+                    F.lit(200).alias("status_code"),
+                    "content",
+                    F.lit(None).cast("string").alias("error_cause"),
+                )
+            )
+        fetched = fetched.cache()
+        if self.content_cache is not None:
+            # store fresh fetches for future generations
+            fresh = fetched.where(
+                (F.col("status") == "FETCHED") & F.col("content").isNotNull()
+            ).select("url", "content")
+            if hits is not None:
+                fresh = fresh.join(hits.select("url"), "url", "left_anti")
+            self.content_cache.store(fresh, stored_at=now)
 
         pages = fetched.where(F.col("status") == "FETCHED").select(
             "url", "content"
@@ -193,7 +230,13 @@ class CrawlLoop:
             "docs": docs.count(),
             "outlinks": outlinks.count(),
             "discovered": discovered.count(),
+            "cache_hits": cache_hits,
         }
+        if self.metrics_path:
+            # per-generation metrics table (StatusMetricsBolt cadence)
+            self.spark.createDataFrame(
+                [tuple(counts.values())], list(counts.keys())
+            ).write.mode("append").parquet(self.metrics_path)
         merged = merge_status_updates(frontier, updates, now)
         merged = merged.withColumn(
             "key", F.coalesce(F.col("key"), host_key_expr(F.col("url")))

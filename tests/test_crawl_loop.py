@@ -157,3 +157,37 @@ def test_crawl_respects_robots(spark, tmp_path):
     frontier = {r.url: r.status for r in loop.read_frontier().collect()}
     assert frontier["https://h0.example/ok"] == "FETCHED"
     assert frontier["https://h0.example/private/x"] == "ERROR"
+
+
+def test_crawl_with_content_cache(spark, tmp_path):
+    """ContentCache in the loop (S3Cacher/S3CacheChecker): a re-crawl of
+    known URLs serves bytes from the cache — the protocol sees no fetch."""
+    from incubator_stormcrawler_spark.operators.indexing import ContentCache
+
+    site = {"https://h0.example/p0": '<html><a href="/p1">x</a></html>',
+            "https://h0.example/p1": "<html>end</html>"}
+    proto = MemoryProtocol(site)
+    cache = ContentCache(str(tmp_path / "cache"))
+    loop = CrawlLoop(
+        spark,
+        frontier_path=str(tmp_path / "frontier"),
+        protocol_factory=lambda: proto,
+        server_delay=0.0,
+        content_cache=cache,
+        metrics_path=str(tmp_path / "metrics"),
+        # re-crawl cadence: everything due again 2 days later
+        now_fn=lambda gen: f"2024-01-{15 + 2 * gen:02d} 00:00:00",
+    )
+    loop.inject_seeds(spark.createDataFrame([("https://h0.example/p0",)], ["url"]))
+    s1 = loop.run_generation()
+    assert s1["cache_hits"] == 0  # first sight of p0: real fetch
+    s2 = loop.run_generation()  # p1 fresh; p0 already due again → cache hit
+    assert s2["cache_hits"] == 1 and s2["fetched_ok"] == 2
+    assert cache.read(spark).count() == 2
+
+    s3 = loop.run_generation()  # full re-crawl → cache serves both
+    assert s3["cache_hits"] == 2 and s3["fetched_ok"] == 2
+    frontier = {r.url: r.status for r in loop.read_frontier().collect()}
+    assert all(v == "FETCHED" for v in frontier.values())
+    metrics = spark.read.parquet(str(tmp_path / "metrics"))
+    assert metrics.count() == 3

@@ -1,0 +1,95 @@
+"""Physical-plan audits: the plans our scale story depends on, asserted.
+
+Not golden-file plan dumps (too brittle) — targeted properties: filters
+reaching the parquet scan, dimensions broadcasting, the broadcast-merge
+never shuffling the frontier, top-k limits avoiding global sorts.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from incubator_stormcrawler_spark.operators import relational as rel
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q6_pushdown_and_pruning(spark):
+    plan = plan_of(rel.forecast_revenue(spark, SF))
+    pushed = plan.split("PushedFilters: [")[1]
+    assert "IsNotNull(l_shipdate)" in pushed
+    assert "GreaterThanOrEqual(l_shipda" in pushed  # toString may truncate
+    # column pruning: projection-only columns don't reach the scan
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" in read and "l_partkey" not in read
+    assert "l_orderkey" not in read
+
+
+def test_q5_broadcasts_dimensions(spark):
+    plan = plan_of(rel.local_supplier_volume(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 4  # supplier/customer/nation/region
+    assert "CartesianProduct" not in plan
+
+
+def test_q3_top10_takeordered(spark):
+    plan = plan_of(rel.shipping_priority(spark, SF))
+    assert "TakeOrderedAndProject" in plan  # top-10, not a global sort
+
+
+def test_broadcast_merge_never_shuffles_frontier(spark, tmp_path):
+    from incubator_stormcrawler_spark.operators.status_merge import (
+        merge_status_updates,
+    )
+
+    frontier_path = str(tmp_path / "f")
+    spark.range(1000).selectExpr(
+        "'https://h' || cast(id % 10 as string) || '.com/p' || cast(id as string) as url",
+        "'DISCOVERED' as status",
+        "timestamp'2024-01-01 00:00:00' as next_fetch_date",
+        "0 as error_count",
+        "'h' || cast(id % 10 as string) || '.com' as key",
+        "cast(id % 10 as int) as bucket",
+    ).write.mode("overwrite").parquet(frontier_path)
+    frontier = spark.read.parquet(frontier_path)
+    updates = spark.range(50).selectExpr(
+        "'https://h1.com/p' || cast(id as string) as url",
+        "'FETCHED' as status",
+    )
+    merged = merge_status_updates(
+        frontier, updates, "2024-01-02 00:00:00", assume_small_updates=True
+    )
+    plan = plan_of(merged)
+    # frontier side enters only BroadcastHashJoins (anti + semi); the only
+    # Exchanges hash-partition the small updates or broadcast
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "url#" in line  # updates dedupe shuffle (tiny side)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_full_outer_merge_is_single_join(spark):
+    from incubator_stormcrawler_spark.operators import synthetic as syn
+    from incubator_stormcrawler_spark.operators.status_merge import (
+        merge_status_updates,
+    )
+
+    merged = merge_status_updates(
+        syn.synthetic_frontier(spark, SF),
+        syn.synthetic_status_updates(spark, SF),
+        "2024-01-15 00:00:00",
+    )
+    plan = plan_of(merged)
+    assert plan.count("FullOuter") == 1  # exactly one (sort-merge) join
+
+
+def test_pricing_summary_partial_aggregation(spark):
+    plan = plan_of(rel.pricing_summary(spark, SF))
+    # two HashAggregates (partial + final) around exactly one exchange
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange hashpartitioning") == 1
