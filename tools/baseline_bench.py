@@ -233,6 +233,51 @@ def bench_parse(spark, n_pages: int = 10_000) -> dict:
     return {"spark_sec": round(dt, 3), "pages_per_sec": int(n_pages / dt)}
 
 
+def bench_crawl_pipeline(spark, n_pages: int = 10_000, hosts: int = 100) -> dict:
+    """End-to-end generation throughput: seed → frontier → fetch (memory
+    protocol, zero delay) → parse → filter → merge, one full generation
+    over n_pages. This is the number to hold against the reference's
+    politeness-bound ~min(threads, hosts) pages/s ceiling: with politeness
+    disabled both engines are compute-bound and comparable."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from incubator_stormcrawler_spark.protocol.fetch import MemoryProtocol
+    from incubator_stormcrawler_spark.streaming.crawl_loop import CrawlLoop
+
+    site = {
+        f"https://h{i % hosts}.example/p{i}":
+            f'<html><head><title>t{i}</title></head><body>'
+            f'<a href="https://h{(i + 1) % hosts}.example/p{(i + 1) % n_pages}">n</a>'
+            f"<p>body text {i}</p></body></html>"
+        for i in range(n_pages)
+    }
+    tmp = _tempfile.mkdtemp(prefix="crawl_bench_")
+    try:
+        loop = CrawlLoop(
+            spark,
+            frontier_path=os.path.join(tmp, "frontier"),
+            protocol_factory=lambda: MemoryProtocol(site),
+            server_delay=0.0,
+            max_per_bucket=n_pages,
+            max_results=n_pages,
+        )
+        seeds = spark.createDataFrame([(u,) for u in site], ["url"])
+        loop.inject_seeds(seeds)
+        t0 = time.time()
+        stats = loop.run_generation()
+        dt = time.time() - t0
+        assert stats["fetched_ok"] == n_pages, stats
+        return {
+            "spark_sec": round(dt, 3),
+            "pages_per_sec": int(n_pages / dt),
+            "docs": stats["docs"],
+            "discovered": stats["discovered"],
+        }
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+
+
 def run_baselines(spark, with_8m: bool = True) -> dict:
     tmp = tempfile.mkdtemp(prefix="baseline_bench_")
     f1m = os.path.join(tmp, "frontier1m")
@@ -245,6 +290,7 @@ def run_baselines(spark, with_8m: bool = True) -> dict:
             "url_normalize_native_1m": bench_normalize(spark),
             "url_normalize_python_200k": bench_python_normalize(spark),
             "html_parse_10k": bench_parse(spark),
+            "crawl_pipeline_10k": bench_crawl_pipeline(spark),
         }
         if with_8m:
             # the scale point where Spark's fixed overheads amortize:
