@@ -161,8 +161,50 @@ class CrawlLoop:
         pages = fetched.where(F.col("status") == "FETCHED").select(
             "url", "content"
         )
-        parsed = parse_pages(pages, max_outlinks=self.max_outlinks).cache()
-        docs, outlinks, parse_status = split_parse_streams(parsed)
+        # parse cascade (SiteMapParserBolt → FeedParserBolt → JSoupParserBolt,
+        # §3.1 step 4): sniff-route each page, then union the branches'
+        # discovered links. Sitemap entries/sub-sitemaps and feed entries
+        # join the outlink stream; HTML contributes docs + anchors.
+        from ..parse.router import classify_pages
+        from ..parse.sitemap import parse_sitemaps
+        from ..parse.feed import parse_feeds
+
+        classified = classify_pages(pages).cache()
+        html_pages = classified.where(F.col("kind") == "html").select(
+            "url", "content"
+        )
+        parsed = parse_pages(html_pages, max_outlinks=self.max_outlinks).cache()
+        docs, outlinks, html_status = split_parse_streams(parsed)
+
+        sitemaps = parse_sitemaps(
+            classified.where(F.col("kind") == "sitemap")
+        ).cache()
+        feeds = parse_feeds(classified.where(F.col("kind") == "feed")).cache()
+        sitemap_links = (
+            sitemaps.select(
+                F.col("url").alias("source_url"),
+                F.explode(
+                    F.concat(
+                        F.transform(F.col("entries"), lambda e: e["loc"]),
+                        F.col("sub_sitemaps"),
+                    )
+                ).alias("target_url"),
+            )
+        )
+        feed_links = feeds.select(
+            F.col("url").alias("source_url"),
+            F.explode(F.col("entries")).alias("e"),
+        ).select("source_url", F.col("e.link").alias("target_url"))
+        outlinks = (
+            outlinks.select("source_url", "target_url")
+            .union(sitemap_links)
+            .union(feed_links)
+        )
+        # xml/other pages report FETCHED (pass-through bolts ack to status)
+        xml_status = classified.where(F.col("kind") != "html").select(
+            "url", F.lit("FETCHED").alias("status")
+        )
+        parse_status = html_status.select("url", "status").union(xml_status)
 
         # outlink filtering → DISCOVERED updates; the parent's depth rides
         # along as metadata for depth-aware filters (MaxDepthFilter) and the

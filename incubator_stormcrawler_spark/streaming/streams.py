@@ -124,6 +124,55 @@ def stateful_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+DEDUP_STATE_DDL = "last_seen timestamp"
+DEDUP_OUT_DDL = "url string, status string, first_seen timestamp"
+
+
+def stateful_url_dedup(updates: DataFrame, ttl_minutes: int = 60) -> DataFrame:
+    """Streaming discovered-URL dedup — the reference's Caffeine cache
+    (AbstractStatusUpdaterBolt.java:150-161, spec 10k entries / 1h expiry)
+    and spout purgatory (AbstractQueryingSpout.java:149-175) as an
+    ``applyInPandasWithState`` operator: emit a URL the FIRST time it's
+    seen within the TTL window; suppress repeats; state expires after
+    ``ttl_minutes`` idle so re-discoveries after expiry emit again.
+
+    Keyed on url → one shuffle; state size = active URL set within TTL,
+    bounded by the timeout exactly like the Caffeine expireAfterAccess."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ttl_ms = int(ttl_minutes * 60 * 1000)
+
+    def fn(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame([], columns=["url", "status", "first_seen"])
+            return
+        rows = pd.concat(list(pdfs))
+        first = not state.exists
+        ts = rows["ts"].min() if "ts" in rows else None
+        state.update((ts,))
+        state.setTimeoutDuration(ttl_ms)
+        if first and len(rows):
+            yield pd.DataFrame(
+                [{
+                    "url": key[0],
+                    "status": rows["status"].iloc[0],
+                    "first_seen": ts,
+                }]
+            )
+        else:
+            yield pd.DataFrame([], columns=["url", "status", "first_seen"])
+
+    return updates.groupBy("url").applyInPandasWithState(
+        fn,
+        outputStructType=DEDUP_OUT_DDL,
+        stateStructType=DEDUP_STATE_DDL,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 def stream_status_updates_into_frontier(
     updates_stream: DataFrame,
     frontier_path: str,

@@ -191,3 +191,39 @@ def test_crawl_with_content_cache(spark, tmp_path):
     assert all(v == "FETCHED" for v in frontier.values())
     metrics = spark.read.parquet(str(tmp_path / "metrics"))
     assert metrics.count() == 3
+
+
+def test_crawl_follows_sitemaps_and_feeds(spark, tmp_path):
+    """The full parse cascade in the loop: a sitemap seed expands into its
+    URLs, a feed expands into entries, HTML pages contribute anchors."""
+    sitemap = (
+        b'<?xml version="1.0"?>'
+        b'<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        b"<url><loc>https://h0.example/page1</loc></url>"
+        b"<url><loc>https://h0.example/feed.xml</loc></url>"
+        b"</urlset>"
+    )
+    feed = (
+        b'<?xml version="1.0"?><rss version="2.0"><channel>'
+        b"<item><title>x</title><link>https://h0.example/from-feed</link></item>"
+        b"</channel></rss>"
+    )
+    site = {
+        "https://h0.example/sitemap.xml": sitemap,
+        "https://h0.example/feed.xml": feed,
+        "https://h0.example/page1": '<html><a href="/page2">x</a></html>',
+        "https://h0.example/page2": "<html>leaf</html>",
+        "https://h0.example/from-feed": "<html>feed target</html>",
+    }
+    loop = CrawlLoop(
+        spark,
+        frontier_path=str(tmp_path / "frontier"),
+        protocol_factory=lambda: MemoryProtocol(site),
+        server_delay=0.0,
+    )
+    loop.inject_seeds(
+        spark.createDataFrame([("https://h0.example/sitemap.xml",)], ["url"])
+    )
+    loop.run(4)
+    frontier = {r.url: r.status for r in loop.read_frontier().collect()}
+    assert frontier == {u: "FETCHED" for u in site}

@@ -183,3 +183,55 @@ def test_bucket_partitioned_frontier_prunes(spark, tmp_path):
                "PartitionFilters:")[1][:120]
     rows = shard.collect()
     assert rows and all(r.bucket == 4 for r in rows)
+
+
+def test_stateful_url_dedup(spark, tmp_path):
+    """Streaming dedup cache: first sighting of a URL emits; repeats within
+    the TTL are suppressed (the Caffeine-cache semantics)."""
+    from incubator_stormcrawler_spark.streaming.streams import stateful_url_dedup
+
+    src = str(tmp_path / "disc")
+    write_events(
+        src,
+        "b0.json",
+        [
+            {"url": "https://a.com/1", "status": "DISCOVERED",
+             "ts": "2024-01-15T10:00:00"},
+            {"url": "https://a.com/1", "status": "DISCOVERED",
+             "ts": "2024-01-15T10:00:01"},
+            {"url": "https://a.com/2", "status": "DISCOVERED",
+             "ts": "2024-01-15T10:00:02"},
+        ],
+    )
+    updates = (
+        spark.readStream.schema("url string, status string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = (
+        stateful_url_dedup(updates, ttl_minutes=60)
+        .writeStream.format("memory")
+        .queryName("dedup_t")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        assert _wait(lambda: spark.sql("select * from dedup_t").count() >= 2)
+        got = {r.url for r in spark.sql("select * from dedup_t").collect()}
+        assert got == {"https://a.com/1", "https://a.com/2"}
+        # a repeat in a later batch is still suppressed (state alive)
+        write_events(
+            src, "b1.json",
+            [{"url": "https://a.com/1", "status": "DISCOVERED",
+              "ts": "2024-01-15T10:05:00"},
+             {"url": "https://a.com/3", "status": "DISCOVERED",
+              "ts": "2024-01-15T10:05:01"}],
+        )
+        assert _wait(
+            lambda: "https://a.com/3" in
+            {r.url for r in spark.sql("select * from dedup_t").collect()}
+        )
+        urls = [r.url for r in spark.sql("select * from dedup_t").collect()]
+        assert urls.count("https://a.com/1") == 1  # never re-emitted
+    finally:
+        q.stop()
