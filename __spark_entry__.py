@@ -152,6 +152,36 @@ def q_frontier_topk_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_frontier_host_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl budget: hosts with ≥ 40 FETCHED pages take no new
+    DISCOVERED urls; due top-k over the governed frontier."""
+    from incubator_stormcrawler_spark.operators.frontier import apply_host_budget
+
+    frontier = syn.synthetic_frontier(spark, sf_dir)
+    governed = apply_host_budget(frontier, max_fetched_per_host=40)
+    out = frontier_topk(governed, NOW, max_per_bucket=5, max_results=100)
+    return out.select(
+        "url", "status", "next_fetch_date", "key",
+        F.col("rn").cast("bigint").alias("rn"),
+    )
+
+
+def q_anchor_text_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-graph anchor aggregation: all anchor texts pointing at a target
+    URL, deduped + sorted (the classic link-text relevance signal)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges = li.selectExpr(
+        "'https://shop.example/item/' || cast(mod(l_partkey, 300) as string)"
+        " as target_url",
+        "'anchor-' || cast(mod(l_suppkey, 20) as string) as anchor",
+    )
+    return edges.groupBy("target_url").agg(
+        F.count(F.lit(1)).alias("n_links"),
+        F.size(F.collect_set("anchor")).cast("bigint").alias("n_distinct_anchors"),
+        F.concat_ws("|", F.array_sort(F.collect_set("anchor"))).alias("anchors"),
+    )
+
+
 def q_link_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative operator: 5-iteration PageRank over a link graph derived
     from lineitem (order-page → part-page edges). The oracle unrolls the
@@ -534,6 +564,40 @@ _ORACLES["link_rank"] = unrolled_pagerank_sql(
     " 'p' || cast(mod(l_partkey, 300) as varchar) AS dst FROM lineitem)",
     iterations=5,
 )
+
+_ORACLES["frontier_host_budget"] = f"""
+{_DUCK_PRELUDE},
+over AS (
+  SELECT key FROM frontier WHERE status = 'FETCHED'
+  GROUP BY key HAVING count(*) >= 40
+),
+governed AS (
+  SELECT f.* FROM frontier f LEFT JOIN over o ON f.key = o.key
+  WHERE o.key IS NULL OR f.status <> 'DISCOVERED'
+)
+SELECT url, status, next_fetch_date, key, rn FROM (
+  SELECT *, row_number() OVER (ORDER BY next_fetch_date, url) AS gn
+  FROM (
+    SELECT url, status, next_fetch_date, key,
+           row_number() OVER (PARTITION BY key
+                              ORDER BY next_fetch_date, url) AS rn
+    FROM governed WHERE next_fetch_date <= TIMESTAMP '{NOW}'
+  ) WHERE rn <= 5
+) WHERE gn <= 100
+"""
+
+_ORACLES["anchor_text_agg"] = """
+WITH edges AS (
+  SELECT 'https://shop.example/item/' || cast(mod(l_partkey, 300) as varchar)
+           AS target_url,
+         'anchor-' || cast(mod(l_suppkey, 20) as varchar) AS anchor
+  FROM lineitem
+)
+SELECT target_url, count(*) AS n_links,
+       cast(count(DISTINCT anchor) as bigint) AS n_distinct_anchors,
+       array_to_string(list_sort(list(DISTINCT anchor)), '|') AS anchors
+FROM edges GROUP BY target_url
+"""
 
 _ORACLES["events_rate_10s"] = """
 SELECT to_timestamp((floor(epoch(ts))::BIGINT // 10) * 10)::TIMESTAMP AS bucket,
@@ -1044,6 +1108,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_topk_salted": q_frontier_topk_salted,
         "events_rate_10s": q_events_rate_10s,
         "link_rank": q_link_rank,
+        "frontier_host_budget": q_frontier_host_budget,
+        "anchor_text_agg": q_anchor_text_agg,
         "seeds_parse": q_seeds_parse,
         "indexer_projection": q_indexer_projection,
         "frontier_next_generation": q_frontier_next_generation,

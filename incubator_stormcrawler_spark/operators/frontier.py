@@ -121,6 +121,34 @@ def frontier_topk_salted(
     return ranked
 
 
+def apply_host_budget(
+    frontier: DataFrame, max_fetched_per_host: int, key_col: str = "key"
+) -> DataFrame:
+    """Crawl-budget governor: hosts that already have ≥ N FETCHED pages
+    stop receiving new DISCOVERED fetches (their refetches continue).
+
+    The per-host count is a partial-aggregable groupBy; the budget check
+    broadcasts (#hosts rows) back onto the frontier — no frontier shuffle.
+    This is the operational knob crawls use to stop hub sites from eating
+    the whole fetch budget.
+    """
+    counts = (
+        frontier.where(F.col("status") == "FETCHED")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("n_fetched"))
+        .where(F.col("n_fetched") >= max_fetched_per_host)
+        .select(key_col)
+    )
+    over_budget = F.broadcast(counts.withColumn("over", F.lit(True)))
+    return (
+        frontier.join(over_budget, key_col, "left")
+        .where(
+            F.col("over").isNull() | (F.col("status") != "DISCOVERED")
+        )
+        .drop("over")
+    )
+
+
 def status_counts(frontier: DataFrame) -> DataFrame:
     """Per-status URL counts — the reference's ``StatusMetricsBolt``
     (external/opensearch/.../metrics/StatusMetricsBolt.java): periodic
