@@ -228,6 +228,38 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return wide.select("doc_id", sig.cast("long").alias("simhash"))
 
 
+def incremental_exact_dedup(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental dedup: split a NEW batch against an existing fingerprint
+    index — the daily-ingest shape (dedup the delta, not the corpus).
+
+    ``index``: DataFrame(fingerprint) of previously-seen content (from
+    ``exact_duplicates`` keepers or the corpus fingerprint table).
+    Returns (fresh, dupes): fresh rows carry their fingerprint for
+    appending to the index. Anti/semi joins broadcast the smaller side —
+    at 100 TB the index is bucketed by fingerprint so the join co-locates.
+    Within-batch duplicates also collapse (min doc_id survives).
+    """
+    fp = new_docs.withColumn("fingerprint", fingerprint_expr(F.col(text_col)))
+    w_keep = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("keep_id"))
+    batch_canon = fp.join(w_keep, "fingerprint").where(
+        F.col("doc_id") == F.col("keep_id")
+    ).drop("keep_id")
+    idx = index.select("fingerprint").distinct()
+    fresh = batch_canon.join(idx, "fingerprint", "left_anti")
+    dupes = fp.join(
+        fresh.select("fingerprint", F.col("doc_id").alias("keep_id")),
+        "fingerprint",
+        "left",
+    ).where(
+        F.col("keep_id").isNull() | (F.col("doc_id") != F.col("keep_id"))
+    ).drop("keep_id")
+    return fresh, dupes
+
+
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, banded for scale.
 

@@ -130,3 +130,29 @@ def test_hash_sample_deterministic_and_sized(spark, sf_dir):
     # nested property: smaller fraction is a subset of larger
     c = {r.doc_id for r in hash_sample(docs, 0.1).select("doc_id").collect()}
     assert c <= a
+
+
+def test_incremental_exact_dedup(spark):
+    """Daily-ingest dedup: new batch splits into fresh vs dupes against the
+    existing fingerprint index; within-batch dupes collapse too."""
+    from incubator_stormcrawler_spark.operators.dedup import (
+        fingerprint_expr,
+        incremental_exact_dedup,
+    )
+    from pyspark.sql import functions as F
+
+    existing = spark.createDataFrame(
+        [Row(doc_id=1, text="known old document content")]
+    ).select(fingerprint_expr(F.col("text")).alias("fingerprint"))
+
+    batch = spark.createDataFrame(
+        [
+            Row(doc_id=10, text="known old document content"),   # dup of index
+            Row(doc_id=11, text="brand new content alpha"),
+            Row(doc_id=12, text="brand new content alpha"),      # in-batch dup
+            Row(doc_id=13, text="brand new content beta"),
+        ]
+    )
+    fresh, dupes = incremental_exact_dedup(batch, existing)
+    assert {r.doc_id for r in fresh.collect()} == {11, 13}
+    assert {r.doc_id for r in dupes.collect()} == {10, 12}

@@ -255,3 +255,27 @@ def test_link_rank_known_graph(spark):
     assert ranks["a"] > ranks["b"]  # a gets all of c's mass
     # iteration-10 value for b: 0.15 + 0.85 * (rank(a)/2)
     assert abs(ranks["b"] - (0.15 + 0.425 * ranks["a"])) < 0.15
+
+
+def test_merge_idempotent_under_replay(spark):
+    """At-least-once delivery → exactly-once table state: re-merging the
+    SAME update batch must be a no-op (SURVEY.md §3.1 — lineage + idempotent
+    MERGE replace Storm's ack/fail)."""
+    f = make_frontier(
+        spark,
+        [
+            ("https://a.com/p", "DISCOVERED", "2024-01-10 00:00:00", 0, "a.com"),
+            ("https://a.com/q", "FETCHED", "2024-01-12 00:00:00", 0, "a.com"),
+        ],
+    )
+    u = spark.createDataFrame(
+        [Row(url="https://a.com/p", status="FETCHED"),
+         Row(url="https://a.com/new", status="DISCOVERED")]
+    )
+    once = merge_status_updates(f, u, NOW)
+    twice = merge_status_updates(once, u, NOW)
+    a = sorted(tuple(r) for r in once.collect())
+    b = sorted(tuple(r) for r in twice.collect())
+    # FETCHED replay re-schedules to the same now-anchored date; DISCOVERED
+    # replay hits insert-if-absent — identical tables either way
+    assert a == b
