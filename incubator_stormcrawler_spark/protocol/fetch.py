@@ -276,6 +276,113 @@ def fetch_partition(
     return results
 
 
+def fetch_partition_threaded(
+    rows,
+    protocol: Protocol,
+    threads: int = 10,
+    server_delay: float = 1.0,
+    max_crawl_delay: float = 30.0,
+    robots_cache: RobotsCache | None = None,
+    respect_robots: bool = True,
+):
+    """Threaded politeness fetcher — FetcherBolt's worker-thread pool
+    (FetcherBolt.java:871-885: ``fetcher.threads.number`` per instance).
+
+    ``threads`` workers share one eligibility heap; a key lives in the heap
+    only while NO worker holds it, so per-key serial + delay still hold,
+    while fetch LATENCY overlaps across keys — the knob that matters when
+    fetches block on real network time. The serial variant
+    (``fetch_partition``) remains the deterministic-clock testing path.
+    """
+    import threading
+
+    queues: dict[str, list] = {}
+    for r in rows:
+        url, key = (r[0], r[1]) if isinstance(r, (tuple, list)) else (r.url, r.key)
+        queues.setdefault(key, []).append(url)
+
+    results: list[FetchResult] = []
+    heap: list[tuple[float, str]] = [(0.0, k) for k in sorted(queues)]
+    heapq.heapify(heap)
+    delays: dict[str, float] = {}
+    key_rules: dict[str, object] = {}
+    lock = threading.Condition()
+    active = {"n": 0}
+
+    def resolve_rules(key: str) -> bool:
+        """Returns False if the whole queue was skipped (crawl delay)."""
+        delay = server_delay
+        rules = (
+            robots_cache.get(key)
+            if respect_robots and robots_cache is not None
+            else ALLOW_ALL
+        )
+        if rules.crawl_delay is not None:
+            if rules.crawl_delay > max_crawl_delay:
+                with lock:
+                    for url in queues[key]:
+                        results.append(
+                            FetchResult(url, key, "ERROR", -1, None,
+                                        "crawl delay too long"))
+                    queues[key].clear()
+                return False
+            delay = max(delay, rules.crawl_delay)
+        delays[key] = delay
+        key_rules[key] = rules
+        return True
+
+    def worker():
+        while True:
+            with lock:
+                while True:
+                    if not heap and active["n"] == 0:
+                        return
+                    if heap and heap[0][0] <= time.monotonic():
+                        ready_at, key = heapq.heappop(heap)
+                        active["n"] += 1
+                        break
+                    timeout = (
+                        max(0.0, heap[0][0] - time.monotonic()) if heap else 0.1
+                    )
+                    lock.wait(timeout=min(timeout, 0.1))
+            try:
+                if key not in delays and not resolve_rules(key):
+                    continue
+                q = queues[key]
+                if not q:
+                    continue
+                url = q.pop(0)
+                rules = key_rules.get(key, ALLOW_ALL)
+                if respect_robots and not rules.is_allowed(url):
+                    res = FetchResult(url, key, "ERROR", -1, None, "robots.txt")
+                else:
+                    resp = protocol.get_protocol_output(url, {})
+                    status = status_from_http_code(resp.status_code)
+                    res = FetchResult(
+                        url, key, status, resp.status_code,
+                        resp.content if status == "FETCHED" else None,
+                    )
+                with lock:
+                    results.append(res)
+                    if q:
+                        heapq.heappush(
+                            heap, (time.monotonic() + delays[key], key)
+                        )
+                    lock.notify_all()
+            finally:
+                with lock:
+                    active["n"] -= 1
+                    lock.notify_all()
+
+    pool = [threading.Thread(target=worker, daemon=True)
+            for _ in range(max(1, threads))]
+    for t in pool:
+        t.start()
+    for t in pool:
+        t.join()
+    return results
+
+
 def fetch(
     frontier_batch,
     protocol_factory,
@@ -283,6 +390,7 @@ def fetch(
     max_crawl_delay: float = 30.0,
     respect_robots: bool = True,
     num_partitions: int | None = None,
+    threads: int = 1,
 ):
     """Spark stage: DataFrame(url, key, ...) → DataFrame(url, key, status,
     status_code, content, error_cause).
@@ -311,14 +419,25 @@ def fetch(
             rows.extend(zip(pdf["url"], pdf["key"]))
         proto = _executor_protocol(protocol_factory)
         cache = RobotsCache(proto.get_robots, ["stormcrawler-spark"])
-        res = fetch_partition(
-            rows,
-            proto,
-            server_delay=server_delay,
-            max_crawl_delay=max_crawl_delay,
-            robots_cache=cache,
-            respect_robots=respect_robots,
-        )
+        if threads > 1:
+            res = fetch_partition_threaded(
+                rows,
+                proto,
+                threads=threads,
+                server_delay=server_delay,
+                max_crawl_delay=max_crawl_delay,
+                robots_cache=cache,
+                respect_robots=respect_robots,
+            )
+        else:
+            res = fetch_partition(
+                rows,
+                proto,
+                server_delay=server_delay,
+                max_crawl_delay=max_crawl_delay,
+                robots_cache=cache,
+                respect_robots=respect_robots,
+            )
         yield pd.DataFrame(
             {
                 "url": [r.url for r in res],

@@ -212,3 +212,71 @@ def test_fetch_global_rate_limit_wallclock(spark):
     multi_t = time.time() - t0
     assert len(rows) == 6
     assert multi_t < serial_t  # independent hosts don't serialize
+
+
+class SlowProtocol(MemoryProtocol):
+    """MemoryProtocol with simulated network latency."""
+
+    def __init__(self, site, latency=0.08):
+        super().__init__(site)
+        self.latency = latency
+
+    def get_protocol_output(self, url, metadata):
+        import time as _t
+
+        _t.sleep(self.latency)
+        return super().get_protocol_output(url, metadata)
+
+
+def test_threaded_fetch_overlaps_latency():
+    """FetcherBolt's thread pool: with slow fetches across many hosts,
+    threads overlap network latency; per-key order and delay still hold."""
+    import time as _t
+    from incubator_stormcrawler_spark.protocol.fetch import (
+        fetch_partition_threaded,
+    )
+
+    site = {f"https://h{h}.example/p{i}": "x" for h in range(8) for i in range(2)}
+    rows = [(u, u.split("/")[2]) for u in sorted(site)]
+
+    proto1 = SlowProtocol(site)
+    t0 = _t.time()
+    r1 = fetch_partition_threaded(rows, proto1, threads=1, server_delay=0.0,
+                                  respect_robots=False)
+    serial_t = _t.time() - t0
+
+    proto8 = SlowProtocol(site)
+    t0 = _t.time()
+    r8 = fetch_partition_threaded(rows, proto8, threads=8, server_delay=0.0,
+                                  respect_robots=False)
+    threaded_t = _t.time() - t0
+
+    assert len(r1) == len(r8) == 16
+    assert {x.url for x in r1} == {x.url for x in r8} == set(site)
+    assert all(x.status == "FETCHED" for x in r8)
+    assert threaded_t < serial_t / 2  # real overlap
+    # per-key serial order preserved even under threading
+    order = [u for _, u in proto8.fetch_log]
+    for h in range(8):
+        host_urls = [u for u in order if f"h{h}.example" in u]
+        assert host_urls == sorted(host_urls)
+
+
+def test_threaded_fetch_respects_delay():
+    """Per-key crawl delay holds under threads: one host, 4 URLs, 0.2s
+    delay → ≥ 0.6s wall regardless of 8 threads."""
+    import time as _t
+    from incubator_stormcrawler_spark.protocol.fetch import (
+        fetch_partition_threaded,
+    )
+
+    site = {f"https://one.example/p{i}": "x" for i in range(4)}
+    proto = MemoryProtocol(site)
+    t0 = _t.time()
+    res = fetch_partition_threaded(
+        [(u, "one.example") for u in sorted(site)], proto, threads=8,
+        server_delay=0.2, respect_robots=False,
+    )
+    dt = _t.time() - t0
+    assert len(res) == 4
+    assert dt >= 0.55
