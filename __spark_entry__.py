@@ -438,6 +438,78 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Non-SQL-expressible operators (driver records rows-only checks — no
+# oracle_sql entries by design: effectful I/O round-trips and stubbed-codec
+# multimodal stages)
+# ---------------------------------------------------------------------------
+
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC write→read round-trip (WARCHdfsBolt + WARCSpout): pages
+    synthesized from part, archived as gzip-member WARC/1.0, replayed;
+    returns per-URL payload sizes (I/O-effectful → rows-only check)."""
+    import shutil
+    import tempfile
+
+    from incubator_stormcrawler_spark.sources.warc import read_warc, write_warc
+
+    pages = spark.read.parquet(f"{sf_dir}/part.parquet").limit(200).selectExpr(
+        "'https://warc.example/p' || cast(p_partkey as string) as url",
+        "cast('<html><title>' || p_name || '</title></html>' as binary) as content",
+    )
+    tmp = tempfile.mkdtemp(prefix="warc_q_")
+    try:
+        write_warc(pages.coalesce(2), tmp)
+        back = read_warc(spark, f"{tmp}/*.warc.gz")
+        return spark.createDataFrame(
+            [(r.url, len(bytes(r.content))) for r in back.collect()],
+            "url string, n_bytes bigint",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize stage over the synthetic media corpus (decode stubbed,
+    plumbing real — rows-only check)."""
+    from incubator_stormcrawler_spark.operators.multimodal import (
+        resize_images,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, 60)
+    out = resize_images(media, 8, 8)
+    return out.select(
+        "media_id",
+        F.length(F.col("content")).cast("bigint").alias("n_bytes"),
+        F.col("media_meta.width").alias("width"),
+        F.col("media_meta.height").alias("height"),
+    )
+
+
+def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio RMS/zero-crossing features over synthetic PCM (rows-only)."""
+    from incubator_stormcrawler_spark.operators.multimodal import (
+        audio_features,
+        synthesize_media,
+    )
+
+    return audio_features(synthesize_media(spark, 60))
+
+
+def q_multimodal_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-trigram media embeddings + cosine top-3 against themselves —
+    the cross-modal similarity path (rows-only)."""
+    from incubator_stormcrawler_spark.operators.multimodal import (
+        byte_embedding,
+        synthesize_media,
+    )
+
+    emb = byte_embedding(synthesize_media(spark, 60), dim=32)
+    renamed = emb.withColumnRenamed("media_id", "vec_id")
+    return sim.cosine_topk(renamed, renamed.where(F.col("vec_id") < 5), k=3)
+
+
+# ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB) — same computations over the same parquet views
 # ---------------------------------------------------------------------------
 
@@ -1130,6 +1202,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mix": q_corpus_mix,
         "corpus_quality_filter": q_corpus_quality_filter,
         "dedup_clusters": q_dedup_clusters,
+        # non-SQL-expressible (rows-only checks)
+        "warc_roundtrip": q_warc_roundtrip,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_audio_features": q_multimodal_audio_features,
+        "multimodal_embeddings": q_multimodal_embeddings,
     }
 
 
