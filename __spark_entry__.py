@@ -986,6 +986,14 @@ dpairs AS (
 
 _ORACLES["dedup_clusters"] = _unrolled_label_propagation(_JACCARD_PAIRS_CTES, 4)
 
+_ORACLES["events_quantiles"] = """
+SELECT event_type, count(*) AS n,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.95), 4) AS p95,
+       round(quantile_cont(value, 0.99), 4) AS p99
+FROM events GROUP BY event_type
+"""
+
 _ORACLES["events_json_props"] = """
 SELECT cast(floor(cast(json_extract_string(props, '$.k') as int) / 10) as int)
          AS k_decile,
@@ -1176,6 +1184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": rel.events_hourly,
         "events_sessionize": rel.events_sessionize,
         "events_json_props": rel.events_json_props,
+        "events_quantiles": rel.events_quantiles,
         "adaptive_scheduler": q_adaptive_scheduler,
         "frontier_topk_salted": q_frontier_topk_salted,
         "events_rate_10s": q_events_rate_10s,

@@ -241,6 +241,19 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile aggregation per event type (p50/p95/p99) — the
+    latency-dashboard aggregate; exact (sort-based) rather than sketched,
+    matching DuckDB's quantile_cont interpolation bit-for-bit."""
+    ev = load_events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )
+
+
 def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON scalar surface (LDJsonParseFilter-alike): extract props.k,
     aggregate by its decile."""
