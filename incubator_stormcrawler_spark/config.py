@@ -66,6 +66,10 @@ def build_crawl_loop(
         server_delay=float(conf.get("fetcher.server.delay", 1.0)),
         respect_robots=bool(conf.get("http.robots.enabled", False)),
         max_outlinks=int(conf.get("parser.max.outlinks", 100)),
+        # crawler-default.yaml:26 fetcher.threads.number
+        fetch_threads=int(conf.get("fetcher.threads.number", 1)),
+        max_depth=(int(conf["max.depth"]) if "max.depth" in conf else None),
+        adaptive=bool(conf.get("scheduler.adaptive", False)),
     )
 
 

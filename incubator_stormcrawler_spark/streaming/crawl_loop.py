@@ -56,6 +56,7 @@ class CrawlLoop:
         adaptive: bool = False,
         content_cache=None,
         metrics_path: str | None = None,
+        fetch_threads: int = 1,
     ):
         self.spark = spark
         self.frontier_path = frontier_path
@@ -73,6 +74,7 @@ class CrawlLoop:
         # entirely (S3CacheChecker join, external/aws/.../s3/S3CacheChecker.java)
         self.content_cache = content_cache
         self.metrics_path = metrics_path
+        self.fetch_threads = fetch_threads
         self.generation = 0
         self.table = FrontierTable(frontier_path)
         # crawl depth rides as a flat column next to the frontier schema;
@@ -135,6 +137,7 @@ class CrawlLoop:
             self.protocol_factory,
             server_delay=self.server_delay,
             respect_robots=self.respect_robots,
+            threads=self.fetch_threads,
         )
         if hits is not None:
             # cached pages re-enter as successful fetches (no network)
