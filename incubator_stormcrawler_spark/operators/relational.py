@@ -25,11 +25,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events table with a true TIMESTAMP ``ts``.
 
-    The driver's parquet stores TIMESTAMP(NANOS); Spark reads it as long
-    (``spark.sql.legacy.parquet.nanosAsLong``, set in session.py), which we
-    convert to microsecond timestamps at the scan — the cast composes with
-    column pruning, so only queries touching ``ts`` pay it.
+    The driver's parquet stores TIMESTAMP(NANOS), which Spark cannot read
+    natively — without ``spark.sql.legacy.parquet.nanosAsLong`` every scan
+    throws PARQUET_TYPE_ILLEGAL. The conf is runtime-settable, so set it
+    here defensively (the caller's session may not come from our
+    session.py); nanos then arrive as longs and convert to microsecond
+    timestamps at the scan — the cast composes with column pruning.
     """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _t(spark, sf_dir, "events")
     if dict(ev.dtypes).get("ts") in ("bigint", "long"):
         ev = ev.withColumn(
