@@ -77,6 +77,17 @@ def schedule_with_custom_rules(
     return default if expr is None else expr.otherwise(default)
 
 
+def round_date(scheduled: Column, unit: str = "SECOND") -> Column:
+    """Date rounding before the frontier write
+    (AbstractStatusUpdaterBolt.java:229-232: ``status.updater.unit.round.date``
+    — truncate nextFetchDate to SECOND/MINUTE/HOUR so store comparisons and
+    partition layouts don't fragment on sub-unit noise)."""
+    unit = unit.upper()
+    if unit not in ("SECOND", "MINUTE", "HOUR", "DAY"):
+        raise ValueError(f"unsupported rounding unit: {unit}")
+    return F.date_trunc(unit.lower(), scheduled)
+
+
 def schedule_as_is(
     scheduled: Column, metadata: Column, as_is_key: str = "nextFetchDate"
 ) -> Column:

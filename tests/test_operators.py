@@ -279,3 +279,23 @@ def test_merge_idempotent_under_replay(spark):
     # FETCHED replay re-schedules to the same now-anchored date; DISCOVERED
     # replay hits insert-if-absent — identical tables either way
     assert a == b
+
+
+def test_round_date_units(spark):
+    from pyspark.sql import functions as F
+    from incubator_stormcrawler_spark.operators.scheduler import round_date
+
+    df = spark.createDataFrame(
+        [("2024-01-15 13:45:37.123456",)], "t string"
+    ).select(F.col("t").cast("timestamp").alias("t"))
+    got = df.select(
+        round_date(F.col("t"), "SECOND").alias("s"),
+        round_date(F.col("t"), "MINUTE").alias("m"),
+        round_date(F.col("t"), "HOUR").alias("h"),
+    ).collect()[0]
+    assert str(got.s) == "2024-01-15 13:45:37"
+    assert str(got.m) == "2024-01-15 13:45:00"
+    assert str(got.h) == "2024-01-15 13:00:00"
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        round_date(F.col("t"), "WEEKS")
