@@ -152,6 +152,23 @@ def q_frontier_topk_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_frontier_topk_bucket_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AggregationSpout's bucket-ordered frontier query: the 10 most-urgent
+    hosts (earliest due), 5 URLs each."""
+    from incubator_stormcrawler_spark.operators.frontier import (
+        frontier_topk_bucket_ordered,
+    )
+
+    frontier = syn.synthetic_frontier(spark, sf_dir)
+    out = frontier_topk_bucket_ordered(
+        frontier, NOW, max_buckets=10, max_per_bucket=5
+    )
+    return out.select(
+        "url", "status", "next_fetch_date", "key",
+        F.col("rn").cast("bigint").alias("rn"),
+    )
+
+
 def q_frontier_host_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host crawl budget: hosts with ≥ 40 FETCHED pages take no new
     DISCOVERED urls; due top-k over the governed frontier."""
@@ -636,6 +653,23 @@ _ORACLES["link_rank"] = unrolled_pagerank_sql(
     " 'p' || cast(mod(l_partkey, 300) as varchar) AS dst FROM lineitem)",
     iterations=5,
 )
+
+_ORACLES["frontier_topk_bucket_ordered"] = f"""
+{_DUCK_PRELUDE},
+due AS (
+  SELECT * FROM frontier WHERE next_fetch_date <= TIMESTAMP '{NOW}'
+),
+urgency AS (
+  SELECT key FROM due GROUP BY key
+  ORDER BY min(next_fetch_date), key LIMIT 10
+)
+SELECT url, status, next_fetch_date, key, rn FROM (
+  SELECT d.url, d.status, d.next_fetch_date, d.key,
+         row_number() OVER (PARTITION BY d.key
+                            ORDER BY d.next_fetch_date, d.url) AS rn
+  FROM due d JOIN urgency u ON d.key = u.key
+) WHERE rn <= 5
+"""
 
 _ORACLES["frontier_host_budget"] = f"""
 {_DUCK_PRELUDE},
@@ -1189,6 +1223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_topk_salted": q_frontier_topk_salted,
         "events_rate_10s": q_events_rate_10s,
         "link_rank": q_link_rank,
+        "frontier_topk_bucket_ordered": q_frontier_topk_bucket_ordered,
         "frontier_host_budget": q_frontier_host_budget,
         "anchor_text_agg": q_anchor_text_agg,
         "seeds_parse": q_seeds_parse,

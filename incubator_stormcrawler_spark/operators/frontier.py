@@ -121,6 +121,39 @@ def frontier_topk_salted(
     return ranked
 
 
+def frontier_topk_bucket_ordered(
+    frontier: DataFrame,
+    now: datetime | str,
+    max_buckets: int = 10,
+    max_per_bucket: int = 5,
+    key_col: str = "key",
+) -> DataFrame:
+    """OpenSearch AggregationSpout semantics (AggregationSpout.java:140-154):
+    choose the ``max_buckets`` most-urgent politeness keys (ordered by their
+    earliest due date), then take up to ``max_per_bucket`` URLs from each.
+
+    Two partial-aggregable passes: per-key min(next_fetch_date) → top-N keys
+    (a tiny broadcast), then the grouped top-k restricted to those keys —
+    the per-key aggregate shuffles O(#keys), never O(#rows).
+    """
+    due = frontier.where(F.col("next_fetch_date") <= F.lit(now))
+    urgency = (
+        due.groupBy(key_col)
+        .agg(F.min("next_fetch_date").alias("min_nfd"))
+        .orderBy(F.col("min_nfd").asc(), F.col(key_col).asc())
+        .limit(max_buckets)
+        .select(key_col)
+    )
+    w = Window.partitionBy(key_col).orderBy(
+        F.col("next_fetch_date").asc(), F.col("url").asc()
+    )
+    return (
+        due.join(F.broadcast(urgency), key_col)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= F.lit(max_per_bucket))
+    )
+
+
 def apply_host_budget(
     frontier: DataFrame, max_fetched_per_host: int, key_col: str = "key"
 ) -> DataFrame:
