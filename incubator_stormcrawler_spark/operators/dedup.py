@@ -161,14 +161,22 @@ def lsh_candidate_pairs(
     join replaces the quadratic shingle self-join; skew in hot buckets is
     handled by AQE skew-join splitting.
     """
-    assert band_rows == 2, "band key built from (min_by, max_by); r=2 for now"
+    assert num_hashes % band_rows == 0, "num_hashes must divide into bands"
     mh = minhash_signatures(docs, num_hashes, n)
+    # band key = md5 of the band's minhashes concatenated in h order —
+    # struct-sorted collect_list keeps it order-deterministic for any r
     bands = (
         mh.withColumn("b", (F.col("h") / band_rows).cast("int"))
         .groupBy("doc_id", "b")
         .agg(
             F.md5(
-                F.concat(F.min_by("v", "h"), F.max_by("v", "h"))
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("h", "v"))),
+                        lambda s: s["v"],
+                    ),
+                    "",
+                )
             ).alias("bkey")
         )
     )

@@ -156,3 +156,13 @@ def test_incremental_exact_dedup(spark):
     fresh, dupes = incremental_exact_dedup(batch, existing)
     assert {r.doc_id for r in fresh.collect()} == {11, 13}
     assert {r.doc_id for r in dupes.collect()} == {10, 12}
+
+
+def test_minhash_lsh_band_rows_4(docs):
+    """Generalized banding: r=4 (2 bands) still catches exact dups with
+    est_sim 1.0 and keeps unrelated docs apart."""
+    got = {(r.doc1, r.doc2): r.est_sim for r in
+           dd.lsh_candidate_pairs(docs, num_hashes=8, band_rows=4,
+                                  min_est_sim=0.5).collect()}
+    assert got.get((1, 2)) == 1.0
+    assert not any((4 in p or 5 in p) for p in got)
