@@ -16,3 +16,25 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+# Lazy top-level API: keep `import incubator_stormcrawler_spark` cheap —
+# submodules (and their pyspark imports) load on first attribute access.
+_API = {
+    "get_spark": ("session", "get_spark"),
+    "CrawlLoop": ("streaming.crawl_loop", "CrawlLoop"),
+    "FrontierTable": ("streaming.frontier_table", "FrontierTable"),
+    "URLFilterChain": ("functions.filtering", "URLFilterChain"),
+    "BasicURLNormalizer": ("functions.urls", "BasicURLNormalizer"),
+    "build_crawl_loop": ("config", "build_crawl_loop"),
+    "frontier_topk": ("operators.frontier", "frontier_topk"),
+    "merge_status_updates": ("operators.status_merge", "merge_status_updates"),
+}
+
+
+def __getattr__(name):
+    if name in _API:
+        import importlib
+
+        mod, attr = _API[name]
+        return getattr(importlib.import_module(f".{mod}", __name__), attr)
+    raise AttributeError(name)
