@@ -251,6 +251,12 @@ def fetch_partition(
                     q.clear()
                 else:
                     delay = max(delay, rules.crawl_delay)
+            # sitemap auto-discovery from robots (FetcherBolt.java:556-576):
+            # surfaced as DISCOVERED rows the status merge will insert
+            for sm_url in getattr(rules, "sitemaps", []):
+                results.append(
+                    FetchResult(sm_url, key, "DISCOVERED", 0, None,
+                                "sitemap.discovered"))
             delays[key] = delay
             key_rules[key] = rules
         rules = key_rules.get(key, ALLOW_ALL)
@@ -327,6 +333,11 @@ def fetch_partition_threaded(
                     queues[key].clear()
                 return False
             delay = max(delay, rules.crawl_delay)
+        with lock:
+            for sm_url in getattr(rules, "sitemaps", []):
+                results.append(
+                    FetchResult(sm_url, key, "DISCOVERED", 0, None,
+                                "sitemap.discovered"))
         delays[key] = delay
         key_rules[key] = rules
         return True

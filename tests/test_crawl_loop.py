@@ -227,3 +227,32 @@ def test_crawl_follows_sitemaps_and_feeds(spark, tmp_path):
     loop.run(4)
     frontier = {r.url: r.status for r in loop.read_frontier().collect()}
     assert frontier == {u: "FETCHED" for u in site}
+
+
+def test_robots_sitemap_discovery_feeds_loop(spark, tmp_path):
+    """robots.txt Sitemap: declarations inject the sitemap into the
+    frontier; the next generation fetches and expands it."""
+    sitemap = (
+        b'<?xml version="1.0"?>'
+        b'<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        b"<url><loc>https://h0.example/from-sitemap</loc></url></urlset>"
+    )
+    site = {
+        "https://h0.example/start": "<html>hello</html>",
+        "https://h0.example/sitemap.xml": sitemap,
+        "https://h0.example/from-sitemap": "<html>found</html>",
+    }
+    robots = {"h0.example":
+              "User-agent: *\nSitemap: https://h0.example/sitemap.xml\n"}
+    loop = CrawlLoop(
+        spark,
+        frontier_path=str(tmp_path / "frontier"),
+        protocol_factory=lambda: MemoryProtocol(site, robots=robots),
+        server_delay=0.0,
+        respect_robots=True,
+    )
+    loop.inject_seeds(spark.createDataFrame([("https://h0.example/start",)], ["url"]))
+    loop.run(3)
+    frontier = {r.url: r.status for r in loop.read_frontier().collect()}
+    assert frontier["https://h0.example/sitemap.xml"] == "FETCHED"
+    assert frontier["https://h0.example/from-sitemap"] == "FETCHED"

@@ -280,3 +280,27 @@ def test_threaded_fetch_respects_delay():
     dt = _t.time() - t0
     assert len(res) == 4
     assert dt >= 0.55
+
+
+def test_robots_sitemap_autodiscovery():
+    """Sitemaps declared in robots.txt surface as DISCOVERED rows
+    (FetcherBolt.java:556-576)."""
+    site = {"https://a.example/page": "<html>x</html>"}
+    proto = MemoryProtocol(
+        site,
+        robots={"a.example":
+                "User-agent: *\nDisallow: /private/\n"
+                "Sitemap: https://a.example/sitemap.xml\n"},
+    )
+    fc = FakeClock()
+    cache = RobotsCache(proto.get_robots, ["stormcrawler-spark"], clock=fc.clock)
+    results = fetch_partition(
+        [("https://a.example/page", "a.example")], proto,
+        server_delay=0.0, robots_cache=cache, respect_robots=True,
+        clock=fc.clock, sleep=fc.sleep,
+    )
+    by_status = {}
+    for r in results:
+        by_status.setdefault(r.status, []).append(r.url)
+    assert by_status["FETCHED"] == ["https://a.example/page"]
+    assert by_status["DISCOVERED"] == ["https://a.example/sitemap.xml"]
