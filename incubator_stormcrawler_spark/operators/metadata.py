@@ -16,8 +16,6 @@ All native ``map_filter``/``map_concat`` expressions — no UDF, codegen'd.
 
 from __future__ import annotations
 
-import re
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 

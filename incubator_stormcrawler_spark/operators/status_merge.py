@@ -28,7 +28,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..schemas import NEVER_FETCH_DATE
 from .scheduler import schedule_next_fetch
 
 # Within-batch winner when one URL gets several emissions: terminal ERROR
