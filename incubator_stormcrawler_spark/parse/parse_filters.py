@@ -161,6 +161,28 @@ def xpath_extract(docs: DataFrame, expressions: dict[str, str]) -> DataFrame:
     return out
 
 
+def language_id(
+    docs: DataFrame, text_col: str = "text", min_confidence: float = 0.0
+) -> DataFrame:
+    """LanguageID parse filter (external/langid/.../LanguageID.java:54,
+    89-120): additive columns ``lang_pred``/``lang_confidence``; predictions
+    under ``min_confidence`` fall back to 'und' (the minProb gate)."""
+    from ..functions.text import STOPWORDS, stopword_hits_expr, token_count_expr
+
+    text = F.col(text_col)
+    n_tok = F.greatest(token_count_expr(text), F.lit(1))
+    scores = {
+        lang: stopword_hits_expr(text, words) for lang, words in STOPWORDS.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    for lang in reversed(list(scores)):
+        pred = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(pred)
+    conf = F.round(best / n_tok, 4)
+    gated = F.when(conf >= min_confidence, pred).otherwise(F.lit("und"))
+    return docs.withColumn("lang_pred", gated).withColumn("lang_confidence", conf)
+
+
 class ParseFilterChain:
     """parsefilters.json-style declarative chain
     (core/.../parse/ParseFilters.java:52): ordered list of
@@ -174,6 +196,7 @@ class ParseFilterChain:
         "CommaSeparatedToMultivaluedMetadata": csv_to_multivalued,
         "LDJsonParseFilter": ldjson_extract,
         "XPathFilter": xpath_extract,
+        "LanguageID": language_id,
     }
 
     def __init__(self, config: list[dict]):

@@ -95,3 +95,29 @@ def test_chain_config(docs):
     row = out.where(F.col("url").contains("news")).collect()[0]
     assert row.signature and row.host and row.format == "HTML"
     assert list(row.collections) == ["all"]
+
+
+def test_language_id_filter(spark):
+    from pyspark.sql import Row
+    from incubator_stormcrawler_spark.parse.parse_filters import (
+        ParseFilterChain,
+        language_id,
+    )
+
+    df = spark.createDataFrame(
+        [Row(url="u1", text="the cat and the dog of a house"),
+         Row(url="u2", text="der hund und die katze und das haus"),
+         Row(url="u3", text="nothing matching here whatsoever")]
+    )
+    got = {r.url: (r.lang_pred, r.lang_confidence)
+           for r in language_id(df).collect()}
+    assert got["u1"][0] == "en" and got["u1"][1] > 0.3
+    assert got["u2"][0] == "de"
+    assert got["u3"][0] == "und"
+    # minProb gate forces low-evidence docs to 'und'
+    gated = {r.url: r.lang_pred
+             for r in language_id(df, min_confidence=0.9).collect()}
+    assert gated == {"u1": "und", "u2": "und", "u3": "und"}
+    # registered in the chain
+    chain = ParseFilterChain([{"class": "LanguageID"}])
+    assert "lang_pred" in chain.apply(df).columns
