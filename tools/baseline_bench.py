@@ -278,6 +278,35 @@ def bench_crawl_pipeline(spark, n_pages: int = 10_000, hosts: int = 100) -> dict
         _shutil.rmtree(tmp, ignore_errors=True)
 
 
+def bench_minhash_dedup(spark, n_docs: int = 100_000) -> dict:
+    """MinHash-LSH near-dup detection at scale: synthetic 100k-doc corpus
+    with a known 2% near-dup rate. The throughput number for the
+    shingle→minhash→band→bucket-join path (the 100 TB dedup design)."""
+    from incubator_stormcrawler_spark.operators.dedup import lsh_candidate_pairs
+
+    # ~40-token docs with md5-derived unique word streams (no accidental
+    # collisions); every 50th doc near-duplicates its predecessor
+    words = ("concat_ws(' ', transform(sequence(0, 39), "
+             "j -> substr(md5(cast(id as string) || '-' || cast(j as string)), 1, 6)))")
+    near = words.replace("cast(id as string)", "cast(id - 1 as string)")
+    docs = spark.range(n_docs).selectExpr(
+        "id as doc_id",
+        f"case when mod(id, 50) = 0 and id > 0 then {near} || ' tail' "
+        f"else {words} end as text",
+    )
+    t0 = time.time()
+    pairs = lsh_candidate_pairs(docs, num_hashes=8, band_rows=2,
+                                min_est_sim=0.5)
+    n_pairs = pairs.count()
+    dt = time.time() - t0
+    assert n_pairs >= n_docs // 50 * 0.8  # catches most planted near-dups
+    return {
+        "spark_sec": round(dt, 3),
+        "docs_per_sec": int(n_docs / dt),
+        "candidate_pairs": n_pairs,
+    }
+
+
 def run_baselines(spark, with_8m: bool = True) -> dict:
     tmp = tempfile.mkdtemp(prefix="baseline_bench_")
     f1m = os.path.join(tmp, "frontier1m")
@@ -291,6 +320,7 @@ def run_baselines(spark, with_8m: bool = True) -> dict:
             "url_normalize_python_200k": bench_python_normalize(spark),
             "html_parse_10k": bench_parse(spark),
             "crawl_pipeline_10k": bench_crawl_pipeline(spark),
+            "minhash_dedup_100k": bench_minhash_dedup(spark),
         }
         if with_8m:
             # the scale point where Spark's fixed overheads amortize:
