@@ -454,6 +454,31 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs, iterations=4)
 
 
+def q_corpus_clean_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-cleaning funnel as ONE plan: quality filter → exact dedup
+    (keep the min-doc_id survivor) over the augmented corpus; returns the
+    stage-by-stage counts every pipeline report leads with."""
+    from incubator_stormcrawler_spark.operators.corpus import quality_filter
+    from incubator_stormcrawler_spark.operators.dedup import fingerprint_expr
+
+    aug = _docs_augmented(spark, sf_dir)
+    q = quality_filter(aug, min_tokens=10)
+    quality_kept = aug.join(
+        q.where(F.col("keep")).select("doc_id"), "doc_id"
+    )
+    fp = quality_kept.withColumn("fp", fingerprint_expr(F.col("text")))
+    keepers = fp.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    final = fp.join(keepers, "fp").where(F.col("doc_id") == F.col("keep_id"))
+    return spark.createDataFrame(
+        [(
+            aug.count(),
+            quality_kept.count(),
+            final.count(),
+        )],
+        "total_docs bigint, after_quality bigint, after_dedup bigint",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Non-SQL-expressible operators (driver records rows-only checks — no
 # oracle_sql entries by design: effectful I/O round-trips and stubbed-codec
@@ -1020,6 +1045,27 @@ dpairs AS (
 
 _ORACLES["dedup_clusters"] = _unrolled_label_propagation(_JACCARD_PAIRS_CTES, 4)
 
+_ORACLES["corpus_clean_funnel"] = f"""
+WITH {_DOCS_AUG_CTE.strip()},
+q AS (
+  SELECT doc_id, text FROM docs_aug
+  WHERE len(string_split(text, ' ')) >= 10
+    AND len(string_split(text, ' ')) <= 100000
+    AND len(list_distinct(string_split(text, ' ')))
+        / len(string_split(text, ' ')) >= 0.3
+    AND length(replace(text, ' ', '')) / len(string_split(text, ' '))
+        BETWEEN 2.0 AND 12.0
+),
+fp AS (
+  SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS f
+  FROM q
+),
+keepers AS (SELECT f, min(doc_id) AS keep_id FROM fp GROUP BY f)
+SELECT (SELECT count(*) FROM docs_aug) AS total_docs,
+       (SELECT count(*) FROM q) AS after_quality,
+       (SELECT count(*) FROM keepers) AS after_dedup
+"""
+
 _ORACLES["events_quantiles"] = """
 SELECT event_type, count(*) AS n,
        round(quantile_cont(value, 0.5), 4) AS p50,
@@ -1246,6 +1292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mix": q_corpus_mix,
         "corpus_quality_filter": q_corpus_quality_filter,
         "dedup_clusters": q_dedup_clusters,
+        "corpus_clean_funnel": q_corpus_clean_funnel,
         # non-SQL-expressible (rows-only checks)
         "warc_roundtrip": q_warc_roundtrip,
         "multimodal_resize": q_multimodal_resize,
