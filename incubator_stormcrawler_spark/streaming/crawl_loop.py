@@ -198,10 +198,17 @@ class CrawlLoop:
             F.col("url").alias("source_url"),
             F.explode(F.col("entries")).alias("e"),
         ).select("source_url", F.col("e.link").alias("target_url"))
+        # redirect targets become DISCOVERED outlinks (the reference's
+        # redirect-target emission, FetcherBolt.java:706-746 via _redirTo)
+        redirect_links = parsed.where(F.col("redirect").isNotNull()).select(
+            F.col("url").alias("source_url"),
+            F.col("redirect").alias("target_url"),
+        )
         outlinks = (
             outlinks.select("source_url", "target_url")
             .union(sitemap_links)
             .union(feed_links)
+            .union(redirect_links)
         )
         # xml/other pages report FETCHED (pass-through bolts ack to status)
         xml_status = classified.where(F.col("kind") != "html").select(

@@ -256,3 +256,24 @@ def test_robots_sitemap_discovery_feeds_loop(spark, tmp_path):
     frontier = {r.url: r.status for r in loop.read_frontier().collect()}
     assert frontier["https://h0.example/sitemap.xml"] == "FETCHED"
     assert frontier["https://h0.example/from-sitemap"] == "FETCHED"
+
+
+def test_meta_refresh_redirect_followed(spark, tmp_path):
+    """Meta-refresh pages report REDIRECTION and their target is
+    discovered + crawled in the next generation."""
+    site = {
+        "https://h0.example/old":
+            '<html><meta http-equiv="refresh" content="0;url=/new"></html>',
+        "https://h0.example/new": "<html>the real page</html>",
+    }
+    loop = CrawlLoop(
+        spark,
+        frontier_path=str(tmp_path / "frontier"),
+        protocol_factory=lambda: MemoryProtocol(site),
+        server_delay=0.0,
+    )
+    loop.inject_seeds(spark.createDataFrame([("https://h0.example/old",)], ["url"]))
+    loop.run(2)
+    frontier = {r.url: r.status for r in loop.read_frontier().collect()}
+    assert frontier["https://h0.example/old"] == "REDIRECTION"
+    assert frontier["https://h0.example/new"] == "FETCHED"
