@@ -69,6 +69,9 @@ class MemoryProtocol(Protocol):
             code, body = entry
         else:
             code, body = 200, entry
+        if 300 <= code < 400 and isinstance(body, str):
+            # redirect: body slot holds the Location target
+            return ProtocolResponse(None, code, {"_redirTo": [body]})
         if isinstance(body, str):
             body = body.encode()
         return ProtocolResponse(body, code)
@@ -191,6 +194,7 @@ class FetchResult:
     status_code: int
     content: bytes | None
     error_cause: str | None = None
+    redirect_to: str | None = None  # 3xx Location target (_redirTo)
 
 
 def fetch_partition(
@@ -271,10 +275,12 @@ def fetch_partition(
         else:
             resp = protocol.get_protocol_output(url, {})
             status = status_from_http_code(resp.status_code)
+            redir = (resp.metadata or {}).get("_redirTo", [None])[0]
             results.append(
                 FetchResult(
                     url, key, status, resp.status_code,
                     resp.content if status == "FETCHED" else None,
+                    None, redir,
                 )
             )
         if q:
@@ -372,6 +378,8 @@ def fetch_partition_threaded(
                     res = FetchResult(
                         url, key, status, resp.status_code,
                         resp.content if status == "FETCHED" else None,
+                        None,
+                        (resp.metadata or {}).get("_redirTo", [None])[0],
                     )
                 with lock:
                     results.append(res)
@@ -414,7 +422,7 @@ def fetch(
 
     schema = (
         "url string, key string, status string, status_code int, "
-        "content binary, error_cause string"
+        "content binary, error_cause string, redirect_to string"
     )
 
     df = frontier_batch.select("url", "key")
@@ -457,6 +465,7 @@ def fetch(
                 "status_code": [r.status_code for r in res],
                 "content": [r.content for r in res],
                 "error_cause": [r.error_cause for r in res],
+                "redirect_to": [r.redirect_to for r in res],
             }
         )
 

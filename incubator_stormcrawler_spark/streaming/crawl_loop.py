@@ -149,6 +149,7 @@ class CrawlLoop:
                     F.lit(200).alias("status_code"),
                     "content",
                     F.lit(None).cast("string").alias("error_cause"),
+                    F.lit(None).cast("string").alias("redirect_to"),
                 )
             )
         fetched = fetched.cache()
@@ -203,6 +204,11 @@ class CrawlLoop:
         redirect_links = parsed.where(F.col("redirect").isNotNull()).select(
             F.col("url").alias("source_url"),
             F.col("redirect").alias("target_url"),
+        ).union(  # protocol-level 3xx Location targets (_redirTo)
+            fetched.where(F.col("redirect_to").isNotNull()).select(
+                F.col("url").alias("source_url"),
+                F.col("redirect_to").alias("target_url"),
+            )
         )
         outlinks = (
             outlinks.select("source_url", "target_url")

@@ -277,3 +277,23 @@ def test_meta_refresh_redirect_followed(spark, tmp_path):
     frontier = {r.url: r.status for r in loop.read_frontier().collect()}
     assert frontier["https://h0.example/old"] == "REDIRECTION"
     assert frontier["https://h0.example/new"] == "FETCHED"
+
+
+def test_http_301_redirect_followed(spark, tmp_path):
+    """Protocol-level 3xx: status REDIRECTION recorded, Location target
+    discovered and fetched next generation (_redirTo semantics)."""
+    site = {
+        "https://h0.example/moved": (301, "https://h0.example/here"),
+        "https://h0.example/here": "<html>destination</html>",
+    }
+    loop = CrawlLoop(
+        spark,
+        frontier_path=str(tmp_path / "frontier"),
+        protocol_factory=lambda: MemoryProtocol(site),
+        server_delay=0.0,
+    )
+    loop.inject_seeds(spark.createDataFrame([("https://h0.example/moved",)], ["url"]))
+    loop.run(2)
+    frontier = {r.url: r.status for r in loop.read_frontier().collect()}
+    assert frontier["https://h0.example/moved"] == "REDIRECTION"
+    assert frontier["https://h0.example/here"] == "FETCHED"
