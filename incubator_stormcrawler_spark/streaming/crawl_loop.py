@@ -290,17 +290,24 @@ class CrawlLoop:
             "discovered": discovered.count(),
             "cache_hits": cache_hits,
         }
-        if self.metrics_path:
-            # per-generation metrics table (StatusMetricsBolt cadence)
-            self.spark.createDataFrame(
-                [tuple(counts.values())], list(counts.keys())
-            ).write.mode("append").parquet(self.metrics_path)
         merged = merge_status_updates(frontier, updates, now)
         merged = merged.withColumn(
             "key", F.coalesce(F.col("key"), host_key_expr(F.col("url")))
         ).withColumn(
             "bucket", F.coalesce(F.col("bucket"), bucket_expr(F.col("key")))
         )
+        if self.metrics_path:
+            # per-generation metrics table (StatusMetricsBolt cadence)
+            self.spark.createDataFrame(
+                [tuple(counts.values())], list(counts.keys())
+            ).write.mode("append").parquet(self.metrics_path)
+            # plus the per-status frontier distribution (the exact metric
+            # StatusMetricsBolt exports each period)
+            from ..operators.frontier import status_counts as _status_counts
+
+            _status_counts(merged).withColumn(
+                "generation", F.lit(self.generation)
+            ).write.mode("append").parquet(self.metrics_path + "_status")
         self._write_frontier(merged)
         fetched.unpersist()
         parsed.unpersist()

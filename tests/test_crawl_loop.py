@@ -297,3 +297,22 @@ def test_http_301_redirect_followed(spark, tmp_path):
     frontier = {r.url: r.status for r in loop.read_frontier().collect()}
     assert frontier["https://h0.example/moved"] == "REDIRECTION"
     assert frontier["https://h0.example/here"] == "FETCHED"
+
+
+def test_status_metrics_table(spark, tmp_path):
+    """Per-generation status distribution lands in the metrics_path_status
+    table (StatusMetricsBolt cadence)."""
+    site = {"https://h0.example/p0": "<html>x</html>"}
+    loop = CrawlLoop(
+        spark,
+        frontier_path=str(tmp_path / "frontier"),
+        protocol_factory=lambda: MemoryProtocol(site),
+        server_delay=0.0,
+        metrics_path=str(tmp_path / "metrics"),
+    )
+    loop.inject_seeds(spark.createDataFrame([("https://h0.example/p0",)], ["url"]))
+    loop.run(2)
+    status = spark.read.parquet(str(tmp_path / "metrics") + "_status")
+    rows = {(r.generation, r.status): r.num_urls for r in status.collect()}
+    assert rows[(1, "FETCHED")] == 1
+    assert rows[(2, "FETCHED")] == 1
