@@ -6,7 +6,7 @@ defaults crawler-default.yaml:276-288):
   FETCHED      → now + 1440 min
   FETCH_ERROR  → now + 120 min
   REDIRECTION  → now + 1440 min (same as FETCHED by default)
-  ERROR        → never (sentinel 3000-01-01,
+  ERROR        → never (sentinel 2200-01-01,
                  external/sql/.../StatusUpdaterBolt.java:50)
   DISCOVERED   → now
 

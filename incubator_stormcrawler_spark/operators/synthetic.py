@@ -10,7 +10,7 @@ using only functions that produce bit-identical results in both engines:
 arithmetic. No randomness, no wall-clock.
 
 Layout mirrors FIXTURES.md §1: url/status/next_fetch_date/error_count/key/
-bucket with the 3000-01-01 "never" sentinel
+bucket with the 2200-01-01 "never" sentinel
 (external/sql/.../StatusUpdaterBolt.java:50) and bucket sharding à la
 ``pmod(hash(key), n)`` (sql/StatusUpdaterBolt.java:157-163) — here
 ``mod(ascii(substr(md5(key),1,1)),10)`` so DuckDB agrees.
@@ -26,7 +26,9 @@ NOW = "2024-01-15 00:00:00"
 # next_fetch_date base: NOW - 7 days; offsets span 14 days → ~half the
 # frontier is "due" at NOW (mirrors FIXTURES.md §1 uniform [now-7d, now+7d]).
 NFD_BASE = "2024-01-08 00:00:00"
-NEVER = "3000-01-01 00:00:00"
+# Pandas-representable "never" sentinel (< 2262-04-11 ns cap); mirrors the
+# reference's 3000-01-01 (external/sql/.../StatusUpdaterBolt.java:50).
+NEVER = "2200-01-01 00:00:00"
 NUM_HOSTS = 100
 NUM_BUCKETS = 10
 

@@ -9,7 +9,7 @@ native Spark SQL types — no custom types needed:
   text             STRING
   metadata         MAP<STRING, ARRAY<STRING>>   (multi-valued, like Metadata)
   status           STRING in {DISCOVERED, FETCHED, FETCH_ERROR, REDIRECTION, ERROR}
-  next_fetch_date  TIMESTAMP  (sentinel 3000-01-01 = "never",
+  next_fetch_date  TIMESTAMP  (sentinel 2200-01-01 = "never",
                                external/sql/.../StatusUpdaterBolt.java:50)
   key              STRING     politeness partition key (host/domain/IP)
   bucket           INT        pmod(hash(key), n)  (sql/StatusUpdaterBolt.java:157-163)
@@ -33,8 +33,10 @@ ALL_STATUSES = [
     STATUS_ERROR,
 ]
 
-# "never refetch" sentinel (external/sql/.../StatusUpdaterBolt.java:50).
-NEVER_FETCH_DATE = "3000-01-01 00:00:00"
+# "never refetch" sentinel (external/sql/.../StatusUpdaterBolt.java:50 uses
+# 3000-01-01; we use 2200-01-01 because pandas nanosecond timestamps cap at
+# 2262-04-11 and the Arrow/pandas comparison path must round-trip it).
+NEVER_FETCH_DATE = "2200-01-01 00:00:00"
 
 # Metadata: Map<String, String[]> (Metadata.java:44).
 METADATA_TYPE = T.MapType(T.StringType(), T.ArrayType(T.StringType()))

@@ -49,7 +49,7 @@ def test_frontier_topk_per_key_cap_and_order(spark):
             # not due:
             ("https://b.com/2", "DISCOVERED", "2024-01-16 00:00:00", 0, "b.com"),
             # never (ERROR sentinel):
-            ("https://c.com/1", "ERROR", "3000-01-01 00:00:00", 0, "c.com"),
+            ("https://c.com/1", "ERROR", "2200-01-01 00:00:00", 0, "c.com"),
         ],
     )
     got = frontier_topk(f, NOW, max_per_bucket=2, max_results=10)
@@ -139,7 +139,7 @@ def test_merge_fetch_error_counts_and_escalates(spark):
     )
     r = got["https://a.com/p"]
     assert r.status == "ERROR" and r.error_count == 3
-    assert str(r.next_fetch_date) == "3000-01-01 00:00:00"
+    assert str(r.next_fetch_date) == "2200-01-01 00:00:00"
 
 
 def test_merge_success_clears_error_count(spark):
