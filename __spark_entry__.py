@@ -1162,9 +1162,9 @@ merged AS (
     coalesce(f_key,
       lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)))
       AS key,
-    coalesce(f_bucket, cast(mod(ascii(substr(md5(
+    coalesce(f_bucket, cast(mod(('0x' || substr(md5(
       lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1))
-      ), 1, 1)), 10) as int)) AS bucket
+      ), 1, 8))::bigint, 10) as int)) AS bucket
   FROM joined
 )
 """
@@ -1203,9 +1203,9 @@ _ORACLES["url_partition_keys"] = f"""
 {_DUCK_PRELUDE}
 SELECT url,
   lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS host_key,
-  cast(mod(ascii(substr(md5(
+  cast(mod(('0x' || substr(md5(
     lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1))
-    ), 1, 1)), 10) as int) AS host_bucket,
+    ), 1, 8))::bigint, 10) as int) AS host_bucket,
   sha256(url) AS doc_id
 FROM frontier
 """

@@ -57,10 +57,15 @@ def bucket_expr(key: Column, num_buckets: int = NUM_FRONTIER_BUCKETS) -> Column:
     (external/sql/.../StatusUpdaterBolt.java:157-163).
 
     md5-based so Spark and DuckDB agree bit-for-bit (Java's String.hashCode
-    is engine-specific); one hex char gives 16 values — plenty for shard
-    routing, and deterministic everywhere.
+    is engine-specific). Uses 8 hex chars (32 bits) so ``% num_buckets`` is
+    uniform — a single hex char (16 values over 10 buckets) would give some
+    buckets twice the mass of others and skew frontier shard sizes.
+    DuckDB twin: ``mod(('0x' || substr(md5(key),1,8))::bigint, n)``.
     """
-    return (F.ascii(F.substring(F.md5(key), 1, 1)) % F.lit(num_buckets)).cast("int")
+    return (
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint")
+        % F.lit(num_buckets)
+    ).cast("int")
 
 
 def strip_fragment_expr(url: Column) -> Column:

@@ -117,6 +117,15 @@ def merge_status_updates(
     extra_cols = (["depth"] if with_depth else []) + (
         ["signature"] if with_signature else []
     )
+    # Frontier-only columns (e.g. depth when updates carry none, signature/
+    # fetch_interval without a signature-bearing update batch) are passed
+    # through unchanged — the merge must never truncate the table schema.
+    handled = {"url", "status", "next_fetch_date", "error_count", "key", "bucket"}
+    if with_depth:
+        handled.add("depth")
+    if with_signature:
+        handled.update({"signature", "fetch_interval"})
+    passthrough = [c for c in frontier.columns if c not in handled]
     if extra_cols:
         aggs = []
         if with_depth:
@@ -209,6 +218,7 @@ def merge_status_updates(
                 .otherwise(F.col("fetch_interval"))
                 .alias("fetch_interval")
             )
+        cols.extend(F.col(c) for c in passthrough)
         return j.select(*cols)
 
     if not assume_small_updates:
@@ -218,7 +228,10 @@ def merge_status_updates(
     untouched = f.join(F.broadcast(u_keys), "url", "left_anti")
     f_matched = f.join(F.broadcast(u_keys), "url", "left_semi")
     j = u.join(f_matched, on="url", how="left")
-    return untouched.unionByName(merged_cols(j))
+    merged = merged_cols(j)
+    # Project untouched rows through the merged column list so both legs
+    # union cleanly even when the frontier carries columns updates lack.
+    return untouched.select(*merged.columns).unionByName(merged)
 
 
 def deletion_stream(merged: DataFrame, previous: DataFrame) -> DataFrame:

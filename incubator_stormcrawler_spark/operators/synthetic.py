@@ -13,7 +13,7 @@ Layout mirrors FIXTURES.md §1: url/status/next_fetch_date/error_count/key/
 bucket with the 2200-01-01 "never" sentinel
 (external/sql/.../StatusUpdaterBolt.java:50) and bucket sharding à la
 ``pmod(hash(key), n)`` (sql/StatusUpdaterBolt.java:157-163) — here
-``mod(ascii(substr(md5(key),1,1)),10)`` so DuckDB agrees.
+``mod(hex32(md5(key)),10)`` so DuckDB agrees.
 """
 
 from __future__ import annotations
@@ -47,7 +47,7 @@ def synthetic_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
       next_fetch_date = NFD_BASE + mod(o_orderkey*7, 20160) minutes
                         (ERROR rows → the never sentinel)
       error_count     = 1 + mod(o_orderkey, 2) on FETCH_ERROR rows else 0
-      bucket          = mod(ascii(substr(md5(key),1,1)), 10)
+      bucket          = mod(first-32-hash-bits(md5(key)), 10)
     """
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     return orders.selectExpr(
@@ -66,8 +66,8 @@ def synthetic_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "case when mod(o_orderkey, 100) >= 85 and mod(o_orderkey, 100) < 93"
         " then 1 + cast(mod(o_orderkey, 2) as int) else 0 end as error_count",
         f"{_host_expr_sql('o_orderkey')} as key",
-        f"cast(mod(ascii(substr(md5({_host_expr_sql('o_orderkey')}), 1, 1)),"
-        f" {NUM_BUCKETS}) as int) as bucket",
+        f"cast(mod(cast(conv(substr(md5({_host_expr_sql('o_orderkey')}), 1, 8),"
+        f" 16, 10) as bigint), {NUM_BUCKETS}) as int) as bucket",
     ).drop("o_orderkey")
 
 
@@ -88,8 +88,8 @@ frontier AS (
     CASE WHEN mod(o_orderkey, 100) >= 85 AND mod(o_orderkey, 100) < 93
       THEN 1 + cast(mod(o_orderkey, 2) as int) ELSE 0 END AS error_count,
     'host' || cast(mod(o_orderkey, {NUM_HOSTS}) as varchar) || '.example' AS key,
-    cast(mod(ascii(substr(md5('host' || cast(mod(o_orderkey, {NUM_HOSTS}) as varchar)
-      || '.example'), 1, 1)), {NUM_BUCKETS}) as int) AS bucket
+    cast(mod(('0x' || substr(md5('host' || cast(mod(o_orderkey, {NUM_HOSTS}) as varchar)
+      || '.example'), 1, 8))::bigint, {NUM_BUCKETS}) as int) AS bucket
   FROM orders
 )
 """

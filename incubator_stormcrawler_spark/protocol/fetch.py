@@ -106,13 +106,28 @@ class HttpProtocol(Protocol):
         self.timeout = timeout
         self.agent = agent
 
+    def _opener(self):
+        # Do NOT follow redirects: the reference protocols surface 3xx to
+        # the crawl loop so the target is re-discovered through URL filters,
+        # robots, and per-host politeness (okhttp/HttpProtocol.java builds
+        # the client with followRedirects(false)). urllib's default opener
+        # silently follows, which would attribute the target's content to
+        # the source URL and bypass all those checks.
+        import urllib.request
+
+        class _NoRedirect(urllib.request.HTTPRedirectHandler):
+            def redirect_request(self, req, fp, code, msg, headers, newurl):
+                return None
+
+        return urllib.request.build_opener(_NoRedirect)
+
     def get_protocol_output(self, url, metadata):
         import urllib.error
         import urllib.request
 
         req = urllib.request.Request(url, headers={"User-Agent": self.agent})
         try:
-            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+            with self._opener().open(req, timeout=self.timeout) as resp:
                 body = resp.read(self.content_limit + 1)
                 md = {
                     "fetch.statusCode": [str(resp.status)],
@@ -126,7 +141,15 @@ class HttpProtocol(Protocol):
                     md["http.trimmed.reason"] = ["LENGTH"]
                 return ProtocolResponse(body, resp.status, md)
         except urllib.error.HTTPError as e:
-            return ProtocolResponse(None, e.code)
+            md = {"fetch.statusCode": [str(e.code)]}
+            location = e.headers.get("Location") if e.headers else None
+            if 300 <= e.code < 400 and location:
+                # surface the target so status merge discovers it
+                # (MemoryProtocol does the same; FetcherBolt.java:706-746)
+                from urllib.parse import urljoin
+
+                md["_redirTo"] = [urljoin(url, location)]
+            return ProtocolResponse(None, e.code, md)
         except Exception as e:
             return ProtocolResponse(None, -1, {"error.cause": [str(e)]})
 
@@ -172,18 +195,20 @@ class DelegatorProtocol(Protocol):
 
 def status_from_http_code(code: int) -> str:
     """HTTP code → Status (persistence/Status.java fromHTTPCode +
-    FetcherBolt.java:702-746)."""
+    FetcherBolt.java:702-746).
+
+    All non-2xx/3xx codes — including 404/410 — are retryable FETCH_ERROR;
+    terminality is governed by the error_count escalation in
+    ``merge_status_updates`` (max.fetch.errors), never decided here. A
+    transient 404 must not permanently blacklist a URL.
+    """
     if code == 200:
         return "FETCHED"
     if code == 304:
         return "FETCHED"  # not modified — still a successful visit
     if 300 <= code < 400:
         return "REDIRECTION"
-    if code in (404, 410):
-        return "ERROR"
-    if 400 <= code < 500:
-        return "FETCH_ERROR"
-    return "FETCH_ERROR"  # 5xx / -1 connection errors → retryable
+    return "FETCH_ERROR"  # 4xx / 5xx / -1 connection errors → retryable
 
 
 @dataclass
@@ -472,11 +497,16 @@ def fetch(
     return df.mapInPandas(run, schema=schema)
 
 
+# id(factory) → (factory, protocol). The strong reference to the factory
+# pins it alive, so its id() cannot be recycled by a later allocation and
+# hand a different crawl a stale Protocol (robots/politeness state).
 _EXECUTOR_PROTOCOL = {}
 
 
 def _executor_protocol(factory):
     key = id(factory)
-    if key not in _EXECUTOR_PROTOCOL:
-        _EXECUTOR_PROTOCOL[key] = factory()
-    return _EXECUTOR_PROTOCOL[key]
+    entry = _EXECUTOR_PROTOCOL.get(key)
+    if entry is None or entry[0] is not factory:
+        entry = (factory, factory())
+        _EXECUTOR_PROTOCOL[key] = entry
+    return entry[1]

@@ -71,8 +71,12 @@ def test_crawl_records_fetch_errors(spark, tmp_path):
     loop.run(2)
     frontier = {r.url: r for r in loop.read_frontier().collect()}
     assert frontier["https://h0.example/p0"].status == "FETCHED"
-    # missing page 404 → ERROR (404 is terminal per Status.fromHTTPCode)
-    assert frontier["https://h0.example/missing"].status == "ERROR"
+    # missing page 404 → retryable FETCH_ERROR (Status.fromHTTPCode maps all
+    # non-2xx/3xx to FETCH_ERROR; terminality comes from the error_count
+    # escalation in merge_status_updates after max.fetch.errors attempts)
+    missing = frontier["https://h0.example/missing"]
+    assert missing.status == "FETCH_ERROR"
+    assert missing.error_count == 1
 
 
 def test_depth_limited_crawl(spark, tmp_path):

@@ -65,7 +65,11 @@ def test_robots_response_codes():
 def test_status_mapping():
     assert status_from_http_code(200) == "FETCHED"
     assert status_from_http_code(301) == "REDIRECTION"
-    assert status_from_http_code(404) == "ERROR"
+    # 404/410 are retryable — escalation to ERROR happens in the
+    # status merge after max.fetch.errors, not here
+    assert status_from_http_code(404) == "FETCH_ERROR"
+    assert status_from_http_code(410) == "FETCH_ERROR"
+    assert status_from_http_code(304) == "FETCHED"
     assert status_from_http_code(500) == "FETCH_ERROR"
     assert status_from_http_code(-1) == "FETCH_ERROR"
 
