@@ -406,6 +406,15 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_topk(emb, queries, k=5)
 
 
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path ANN: sign-LSH bucket join (6 tables × 4 deterministic
+    hyperplanes) + exact cosine rerank of candidates only — the plan that
+    replaces the brute-force cross join beyond broadcastable query sets."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 20)
+    return sim.lsh_cosine_topk(emb, queries, k=5)
+
+
 def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs with cosine ≥ 0.4 (corpus max ≈ 0.51)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -944,6 +953,50 @@ SELECT query_id, vec_id, round(sim_raw, 4) AS sim, rank FROM (
 ) WHERE rank <= 5
 """
 
+def _lsh_bucket_sql(vexpr: str, planes) -> str:
+    """DuckDB twin of similarity.lsh_bucket_expr: sign-bit bucket id with
+    the SAME deterministic hyperplanes embedded as literals."""
+    terms = []
+    for i, p in enumerate(planes):
+        lst = "[" + ", ".join(repr(float(x)) for x in p) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({vexpr}, {lst}) >= 0"
+            f" THEN {1 << i} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+_LSH_TABLES_SQL = "\nUNION ALL\n".join(
+    "SELECT q.query_id, e.vec_id FROM q JOIN e ON "
+    + _lsh_bucket_sql("q.qv", planes)
+    + " = "
+    + _lsh_bucket_sql("e.v", planes)
+    for planes in (sim.random_hyperplanes(64, 4, seed=42 + t) for t in range(6))
+)
+
+_ORACLES["ann_lsh_topk"] = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20
+), cand AS (
+  SELECT DISTINCT query_id, vec_id FROM (
+{_LSH_TABLES_SQL}
+  ) WHERE query_id <> vec_id
+), scored AS (
+  SELECT c.query_id, c.vec_id,
+         list_cosine_similarity(q.qv, e.v) AS sim_raw
+  FROM cand c
+  JOIN q ON q.query_id = c.query_id
+  JOIN e ON e.vec_id = c.vec_id
+)
+SELECT query_id, vec_id, round(sim_raw, 4) AS sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim_raw DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
 _ORACLES["embedding_cosine_pairs"] = """
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -1292,6 +1345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "doc_fingerprint": q_doc_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
         # corpus construction
         "corpus_token_stats": q_corpus_token_stats,

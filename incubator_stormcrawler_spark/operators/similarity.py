@@ -152,7 +152,7 @@ def lsh_cosine_topk(
             "query_id",
             "vec_id",
             F.round(F.col("sim_raw"), 4).alias("sim"),
-            "rank",
+            F.col("rank").cast("bigint").alias("rank"),
         )
     )
 
@@ -162,48 +162,75 @@ def embedding_cosine_dedup(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    num_blocks: int = 16,
 ) -> DataFrame:
     """Embedding near-dup pairs: cosine ≥ threshold, id1 < id2.
 
-    Physical plan: broadcast the (normalized) full matrix, stream the rows
-    through an Arrow-batched stage doing one numpy GEMM per batch —
-    vectorized BLAS instead of a per-pair expression fold (40× faster at
-    sf0.1). The broadcast side is ``N×dim`` floats, so this is the right
-    plan while the corpus fits executor memory (hundreds of millions of
-    rows at 64-dim); beyond that, swap in the LSH bucket join above — the
-    rerank math is unchanged.
+    Physical plan — distributed block outer product, NO driver-side
+    materialization: rows hash into ``num_blocks`` blocks, each block packs
+    into one (ids, matrix) row via a partial-aggregable collect_list, and
+    the B·(B+1)/2 block pairs GEMM against each other in an Arrow-batched
+    stage (one numpy/BLAS multiply per block pair — vectorized, never
+    per-pair Python). Exact all-pairs is inherently quadratic in compute,
+    but memory per task is two blocks (2·N/B·dim doubles — size B so a
+    block fits an executor), and shuffle is B× replication of the matrix,
+    both tunable. This is the exact/verify stage; the sub-quadratic scale
+    path for candidate GENERATION is ``lsh_cosine_topk``'s bucket join with
+    this same rerank math.
     """
-    import numpy as np
     import pandas as pd
 
-    rows = embeddings.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0] = 1.0
-    matn = mat / norms[:, None]
-    sc = embeddings.sparkSession.sparkContext
-    bc = sc.broadcast((ids, matn))
+    b = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_blocks)).alias("blk"),
+    )
+    packed = b.groupBy("blk").agg(
+        F.collect_list("id").alias("ids"), F.collect_list("v").alias("vecs")
+    )
+    left = packed.select(
+        F.col("blk").alias("b1"),
+        F.col("ids").alias("ids1"),
+        F.col("vecs").alias("vecs1"),
+    )
+    right = packed.select(
+        F.col("blk").alias("b2"),
+        F.col("ids").alias("ids2"),
+        F.col("vecs").alias("vecs2"),
+    )
+    # B rows per side → the b1<=b2 nested-loop join is over B² tiny rows;
+    # each unordered block pair materializes exactly once.
+    block_pairs = left.join(F.broadcast(right), F.col("b1") <= F.col("b2"))
 
     def run(batches):
-        b_ids, b_mat = bc.value
-        for pdf in batches:
-            a_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            a_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
-            an = np.linalg.norm(a_mat, axis=1)
-            an[an == 0] = 1.0
-            sims = (a_mat / an[:, None]) @ b_mat.T
-            sims = np.round(sims, 4)
-            ai, bj = np.where(sims >= threshold)
-            keep = a_ids[ai] < b_ids[bj]
-            yield pd.DataFrame(
-                {
-                    "id1": a_ids[ai][keep],
-                    "id2": b_ids[bj][keep],
-                    "sim": sims[ai, bj][keep],
-                }
-            )
+        def normed(vecs):
+            m = np.array(list(vecs), dtype=np.float64)
+            n = np.linalg.norm(m, axis=1)
+            n[n == 0] = 1.0
+            return m / n[:, None]
 
-    return embeddings.select(id_col, vec_col).mapInPandas(
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                ids1 = np.asarray(row["ids1"], dtype=np.int64)
+                ids2 = np.asarray(row["ids2"], dtype=np.int64)
+                if len(ids1) == 0 or len(ids2) == 0:
+                    continue
+                sims = np.round(normed(row["vecs1"]) @ normed(row["vecs2"]).T, 4)
+                ai, bj = np.where(sims >= threshold)
+                if row["b1"] == row["b2"]:
+                    # diagonal block: every unordered pair shows up in both
+                    # triangles of sims — keep the strict upper one only
+                    keep = ids1[ai] < ids2[bj]
+                    id1, id2 = ids1[ai][keep], ids2[bj][keep]
+                else:
+                    # disjoint blocks: each pair occurs once; orient by id
+                    keep = np.ones(len(ai), dtype=bool)
+                    id1 = np.minimum(ids1[ai], ids2[bj])
+                    id2 = np.maximum(ids1[ai], ids2[bj])
+                yield pd.DataFrame(
+                    {"id1": id1, "id2": id2, "sim": sims[ai, bj][keep]}
+                )
+
+    return block_pairs.mapInPandas(
         run, schema="id1 bigint, id2 bigint, sim double"
     )
