@@ -521,7 +521,7 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image resize stage over the synthetic media corpus (decode stubbed,
-    plumbing real — rows-only check)."""
+    plumbing real); pixel bytes value-checked via the hex oracle."""
     from incubator_stormcrawler_spark.operators.multimodal import (
         resize_images,
         synthesize_media,
@@ -534,11 +534,15 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.col("content")).cast("bigint").alias("n_bytes"),
         F.col("media_meta.width").alias("width"),
         F.col("media_meta.height").alias("height"),
+        # hex of the resized pixels — lets the DuckDB oracle verify the
+        # actual nearest-neighbor byte math, not just row shape
+        F.hex(F.col("content")).alias("content_hex"),
     )
 
 
 def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio RMS/zero-crossing features over synthetic PCM (rows-only)."""
+    """Audio RMS/zero-crossing features over synthetic PCM, value-checked
+    against a DuckDB int16 reconstruction."""
     from incubator_stormcrawler_spark.operators.multimodal import (
         audio_features,
         synthesize_media,
@@ -549,7 +553,7 @@ def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-trigram media embeddings + cosine top-3 against themselves —
-    the cross-modal similarity path (rows-only)."""
+    the cross-modal similarity path, value-checked end-to-end."""
     from incubator_stormcrawler_spark.operators.multimodal import (
         byte_embedding,
         synthesize_media,
@@ -1006,6 +1010,103 @@ SELECT a.vec_id AS id1, b.vec_id AS id2,
 FROM e a, e b
 WHERE a.vec_id < b.vec_id
   AND round(list_cosine_similarity(a.v, b.v), 4) >= 0.4
+"""
+
+# -- multimodal oracles -----------------------------------------------------
+# The synthetic media corpus (multimodal.synthesize_media) is md5-derived:
+# content(i) = md5('media'||i) digest bytes repeated, truncated per kind.
+# DuckDB reconstructs the SAME bytes at the hex-string level (2 chars/byte;
+# byte k = ('0x' || substr(hex, 2k+1, 2))::int) and re-runs the stub decode
+# math — so resize/RMS/trigram-embedding outputs are fully value-checked.
+
+# image rows: i%3=0, w=16+(i%4)*8, h=16; resize 8x8 nearest: out(y,x) =
+# content[2y*w + x*w//8] (multimodal.resize_nearest with out=8, h=16).
+_ORACLES["multimodal_resize"] = """
+WITH img AS (
+  SELECT i AS media_id, 16 + (i % 4) * 8 AS w,
+         repeat(md5('media' || i), 64) AS chex
+  FROM generate_series(0, 59) t(i) WHERE i % 3 = 0
+), px AS (
+  SELECT media_id,
+         y, x,
+         substr(chex, 2 * ((2 * y) * w + (x * w // 8)) + 1, 2) AS hx
+  FROM img, generate_series(0, 7) ty(y), generate_series(0, 7) tx(x)
+)
+SELECT media_id, 64::BIGINT AS n_bytes, 8 AS width, 8 AS height,
+       upper(string_agg(hx, '' ORDER BY y, x)) AS content_hex
+FROM px GROUP BY media_id
+"""
+
+# audio rows: i%3=1, 2048 int16-LE samples from 4096 digest-repeated bytes;
+# rms = round(sqrt(mean(v^2)), 6); zero_crossings counts sign(v)<0 flips.
+_ORACLES["multimodal_audio_features"] = """
+WITH aud AS (
+  SELECT i AS media_id, repeat(md5('media' || i), 256) AS chex
+  FROM generate_series(0, 59) t(i) WHERE i % 3 = 1
+), smp AS (
+  SELECT media_id, k,
+         ('0x' || substr(chex, 4 * k + 1, 2))::INT
+         + 256 * ('0x' || substr(chex, 4 * k + 3, 2))::INT AS uv
+  FROM aud, generate_series(0, 2047) tk(k)
+), sv AS (
+  SELECT media_id, k,
+         CASE WHEN uv >= 32768 THEN uv - 65536 ELSE uv END AS v
+  FROM smp
+), flags AS (
+  SELECT media_id, v,
+         CASE WHEN (v < 0) !=
+                   (lag(v) OVER (PARTITION BY media_id ORDER BY k) < 0)
+              THEN 1 ELSE 0 END AS flip
+  FROM sv
+)
+SELECT media_id, 2048 AS n_samples,
+       round(sqrt(avg(v::DOUBLE * v)), 6) AS rms,
+       sum(flip) AS zero_crossings
+FROM flags GROUP BY media_id
+"""
+
+# all 60 media rows: byte-trigram counts mod 32, L2-normalized, cast to
+# float32 (REAL) exactly like byte_embedding, then cosine top-3 for
+# queries vec_id < 5 — the multimodal.byte_embedding + cosine_topk chain.
+_ORACLES["multimodal_embeddings"] = """
+WITH media AS (
+  SELECT i AS media_id,
+         CASE WHEN i % 3 = 0 THEN (16 + (i % 4) * 8) * 16
+              WHEN i % 3 = 1 THEN 4096
+              ELSE 384 END AS nbytes,
+         repeat(md5('media' || i), 256) AS chex
+  FROM generate_series(0, 59) t(i)
+), tri AS (
+  SELECT media_id,
+         (('0x' || substr(chex, 2 * k + 1, 2))::BIGINT * 65536
+          + ('0x' || substr(chex, 2 * k + 3, 2))::BIGINT * 256
+          + ('0x' || substr(chex, 2 * k + 5, 2))::BIGINT) % 32 AS bucket
+  FROM media, generate_series(0, 4093) tk(k)
+  WHERE k <= nbytes - 3
+), cnt AS (
+  SELECT media_id, bucket, count(*)::DOUBLE AS c FROM tri GROUP BY 1, 2
+), dense AS (
+  SELECT m.media_id, g.b, coalesce(c.c, 0.0) AS c
+  FROM (SELECT DISTINCT media_id FROM media) m
+  CROSS JOIN generate_series(0, 31) g(b)
+  LEFT JOIN cnt c ON c.media_id = m.media_id AND c.bucket = g.b
+), vecs AS (
+  SELECT media_id, list((c / norm)::REAL::DOUBLE ORDER BY b) AS v
+  FROM (SELECT media_id, b, c,
+               sqrt(sum(c * c) OVER (PARTITION BY media_id)) AS norm
+        FROM dense)
+  GROUP BY media_id
+), scored AS (
+  SELECT q.media_id AS query_id, e.media_id AS vec_id,
+         list_cosine_similarity(q.v, e.v) AS sim_raw
+  FROM (SELECT * FROM vecs WHERE media_id < 5) q, vecs e
+  WHERE e.media_id <> q.media_id
+)
+SELECT query_id, vec_id, round(sim_raw, 4) AS sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim_raw DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= 3
 """
 
 _BPEISH = r"'[a-z]+|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
