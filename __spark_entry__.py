@@ -399,6 +399,56 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_fingerprint(docs)
 
 
+def q_parse_richdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-document (Tika-equivalent) branch end-to-end: each document's
+    text becomes a multi-page Flate-compressed PDF (deterministic builder),
+    the router classifies it as richdoc, and parse/richdoc.py extracts the
+    text back — title, page count, and a /URI outlink value-checked. The
+    oracle reconstructs the expected output from the raw table (the
+    PDF round trip is exact by construction)."""
+    import pandas as pd
+
+    from incubator_stormcrawler_spark.parse.richdoc import build_pdf
+    from incubator_stormcrawler_spark.parse.router import parse_routed
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") < 50)
+        .select("doc_id", "text")
+    )
+
+    def to_pdf(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "url": [
+                        f"https://docs.example/d{int(i)}.pdf"
+                        for i in pdf["doc_id"]
+                    ],
+                    "content": [
+                        build_pdf(
+                            t,
+                            title=f"doc {int(i)}",
+                            link=f"https://docs.example/d{int(i)}/refs",
+                        )
+                        for i, t in zip(pdf["doc_id"], pdf["text"])
+                    ],
+                }
+            )
+
+    pages = docs.mapInPandas(to_pdf, schema="url string, content binary")
+    out = parse_routed(pages)["richdocs"]
+    return out.select(
+        F.regexp_extract("url", r"/d(\d+)\.pdf$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        "text",
+        "title",
+        F.col("n_pages").cast("bigint").alias("n_pages"),
+        F.element_at("outlinks", 1).alias("outlink"),
+    )
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for the first 20 query vectors."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -957,6 +1007,16 @@ SELECT query_id, vec_id, round(sim_raw, 4) AS sim, rank FROM (
 ) WHERE rank <= 5
 """
 
+_ORACLES["parse_richdoc"] = """
+SELECT doc_id,
+       text,
+       'doc ' || doc_id AS title,
+       cast((len(string_split(text, ' ')) + 99) // 100 as bigint) AS n_pages,
+       'https://docs.example/d' || doc_id || '/refs' AS outlink
+FROM documents WHERE doc_id < 50
+"""
+
+
 def _lsh_bucket_sql(vexpr: str, planes) -> str:
     """DuckDB twin of similarity.lsh_bucket_expr: sign-bit bucket id with
     the SAME deterministic hyperplanes embedded as literals."""
@@ -1445,6 +1505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "doc_fingerprint": q_doc_fingerprint,
+        "parse_richdoc": q_parse_richdoc,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "embedding_cosine_pairs": q_embedding_cosine_pairs,

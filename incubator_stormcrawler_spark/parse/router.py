@@ -3,9 +3,10 @@ plus SiteMapParserBolt/FeedParserBolt pass-through): classify each fetched
 page by sniffing, route to the right parse branch, union the statuses.
 
 Branches: sitemap → sitemap parser; feed → feed parser; html → HTML
-parser; text/plain → trivial text doc; everything else → the rich-document
-branch (Tika in the reference) — stubbed here with a clear error row, the
-pluggable slot for a tika-python/pdfminer stage.
+parser; text/plain → trivial text doc; PDF → the rich-document branch
+(Tika in the reference — parse/richdoc.py extracts text/title/outlinks
+natively); remaining binary types → a clear error row, the pluggable slot
+for further extractors.
 
 Classification runs in ONE Arrow pass over the head bytes; each branch
 then processes only its rows (filter pushdown keeps bytes out of branches
@@ -40,11 +41,13 @@ def classify_pages(pages: DataFrame) -> DataFrame:
                     kinds.append("feed")
                 elif looks_like_html(content):
                     kinds.append("html")
+                elif head.startswith(b"%PDF"):
+                    kinds.append("richdoc")  # PDF → rich-document branch
                 elif head.startswith(
-                    (b"%PDF", b"PK\x03\x04", b"\x89PNG", b"GIF8", b"\xff\xd8",
+                    (b"PK\x03\x04", b"\x89PNG", b"GIF8", b"\xff\xd8",
                      b"\x1f\x8b")
                 ):
-                    kinds.append("other")  # known binary magic → rich-doc branch
+                    kinds.append("other")  # binary magic without an extractor
                 elif not content[:512].translate(
                     None, bytes(range(32, 127)) + b"\t\r\n"
                 ):
@@ -60,7 +63,10 @@ def classify_pages(pages: DataFrame) -> DataFrame:
 def parse_routed(pages: DataFrame, max_outlinks: int = 100):
     """Returns dict of branch outputs:
     {"html": parsed-html DF, "sitemaps": sitemap results, "feeds": feed
-    results, "texts": plain-text docs, "other": unparsed rows}."""
+    results, "texts": plain-text docs, "richdocs": PDF extractions,
+    "other": unparsed rows}."""
+    from .richdoc import parse_richdocs
+
     classified = classify_pages(pages).cache()
     html = parse_pages(
         classified.where(F.col("kind") == "html"), max_outlinks=max_outlinks
@@ -71,6 +77,7 @@ def parse_routed(pages: DataFrame, max_outlinks: int = 100):
         "url",
         F.col("content").cast("string").alias("text"),
     )
+    richdocs = parse_richdocs(classified.where(F.col("kind") == "richdoc"))
     other = classified.where(F.col("kind") == "other").select(
         "url", F.lit("unsupported content type (rich-document branch)").alias("error")
     )
@@ -79,5 +86,6 @@ def parse_routed(pages: DataFrame, max_outlinks: int = 100):
         "sitemaps": sitemaps,
         "feeds": feeds,
         "texts": texts,
+        "richdocs": richdocs,
         "other": other,
     }

@@ -206,6 +206,8 @@ def test_parse_router(spark):
             Row(url="https://a.example/feed", content=bytearray(RSS)),
             Row(url="https://a.example/note", content=bytearray(b"just plain text")),
             Row(url="https://a.example/doc.pdf", content=bytearray(b"%PDF-1.4 xx")),
+            Row(url="https://a.example/img.png",
+                content=bytearray(b"\x89PNG\r\n\x1a\nxx")),
         ]
     )
     out = parse_routed(df)
@@ -214,7 +216,9 @@ def test_parse_router(spark):
     assert [r.url for r in out["feeds"].collect()] == ["https://a.example/feed"]
     texts = out["texts"].collect()
     assert texts[0].url == "https://a.example/note" and texts[0].text == "just plain text"
-    assert [r.url for r in out["other"].collect()] == ["https://a.example/doc.pdf"]
+    # PDFs go to the rich-document branch now; other binaries stay "other"
+    assert [r.url for r in out["richdocs"].collect()] == ["https://a.example/doc.pdf"]
+    assert [r.url for r in out["other"].collect()] == ["https://a.example/img.png"]
 
 
 def test_media_link_extraction():

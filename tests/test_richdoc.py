@@ -1,0 +1,122 @@
+"""Rich-document (Tika-equivalent) parse tests — golden fixtures in the
+reference's ParsingTester style (external/tika/.../ParserBolt.java:74)."""
+
+from __future__ import annotations
+
+import zlib
+
+from incubator_stormcrawler_spark.parse.richdoc import (
+    build_pdf,
+    extract_pdf,
+    parse_richdocs,
+)
+
+
+def test_roundtrip_single_page():
+    text = "hello world this is a short test document"
+    d = extract_pdf(build_pdf(text))
+    assert d["text"] == text
+    assert d["n_pages"] == 1
+    assert d["title"] is None
+    assert d["outlinks"] == []
+
+
+def test_roundtrip_multipage_with_title_and_link():
+    text = " ".join(f"tok{i}" for i in range(450))  # 5 pages at 100 tok/page
+    d = extract_pdf(
+        build_pdf(text, title="My (Annual) Report", link="https://ex.ample/x")
+    )
+    assert d["text"] == text
+    assert d["n_pages"] == 5
+    assert d["title"] == "My (Annual) Report"  # escaped parens round-trip
+    assert d["outlinks"] == ["https://ex.ample/x"]
+
+
+def test_roundtrip_special_chars():
+    text = "parens (x) and \\ backslash and unicode café ünïcode"
+    d = extract_pdf(build_pdf(text))
+    assert d["text"] == text
+
+
+def test_golden_handcrafted_pdf():
+    """Uncompressed stream, octal escape, hex string, TJ array with kerning
+    numbers, /Title with octal, /URI annotation — the operator zoo."""
+    raw = (
+        b"%PDF-1.4\n1 0 obj\n<< /Type /Page >>\nendobj\n"
+        b"2 0 obj\n<< /Length 99 >>\nstream\n"
+        b"BT (Hello\\040World) Tj <21> Tj [(A) -120 (B) 5 <43>] TJ ET\n"
+        b"endstream\nendobj\n"
+        b"3 0 obj\n<< /Title (T\\151tle) >>\nendobj\n"
+        b"4 0 obj\n<< /Type /Annot /A << /S /URI /URI (http://a.b/c) >> >>\n"
+        b"endobj\n"
+    )
+    d = extract_pdf(raw)
+    assert d["text"] == "Hello World!ABC"
+    assert d["title"] == "Title"
+    assert d["outlinks"] == ["http://a.b/c"]
+    assert d["n_pages"] == 1
+
+
+def test_golden_flate_stream():
+    body = b"BT (compressed text) Tj ET"
+    comp = zlib.compress(body)
+    raw = (
+        b"%PDF-1.4\n1 0 obj\n<< /Type /Page >>\nendobj\n"
+        b"2 0 obj\n<< /Length " + str(len(comp)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + comp
+        + b"\nendstream\nendobj\n"
+    )
+    assert extract_pdf(raw)["text"] == "compressed text"
+
+
+def test_corrupt_stream_does_not_fail():
+    raw = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length 5 /Filter /FlateDecode >>\n"
+        b"stream\nnotzlib\nendstream\nendobj\n"
+    )
+    d = extract_pdf(raw)
+    assert d["text"] == ""
+    assert d["n_pages"] == 1  # floor of 1, like Tika's single-doc handling
+
+
+def test_router_routes_pdf_to_richdoc_branch(spark):
+    from pyspark.sql import Row
+
+    from incubator_stormcrawler_spark.parse.router import parse_routed
+
+    pages = spark.createDataFrame(
+        [
+            Row(
+                url="https://a.example/doc.pdf",
+                content=bytearray(
+                    build_pdf("riched doc text", link="https://a.example/next")
+                ),
+            ),
+            Row(
+                url="https://a.example/page.html",
+                content=bytearray(b"<html><body>hi</body></html>"),
+            ),
+            Row(url="https://a.example/img.png",
+                content=bytearray(b"\x89PNG\r\n\x1a\nxxxx")),
+        ]
+    )
+    routed = parse_routed(pages)
+    rich = routed["richdocs"].collect()
+    assert len(rich) == 1
+    assert rich[0].url == "https://a.example/doc.pdf"
+    assert rich[0].text == "riched doc text"
+    assert list(rich[0].outlinks) == ["https://a.example/next"]
+    other = routed["other"].collect()
+    assert [r.url for r in other] == ["https://a.example/img.png"]
+
+
+def test_parse_richdocs_stage_schema(spark):
+    from pyspark.sql import Row
+
+    pages = spark.createDataFrame(
+        [Row(url="u1", content=bytearray(build_pdf("alpha beta")))]
+    )
+    out = parse_richdocs(pages)
+    assert out.columns == ["url", "text", "title", "n_pages", "outlinks"]
+    r = out.collect()[0]
+    assert r.text == "alpha beta" and r.n_pages == 1
