@@ -449,6 +449,58 @@ def q_parse_richdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xpath_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML XPathFilter end-to-end: deterministic HTML pages built from the
+    documents table, then //TITLE string(), //P[@class] NODESET, and
+    //META/@content attribute extraction over the tolerant DOM
+    (parse/xpath_html.py — XPathFilter.java:55 semantics on real HTML)."""
+    import pandas as pd
+
+    from incubator_stormcrawler_spark.parse.xpath_html import (
+        xpath_extract_html,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") < 100)
+        .select("doc_id", "text")
+    )
+
+    def to_html(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                lead = " ".join(row.text.split(" ")[:8])
+                out.append(
+                    {
+                        "url": f"https://docs.example/h{int(row.doc_id)}",
+                        "content": (
+                            f"<html><head><title>Doc {int(row.doc_id)}"
+                            f'</title><meta name="lang" content="en">'
+                            f'</head><body><p class="lead">{lead}'
+                            f"<div>{row.text}</div></body></html>"
+                        ).encode(),
+                    }
+                )
+            yield pd.DataFrame(out, columns=["url", "content"])
+
+    pages = docs.mapInPandas(to_html, schema="url string, content binary")
+    out = xpath_extract_html(
+        pages,
+        {
+            "title": "string(//TITLE)",
+            "lead": '//P[@class="lead"]',
+            "lang": '//META[@name="lang"]/@content',
+        },
+    )
+    return out.select(
+        F.regexp_extract("url", r"/h(\d+)$", 1).cast("bigint").alias("doc_id"),
+        F.element_at("title", 1).alias("title"),
+        F.element_at("lead", 1).alias("lead"),
+        F.element_at("lang", 1).alias("lang"),
+    )
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for the first 20 query vectors."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -1007,6 +1059,15 @@ SELECT query_id, vec_id, round(sim_raw, 4) AS sim, rank FROM (
 ) WHERE rank <= 5
 """
 
+_ORACLES["xpath_html"] = """
+SELECT doc_id,
+       'Doc ' || doc_id AS title,
+       array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ')
+         AS lead,
+       'en' AS lang
+FROM documents WHERE doc_id < 100
+"""
+
 _ORACLES["parse_richdoc"] = """
 SELECT doc_id,
        text,
@@ -1506,6 +1567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "doc_fingerprint": q_doc_fingerprint,
         "parse_richdoc": q_parse_richdoc,
+        "xpath_html": q_xpath_html,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "embedding_cosine_pairs": q_embedding_cosine_pairs,

@@ -147,13 +147,13 @@ def ldjson_extract(
 
 
 def xpath_extract(docs: DataFrame, expressions: dict[str, str]) -> DataFrame:
-    """XPathFilter (parse/filter/XPathFilter.java:55). Spark ships an
-    ``xpath`` SQL function for well-formed XML; crawl HTML rarely is, and
-    lxml isn't in this container, so only the XML path is wired:
+    """XPathFilter (parse/filter/XPathFilter.java:55) — XML fast path.
+    Spark ships an ``xpath`` SQL function for well-formed XML (JVM-side,
+    codegen); real crawl HTML goes through
+    ``parse.xpath_html.xpath_extract_html``, which evaluates the same
+    expression subset over a tolerant DOM.
 
-    expressions: {out_col: xpath} applied via F.xpath on content-as-string.
-    Raises cleanly for HTML inputs (caller routes XHTML/XML docs here —
-    same contract as the reference's DocumentFragment-needing filters)."""
+    expressions: {out_col: xpath} applied via F.xpath on content-as-string."""
     out = docs
     xml = F.col("content").cast("string")
     for out_col, xp in expressions.items():
