@@ -55,6 +55,13 @@ def main() -> None:
             print(f"baseline bench error: {ex}", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Baselines go to stderr (BASELINE.md already records them) so stdout
+    # ends with ONE compact JSON line — the driver keeps a bounded tail of
+    # the output, and a long line would lose its head (BENCH_r01 parsed
+    # null for exactly that reason).
+    if baselines:
+        print("baselines: " + json.dumps(baselines, separators=(",", ":")),
+              file=sys.stderr)
     print(
         json.dumps(
             {
@@ -62,10 +69,11 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "baselines": baselines,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+            },
+            separators=(",", ":"),
+        ),
+        flush=True,
     )
 
 

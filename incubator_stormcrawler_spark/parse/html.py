@@ -142,9 +142,47 @@ class _Extractor(HTMLParser):
         self.text_parts.append(data)
 
 
+def _decodes_strict(sample: bytes, encoding: str) -> str | None:
+    """Strict decode tolerating a multibyte char cut at the sample edge."""
+    for trim in (0, 1, 2, 3):
+        try:
+            return sample[: len(sample) - trim or None].decode(encoding)
+        except UnicodeDecodeError:
+            continue
+    return None
+
+
+def sniff_charset_statistical(content: bytes) -> str:
+    """Content-based charset detection — the fallback role ICU4J plays in
+    the reference (util/CharsetIdentification.java, used from
+    JSoupParserBolt.java:217-233). Frequency heuristic, no ICU needed:
+    valid strict UTF-8 wins (multibyte UTF-8 is self-synchronizing, false
+    positives are vanishingly rare); otherwise a strict Shift-JIS decode
+    whose non-ASCII chars land mostly in the kana/CJK blocks picks
+    Shift-JIS; anything else is ISO-8859-1 (which decodes any byte)."""
+    sample = content[:8192]
+    if _decodes_strict(sample, "utf-8") is not None:
+        return "utf-8"
+    txt = _decodes_strict(sample, "shift_jis")
+    if txt is not None:
+        jp = sum(
+            1
+            for ch in txt
+            if "぀" <= ch <= "ヿ"  # hiragana + katakana
+            or "一" <= ch <= "鿿"  # CJK unified
+            or "｡" <= ch <= "ﾟ"  # half-width kana
+        )
+        non_ascii = sum(1 for ch in txt if ord(ch) > 127)
+        if non_ascii and jp / non_ascii >= 0.5:
+            return "shift_jis"
+    return "iso-8859-1"
+
+
 def detect_charset(content: bytes, content_type: str | None = None) -> str:
-    """BOM → header charset → meta charset → utf-8 fallback
-    (CharsetIdentification.java order, sans ICU statistical detection)."""
+    """BOM → header charset → meta charset → content-based statistical
+    fallback (CharsetIdentification.java order; the last step replaces the
+    old blind utf-8-replace, which mojibake'd legacy-encoding pages and
+    thereby corrupted dedup signatures and training text)."""
     if content.startswith(b"\xef\xbb\xbf"):
         return "utf-8"
     if content.startswith((b"\xff\xfe", b"\xfe\xff")):
@@ -156,7 +194,7 @@ def detect_charset(content: bytes, content_type: str | None = None) -> str:
     m = _META_CHARSET_RE.search(content[:4096])
     if m:
         return m.group(1).decode("ascii", "replace").lower()
-    return "utf-8"
+    return sniff_charset_statistical(content)
 
 
 def looks_like_html(content: bytes) -> bool:
