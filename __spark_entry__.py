@@ -362,6 +362,15 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.ngram_jaccard_pairs(_docs_augmented(spark, sf_dir), n=3, threshold=0.6)
 
 
+def q_dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stop-shingle variant: shingles appearing in > 20 docs are dropped
+    before the self-join — the DF cap that keeps the exact-Jaccard verify
+    stage bounded when boilerplate shingles would otherwise fan out."""
+    return dd.ngram_jaccard_pairs(
+        _docs_augmented(spark, sf_dir), n=3, threshold=0.6, max_shingle_df=20
+    )
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidates (8 hashes, 4 bands × 2 rows) with est_sim ≥ 0.5."""
     return dd.lsh_candidate_pairs(
@@ -914,6 +923,26 @@ sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_common
   FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT doc1, doc2,
+       round(n_common / (s1.n_sh + s2.n_sh - n_common), 4) AS jaccard
+FROM common
+JOIN sizes s1 ON s1.doc_id = doc1
+JOIN sizes s2 ON s2.doc_id = doc2
+WHERE round(n_common / (s1.n_sh + s2.n_sh - n_common), 4) >= 0.6
+"""
+
+_ORACLES["dedup_ngram_jaccard_capped"] = f"""
+WITH {_DOCS_AUG_CTE.strip()}, {_SHINGLE_CTE.strip()},
+kept AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 20
+),
+shc AS (SELECT sh.* FROM sh JOIN kept USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_common
+  FROM shc a JOIN shc b USING (shingle)
   WHERE a.doc_id < b.doc_id GROUP BY 1, 2
 )
 SELECT doc1, doc2,
@@ -1560,6 +1589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # LLM-data-pipeline operators
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_ngram_jaccard_capped": q_dedup_ngram_jaccard_capped,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "text_simhash": q_text_simhash,

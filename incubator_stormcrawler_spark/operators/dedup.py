@@ -79,16 +79,35 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, n: int = 3, threshold: float = 0.6
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.6,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard near-dup pairs over word n-gram shingle sets.
 
     shingle self-join → common counts → |A∪B| = |A|+|B|−|A∩B|. The
-    self-join key is the shingle, so hot shingles fan out — at scale run
-    AFTER LSH candidate generation (this is the verify stage), or cap
-    shingle document-frequency first (stop-shingle removal).
+    self-join key is the shingle, so hot shingles fan out quadratically —
+    at scale either run AFTER LSH candidate generation (the verify-stage
+    role) or set ``max_shingle_df``: shingles occurring in more than that
+    many documents ("stop shingles" — boilerplate, headers) are dropped
+    from BOTH the join and the set sizes before the self-join, capping any
+    shingle's fan-out at max_shingle_df² rows. Dropping them from the
+    sizes too keeps the Jaccard exact over the REMAINING shingle sets (the
+    standard stop-shingle construction); tests pin that planted near-dups
+    survive the cap.
     """
     sh = with_shingles(docs, n)
+    if max_shingle_df is not None:
+        # one partial-aggregable groupBy; the DF filter is a broadcastable
+        # semi-join on the (small) surviving-shingle dictionary
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(keep), "shingle", "left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -68,6 +68,35 @@ def test_simhash_pairs_banding_equals_brute(spark, docs):
     assert got == brute
 
 
+def test_ngram_jaccard_stop_shingle_cap(spark):
+    """max_shingle_df drops boilerplate shingles shared by every doc but
+    keeps true near-dup pairs: 30 docs share an identical header (its
+    shingles have DF=30 > cap) plus unique bodies; docs 100/101 are real
+    near-dups. Uncapped, the header makes all 435 pairs join candidates;
+    capped, only the true pair survives with Jaccard on body shingles."""
+    header = "site nav home about contact terms privacy copyright"
+    rows = [
+        Row(doc_id=i, text=header + " " + " ".join(
+            f"body{i}w{k}" for k in range(12)))
+        for i in range(30)
+    ]
+    near = "unique alpha beta gamma delta epsilon zeta eta theta iota"
+    rows.append(Row(doc_id=100, text=near))
+    rows.append(Row(doc_id=101, text=near + " extra"))
+    docs = spark.createDataFrame(rows)
+
+    capped = {(r.doc1, r.doc2): r.jaccard for r in dd.ngram_jaccard_pairs(
+        docs, threshold=0.5, max_shingle_df=20).collect()}
+    assert (100, 101) in capped  # true near-dup survives the cap
+    assert all(d1 >= 100 for d1, _ in capped)  # header pairs gone
+
+    # and the capped join processes far fewer shingle rows: every header
+    # shingle (DF=30) is dropped, unique body shingles remain
+    uncapped = {(r.doc1, r.doc2) for r in dd.ngram_jaccard_pairs(
+        docs, threshold=0.5).collect()}
+    assert (100, 101) in uncapped
+
+
 def test_simhash_band_selectivity_and_recall(spark):
     """The 16-bit banding must be SELECTIVE on a realistic-vocabulary corpus:
     candidates ≪ all-pairs (the 8-bit/32-bit predecessor degenerated to
