@@ -31,7 +31,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.filtering import URLFilterChain, apply_filter_chain
-from ..functions.urls import bucket_expr, host_key_expr
 from ..operators.frontier import frontier_topk
 from ..operators.status_merge import merge_status_updates
 from ..parse.html import parse_pages, split_parse_streams
@@ -57,6 +56,7 @@ class CrawlLoop:
         content_cache=None,
         metrics_path: str | None = None,
         fetch_threads: int = 1,
+        bucket_partitioned: bool = False,
     ):
         self.spark = spark
         self.frontier_path = frontier_path
@@ -76,7 +76,15 @@ class CrawlLoop:
         self.metrics_path = metrics_path
         self.fetch_threads = fetch_threads
         self.generation = 0
-        self.table = FrontierTable(frontier_path)
+        # bucket_partitioned=True stores hive-partitioned snapshots and
+        # merges incrementally (FrontierTable.merge_commit): only buckets
+        # touched by a generation's updates are re-read and rewritten —
+        # the Delta MERGE INTO plan shape, mandatory at 100 TB
+        self.bucket_partitioned = bucket_partitioned
+        self.table = FrontierTable(
+            frontier_path,
+            partition_by="bucket" if bucket_partitioned else None,
+        )
         # crawl depth rides as a flat column next to the frontier schema;
         # adaptive mode adds (signature, fetch_interval) for change-driven
         # refetch intervals (AdaptiveScheduler)
@@ -109,8 +117,18 @@ class CrawlLoop:
             updates = updates.withColumn(
                 "signature", F.lit(None).cast("string")
             )
+        self._merge_and_write(updates, now)
+
+    def _merge_and_write(self, updates: DataFrame, now: str) -> DataFrame:
+        """Merge one batch of status updates into the frontier and commit;
+        returns the merged table. Incremental (partition-pruned) when
+        bucket-partitioned and a snapshot already exists."""
+        if self.bucket_partitioned and self.table.exists():
+            self.table.merge_commit(self.spark, updates, now)
+            return self.read_frontier()
         merged = merge_status_updates(self.read_frontier(), updates, now)
         self._write_frontier(merged)
+        return merged
 
     # -- one generation ----------------------------------------------------
     def run_generation(self) -> dict:
@@ -290,12 +308,7 @@ class CrawlLoop:
             "discovered": discovered.count(),
             "cache_hits": cache_hits,
         }
-        merged = merge_status_updates(frontier, updates, now)
-        merged = merged.withColumn(
-            "key", F.coalesce(F.col("key"), host_key_expr(F.col("url")))
-        ).withColumn(
-            "bucket", F.coalesce(F.col("bucket"), bucket_expr(F.col("key")))
-        )
+        merged = self._merge_and_write(updates, now)
         if self.metrics_path:
             # per-generation metrics table (StatusMetricsBolt cadence)
             self.spark.createDataFrame(
@@ -308,7 +321,6 @@ class CrawlLoop:
             _status_counts(merged).withColumn(
                 "generation", F.lit(self.generation)
             ).write.mode("append").parquet(self.metrics_path + "_status")
-        self._write_frontier(merged)
         fetched.unpersist()
         parsed.unpersist()
         return counts

@@ -320,3 +320,33 @@ def test_status_metrics_table(spark, tmp_path):
     rows = {(r.generation, r.status): r.num_urls for r in status.collect()}
     assert rows[(1, "FETCHED")] == 1
     assert rows[(2, "FETCHED")] == 1
+
+
+def test_bucket_partitioned_loop_matches_default(spark, tmp_path):
+    """The incremental bucket-partitioned merge path (FrontierTable.
+    merge_commit wired into the loop) must converge to the same frontier
+    as the default full-rewrite path."""
+    site = build_site(3, 4)
+
+    def run(path, **kw):
+        loop = CrawlLoop(
+            spark,
+            frontier_path=str(tmp_path / path),
+            protocol_factory=lambda: MemoryProtocol(site),
+            server_delay=0.0,
+            **kw,
+        )
+        loop.inject_seeds(
+            spark.createDataFrame([("https://h0.example/p0",)], ["url"])
+        )
+        loop.run(3)
+        return sorted(
+            (r.url, r.status, str(r.next_fetch_date), r.error_count,
+             r.key, r.bucket, r.depth)
+            for r in loop.read_frontier().collect()
+        )
+
+    default = run("f_default")
+    partitioned = run("f_bucketed", bucket_partitioned=True)
+    assert partitioned == default
+    assert len(default) == len(site)  # closed graph fully discovered

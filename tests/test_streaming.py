@@ -185,6 +185,77 @@ def test_bucket_partitioned_frontier_prunes(spark, tmp_path):
     assert rows and all(r.bucket == 4 for r in rows)
 
 
+def test_merge_commit_rewrites_only_touched_buckets(spark, tmp_path):
+    """The Delta-MERGE-shaped commit: update batch touches a subset of
+    buckets → only those partitions are re-merged and rewritten; untouched
+    partitions carry forward as hard links (same inode = zero bytes
+    rewritten), the pruned scan is a PartitionFilter, and the merged table
+    equals a full-table merge."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from incubator_stormcrawler_spark.operators.status_merge import (
+        merge_status_updates,
+    )
+    from incubator_stormcrawler_spark.operators.synthetic import (
+        synthetic_frontier,
+    )
+
+    NOW = "2024-01-15 00:00:00"
+    table = FrontierTable(str(tmp_path / "f"), partition_by="bucket")
+    frontier = synthetic_frontier(spark, "/root/testdata/sf0.001")
+    table.commit(frontier)
+    v1 = table.current_version()
+
+    # updates confined to two hosts → ≤ 2 buckets touched
+    updates = spark.createDataFrame(
+        [("https://host1.example/p101", "FETCHED"),
+         ("https://host1.example/brandnew", "DISCOVERED"),
+         ("https://host2.example/p2", "FETCH_ERROR")],
+        "url string, status string",
+    )
+    v2 = table.merge_commit(spark, updates, NOW)
+    assert v2 == v1 + 1
+
+    snap1 = os.path.join(table.path, f"v{v1:06d}")
+    snap2 = os.path.join(table.path, f"v{v2:06d}")
+    touched = {
+        r.bucket
+        for r in frontier.where(
+            F.col("key").isin("host1.example", "host2.example")
+        ).select("bucket").distinct().collect()
+    }
+    all_buckets = {
+        int(d.split("=")[1]) for d in os.listdir(snap2)
+        if d.startswith("bucket=")
+    }
+    assert touched < all_buckets  # strictly a subset was touched
+
+    for b in all_buckets - touched:
+        old_files = sorted(glob.glob(f"{snap1}/bucket={b}/*.parquet"))
+        new_files = sorted(glob.glob(f"{snap2}/bucket={b}/*.parquet"))
+        assert old_files and len(old_files) == len(new_files)
+        for o, n in zip(old_files, new_files):
+            assert os.path.samefile(o, n)  # hard link, not a rewrite
+
+    # merged table == full-table merge (order-insensitive)
+    got = sorted(
+        map(tuple, table.read(spark).collect()), key=lambda t: t[0]
+    )
+    want = sorted(
+        map(tuple, merge_status_updates(frontier, updates, NOW).collect()),
+        key=lambda t: t[0],
+    )
+    assert got == want
+
+    # and the pruned read is partition-filtered, not row-filtered
+    pruned = table.read(spark).where(F.col("bucket").isin(sorted(touched)))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "bucket" in plan.split(
+        "PartitionFilters:")[1][:160]
+
+
 def test_stateful_url_dedup(spark, tmp_path):
     """Streaming dedup cache: first sighting of a URL emits; repeats within
     the TTL are suppressed (the Caffeine-cache semantics)."""
