@@ -1037,29 +1037,45 @@ SELECT doc_id,
 FROM t
 """
 
-_ORACLES["text_langid"] = """
+# Generated from functions.text.STOPWORDS so the 16-language list can
+# never drift between the Spark expression and the oracle.
+def _langid_oracle_sql() -> str:
+    from incubator_stormcrawler_spark.functions.text import STOPWORDS
+
+    def duck_list(words):
+        inner = ",".join("'" + w.replace("'", "''") + "'" for w in words)
+        return f"[{inner}]"
+
+    score_cols = ",\n    ".join(
+        f"len(list_filter(toks, x -> list_contains({duck_list(ws)}, x)))"
+        f" AS score_{lang}"
+        for lang, ws in STOPWORDS.items()
+    )
+    score_names = ", ".join(f"score_{lang}" for lang in STOPWORDS)
+    best = f"greatest({score_names})"
+    # first language in dict order wins ties (same as the when() chain)
+    pred_cases = "\n    ".join(
+        f"WHEN score_{lang} = {best} THEN '{lang}'" for lang in STOPWORDS
+    )
+    return f"""
 WITH t AS (
   SELECT doc_id, string_split(text, ' ') AS toks FROM documents
 ), s AS (
   SELECT doc_id, len(toks) AS n_tok,
-    len(list_filter(toks, x -> list_contains(['the','a','of','and','to'], x))) AS score_en,
-    len(list_filter(toks, x -> list_contains(['der','die','das','und','nicht'], x))) AS score_de,
-    len(list_filter(toks, x -> list_contains(['le','la','les','et','pas'], x))) AS score_fr,
-    len(list_filter(toks, x -> list_contains(['el','los','las','y','no'], x))) AS score_es
+    {score_cols}
   FROM t
 )
-SELECT doc_id, score_en, score_de, score_fr, score_es,
-  round(greatest(score_en, score_de, score_fr, score_es)
-        / greatest(n_tok, 1), 4) AS confidence,
+SELECT doc_id, {score_names},
+  round({best} / greatest(n_tok, 1), 4) AS confidence,
   CASE
-    WHEN greatest(score_en, score_de, score_fr, score_es) = 0 THEN 'und'
-    WHEN score_en = greatest(score_en, score_de, score_fr, score_es) THEN 'en'
-    WHEN score_de = greatest(score_en, score_de, score_fr, score_es) THEN 'de'
-    WHEN score_fr = greatest(score_en, score_de, score_fr, score_es) THEN 'fr'
-    WHEN score_es = greatest(score_en, score_de, score_fr, score_es) THEN 'es'
+    WHEN {best} = 0 THEN 'und'
+    {pred_cases}
     ELSE 'und' END AS lang_pred
 FROM s
 """
+
+
+_ORACLES["text_langid"] = _langid_oracle_sql()
 
 _ORACLES["doc_fingerprint"] = """
 WITH n AS (

@@ -15,12 +15,28 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# Tiny per-language stopword anchors for the n-gram/stopword heuristic.
+# Tiny per-language stopword anchors for the n-gram/stopword heuristic —
+# 16 languages toward the reference detector's breadth (optimaize covers
+# 70+; a model-backed pandas_udf slots into the same contract for the
+# rest). Each anchor word appears in exactly one language's list so scores
+# never tie by construction (asserted in tests/test_properties.py).
 STOPWORDS = {
     "en": ["the", "a", "of", "and", "to"],
     "de": ["der", "die", "das", "und", "nicht"],
     "fr": ["le", "la", "les", "et", "pas"],
     "es": ["el", "los", "las", "y", "no"],
+    "pt": ["o", "os", "uma", "não", "com"],
+    "it": ["il", "gli", "che", "per", "non"],
+    "nl": ["de", "het", "een", "van", "niet"],
+    "sv": ["och", "att", "det", "som", "på"],
+    "da": ["og", "jeg", "ikke", "til", "er"],
+    "pl": ["nie", "się", "jest", "na", "z"],
+    "cs": ["že", "aby", "jako", "ale", "si"],
+    "ro": ["și", "este", "pentru", "dar", "nu"],
+    "tr": ["ve", "bir", "bu", "için", "değil"],
+    "id": ["yang", "dan", "tidak", "dengan", "untuk"],
+    "fi": ["ja", "on", "ei", "että", "mutta"],
+    "ru": ["и", "в", "не", "что", "это"],
 }
 
 

@@ -99,3 +99,47 @@ def test_simhash_banding_pigeonhole(a, b):
                       for i in range(4))
     if ham <= 3:
         assert bytes_equal
+
+
+def test_stopword_anchors_unique_across_languages():
+    """Each anchor word belongs to exactly one language, so argmax scores
+    cannot tie between languages on single-language text."""
+    from incubator_stormcrawler_spark.functions.text import STOPWORDS
+
+    assert len(STOPWORDS) >= 16
+    all_words = [w for ws in STOPWORDS.values() for w in ws]
+    assert len(all_words) == len(set(all_words))
+
+
+def test_langid_multilingual_snippets(spark):
+    """Single-language snippets across the 16 supported languages must be
+    identified; evidence-free text falls back to 'und'."""
+    from pyspark.sql import Row
+
+    from incubator_stormcrawler_spark.functions.text import langid_scores
+
+    snippets = {
+        "en": "the cat sat of the mat and went to sleep",
+        "de": "der hund und die katze sind nicht da",
+        "fr": "le chien et les chats ne sont pas ici",
+        "es": "el perro y los gatos no están aquí",
+        "pt": "o cão não está com os gatos uma vez",
+        "it": "il cane non è che per gli amici",
+        "nl": "de hond het huis een kat van niet",
+        "sv": "och katten att det som ligger på mattan",
+        "da": "og jeg er ikke til hunden",
+        "pl": "nie wiem czy to jest na pewno z nim się",
+        "cs": "že aby to bylo jako ale si",
+        "ro": "și este pentru dar nu acum",
+        "tr": "ve bir bu için değil evet",
+        "id": "yang dan tidak dengan untuk kita",
+        "fi": "ja on ei että mutta kissa",
+        "ru": "и в не что это дом",
+        "und": "zzz qqq xxx yyy www",
+    }
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(snippets.values())]
+    )
+    got = {r.doc_id: r.lang_pred for r in langid_scores(docs).collect()}
+    want = dict(enumerate(snippets))
+    assert got == want
