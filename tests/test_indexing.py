@@ -156,3 +156,94 @@ def test_write_opensearch_bulk_http(spark, tmp_path):
     # batching respected: no request carried more than 3 docs
     for _, b in received:
         assert len(b.strip().split("\n")) <= 6
+
+
+# -- CloudSearch sink (external/aws/.../CloudSearchIndexerBolt.java:69) -----
+
+def test_cloudsearch_doc_id_and_field_cleaning():
+    from incubator_stormcrawler_spark.operators.cloudsearch import (
+        cs_clean_field_name,
+        cs_doc_id,
+    )
+    import hashlib
+
+    assert cs_doc_id("https://a.example/") == hashlib.sha512(
+        b"https://a.example/").hexdigest()
+    assert len(cs_doc_id("x")) == 128
+    assert cs_clean_field_name("Content-Type") == "content_type"
+    assert cs_clean_field_name("parse.title") == "parse_title"
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        cs_clean_field_name("ab")  # < 3 chars
+
+
+def test_cloudsearch_add_doc_field_rules():
+    from incubator_stormcrawler_spark.operators.cloudsearch import (
+        build_add_doc,
+    )
+
+    field_types = {
+        "keywords": "text-array",
+        "title": "text",
+        "published": "date",
+        "url": "text",
+        "content": "text",
+    }
+    doc = build_add_doc(
+        "https://a.example/page",
+        {
+            "keywords": ["a", "b", "c"],          # array type keeps all
+            "title": ["first", "second"],          # scalar keeps first
+            "published": ["2024-01-15T00:00:00.000Z", "not-a-date"],
+            "Unknown-Field": ["dropped"],          # not in domain schema
+        },
+        "body text with bad\x00codepoint",
+        field_types,
+    )
+    assert doc["type"] == "add"
+    assert doc["fields"]["keywords"] == ["a", "b", "c"]
+    assert doc["fields"]["title"] == "first"
+    assert doc["fields"]["published"] == "2024-01-15T00:00:00.000Z"
+    assert "unknown_field" not in doc["fields"]
+    assert doc["fields"]["url"] == "https://a.example/page"
+    assert doc["fields"]["content"] == "body text with badcodepoint"
+
+
+def test_cloudsearch_invalid_dates_dropped():
+    from incubator_stormcrawler_spark.operators.cloudsearch import (
+        build_add_doc,
+    )
+
+    doc = build_add_doc(
+        "https://a.example/", {"published": ["2024/01/15"]},
+        None, {"published": "date"}, url_field="", text_field="",
+    )
+    assert "published" not in doc["fields"]
+
+
+def test_cloudsearch_batching_limits():
+    from incubator_stormcrawler_spark.operators.cloudsearch import (
+        batch_sdf_documents,
+        build_add_doc,
+        build_delete_doc,
+    )
+    import json
+
+    ops = [
+        build_add_doc(f"https://a.example/p{i}", {}, "x" * 100,
+                      {"content": "text"})
+        for i in range(10)
+    ] + [build_delete_doc("https://a.example/gone")]
+    # small byte cap forces multiple batches; every batch is valid JSON
+    bodies = list(batch_sdf_documents(ops, max_batch_bytes=700))
+    assert len(bodies) > 1
+    parsed = [d for b in bodies for d in json.loads(b)]
+    assert len(parsed) == 11
+    assert all(len(b.encode()) < 700 for b in bodies)
+    assert parsed[-1]["type"] == "delete"
+    # doc-count cap
+    assert len(list(batch_sdf_documents(ops, max_docs=4))) == 3
+    # oversized single doc dropped
+    big = build_add_doc("https://a.example/big", {}, "y" * 2000,
+                        {"content": "text"})
+    assert list(batch_sdf_documents([big], max_doc_bytes=500)) == []
