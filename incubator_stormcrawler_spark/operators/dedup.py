@@ -99,15 +99,18 @@ def ngram_jaccard_pairs(
     """
     sh = with_shingles(docs, n)
     if max_shingle_df is not None:
-        # one partial-aggregable groupBy; the DF filter is a broadcastable
-        # semi-join on the (small) surviving-shingle dictionary
-        keep = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
+        # count-over-window instead of aggregate+semi-join: the shingle
+        # explode runs ONCE, and the window's hash-partitioning on shingle
+        # is exactly what the downstream self-join needs, so the exchange
+        # is reused rather than repeated
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("shingle")
+        sh = (
+            sh.withColumn("df", F.count(F.lit(1)).over(w))
             .where(F.col("df") <= max_shingle_df)
-            .select("shingle")
+            .drop("df")
         )
-        sh = sh.join(F.broadcast(keep), "shingle", "left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
