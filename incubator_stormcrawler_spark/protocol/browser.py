@@ -1,12 +1,17 @@
 """Browser-rendered fetching — the selenium/playwright protocol slot
-(core/.../protocol/selenium/*, external/playwright/.../HttpProtocol.java:51
-with its NavigationFilters hook).
+(core/.../protocol/selenium/RemoteDriverProtocol.java,
+external/playwright/.../HttpProtocol.java:51 with its NavigationFilters
+hook).
 
-Playwright isn't in this container, so the class import-gates: with the
-library present it renders pages headlessly (returning post-JS DOM bytes);
-without it, construction raises a clear error. The ``navigation_filter``
-hook mirrors the reference's NavigationFilters: a callable given the page
-object before content extraction (scroll, wait, click-consent...).
+Playwright isn't in this container, so the default construction
+import-gates with a clear error. The page-driving logic itself is
+driver-agnostic: anything exposing ``new_page(user_agent=...)`` →
+page.goto/content/close works, so tests exercise the REAL render path
+(status propagation, navigation-filter hook, rendered metadata, error
+handling, guaranteed page close) against a fake driver — the same pattern
+as the reference's RemoteDriverProtocolTest against a stub grid. The
+``navigation_filter`` hook mirrors NavigationFilters: a callable given the
+page object before content extraction (scroll, wait, click-consent...).
 """
 
 from __future__ import annotations
@@ -16,36 +21,43 @@ import time
 from .fetch import Protocol, ProtocolResponse
 
 
+def _playwright_browser_factory(agent: str):  # pragma: no cover - gated
+    from playwright.sync_api import sync_playwright
+
+    pw = sync_playwright().start()
+    return pw.chromium.launch(headless=True)
+
+
 class PlaywrightProtocol(Protocol):
     def __init__(
         self,
         timeout: float = 15.0,
         agent: str = "stormcrawler-spark",
         navigation_filter=None,
+        browser_factory=None,
     ):
-        try:
-            from playwright.sync_api import sync_playwright  # noqa: F401
-        except ImportError as e:  # pragma: no cover - not in container
-            raise ImportError(
-                "PlaywrightProtocol requires the 'playwright' package "
-                "(pip install playwright && playwright install chromium); "
-                "use HttpProtocol or DelegatorProtocol routing otherwise"
-            ) from e
+        if browser_factory is None:
+            try:
+                from playwright.sync_api import sync_playwright  # noqa: F401
+            except ImportError as e:
+                raise ImportError(
+                    "PlaywrightProtocol requires the 'playwright' package "
+                    "(pip install playwright && playwright install chromium);"
+                    " use HttpProtocol or DelegatorProtocol routing otherwise"
+                ) from e
+            browser_factory = _playwright_browser_factory
         self.timeout = timeout
         self.agent = agent
         self.navigation_filter = navigation_filter
-        self._pw = None
+        self._browser_factory = browser_factory
         self._browser = None
 
-    def _ensure_browser(self):  # pragma: no cover - needs playwright
+    def _ensure_browser(self):
         if self._browser is None:
-            from playwright.sync_api import sync_playwright
-
-            self._pw = sync_playwright().start()
-            self._browser = self._pw.chromium.launch(headless=True)
+            self._browser = self._browser_factory(self.agent)
         return self._browser
 
-    def get_protocol_output(self, url, metadata):  # pragma: no cover
+    def get_protocol_output(self, url, metadata):
         browser = self._ensure_browser()
         page = browser.new_page(user_agent=self.agent)
         try:

@@ -308,3 +308,108 @@ def test_robots_sitemap_autodiscovery():
         by_status.setdefault(r.status, []).append(r.url)
     assert by_status["FETCHED"] == ["https://a.example/page"]
     assert by_status["DISCOVERED"] == ["https://a.example/sitemap.xml"]
+
+
+# -- browser protocol against a fake driver (RemoteDriverProtocolTest
+#    pattern — external/playwright/.../HttpProtocol.java:51) ---------------
+
+class FakeResp:
+    def __init__(self, status):
+        self.status = status
+
+
+class FakePage:
+    def __init__(self, status=200, html="<html>rendered</html>", fail=False):
+        self._status = status
+        self._html = html
+        self._fail = fail
+        self.closed = False
+        self.goto_url = None
+        self.scrolled = False
+
+    def goto(self, url, timeout=None):
+        if self._fail:
+            raise RuntimeError("net::ERR_CONNECTION_REFUSED")
+        self.goto_url = url
+        return FakeResp(self._status)
+
+    def content(self):
+        return self._html
+
+    def close(self):
+        self.closed = True
+
+
+class FakeBrowser:
+    def __init__(self, page):
+        self._page = page
+        self.agents = []
+
+    def new_page(self, user_agent=None):
+        self.agents.append(user_agent)
+        return self._page
+
+
+def test_browser_protocol_renders_with_fake_driver():
+    from incubator_stormcrawler_spark.protocol.browser import (
+        PlaywrightProtocol,
+    )
+
+    page = FakePage(status=200, html="<html>post-js dom</html>")
+    browser = FakeBrowser(page)
+    proto = PlaywrightProtocol(browser_factory=lambda agent: browser)
+    resp = proto.get_protocol_output("https://a.example/app", {})
+    assert resp.status_code == 200
+    assert resp.content == b"<html>post-js dom</html>"
+    assert resp.metadata["fetch.rendered"] == ["true"]
+    assert resp.metadata["fetch.statusCode"] == ["200"]
+    assert browser.agents == ["stormcrawler-spark"]
+    assert page.goto_url == "https://a.example/app"
+    assert page.closed  # page closed even on success
+
+
+def test_browser_protocol_navigation_filter_hook():
+    from incubator_stormcrawler_spark.protocol.browser import (
+        PlaywrightProtocol,
+    )
+
+    def scroll_to_bottom(page):
+        page.scrolled = True
+
+    page = FakePage()
+    proto = PlaywrightProtocol(
+        browser_factory=lambda agent: FakeBrowser(page),
+        navigation_filter=scroll_to_bottom,
+    )
+    proto.get_protocol_output("https://a.example/", {})
+    assert page.scrolled  # NavigationFilters hook ran before extraction
+
+
+def test_browser_protocol_error_path_closes_page():
+    from incubator_stormcrawler_spark.protocol.browser import (
+        PlaywrightProtocol,
+    )
+
+    page = FakePage(fail=True)
+    proto = PlaywrightProtocol(browser_factory=lambda agent: FakeBrowser(page))
+    resp = proto.get_protocol_output("https://down.example/", {})
+    assert resp.status_code == -1
+    assert "ERR_CONNECTION_REFUSED" in resp.metadata["error.cause"][0]
+    assert page.closed  # finally-close on the error path too
+
+
+def test_browser_protocol_reuses_browser():
+    from incubator_stormcrawler_spark.protocol.browser import (
+        PlaywrightProtocol,
+    )
+
+    calls = []
+
+    def factory(agent):
+        calls.append(agent)
+        return FakeBrowser(FakePage())
+
+    proto = PlaywrightProtocol(browser_factory=factory)
+    proto.get_protocol_output("https://a.example/1", {})
+    proto.get_protocol_output("https://a.example/2", {})
+    assert len(calls) == 1  # one browser per protocol instance
