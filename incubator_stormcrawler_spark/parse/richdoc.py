@@ -3,15 +3,18 @@
 text + metadata extraction, outlink emission, same filter machinery; the
 RedirectionBolt shunt in parse/router.py routes non-HTML here).
 
-Scope: PDF is the dominant rich-doc type in a real crawl, so the built-in
-extractor handles it natively: content streams are located in the raw
-bytes, FlateDecode'd with stdlib zlib, and the text operators (Tj, ', TJ
-arrays, literal + hex strings with full escape handling) are evaluated in
-document order. Link annotations (``/URI``) become outlinks and the
-``/Info`` dictionary yields title metadata — mirroring what Tika's
-PDFParser surfaces. When ``pdfminer.six`` is importable it is preferred
-(broader codec/font coverage); the fallback is pure-Python + zlib, so the
-Spark stage works in any executor image.
+Scope: PDF and DOCX are the dominant rich-doc types in a real crawl, and
+both extract natively here:
+
+* **PDF** — content streams located in the raw bytes, FlateDecode'd with
+  stdlib zlib, text operators (Tj, ', TJ arrays, literal + hex strings
+  with full escape handling) evaluated in document order; ``/URI``
+  annotations become outlinks, the ``/Info`` dictionary yields the title.
+  ``pdfminer.six`` is preferred when importable (broader codec/font
+  coverage).
+* **DOCX** — OOXML zip (stdlib zipfile): ``word/document.xml`` text runs
+  (``w:t``) concatenated, paragraphs separated by newlines; title from
+  ``docProps/core.xml``; hyperlink targets from the relationships part.
 
 The Spark stage is one Arrow-batched ``mapInPandas`` over (url, content) —
 the same batch shape as the HTML parser; no per-row Python round trips.
@@ -149,6 +152,62 @@ def extract_pdf(content: bytes) -> dict:
     }
 
 
+def extract_docx(content: bytes) -> dict:
+    """Extract {text, title, n_pages, outlinks} from a DOCX (OOXML zip).
+
+    ``w:p`` paragraphs → newline-separated text of their ``w:t`` runs;
+    title = ``dc:title`` in docProps/core.xml; outlinks = hyperlink
+    relationship targets. n_pages is 1 (OOXML has no fixed pagination).
+    """
+    import io
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    W = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
+    DC = "{http://purl.org/dc/elements/1.1/}"
+    R = (
+        "{http://schemas.openxmlformats.org/package/2006/relationships}"
+        "Relationship"
+    )
+
+    text = ""
+    title: str | None = None
+    outlinks: list[str] = []
+    with zipfile.ZipFile(io.BytesIO(content)) as zf:
+        names = set(zf.namelist())
+        if "word/document.xml" in names:
+            root = ET.fromstring(zf.read("word/document.xml"))
+            paras = []
+            for p in root.iter(f"{W}p"):
+                runs = [t.text or "" for t in p.iter(f"{W}t")]
+                paras.append("".join(runs))
+            text = "\n".join(paras)
+        if "docProps/core.xml" in names:
+            core = ET.fromstring(zf.read("docProps/core.xml"))
+            el = core.find(f"{DC}title")
+            if el is not None and el.text:
+                title = el.text
+        if "word/_rels/document.xml.rels" in names:
+            rels = ET.fromstring(zf.read("word/_rels/document.xml.rels"))
+            for rel in rels.iter(R):
+                if rel.get("Type", "").endswith("/hyperlink"):
+                    target = rel.get("Target")
+                    if target and target not in outlinks:
+                        outlinks.append(target)
+    return {"text": text, "title": title, "n_pages": 1, "outlinks": outlinks}
+
+
+def extract_richdoc(content: bytes) -> dict:
+    """Magic-sniffing dispatch: %PDF → extract_pdf, PK zip → extract_docx
+    (the ParserBolt's Tika.detect step)."""
+    head = content[:512].lstrip()
+    if head.startswith(b"%PDF"):
+        return extract_pdf(content)
+    if content[:4] == b"PK\x03\x04":
+        return extract_docx(content)
+    return {"text": "", "title": None, "n_pages": 0, "outlinks": []}
+
+
 def _extract_title(content: bytes) -> str | None:
     m = _TITLE_RE.search(content)
     return (
@@ -280,7 +339,7 @@ def parse_richdocs(pages: DataFrame) -> DataFrame:
             for row in pdf.itertuples(index=False):
                 content = bytes(row.content) if row.content is not None else b""
                 try:
-                    d = extract_pdf(content)
+                    d = extract_richdoc(content)
                 except Exception:
                     d = {"text": "", "title": None, "n_pages": 0,
                          "outlinks": []}

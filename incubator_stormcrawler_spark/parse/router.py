@@ -43,6 +43,11 @@ def classify_pages(pages: DataFrame) -> DataFrame:
                     kinds.append("html")
                 elif head.startswith(b"%PDF"):
                     kinds.append("richdoc")  # PDF → rich-document branch
+                elif (
+                    content[:4] == b"PK\x03\x04"
+                    and b"word/document.xml" in content
+                ):
+                    kinds.append("richdoc")  # DOCX (OOXML zip)
                 elif head.startswith(
                     (b"PK\x03\x04", b"\x89PNG", b"GIF8", b"\xff\xd8",
                      b"\x1f\x8b")

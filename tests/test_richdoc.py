@@ -120,3 +120,79 @@ def test_parse_richdocs_stage_schema(spark):
     assert out.columns == ["url", "text", "title", "n_pages", "outlinks"]
     r = out.collect()[0]
     assert r.text == "alpha beta" and r.n_pages == 1
+
+
+def build_docx(paragraphs, title=None, link=None) -> bytes:
+    """Minimal OOXML fixture builder (golden-test helper)."""
+    import io
+    import zipfile
+
+    body = "".join(
+        f"<w:p><w:r><w:t>{p}</w:t></w:r></w:p>" for p in paragraphs
+    )
+    doc = (
+        '<?xml version="1.0"?>'
+        '<w:document xmlns:w="http://schemas.openxmlformats.org/'
+        'wordprocessingml/2006/main"><w:body>' + body +
+        "</w:body></w:document>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("[Content_Types].xml", "<Types/>")
+        zf.writestr("word/document.xml", doc)
+        if title:
+            zf.writestr(
+                "docProps/core.xml",
+                '<cp:coreProperties xmlns:cp="http://schemas.openxmlformats'
+                '.org/package/2006/metadata/core-properties" xmlns:dc='
+                '"http://purl.org/dc/elements/1.1/"><dc:title>' + title +
+                "</dc:title></cp:coreProperties>",
+            )
+        if link:
+            zf.writestr(
+                "word/_rels/document.xml.rels",
+                '<Relationships xmlns="http://schemas.openxmlformats.org/'
+                'package/2006/relationships"><Relationship Id="rId1" Type='
+                '"http://schemas.openxmlformats.org/officeDocument/2006/'
+                'relationships/hyperlink" Target="' + link +
+                '" TargetMode="External"/></Relationships>',
+            )
+    return buf.getvalue()
+
+
+def test_docx_extraction():
+    from incubator_stormcrawler_spark.parse.richdoc import extract_richdoc
+
+    raw = build_docx(
+        ["First paragraph.", "Second paragraph."],
+        title="Quarterly Report",
+        link="https://ex.ample/ref",
+    )
+    d = extract_richdoc(raw)
+    assert d["text"] == "First paragraph.\nSecond paragraph."
+    assert d["title"] == "Quarterly Report"
+    assert d["outlinks"] == ["https://ex.ample/ref"]
+    assert d["n_pages"] == 1
+
+
+def test_docx_routed_to_richdoc_branch(spark):
+    from pyspark.sql import Row
+
+    from incubator_stormcrawler_spark.parse.router import parse_routed
+
+    pages = spark.createDataFrame(
+        [
+            Row(url="https://a.example/report.docx",
+                content=bytearray(build_docx(["docx body text"]))),
+            # a plain (non-OOXML) zip stays in the unsupported branch
+            Row(url="https://a.example/archive.zip",
+                content=bytearray(b"PK\x03\x04randomzipbytes")),
+        ]
+    )
+    routed = parse_routed(pages)
+    rich = routed["richdocs"].collect()
+    assert [r.url for r in rich] == ["https://a.example/report.docx"]
+    assert rich[0].text == "docx body text"
+    assert [r.url for r in routed["other"].collect()] == [
+        "https://a.example/archive.zip"
+    ]
