@@ -93,3 +93,56 @@ def test_pricing_summary_partial_aggregation(spark):
     # two HashAggregates (partial + final) around exactly one exchange
     assert plan.count("HashAggregate") >= 2
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_capped_jaccard_filters_via_window_not_semijoin(spark):
+    """The stop-shingle DF filter is a count-over-window on the shingle
+    partitioning — NOT a separate aggregate + semi-join, which would
+    re-explode the shingles a second time (measured 1.7× slower at
+    sf0.1)."""
+    from pyspark.sql import Row
+
+    from incubator_stormcrawler_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(f"w{i}x{k}" for k in range(20)))
+         for i in range(50)]
+    )
+    plan = plan_of(ngram_jaccard_pairs(docs, max_shingle_df=10))
+    assert "Window" in plan  # the DF count rides a window
+    assert "LeftSemi" not in plan  # no dictionary semi-join rescan
+
+
+def test_block_gemm_dedup_joins_blocks_not_rows(spark):
+    """embedding_cosine_dedup's self-join is over B packed block rows, not
+    N data rows: the only nested-loop join input is the aggregated
+    (ids, vecs) relation, and the GEMM runs in ONE Arrow stage."""
+    from incubator_stormcrawler_spark.operators.similarity import (
+        embedding_cosine_dedup,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = plan_of(embedding_cosine_dedup(emb, threshold=0.4, num_blocks=8))
+    assert "BroadcastNestedLoopJoin" in plan  # B×B block pairing
+    # data rows reach the join only through the collect_list aggregation
+    assert plan.count("ObjectHashAggregate") >= 2  # partial + final pack
+    assert plan.count("MapInPandas") == 1
+
+
+def test_lsh_ann_tables_do_not_multiply_scans(spark):
+    """lsh_cosine_topk computes ALL 6 tables' buckets in one vectorized
+    pass per side: the table count must never multiply the parquet scans
+    (old shape: 6 scans + 6 broadcast builds) or the Arrow stages."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from incubator_stormcrawler_spark.operators.similarity import (
+        lsh_cosine_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5)
+    plan = plan_of(lsh_cosine_topk(emb, q, k=5))
+    assert plan.count("Scan parquet") <= 2  # candidates + queries, once each
+    assert plan.count("ArrowEvalPython") <= 5  # ≪ 2 stages × 6 tables
