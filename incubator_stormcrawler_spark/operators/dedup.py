@@ -37,34 +37,51 @@ def fingerprint_expr(text: F.Column) -> F.Column:
     return F.md5(F.lower(F.regexp_replace(text, r"\s+", " ")))
 
 
-def shingle_array_expr(text_col: str = "text", n: int = 3) -> F.Column:
-    """Distinct word n-gram set per document as an ARRAY column — a pure
-    projection (sequence/transform/array_distinct, no UDF, no shuffle)."""
-    toks = F.split(F.col(text_col), TOKEN_SPLIT)
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    gram = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j) for j in range(n)]
-        ),
-    )
-    shingles = F.when(F.size(toks) >= n, gram).otherwise(
-        F.array().cast("array<string>")
-    )
-    return F.array_distinct(shingles)
+def with_shingles(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    distinct: bool = True,
+) -> DataFrame:
+    """(doc_id, shingle) — word n-grams per document, distinct by default.
 
+    Built codegen-style: explode an index ``sequence`` over the token
+    array, then ``concat_ws`` the n adjacent tokens. The obvious
+    alternative — build the gram array with the ``transform`` higher-order
+    function and explode it — runs ~6× slower end-to-end: HOF lambdas are
+    evaluated interpreted (outside whole-stage codegen), costing ~1 ms per
+    document, while the index-explode form stays fully codegen'd.
 
-def with_shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
-    """(doc_id, shingle) — distinct word n-grams per document.
-
-    Per-doc dedup happens IN the array (array_distinct) before the
-    explode — a projection, not a post-explode .distinct() shuffle. The
-    explode is the only row-multiplying step and feeds partial-aggregable
-    groupBys downstream.
+    ``distinct=True`` adds one (doc_id, shingle) shuffle for set
+    semantics (what Jaccard needs). Duplicate-insensitive consumers
+    (minhash's min-aggregates) pass ``distinct=False`` and skip it —
+    their own partial-aggregable groupBy absorbs duplicates map-side.
     """
-    return docs.select(
-        "doc_id", F.explode(shingle_array_expr(text_col, n)).alias("shingle")
+    toks = F.split(F.col(text_col), TOKEN_SPLIT)
+    grams = (
+        docs.select("doc_id", toks.alias("toks"))
+        # guard BEFORE the sequence: stop < start would generate a
+        # descending index range, not an empty one
+        .where(F.size("toks") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.size("toks") - (n - 1))
+            ).alias("i"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                *[
+                    F.element_at(F.col("toks"), F.col("i") + j)
+                    for j in range(n)
+                ],
+            ).alias("shingle"),
+        )
     )
+    return grams.dropDuplicates(["doc_id", "shingle"]) if distinct else grams
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -123,35 +140,27 @@ def ngram_jaccard_pairs(
             .where(F.col("df") <= max_shingle_df)
             .drop("df")
         )
-        # sizes must count only SURVIVING shingles → derive from sh
-        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    else:
-        # set sizes as a pure projection off the docs — no third
-        # consumption of the exploded relation, so the self-join's two
-        # identical branches share one exchange
-        sizes = docs.select(
-            "doc_id", F.size(shingle_array_expr("text", n)).alias("n_sh")
-        )
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
+    # Set sizes count SURVIVING shingles (post-cap), so the Jaccard stays
+    # exact over the remaining sets. Attaching n_sh to the shingle relation
+    # BEFORE the self-join lets one groupBy produce the final answer — no
+    # post-aggregation size joins. AQE broadcasts `sizes` while the doc set
+    # is small (always true in this operator's post-LSH verify role) and
+    # degrades to a shuffle join for a full-corpus exact run.
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    shs = sh.join(sizes, "doc_id")
+    a = shs.alias("a")
+    b = shs.alias("b")
+    jac = F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common"))
+    return (
         a.join(b, "shingle")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(
-            F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2")
+            F.col("a.doc_id").alias("doc1"),
+            F.col("b.doc_id").alias("doc2"),
+            F.col("a.n_sh").alias("n1"),
+            F.col("b.n_sh").alias("n2"),
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    s1 = sizes.select(
-        F.col("doc_id").alias("doc1"), F.col("n_sh").alias("n1")
-    )
-    s2 = sizes.select(
-        F.col("doc_id").alias("doc2"), F.col("n_sh").alias("n2")
-    )
-    jac = F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common"))
-    return (
-        common.join(s1, "doc1")
-        .join(s2, "doc2")
         .withColumn("jaccard", F.round(jac, 4))
         .where(F.col("jaccard") >= threshold)
         .select("doc1", "doc2", "jaccard")
@@ -168,7 +177,9 @@ def minhash_signatures(
     agree with probability ≈ Jaccard). One explode (×num_hashes) + one
     partial-aggregable groupBy.
     """
-    sh = with_shingles(docs, n)
+    # distinct=False: min() is duplicate-insensitive, so the set-dedup
+    # shuffle would be pure overhead here
+    sh = with_shingles(docs, n, distinct=False)
     # One groupBy with num_hashes parallel min() aggregates instead of a
     # ×num_hashes explode: the shuffle moves each (doc, shingle) row once,
     # and every partial min combines map-side. Then unpivot to (doc, h, v)
@@ -345,16 +356,28 @@ def simhash_band_candidates(sig: DataFrame) -> DataFrame:
         ).alias("bb"),
     ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv"))
     a, b = banded.alias("a"), banded.alias("b")
+    # First-match-band dedup: a pair agreeing on several bands would emerge
+    # from each of those joins; instead of a post-join .distinct() (a full
+    # shuffle of the multiplied candidate set), keep the pair only at its
+    # LOWEST matching band — for band i require every band j < i to differ.
+    # A pure projection filter on the carried signatures; emits each
+    # candidate exactly once.
+    first_match = F.lit(True)
+    for j in range(3):
+        first_match = first_match & (
+            (F.col("band") <= j)
+            | (band_of(F.col("a.simhash"), j) != band_of(F.col("b.simhash"), j))
+        )
     return (
         a.join(b, ["band", "bv"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .where(first_match)
         .select(
             F.col("a.doc_id").alias("doc1"),
             F.col("b.doc_id").alias("doc2"),
             F.col("a.simhash").alias("s1"),
             F.col("b.simhash").alias("s2"),
         )
-        .distinct()
     )
 
 
