@@ -408,6 +408,71 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_fingerprint(docs)
 
 
+def q_corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing an 8-gram with
+    the eval set (docs with doc_id % 97 == 0 play the benchmark). Over the
+    augmented corpus, so exact copies of eval docs are caught under their
+    new doc_ids — the case decontamination exists for."""
+    from incubator_stormcrawler_spark.operators.corpus import decontaminate
+
+    docs = _docs_augmented(spark, sf_dir)
+    eval_docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.expr("mod(doc_id, 97) = 0"))
+        .select("doc_id", "text")
+    )
+    return decontaminate(docs, eval_docs, n=8)
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-doc repetition: duplicated-2-gram occurrence
+    fraction and top-2-gram share per document."""
+    from incubator_stormcrawler_spark.operators.corpus import repetition_metrics
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return repetition_metrics(docs, n=2)
+
+
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction with removal counts, over documents deterministically
+    salted with synthetic emails/phones/IPs (mod-selected docs) so the
+    scrub has known positives to find."""
+    from incubator_stormcrawler_spark.functions.text import pii_scrub
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    did.cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 5 == 0,
+                F.concat(
+                    F.lit(" call +1 555-01"),
+                    F.lpad((did % 100).cast("string"), 2, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 7 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (did % 256).cast("string"),
+                    F.lit(".7 logged"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_scrub(salted)
+
+
 def q_parse_richdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rich-document (Tika-equivalent) branch end-to-end: each document's
     text becomes a multi-page Flate-compressed PDF (deterministic builder),
@@ -1331,6 +1396,74 @@ SELECT doc_id, n_tokens, round(uniq_ratio, 4) AS uniq_ratio,
 FROM m
 """
 
+_GRAM8 = " || ' ' || ".join(f"toks[i+{j}]" if j else "toks[i]" for j in range(8))
+_ORACLES["corpus_decontaminate"] = f"""
+WITH {_DOCS_AUG_CTE.strip()},
+ev AS (
+  SELECT DISTINCT {_GRAM8} AS shingle
+  FROM (SELECT string_split(text, ' ') AS toks FROM documents
+        WHERE mod(doc_id, 97) = 0) d,
+       unnest(generate_series(1, len(toks) - 7)) AS t(i)
+),
+sh8 AS (
+  SELECT DISTINCT doc_id, {_GRAM8} AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM docs_aug) d,
+       unnest(generate_series(1, len(toks) - 7)) AS t(i)
+),
+hits AS (
+  SELECT doc_id, count(*) AS n FROM sh8 JOIN ev USING (shingle) GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(n, 0)::BIGINT AS n_hit_ngrams,
+       coalesce(n, 0) >= 1 AS contaminated
+FROM docs_aug d LEFT JOIN hits USING (doc_id)
+"""
+
+_ORACLES["text_repetition"] = """
+WITH sh2 AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) d,
+       unnest(generate_series(1, len(toks) - 1)) AS t(i)
+), gc AS (
+  SELECT doc_id, g, count(*) AS cnt FROM sh2 GROUP BY 1, 2
+), pd AS (
+  SELECT doc_id, sum(cnt) AS total, max(cnt) AS top_cnt,
+         sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup
+  FROM gc GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(total, 0)::BIGINT AS n_ngrams,
+       round(coalesce(dup / total, 0.0), 4) AS dup_ngram_frac,
+       round(coalesce(top_cnt / total, 0.0), 4) AS top_ngram_frac
+FROM documents d LEFT JOIN pd USING (doc_id)
+"""
+
+# identical literals on both engines (patterns are Java-regex/RE2-portable)
+from incubator_stormcrawler_spark.functions.text import PII_PATTERNS as _PII
+
+_PII_EM, _PII_PH, _PII_IP = _PII["email"], _PII["phone"], _PII["ipv4"]
+_ORACLES["text_pii_scrub"] = f"""
+WITH salted AS (
+  SELECT doc_id, text ||
+    CASE WHEN mod(doc_id, 3) = 0
+         THEN ' contact user' || cast(doc_id AS VARCHAR) || '@example.com'
+         ELSE '' END ||
+    CASE WHEN mod(doc_id, 5) = 0
+         THEN ' call +1 555-01' || lpad(cast(mod(doc_id, 100) AS VARCHAR), 2, '0')
+         ELSE '' END ||
+    CASE WHEN mod(doc_id, 7) = 0
+         THEN ' from 10.0.' || cast(mod(doc_id, 256) AS VARCHAR) || '.7 logged'
+         ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+  len(regexp_extract_all(text, '{_PII_EM}'))::BIGINT AS n_email,
+  len(regexp_extract_all(text, '{_PII_PH}'))::BIGINT AS n_phone,
+  len(regexp_extract_all(text, '{_PII_IP}'))::BIGINT AS n_ipv4,
+  regexp_replace(regexp_replace(regexp_replace(
+    text, '{_PII_EM}', '<EMAIL>', 'g'), '{_PII_PH}', '<PHONE>', 'g'),
+    '{_PII_IP}', '<IPV4>', 'g') AS clean_text
+FROM salted
+"""
+
 
 def _unrolled_label_propagation(pairs_ctes: str, iterations: int = 4) -> str:
     parts = [
@@ -1611,7 +1744,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_simhash": q_text_simhash,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
+        "text_repetition": q_text_repetition,
+        "text_pii_scrub": q_text_pii_scrub,
         "doc_fingerprint": q_doc_fingerprint,
+        "corpus_decontaminate": q_corpus_decontaminate,
         "parse_richdoc": q_parse_richdoc,
         "xpath_html": q_xpath_html,
         "ann_cosine_topk": q_ann_cosine_topk,

@@ -121,3 +121,35 @@ def doc_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.md5(norm).alias("fingerprint"),
         F.md5(prefix).alias("anchor_hash"),
     )
+
+
+# PII patterns kept portable between Java regex (Spark) and RE2 (DuckDB):
+# no lookarounds, no backreferences. Conservative by design — a scrub pass
+# wants recall on the obvious shapes, with model-backed NER as the
+# production swap-in for the long tail.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+[0-9]{1,3}[ -][0-9]{2,4}[ -][0-9]{3,4}[ -]?[0-9]{0,4}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction pass: replace emails / international-format phones /
+    IPv4 addresses with typed placeholder tags and count what was removed
+    (C4-style corpus hygiene; the counts feed the pipeline report).
+
+    A pure projection — regexp_count + chained regexp_replace, codegen'd,
+    no shuffle — so it composes into any scan without a stage break, which
+    is exactly what a 100 TB scrub pass needs (it must ride along an
+    existing read, never force its own).
+    """
+    text = F.col(text_col)
+    counts = [
+        F.regexp_count(text, F.lit(pat)).cast("bigint").alias(f"n_{name}")
+        for name, pat in PII_PATTERNS.items()
+    ]
+    scrubbed = text
+    for name, pat in PII_PATTERNS.items():
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{name.upper()}>")
+    return docs.select("doc_id", *counts, scrubbed.alias("clean_text"))

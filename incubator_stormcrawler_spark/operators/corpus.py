@@ -151,3 +151,90 @@ def dedup_clusters(
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster")
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    min_hits: int = 1,
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing ≥min_hits
+    word n-grams with an evaluation set — the standard pre-training hygiene
+    pass (GPT-3 used 13-gram overlap; n is a knob because tokenization
+    differs).
+
+    Scale shape: the eval side is tiny (benchmarks are thousands of docs)
+    → its distinct n-grams broadcast; the corpus side explodes to
+    (doc_id, shingle) and inner-joins the broadcast, so the corpus is
+    touched in ONE pass with no corpus-side shuffle before the per-doc
+    hit count (partial-aggregable groupBy). Returns every corpus doc with
+    its hit count and verdict; downstream drops ``contaminated`` rows.
+    """
+    from incubator_stormcrawler_spark.operators.dedup import with_shingles
+
+    eval_ngrams = (
+        with_shingles(eval_docs, n, text_col=text_col, distinct=False)
+        .select("shingle")
+        .distinct()
+    )
+    hits = (
+        with_shingles(docs, n, text_col=text_col, distinct=True)
+        .join(F.broadcast(eval_ngrams), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit_ngrams"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_hit_ngrams"), F.lit(0))
+            .cast("bigint")
+            .alias("n_hit_ngrams"),
+            (F.coalesce(F.col("n_hit_ngrams"), F.lit(0)) >= min_hits).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+def repetition_metrics(docs: DataFrame, n: int = 2, text_col: str = "text") -> DataFrame:
+    """Gopher-style within-document repetition: fraction of n-gram
+    occurrences belonging to duplicated n-grams, and the share taken by the
+    single most frequent n-gram (Rae et al. 2021 §A1.1 "repetition
+    signals"; docs past the thresholds are boilerplate/spam).
+
+    One explode + one (doc, gram) count + one per-doc aggregate — every
+    groupBy partial-aggregates map-side, and the (doc_id, shingle) count
+    feeds the doc-level rollup without a second scan of the text.
+    """
+    from incubator_stormcrawler_spark.operators.dedup import with_shingles
+
+    gram_counts = (
+        with_shingles(docs, n, text_col=text_col, distinct=False)
+        .groupBy("doc_id", "shingle")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    per_doc = gram_counts.groupBy("doc_id").agg(
+        F.sum("cnt").alias("total"),
+        F.max("cnt").alias("top_cnt"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias(
+            "dup_occurrences"
+        ),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("total"), F.lit(0)).cast("bigint").alias("n_ngrams"),
+            F.round(
+                F.coalesce(F.col("dup_occurrences") / F.col("total"), F.lit(0.0)), 4
+            ).alias("dup_ngram_frac"),
+            F.round(
+                F.coalesce(F.col("top_cnt") / F.col("total"), F.lit(0.0)), 4
+            ).alias("top_ngram_frac"),
+        )
+    )

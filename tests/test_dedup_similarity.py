@@ -220,3 +220,75 @@ def test_minhash_lsh_band_rows_4(docs):
                                   min_est_sim=0.5).collect()}
     assert got.get((1, 2)) == 1.0
     assert not any((4 in p or 5 in p) for p in got)
+
+
+def test_decontaminate_flags_overlap_and_copies(spark, docs):
+    from incubator_stormcrawler_spark.operators.corpus import decontaminate
+
+    # eval set = doc 1's text; docs 1 and its exact copy 2 share all
+    # 8-grams, near-dup 3 shares the leading 8-gram; 4/5 are clean
+    eval_docs = docs.where(F.col("doc_id") == 1)
+    got = {r.doc_id: r for r in decontaminate(docs, eval_docs, n=8).collect()}
+    assert len(got) == 5
+    assert got[1].contaminated and got[2].contaminated and got[3].contaminated
+    assert got[2].n_hit_ngrams == 3  # 10 tokens -> 3 distinct 8-grams
+    assert not got[4].contaminated and got[4].n_hit_ngrams == 0
+    assert not got[5].contaminated
+
+
+def test_decontaminate_short_docs_yield_no_ngrams(spark):
+    from incubator_stormcrawler_spark.operators.corpus import decontaminate
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="too short"), Row(doc_id=2, text="a b c d e f g h")]
+    )
+    got = {r.doc_id: r for r in decontaminate(docs, docs, n=8).collect()}
+    # doc 1 has < 8 tokens (no 8-grams at all); doc 2 matches itself
+    assert got[1].n_hit_ngrams == 0 and not got[1].contaminated
+    assert got[2].n_hit_ngrams == 1 and got[2].contaminated
+
+
+def test_repetition_metrics_known_fractions(spark):
+    from incubator_stormcrawler_spark.operators.corpus import repetition_metrics
+
+    docs = spark.createDataFrame(
+        [
+            # 2-grams: "a b","b a","a b","b a" -> every occurrence dup,
+            # top gram covers 2/4
+            Row(doc_id=1, text="a b a b a"),
+            # all distinct 2-grams
+            Row(doc_id=2, text="one two three four"),
+            # too short for any 2-gram
+            Row(doc_id=3, text="solo"),
+        ]
+    )
+    got = {r.doc_id: r for r in repetition_metrics(docs, n=2).collect()}
+    assert got[1].n_ngrams == 4
+    assert got[1].dup_ngram_frac == 1.0 and got[1].top_ngram_frac == 0.5
+    assert got[2].n_ngrams == 3
+    assert got[2].dup_ngram_frac == 0.0
+    assert got[3].n_ngrams == 0 and got[3].dup_ngram_frac == 0.0
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from incubator_stormcrawler_spark.functions.text import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            Row(
+                doc_id=1,
+                text="mail alice.b+spam@sub.example.org or call +44 20 7946 0958 "
+                "from 192.168.0.1 thanks",
+            ),
+            Row(doc_id=2, text="no pii here just words"),
+        ]
+    )
+    got = {r.doc_id: r for r in pii_scrub(docs).collect()}
+    assert got[1].n_email == 1 and got[1].n_phone == 1 and got[1].n_ipv4 == 1
+    assert "<EMAIL>" in got[1].clean_text
+    assert "<PHONE>" in got[1].clean_text
+    assert "<IPV4>" in got[1].clean_text
+    assert "example.org" not in got[1].clean_text
+    assert "192.168" not in got[1].clean_text
+    assert got[2].n_email == 0 and got[2].clean_text == got[2].clean_text
+    assert got[2].clean_text == "no pii here just words"
