@@ -591,6 +591,15 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_cosine_topk(emb, queries, k=5)
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: 16 deterministic sample centroids, probe the 4 nearest
+    cells per query, exact rerank — the cluster-pruned index path beside
+    the LSH one."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 20)
+    return sim.ivf_cosine_topk(emb, queries, k=5)
+
+
 def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs with cosine ≥ 0.4 (corpus max ≈ 0.51)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -1232,6 +1241,48 @@ SELECT query_id, vec_id, round(sim_raw, 4) AS sim, rank FROM (
 ) WHERE rank <= 5
 """
 
+_ORACLES["ann_ivf_topk"] = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), cents AS (
+  SELECT vec_id AS cid, v AS cv FROM e
+  ORDER BY md5(cast(vec_id AS VARCHAR)), vec_id LIMIT 16
+), assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid
+           ) AS rn
+    FROM e CROSS JOIN cents c
+  ) WHERE rn = 1
+), probes AS (
+  SELECT query_id, cid FROM (
+    SELECT q.vec_id AS query_id, c.cid,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(q.v, c.cv) DESC, c.cid
+           ) AS rn
+    FROM (SELECT * FROM e WHERE vec_id < 20) q CROSS JOIN cents c
+  ) WHERE rn <= 4
+), cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM probes p JOIN assign a USING (cid)
+  WHERE p.query_id <> a.vec_id
+), scored AS (
+  SELECT c.query_id, c.vec_id,
+         list_cosine_similarity(q.v, e.v) AS sim_raw
+  FROM cand c
+  JOIN e q ON q.vec_id = c.query_id
+  JOIN e ON e.vec_id = c.vec_id
+)
+SELECT query_id, vec_id, round(sim_raw, 4) AS sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim_raw DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
 _ORACLES["embedding_cosine_pairs"] = """
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -1752,6 +1803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xpath_html": q_xpath_html,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
         # corpus construction
         "corpus_token_stats": q_corpus_token_stats,

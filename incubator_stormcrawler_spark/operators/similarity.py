@@ -184,6 +184,96 @@ def lsh_cosine_topk(
     )
 
 
+def ivf_cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: partition vectors into ``n_centroids`` cells by
+    nearest centroid, probe only the ``n_probe`` cells nearest each query,
+    exact-rerank the survivors. The cluster-pruned complement to
+    ``lsh_cosine_topk`` — candidates shrink ~n_probe/n_centroids, and the
+    cell assignment is reusable across query batches (an index, where LSH
+    re-hashes per table).
+
+    Centroids are a deterministic sample — the ``n_centroids`` vectors
+    with smallest md5(id) (IVF seeding by random sample, no Lloyd
+    iterations, so the index is reproducible and oracle-checkable).
+    Assignment is one pass over the corpus against the broadcast centroid
+    set with an Arrow-batched cosine, collapsed by a partial-aggregable
+    max_by groupBy — no window over the corpus, no driver collect.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cosine(qv: pd.Series, cv: pd.Series) -> pd.Series:
+        a = np.array(list(qv), dtype=np.float64)
+        b = np.array(list(cv), dtype=np.float64)
+        an = np.linalg.norm(a, axis=1)
+        bn = np.linalg.norm(b, axis=1)
+        an[an == 0] = 1.0
+        bn[bn == 0] = 1.0
+        return pd.Series(np.einsum("ij,ij->i", a, b) / (an * bn))
+
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+    )
+    cents = (
+        e.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(n_centroids)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    )
+    # nearest centroid per vector: max_by over (sim, -cid) — highest sim,
+    # ties to the lowest cid, matching the oracle's window tiebreak
+    scored = e.crossJoin(F.broadcast(cents)).withColumn(
+        "csim", cosine(F.col("v"), F.col("cv"))
+    )
+    assign = scored.groupBy("vec_id").agg(
+        F.max_by(
+            F.col("cid"), F.struct(F.col("csim"), -F.col("cid"))
+        ).alias("cid")
+    )
+    cells = e.join(assign, "vec_id")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    qs = q.crossJoin(F.broadcast(cents)).withColumn(
+        "csim", cosine(F.col("qv"), F.col("cv"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("csim").desc(), F.col("cid")
+    )
+    probes = (
+        qs.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= n_probe)
+        .select("query_id", "qv", "cid")
+    )
+    cands = (
+        cells.join(F.broadcast(probes), "cid")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "qv", "vec_id", "v")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim_raw").desc(), F.col("vec_id")
+    )
+    return (
+        cands.withColumn("sim_raw", cosine(F.col("qv"), F.col("v")))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(F.col("sim_raw"), 4).alias("sim"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
 def embedding_cosine_dedup(
     embeddings: DataFrame,
     threshold: float = 0.95,

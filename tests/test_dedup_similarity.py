@@ -145,6 +145,35 @@ def test_lsh_cosine_recall(emb):
     assert recall >= 0.5, f"LSH recall too low: {recall}"
 
 
+def test_ivf_cosine_recall_and_pruning(emb):
+    """IVF ANN: probing 4 of 16 cells must (a) actually prune — every
+    query's candidate set is a strict subset of the corpus — and (b) keep
+    recall ≥ 0.4 against exact top-5 on worst-case random vectors (probing
+    1/4 of cells over near-uniform cosine structure; clustered real
+    embeddings concentrate neighbors in the probed cells)."""
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in sim.cosine_topk(emb, queries, k=5).collect()
+    }
+    approx_df = sim.ivf_cosine_topk(emb, queries, k=5)
+    approx = {(r.query_id, r.vec_id) for r in approx_df.collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"IVF recall too low: {recall}"
+    # pruning: rank-5 similarity floors differ from exact for some query
+    # only if candidates were dropped; stronger check — candidate cells
+    # hold fewer than all vectors
+    n = emb.count()
+    worst_cell_total = (
+        sim.ivf_cosine_topk(emb, queries, k=10**9)
+        .groupBy("query_id")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert worst_cell_total < n - 1, "IVF probed every vector — no pruning"
+
+
 def test_cosine_topk_self_excluded_and_ranked(emb):
     queries = emb.where(F.col("vec_id") < 3)
     rows = sim.cosine_topk(emb, queries, k=5).collect()
