@@ -146,10 +146,10 @@ def bench_status_merge(spark, frontier_path: str, n_updates: int = 100_000) -> d
                    THEN coalesce(f.error_count, 0) + 1
                  WHEN u.u_status IN ('FETCHED', 'REDIRECTION') THEN 0
                  ELSE coalesce(f.error_count, 0) END AS error_count,
-            coalesce(f.bucket, cast(mod(ascii(substr(md5(
+            coalesce(f.bucket, cast(mod(('0x' || substr(md5(
               lower(regexp_extract(coalesce(f.url, u.url),
-                '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1))), 1, 1)), 10)
-              as int)) AS bucket
+                '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1))), 1, 8))::bigint,
+              10) as int)) AS bucket
           FROM '{frontier_path}/*.parquet' f
           FULL OUTER JOIN dedup u ON f.url = u.url
         )
