@@ -523,6 +523,58 @@ def q_parse_richdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_parse_word_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Legacy Word binary (.doc) branch end-to-end: each document's text is
+    wrapped in a deterministic OLE2 compound file (parse/ole2doc.build_doc —
+    FIB, piece table, SummaryInformation title, HYPERLINK field), the
+    router's magic sniff sends it down the rich-document branch, and
+    extract_doc recovers text/title/outlink. Odd doc_ids use compressed
+    (cp1252) pieces, even ones UTF-16 — both piece paths exercised; the
+    round trip is exact either way, so the oracle is the raw table."""
+    import pandas as pd
+
+    from incubator_stormcrawler_spark.parse.ole2doc import build_doc
+    from incubator_stormcrawler_spark.parse.router import parse_routed
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") < 50)
+        .select("doc_id", "text")
+    )
+
+    def to_doc(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "url": [
+                        f"https://docs.example/d{int(i)}.doc"
+                        for i in pdf["doc_id"]
+                    ],
+                    "content": [
+                        build_doc(
+                            t,
+                            title=f"doc {int(i)}",
+                            link=f"https://docs.example/d{int(i)}/refs",
+                            encoding="cp1252" if int(i) % 2 else "utf-16",
+                        )
+                        for i, t in zip(pdf["doc_id"], pdf["text"])
+                    ],
+                }
+            )
+
+    pages = docs.mapInPandas(to_doc, schema="url string, content binary")
+    out = parse_routed(pages)["richdocs"]
+    return out.select(
+        F.regexp_extract("url", r"/d(\d+)\.doc$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        "text",
+        "title",
+        F.col("n_pages").cast("bigint").alias("n_pages"),
+        F.element_at("outlinks", 1).alias("outlink"),
+    )
+
+
 def q_xpath_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML XPathFilter end-to-end: deterministic HTML pages built from the
     documents table, then //TITLE string(), //P[@class] NODESET, and
@@ -1187,6 +1239,16 @@ SELECT doc_id,
 FROM documents WHERE doc_id < 100
 """
 
+_ORACLES["parse_word_doc"] = """
+SELECT doc_id,
+       text,
+       'doc ' || doc_id AS title,
+       cast(1 as bigint) AS n_pages,
+       'https://docs.example/d' || doc_id || '/refs' AS outlink
+FROM documents WHERE doc_id < 50
+"""
+
+
 _ORACLES["parse_richdoc"] = """
 SELECT doc_id,
        text,
@@ -1800,6 +1862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "corpus_decontaminate": q_corpus_decontaminate,
         "parse_richdoc": q_parse_richdoc,
+        "parse_word_doc": q_parse_word_doc,
         "xpath_html": q_xpath_html,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,

@@ -198,13 +198,21 @@ def extract_docx(content: bytes) -> dict:
 
 
 def extract_richdoc(content: bytes) -> dict:
-    """Magic-sniffing dispatch: %PDF → extract_pdf, PK zip → extract_docx
-    (the ParserBolt's Tika.detect step)."""
+    """Magic-sniffing dispatch: %PDF → extract_pdf, PK zip → extract_docx,
+    OLE2 compound magic → legacy Word ``.doc`` (parse/ole2doc.py) — the
+    ParserBolt's Tika.detect step."""
     head = content[:512].lstrip()
     if head.startswith(b"%PDF"):
         return extract_pdf(content)
     if content[:4] == b"PK\x03\x04":
         return extract_docx(content)
+    if content[:8] == b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1":
+        from .ole2doc import extract_doc
+
+        try:
+            return extract_doc(content)
+        except Exception:  # malformed container → error slot, not a crash
+            return {"text": "", "title": None, "n_pages": 0, "outlinks": []}
     return {"text": "", "title": None, "n_pages": 0, "outlinks": []}
 
 

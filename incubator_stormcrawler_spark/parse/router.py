@@ -48,6 +48,8 @@ def classify_pages(pages: DataFrame) -> DataFrame:
                     and b"word/document.xml" in content
                 ):
                     kinds.append("richdoc")  # DOCX (OOXML zip)
+                elif content[:8] == b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1":
+                    kinds.append("richdoc")  # OLE2 (.doc legacy Word)
                 elif head.startswith(
                     (b"PK\x03\x04", b"\x89PNG", b"GIF8", b"\xff\xd8",
                      b"\x1f\x8b")

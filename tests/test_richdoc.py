@@ -196,3 +196,89 @@ def test_docx_routed_to_richdoc_branch(spark):
     assert [r.url for r in routed["other"].collect()] == [
         "https://a.example/archive.zip"
     ]
+
+
+# -- legacy Word binary (.doc) — parse/ole2doc.py ---------------------------
+
+def test_doc_roundtrip_both_piece_encodings():
+    from incubator_stormcrawler_spark.parse.ole2doc import (
+        build_doc,
+        extract_doc,
+    )
+
+    text = "Legacy body text.\nSecond paragraph."
+    for enc in ("utf-16", "cp1252"):
+        d = extract_doc(
+            build_doc(text, title="Old Report", link="https://ex.ample/ref",
+                      encoding=enc)
+        )
+        assert d["text"] == text, enc
+        assert d["title"] == "Old Report"
+        assert d["outlinks"] == ["https://ex.ample/ref"]
+        assert d["n_pages"] == 1
+
+
+def test_doc_large_stream_uses_regular_fat():
+    """Past the 4096-byte mini-stream cutoff the WordDocument stream must
+    live in regular FAT sectors; round trip proves both container paths."""
+    from incubator_stormcrawler_spark.parse.ole2doc import (
+        build_doc,
+        extract_doc,
+        ole2_streams,
+    )
+
+    big = " ".join(f"tok{i}" for i in range(3000))
+    raw = build_doc(big, title="big")
+    streams = ole2_streams(raw)
+    assert len(streams["WordDocument"]) >= 4096
+    assert len(streams["0Table"]) < 4096  # stays in the mini stream
+    assert extract_doc(raw)["text"] == big
+
+
+def test_doc_unicode_text_and_title():
+    from incubator_stormcrawler_spark.parse.ole2doc import (
+        build_doc,
+        extract_doc,
+    )
+
+    d = extract_doc(build_doc("café 日本語 text", title="título"))
+    assert d["text"] == "café 日本語 text"
+    assert d["title"] == "título"
+
+
+def test_doc_field_runs_resolved():
+    """Field code part (\\x13..\\x14) is dropped, result kept, target
+    surfaced as outlink — Word stores hyperlinks as text-level fields."""
+    from incubator_stormcrawler_spark.parse.ole2doc import _field_text
+
+    raw = 'before \x13 HYPERLINK "https://t.example/x" \x14shown label\x15 after'
+    text, links = _field_text(raw)
+    assert text == "before shown label after"
+    assert links == ["https://t.example/x"]
+
+
+def test_doc_malformed_container_routes_to_error_not_crash():
+    from incubator_stormcrawler_spark.parse.richdoc import extract_richdoc
+
+    junk = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\x00" * 100
+    d = extract_richdoc(junk)
+    assert d == {"text": "", "title": None, "n_pages": 0, "outlinks": []}
+
+
+def test_doc_routed_to_richdoc_branch(spark):
+    from pyspark.sql import Row
+
+    from incubator_stormcrawler_spark.parse.ole2doc import build_doc
+    from incubator_stormcrawler_spark.parse.router import parse_routed
+
+    pages = spark.createDataFrame(
+        [
+            Row(url="https://a.example/memo.doc",
+                content=bytearray(build_doc("legacy doc body",
+                                            title="Memo"))),
+        ]
+    )
+    rich = parse_routed(pages)["richdocs"].collect()
+    assert [r.url for r in rich] == ["https://a.example/memo.doc"]
+    assert rich[0].text == "legacy doc body"
+    assert rich[0].title == "Memo"
