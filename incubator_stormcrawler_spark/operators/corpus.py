@@ -122,11 +122,15 @@ def dedup_clusters(
     At web scale swap in the alternating large/small-star algorithm —
     same contract.
     """
+    # Truncate the pair-generation lineage BEFORE symmetrizing: the union's
+    # two branches are separate subtrees, so without this the (possibly
+    # expensive — e.g. shingle self-join) pairs plan executes twice just to
+    # build the edge list (measured ~2× on the ngram-fed cluster query).
     edges = pairs.select(
         F.col(a_col).alias("a"), F.col(b_col).alias("b")
-    )
+    ).localCheckpoint(eager=False)
     # undirected; cached — every iteration joins it, and without the cache
-    # each pass would replay the (possibly expensive) pair-generation plan
+    # each pass would replay the edge union
     sym = edges.union(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).cache()
