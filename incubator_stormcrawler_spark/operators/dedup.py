@@ -215,7 +215,11 @@ def lsh_candidate_pairs(
     handled by AQE skew-join splitting.
     """
     assert num_hashes % band_rows == 0, "num_hashes must divide into bands"
-    mh = minhash_signatures(docs, num_hashes, n)
+    # Materialize the signature relation once: it feeds FOUR subtrees below
+    # (both sides of the band self-join, then m1/m2 in the est_sim join);
+    # without lineage truncation the shingle explode + min-agg plan
+    # re-executes for each (same pattern as the shingle/simhash relations).
+    mh = minhash_signatures(docs, num_hashes, n).localCheckpoint(eager=False)
     # band key = md5 of the band's minhashes concatenated in h order —
     # struct-sorted collect_list keeps it order-deterministic for any r
     bands = (
