@@ -725,6 +725,123 @@ def q_corpus_clean_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/timeseries.py): each purchase event picks up
+    the user's most recent view at-or-before it — one window pass over a
+    tagged union, no range-probe join. Oracle: DuckDB's native ASOF JOIN."""
+    from incubator_stormcrawler_spark.operators.timeseries import (
+        asof_join,
+        epoch_micros,
+    )
+
+    ev = rel.load_events(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id"),
+        F.col("value").alias("view_value"),
+    )
+    out = asof_join(
+        purchases, views, key="user_id", time_col="ts",
+        right_payload=["view_id", "view_value"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.col("r_view_id").alias("view_id"),
+        F.col("r_view_value").alias("view_value"),
+        (epoch_micros(F.col("ts")) - epoch_micros(F.col("r_ts"))).alias("gap_us"),
+    )
+
+
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment join via equi-bucketization
+    (operators/timeseries.py): 100 synthetic 3h windows every 7h, events
+    bucketized to 1h and hash-joined on bucket + exact containment — the
+    plan that replaces BroadcastNestedLoopJoin when ranges outgrow a
+    broadcast. Oracle: plain inequality join."""
+    from incubator_stormcrawler_spark.operators.timeseries import (
+        range_join_bucketed,
+    )
+
+    ev = rel.load_events(spark, sf_dir).select("ts", "event_type", "value")
+    base = F.lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+    ranges = spark.range(100).select(
+        F.col("id").alias("window_id"),
+        F.timestamp_add("HOUR", (F.col("id") * 7).cast("int"), base).alias(
+            "t_start"
+        ),
+        F.timestamp_add("HOUR", (F.col("id") * 7 + 3).cast("int"), base).alias(
+            "t_end"
+        ),
+    )
+    joined = range_join_bucketed(ev, ranges, bucket_width_s=3600)
+    return joined.groupBy("window_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: day ⊃ hour grains + grand
+    total in ONE shuffle via ROLLUP grouping sets
+    (operators/timeseries.py)."""
+    from incubator_stormcrawler_spark.operators.timeseries import (
+        rollup_time_grain,
+    )
+
+    ev = rel.load_events(spark, sf_dir)
+    return rollup_time_grain(ev, grains=("day", "hour"))
+
+
+def q_corpus_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard packing: deterministic global token offsets without a
+    global sort (bucketed parallel cumsum + broadcast prefix offsets);
+    shard = offset // budget (operators/corpus.py)."""
+    from incubator_stormcrawler_spark.operators.corpus import pack_shards
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_shards(docs, tokens_per_shard=5000, num_buckets=8)
+
+
+def q_corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language quota sample (30 docs/lang, deterministic
+    smallest-salted-hash picks) — operators/corpus.py."""
+    from incubator_stormcrawler_spark.operators.corpus import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return stratified_sample(docs, "lang", 30).select(
+        "doc_id", "lang", "sample_rank"
+    )
+
+
+def q_corpus_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-100 BPE-ish pretokens with counts and
+    corpus share (operators/corpus.py)."""
+    from incubator_stormcrawler_spark.operators.corpus import vocab_topk
+
+    return vocab_topk(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), k=100
+    )
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization with reconstruction RMSE
+    (operators/similarity.py) — the 4× candidate-store shrink for ANN."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return sim.quantize_embeddings(emb)
+
+
+def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (k=8, 2 iterations, deterministic seeds) over the
+    embedding table — the IVF centroid-training step; oracle = the same
+    iterations unrolled as SQL CTEs (operators/similarity.py)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return sim.kmeans_embeddings(emb, k=8, iterations=2)
+
+
 # ---------------------------------------------------------------------------
 # Non-SQL-expressible operators (driver records rows-only checks — no
 # oracle_sql entries by design: effectful I/O round-trips and stubbed-codec

@@ -106,6 +106,134 @@ def quality_filter(
     )
 
 
+def pack_shards(
+    docs: DataFrame,
+    tokens_per_shard: int,
+    num_buckets: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Training-shard packing: assign every document a deterministic global
+    byte/token offset and a fixed-token-budget shard id — the step that
+    turns a filtered corpus into the fixed-size training files a data
+    loader streams.
+
+    Deterministic WITHOUT a global sort: docs hash into ``num_buckets``
+    ordered buckets; a window cumsum WITHIN each bucket runs in parallel
+    (one shuffle, each partition sorts only its bucket); per-bucket totals
+    (``num_buckets`` rows) roll into exclusive prefix offsets and broadcast
+    back. global_offset = bucket_offset + within_bucket_cumsum − n_tokens;
+    shard = global_offset // budget. The result is identical on any
+    cluster size or engine — same property as ``hash_sample``'s
+    determinism, applied to ordering. (A single global window would give
+    the same answer through ONE partition — the classic scale trap this
+    construction avoids.)
+
+    Shards fill to the budget boundary: a doc straddling a boundary goes
+    to the shard its offset starts in (byte-offset packing, like WARC /
+    tar sharding; the reference's WARC rotation-by-size —
+    FileTimeSizeRotationPolicy.java:24 — is the same policy over bytes).
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit("shard|"), F.col(id_col).cast("string")))
+    n_tok = F.size(F.split(F.col(text_col), " "))
+    base = docs.select(
+        F.col(id_col),
+        h.alias("h"),
+        F.conv(F.substring(h, 1, 4), 16, 10).cast("int").alias("hb"),
+        n_tok.cast("bigint").alias("n_tokens"),
+    ).withColumn("bucket", F.pmod(F.col("hb"), F.lit(num_buckets)).cast("int"))
+
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = base.withColumn("cum_in_bucket", F.sum("n_tokens").over(w_in))
+
+    w_off = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = (
+        base.groupBy("bucket")
+        .agg(F.sum("n_tokens").alias("btot"))
+        .withColumn("bucket_offset", F.sum("btot").over(w_off) - F.col("btot"))
+        .select("bucket", "bucket_offset")
+    )
+
+    start = F.col("bucket_offset") + F.col("cum_in_bucket") - F.col("n_tokens")
+    return (
+        cum.join(F.broadcast(offsets), "bucket")
+        .select(
+            id_col,
+            F.col("bucket"),
+            "n_tokens",
+            start.alias("global_offset"),
+            F.floor(start / F.lit(tokens_per_shard)).cast("bigint").alias("shard_id"),
+        )
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    strata_col: str,
+    n_per_stratum: int,
+    salt: str = "strat",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact per-stratum quota sampling: the ``n_per_stratum`` docs with the
+    smallest salted hash within each stratum — deterministic (same sample on
+    any engine/cluster/run) and exact (unlike Bernoulli ``hash_sample``,
+    which only hits the quota in expectation). One window shuffle,
+    partitioned by stratum; stratum skew splits under AQE.
+
+    The corpus-assembly use: balanced per-language / per-source subsets
+    (eval slices, mixture audits) where "about n" isn't good enough.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        docs.withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("sample_rank") <= n_per_stratum)
+    )
+
+
+def vocab_topk(
+    docs: DataFrame,
+    k: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus vocabulary head: the k most frequent BPE-ish pretokens with
+    counts and corpus share — the first diagnostic of any tokenizer/corpus
+    pairing (and the seed statistic for BPE merge induction).
+
+    One explode + partial-aggregable count + global top-k
+    (TakeOrderedAndProject — no full sort); ties break lexicographically
+    so the cut is deterministic.
+    """
+    pieces = F.regexp_extract_all(F.col(text_col), F.lit(BPEISH_PATTERN), 0)
+    counts = (
+        docs.select(F.explode(pieces).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            "cnt",
+            F.round(F.col("cnt") / F.col("total"), 6).alias("share"),
+        )
+        .orderBy(F.col("cnt").desc(), F.col("token"))
+        .limit(k)
+    )
+
+
 def dedup_clusters(
     pairs: DataFrame,
     iterations: int = 4,

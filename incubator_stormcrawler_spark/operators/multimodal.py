@@ -56,7 +56,16 @@ def synthesize_media(spark: SparkSession, n: int = 64) -> DataFrame:
             content = (blob * ((w * h * nf) // len(blob) + 1))[: w * h * nf]
             meta = (w, h, None, nf, "rawvid8")
         rows.append((i, kind, bytearray(content), meta))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA_DDL)
+    # Few, well-filled partitions: createDataFrame defaults to
+    # defaultParallelism (32 here) slices, and a 60-row corpus sliced 32
+    # ways makes every downstream mapInPandas stage fork 32 Python workers
+    # for ~2 rows each — pure fan-out overhead that occasionally stalls
+    # multi-seconds under memory pressure. Real media tables come from
+    # parquet with size-based partitioning; mirror that shape.
+    slices = max(2, min(4, n // 16 or 1))
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, slices), MEDIA_SCHEMA_DDL
+    )
 
 
 # -- decode stubs -----------------------------------------------------------

@@ -35,9 +35,10 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _t(spark, sf_dir, "events")
     if dict(ev.dtypes).get("ts") in ("bigint", "long"):
-        ev = ev.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+        # integer division — ts/1000 in double arithmetic loses precision
+        # at 1.7e18 ns (ulp is 256 ns there), which can shift a value by
+        # ±1 µs vs DuckDB's exact ns→µs truncation
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return ev
 
 

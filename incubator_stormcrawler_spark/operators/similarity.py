@@ -274,6 +274,137 @@ def ivf_cosine_topk(
     )
 
 
+def quantize_embeddings(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x|/127,
+    q_i = round(x_i/scale) — 4× memory shrink for the ANN candidate
+    store (the rerank stage keeps float32). Pure higher-order-function
+    expressions (transform/aggregate), fully JVM-side; the quantized
+    column is emitted as a compact csv string so the row is
+    engine-portable, plus the reconstruction RMSE so the quality loss is
+    auditable per vector.
+
+    At 100 TB the point is the scan: an int8 candidate table is a quarter
+    of the bytes off object storage, and the (scale, qvec) pair
+    dequantizes inside the same projection that scores it.
+    """
+    v = F.col(vec_col)
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    # zero vector → scale 1 (quantizes to all-zeros, no div-by-zero)
+    scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(1.0))
+    q = F.transform(v, lambda x: F.round(x.cast("double") / F.col("scale")).cast("int"))
+    err2 = F.aggregate(
+        F.zip_with(
+            v,
+            F.col("q"),
+            lambda x, qi: (x.cast("double") - qi * F.col("scale"))
+            * (x.cast("double") - qi * F.col("scale")),
+        ),
+        F.lit(0.0),
+        lambda acc, e: acc + e,
+    )
+    return (
+        embeddings.select(F.col(id_col), v.alias(vec_col))
+        .withColumn("scale", scale)
+        .withColumn("q", q)
+        .withColumn(
+            "rmse", F.round(F.sqrt(err2 / F.size(v)), 6)
+        )
+        .select(
+            id_col,
+            F.round(F.col("scale"), 6).alias("scale"),
+            F.concat_ws(",", F.transform(F.col("q"), lambda x: x.cast("string")))
+            .alias("qvec"),
+            "rmse",
+        )
+    )
+
+
+def kmeans_embeddings(
+    embeddings: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means over the embedding column, fixed iterations,
+    deterministic seeding — the centroid-training step ``ivf_cosine_topk``
+    presupposes (its cells are exactly these clusters; more iterations →
+    tighter cells → fewer probes for the same recall).
+
+    Seeds: the k vectors with smallest md5(id) (reproducible sample, same
+    rule as IVF). Each iteration: (1) assignment — corpus × broadcast
+    centroids, squared-euclidean argmin via ``min_by`` (partial-aggregable
+    groupBy, no window over the corpus); (2) update — per-dimension mean
+    via posexplode + groupBy(cid, dim), rebuilt into centroid arrays with
+    array_sort over (dim, mean) structs. Both stages shuffle only
+    O(corpus) and O(k·dim) rows respectively; nothing collects to the
+    driver, so the loop scales to any corpus that partitions.
+
+    Returns (vec_id, cid, dist2) — final assignments with rounded squared
+    distance; cluster sizes/inertia are one groupBy away.
+    """
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+    )
+    cents = (
+        e.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(k)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    )
+
+    def d2(a, b):
+        diffs = F.zip_with(
+            a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double"))
+        )
+        return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+    def assign(cent_df):
+        scored = e.crossJoin(F.broadcast(cent_df)).withColumn(
+            "dist2", d2(F.col("v"), F.col("cv"))
+        )
+        # argmin with deterministic ties: smallest (dist2, cid)
+        return scored.groupBy("vec_id").agg(
+            F.min_by(
+                F.struct("cid", "dist2"), F.struct("dist2", "cid")
+            ).alias("best")
+        ).select(
+            "vec_id",
+            F.col("best.cid").alias("cid"),
+            F.col("best.dist2").alias("dist2"),
+        )
+
+    for _ in range(iterations):
+        assigned = assign(cents).join(e, "vec_id")
+        dims = assigned.select(
+            "cid", F.posexplode("v").alias("dim", "x")
+        )
+        means = (
+            dims.groupBy("cid", "dim")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                    lambda s: s["m"],
+                ).alias("cv")
+            )
+        )
+        # truncate lineage: each round's centroids otherwise re-derive
+        # every earlier round inside the next crossJoin (same pattern as
+        # link_rank / dedup_clusters iterations)
+        cents = means.localCheckpoint(eager=False)
+
+    final = assign(cents)
+    return final.select(
+        "vec_id", "cid", F.round(F.col("dist2"), 4).alias("dist2")
+    )
+
+
 def embedding_cosine_dedup(
     embeddings: DataFrame,
     threshold: float = 0.95,

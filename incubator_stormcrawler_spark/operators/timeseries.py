@@ -1,0 +1,180 @@
+"""Time-series relational operators Spark lacks as primitives: as-of join,
+range (interval containment) join, and multi-granularity rollup.
+
+These are the "hypertable" query shapes of event/telemetry analytics (the
+reference's metrics surface — PerSecondReducer, StatusMetricsBolt — is the
+degenerate fixed-window case; see operators/metrics.py). Each is built as a
+composition of existing DataFrame ops chosen for the 100 TB regime:
+
+* ``asof_join`` — NOT a join at all physically: union both sides, one
+  window pass per key carries the latest right-side row forward
+  (``last(..., ignorenulls)``). One shuffle on the key, zero row
+  amplification, no range-condition nested loop — the plan a dedicated
+  ASOF JOIN operator (DuckDB's, Pandas ``merge_asof``) lowers to when the
+  build side doesn't fit memory.
+* ``range_join_bucketed`` — equi-bucketization: intervals explode into the
+  fixed-width time buckets they cover, points compute their bucket, and the
+  range predicate becomes (bucket equality ∧ exact containment filter).
+  Catalyst would otherwise plan interval containment as
+  BroadcastNestedLoopJoin — O(|points|·|ranges|) — which dies when ranges
+  stop fitting in a broadcast. Bucket width trades replication (long
+  intervals explode into more buckets) against join selectivity.
+* ``rollup_time_grain`` — one shuffle produces every time grain at once
+  via ROLLUP grouping sets (day ⊃ hour ⊃ minute), with partial aggregation
+  map-side at the finest grain; the continuous-aggregate / hypertable
+  rollup shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def epoch_micros(ts: Column) -> Column:
+    """Exact integer epoch-µs from a TIMESTAMP_NTZ column.
+
+    ``unix_micros`` rejects NTZ (the type the driver's TIMESTAMP(NANOS)
+    parquet scans produce), and a double round-trip loses sub-µs precision
+    at 2024-epoch magnitudes; timestamp_diff is integer arithmetic, and
+    its values checksum-match DuckDB's ``epoch_us`` exactly.
+    """
+    return F.timestamp_diff(
+        "MICROSECOND", F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"), ts
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    time_col: str = "ts",
+    right_payload: list[str] | None = None,
+    tolerance_us: int | None = None,
+) -> DataFrame:
+    """For each left row, attach the most recent right row with
+    ``right.ts <= left.ts`` on the same key (inclusive, like DuckDB
+    ``ASOF JOIN`` / pandas ``merge_asof(direction='backward')``).
+
+    Physical shape: tag each side, union, and run ONE window over
+    (key ORDER BY ts, side) carrying the last non-null right payload
+    forward; keep left rows. Right rows order before left rows at equal
+    timestamps so a simultaneous right row matches. Rows with no prior
+    right row keep a null payload (left outer semantics).
+
+    Scale: one hash-shuffle on ``key`` and a sort within partitions —
+    no row amplification, no nested-loop range probe, and skewed keys
+    split fine under AQE because the window never crosses keys. With
+    ``tolerance_us`` set, matches older than the tolerance are nulled
+    out (pandas ``tolerance=`` semantics) — a projection, not a filter,
+    so left rows are never dropped.
+    """
+    right_payload = right_payload or [
+        c for c in right.columns if c not in (key, time_col)
+    ]
+    payload = F.struct(*[F.col(c) for c in right_payload], F.col(time_col).alias("__rts"))
+    r = right.select(
+        F.col(key).alias("__k"),
+        F.col(time_col).alias("__t"),
+        F.lit(0).alias("__side"),
+        payload.alias("__p"),
+    )
+    left_cols = left.columns
+    l = left.select(
+        F.col(key).alias("__k"),
+        F.col(time_col).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r.schema["__p"].dataType).alias("__p"),
+        *[F.col(c) for c in left_cols],
+    )
+    u = r.select("__k", "__t", "__side", "__p").unionByName(
+        l, allowMissingColumns=True
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__t", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.withColumn("__m", F.last("__p", ignorenulls=True).over(w))
+    out = carried.where(F.col("__side") == 1)
+    match = F.col("__m")
+    if tolerance_us is not None:
+        fresh = (
+            epoch_micros(F.col("__t")) - epoch_micros(match["__rts"])
+        ) <= F.lit(tolerance_us)
+        match = F.when(fresh, match)
+    return out.select(
+        *[F.col(c) for c in left_cols],
+        *[match[c].alias(f"r_{c}") for c in right_payload],
+        match["__rts"].alias(f"r_{time_col}"),
+    )
+
+
+def bucket_of(ts: Column, width_s: int) -> Column:
+    """Fixed-width time bucket id (epoch µs // width). Integer epoch-µs
+    are < 2^53, so the double division is exact enough for floor (quotient
+    error ~1e-10) and identical across engines."""
+    return F.floor(epoch_micros(ts) / F.lit(width_s * 1_000_000)).cast("long")
+
+
+def range_join_bucketed(
+    points: DataFrame,
+    ranges: DataFrame,
+    time_col: str = "ts",
+    start_col: str = "t_start",
+    end_col: str = "t_end",
+    bucket_width_s: int = 3600,
+) -> DataFrame:
+    """Interval-containment join (``start <= ts < end``) via equi-bucket
+    decomposition: every range row explodes into the fixed-width buckets
+    its interval covers; every point computes its single bucket; a plain
+    hash equi-join on bucket id + the exact containment filter gives the
+    result.
+
+    Scale: Catalyst plans a raw inequality join as
+    BroadcastNestedLoopJoin — fine while ranges broadcast, quadratic death
+    after. Bucketization keeps both sides hash-partitioned (shuffle or
+    broadcast by size, AQE's call) and bounds work to ranges' true overlap:
+    a range of length L costs ceil(L/width)+1 replicated rows. Pick width
+    ≈ median range length; hot buckets (many overlapping ranges) split
+    under AQE skew handling.
+    """
+    start_b = bucket_of(F.col(start_col), bucket_width_s)
+    # end is exclusive: a range ending exactly on a bucket boundary does
+    # not cover that bucket — subtract 1 µs before bucketing
+    end_b = F.floor(
+        (epoch_micros(F.col(end_col)) - 1) / F.lit(bucket_width_s * 1_000_000)
+    ).cast("long")
+    exploded = ranges.withColumn(
+        "__bucket", F.explode(F.sequence(start_b, end_b))
+    )
+    pts = points.withColumn("__bucket", bucket_of(F.col(time_col), bucket_width_s))
+    return (
+        pts.join(exploded, "__bucket")
+        .where(
+            (F.col(time_col) >= F.col(start_col))
+            & (F.col(time_col) < F.col(end_col))
+        )
+        .drop("__bucket")
+    )
+
+
+def rollup_time_grain(
+    events: DataFrame,
+    time_col: str = "ts",
+    value_col: str = "value",
+    grains: tuple[str, ...] = ("day", "hour"),
+) -> DataFrame:
+    """Continuous-aggregate rollup: counts + sums at every time grain in
+    one pass — ``ROLLUP(day, hour, ...)`` grouping sets, so the hour rows
+    aggregate map-side and the day/total rows reuse the same shuffle.
+    Output carries one row per grain combination (coarser grains have null
+    finer columns, SQL ROLLUP semantics) plus the grand-total row.
+    """
+    cols = [
+        F.date_trunc(g, F.col(time_col)).alias(g) for g in grains
+    ]
+    return events.rollup(*cols).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(value_col), 2).alias("total_value"),
+    )
