@@ -315,6 +315,14 @@ def apply_filter_chain(outlinks, chain: URLFilterChain):
 
     from pyspark.sql import types as T
 
+    if not chain.filters:
+        # empty chain is the identity — skip the Arrow round-trip entirely
+        # (a per-row Python stage costs seconds per 10k rows even when it
+        # does nothing)
+        from pyspark.sql import functions as F
+
+        return outlinks.withColumn("filtered_url", F.col("target_url"))
+
     has_md = "metadata" in outlinks.columns
 
     def run(batches):

@@ -137,7 +137,12 @@ def pack_shards(
     from pyspark.sql import Window
 
     h = F.md5(F.concat(F.lit("shard|"), F.col(id_col).cast("string")))
-    n_tok = F.size(F.split(F.col(text_col), " "))
+    # null/empty text packs as 0 tokens (split would yield null / [''] and
+    # poison the cumsum with nulls or phantom tokens)
+    text = F.col(text_col)
+    n_tok = F.when(
+        text.isNull() | (text == ""), F.lit(0)
+    ).otherwise(F.size(F.split(text, " ")))
     base = docs.select(
         F.col(id_col),
         h.alias("h"),

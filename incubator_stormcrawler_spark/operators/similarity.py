@@ -394,10 +394,24 @@ def kmeans_embeddings(
                 ).alias("cv")
             )
         )
+        # a centroid that attracted zero points produces no mean row —
+        # keep its previous position (left join + coalesce) so k never
+        # silently shrinks between iterations
+        kept = (
+            cents.select("cid", F.col("cv").alias("__prev_cv"))
+            .join(means, "cid", "left")
+            .select(
+                "cid",
+                F.coalesce(
+                    F.col("cv"),
+                    F.transform("__prev_cv", lambda x: x.cast("double")),
+                ).alias("cv"),
+            )
+        )
         # truncate lineage: each round's centroids otherwise re-derive
         # every earlier round inside the next crossJoin (same pattern as
         # link_rank / dedup_clusters iterations)
-        cents = means.localCheckpoint(eager=False)
+        cents = kept.localCheckpoint(eager=False)
 
     final = assign(cents)
     return final.select(

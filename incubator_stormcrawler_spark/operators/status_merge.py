@@ -127,15 +127,19 @@ def merge_status_updates(
         handled.update({"signature", "fetch_interval"})
     passthrough = [c for c in frontier.columns if c not in handled]
     if extra_cols:
-        aggs = []
+        # ONE groupBy carries status max_by AND the extra aggregates —
+        # splitting them into two groupBys + an equi-join (the round-3
+        # shape) doubled the shuffle over the update batch for nothing
+        pr = status_priority(F.col("status"))
+        ranked = F.concat(
+            F.lpad(pr.cast("string"), 2, "0"), F.lit(":"), F.col("status")
+        )
+        aggs = [F.max_by(F.col("status"), ranked).alias("u_status")]
         if with_depth:
             aggs.append(F.min("depth").alias("u_depth"))
         if with_signature:
             aggs.append(F.max("signature").alias("u_signature"))
-        u_extra = updates.groupBy("url").agg(*aggs)
-        u = dedupe_updates(updates.drop(*extra_cols)).withColumnRenamed(
-            "status", "u_status"
-        ).join(u_extra, "url")
+        u = updates.groupBy("url").agg(*aggs)
     else:
         u = dedupe_updates(updates).withColumnRenamed("status", "u_status")
     f = frontier

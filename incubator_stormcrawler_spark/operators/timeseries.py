@@ -68,6 +68,11 @@ def asof_join(
     ``tolerance_us`` set, matches older than the tolerance are nulled
     out (pandas ``tolerance=`` semantics) — a projection, not a filter,
     so left rows are never dropped.
+
+    Determinism: when several right rows share the same (key, ts), the
+    window order falls through to the payload struct itself, so the
+    MAXIMUM payload (field-lexicographic) wins — a stable, engine-
+    portable tiebreak instead of partition-order luck.
     """
     right_payload = right_payload or [
         c for c in right.columns if c not in (key, time_col)
@@ -92,7 +97,11 @@ def asof_join(
     )
     w = (
         Window.partitionBy("__k")
-        .orderBy("__t", "__side")
+        # final "__p" tiebreak: equal-(ts) right rows order by payload
+        # struct, so last() deterministically picks the max payload
+        # (left rows carry a null payload and __side=1 orders them after
+        # every simultaneous right row regardless)
+        .orderBy("__t", "__side", F.col("__p").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = u.withColumn("__m", F.last("__p", ignorenulls=True).over(w))
@@ -145,7 +154,10 @@ def range_join_bucketed(
     end_b = F.floor(
         (epoch_micros(F.col(end_col)) - 1) / F.lit(bucket_width_s * 1_000_000)
     ).cast("long")
-    exploded = ranges.withColumn(
+    # degenerate/inverted intervals (end <= start) match nothing under
+    # start <= ts < end, but would make sequence() count DOWNWARD and
+    # explode a huge spurious bucket list — drop them before exploding
+    exploded = ranges.where(F.col(end_col) > F.col(start_col)).withColumn(
         "__bucket", F.explode(F.sequence(start_b, end_b))
     )
     pts = points.withColumn("__bucket", bucket_of(F.col(time_col), bucket_width_s))

@@ -136,10 +136,14 @@ class CrawlLoop:
         self.generation += 1
         now = self.now_fn(self.generation)
         frontier = self.read_frontier()
+        # cache the generation batch: it feeds the fetch stage, the
+        # outlink-depth broadcast AND the batch counter — uncached, the
+        # frontier scan + grouped-top-k window re-executes for each
+        # (measured ~3× per generation in round 3's 537 p/s regression)
         batch = frontier_topk(
             frontier, now,
             max_per_bucket=self.max_per_bucket, max_results=self.max_results,
-        ).select("url", "key", "depth")
+        ).select("url", "key", "depth").cache()
 
         cache_hits = 0
         if self.content_cache is not None:
@@ -233,7 +237,7 @@ class CrawlLoop:
             .union(sitemap_links)
             .union(feed_links)
             .union(redirect_links)
-        )
+        ).cache()
         # xml/other pages report FETCHED (pass-through bolts ack to status)
         xml_status = classified.where(F.col("kind") != "html").select(
             "url", F.lit("FETCHED").alias("status")
@@ -269,6 +273,9 @@ class CrawlLoop:
             with_md.select("source_url", "target_url", "metadata", "src_depth"),
             chain,
         )
+        # cached: counted below AND unioned into the merge updates — the
+        # outlink union + filter chain is the second-most expensive stage
+        # after the fetch itself and must run once, not twice
         discovered = (
             filtered.where(F.col("filtered_url").isNotNull())
             .select(
@@ -276,6 +283,7 @@ class CrawlLoop:
                 (F.coalesce(F.col("src_depth"), F.lit(0)) + 1).alias("depth"),
             )
             .withColumn("status", F.lit("DISCOVERED"))
+            .cache()
         )
 
         # fetch-level statuses for everything that was attempted
@@ -299,16 +307,27 @@ class CrawlLoop:
             )
             updates = updates.join(sigs, "url", "left")
 
+        # Materialize the expensive Python stages exactly once, in
+        # dependency order, so no cold cache is raced by two branches of
+        # the same job: (1) the politeness fetch, (2) the HTML parse, then
+        # (3) ONE merge action that pulls the remaining branches (classify
+        # routing, sitemap/feed links, filter chain) through their caches
+        # while writing the next frontier snapshot. The per-stage counters
+        # afterwards are cache reads, not plan re-executions (round 3 ran
+        # 5 counting actions BEFORE the merge and re-executed the top-k,
+        # outlink and filter plans up to 3× each — the 537 p/s regression).
+        fetched_ok = pages.count()
+        n_docs = docs.count()
+        merged = self._merge_and_write(updates, now)
         counts = {
             "generation": self.generation,
             "batch": batch.count(),
-            "fetched_ok": pages.count(),
-            "docs": docs.count(),
+            "fetched_ok": fetched_ok,
+            "docs": n_docs,
             "outlinks": outlinks.count(),
             "discovered": discovered.count(),
             "cache_hits": cache_hits,
         }
-        merged = self._merge_and_write(updates, now)
         if self.metrics_path:
             # per-generation metrics table (StatusMetricsBolt cadence)
             self.spark.createDataFrame(
@@ -321,8 +340,13 @@ class CrawlLoop:
             _status_counts(merged).withColumn(
                 "generation", F.lit(self.generation)
             ).write.mode("append").parquet(self.metrics_path + "_status")
-        fetched.unpersist()
-        parsed.unpersist()
+        # release every per-generation cache — leaked cached RDDs accumulate
+        # block-manager memory across generations and degrade later shuffles
+        for df in (batch, discovered, outlinks, classified, sitemaps, feeds,
+                   fetched, parsed):
+            df.unpersist()
+        if hits is not None:
+            hits.unpersist()
         return counts
 
     def run(self, generations: int) -> list[dict]:
