@@ -1303,40 +1303,58 @@ SELECT doc_id,
 FROM t
 """
 
-# Generated from functions.text.STOPWORDS so the 16-language list can
-# never drift between the Spark expression and the oracle.
+# Generated from functions.text.STOPWORDS + SCRIPT_RANGES so the
+# 37-language anchor lists and the ordered script fallback can never
+# drift between the Spark expression and the oracle.
 def _langid_oracle_sql() -> str:
-    from incubator_stormcrawler_spark.functions.text import STOPWORDS
+    from incubator_stormcrawler_spark.functions.text import (
+        SCRIPT_RANGES,
+        STOPWORDS,
+    )
 
     def duck_list(words):
         inner = ",".join("'" + w.replace("'", "''") + "'" for w in words)
         return f"[{inner}]"
 
+    # distinct-hit scoring (list_intersect), mirroring array_intersect
     score_cols = ",\n    ".join(
-        f"len(list_filter(toks, x -> list_contains({duck_list(ws)}, x)))"
-        f" AS score_{lang}"
+        f"len(list_intersect(toks, {duck_list(ws)})) AS score_{lang}"
         for lang, ws in STOPWORDS.items()
+    )
+    script_cols = ",\n    ".join(
+        f"len(regexp_extract_all(text, '{cls}')) AS sh_{lang}"
+        for lang, cls in SCRIPT_RANGES.items()
     )
     score_names = ", ".join(f"score_{lang}" for lang in STOPWORDS)
     best = f"greatest({score_names})"
-    # first language in dict order wins ties (same as the when() chain)
+    # stopword langs first (dict order wins ties), then the ordered
+    # script-range fallback — same chain as langid_scores
     pred_cases = "\n    ".join(
-        f"WHEN score_{lang} = {best} THEN '{lang}'" for lang in STOPWORDS
+        f"WHEN {best} > 0 AND score_{lang} = {best} THEN '{lang}'"
+        for lang in STOPWORDS
+    ) + "\n    " + "\n    ".join(
+        f"WHEN sh_{lang} > 0 THEN '{lang}'" for lang in SCRIPT_RANGES
+    )
+    conf_cases = "\n    ".join(
+        f"WHEN {best} > 0 AND score_{lang} = {best}"
+        f" THEN {best} / greatest(n_tok, 1)"
+        for lang in STOPWORDS
+    ) + "\n    " + "\n    ".join(
+        f"WHEN sh_{lang} > 0 THEN sh_{lang} / greatest(n_chars, 1)"
+        for lang in SCRIPT_RANGES
     )
     return f"""
 WITH t AS (
-  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
 ), s AS (
-  SELECT doc_id, len(toks) AS n_tok,
-    {score_cols}
+  SELECT doc_id, len(toks) AS n_tok, length(text) AS n_chars,
+    {score_cols},
+    {script_cols}
   FROM t
 )
 SELECT doc_id, {score_names},
-  round({best} / greatest(n_tok, 1), 4) AS confidence,
-  CASE
-    WHEN {best} = 0 THEN 'und'
-    {pred_cases}
-    ELSE 'und' END AS lang_pred
+  round(CASE {conf_cases} ELSE 0.0 END, 4) AS confidence,
+  CASE {pred_cases} ELSE 'und' END AS lang_pred
 FROM s
 """
 

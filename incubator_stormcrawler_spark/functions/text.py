@@ -15,11 +15,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# Tiny per-language stopword anchors for the n-gram/stopword heuristic —
-# 16 languages toward the reference detector's breadth (optimaize covers
-# 70+; a model-backed pandas_udf slots into the same contract for the
-# rest). Each anchor word appears in exactly one language's list so scores
-# never tie by construction (asserted in tests/test_properties.py).
+# Per-language stopword anchors for the n-gram/stopword heuristic — 37
+# space-tokenized languages toward the reference detector's breadth
+# (optimaize covers 70+, LanguageID.java:54; a model-backed pandas_udf
+# slots into the same contract for the rest). Each anchor word appears in
+# exactly one language's list so scores never tie by construction
+# (asserted in tests/test_properties.py). Scripts that don't whitespace-
+# tokenize (CJK, Thai) are handled by SCRIPT_RANGES below instead.
 STOPWORDS = {
     "en": ["the", "a", "of", "and", "to"],
     "de": ["der", "die", "das", "und", "nicht"],
@@ -37,6 +39,48 @@ STOPWORDS = {
     "id": ["yang", "dan", "tidak", "dengan", "untuk"],
     "fi": ["ja", "on", "ei", "että", "mutta"],
     "ru": ["и", "в", "не", "что", "это"],
+    "no": ["å", "av", "eller", "etter", "fra"],
+    "hu": ["és", "hogy", "nem", "egy", "már"],
+    "vi": ["của", "và", "là", "không", "người"],
+    "et": ["kui", "oli", "või", "ka", "seda"],
+    "lv": ["un", "ir", "ar", "par", "kā"],
+    "lt": ["kad", "tai", "bet", "buvo", "iš"],
+    "sk": ["sa", "aj", "ktorý", "keď", "iba"],
+    "sl": ["in", "pa", "tudi", "kot", "še"],
+    "hr": ["koji", "su", "ili", "samo", "bez"],
+    "ca": ["amb", "però", "més", "aquest", "seva"],
+    "sw": ["ya", "wa", "kwa", "ni", "katika"],
+    "tl": ["ang", "ng", "mga", "ito", "hindi"],
+    "bg": ["на", "да", "се", "за", "той"],
+    "uk": ["і", "та", "це", "як", "він"],
+    "el": ["και", "το", "της", "είναι", "που"],
+    "he": ["של", "את", "על", "זה", "לא"],
+    "ar": ["في", "من", "على", "هذا", "أن"],
+    "fa": ["از", "که", "را", "این", "است"],
+    "hi": ["है", "के", "में", "की", "और"],
+    "bn": ["এবং", "না", "এই", "করে", "থেকে"],
+    "ta": ["மற்றும்", "இது", "என்று", "உள்ள", "ஒரு"],
+}
+
+# Script-range fallback for documents with zero stopword evidence — the
+# whitespace tokenizer can't anchor scripts that don't space-separate
+# (CJK, Thai), and it backstops short texts in script-exclusive alphabets.
+# ORDERED first-match chain: kana before the CJK-unified block (Japanese
+# text mixes kana + kanji; kanji alone reads as zh), Hangul/Thai before it
+# too. Character classes are literal unicode ranges, portable between Java
+# regex (Spark) and RE2 (DuckDB oracle).
+SCRIPT_RANGES = {
+    "ja": f"[{chr(0x3040)}-{chr(0x30FF)}]",  # hiragana + katakana
+    "ko": f"[{chr(0xAC00)}-{chr(0xD7A3)}]",  # hangul syllables
+    "th": f"[{chr(0x0E00)}-{chr(0x0E7F)}]",  # thai
+    "zh": f"[{chr(0x4E00)}-{chr(0x9FFF)}]",  # CJK unified ideographs
+    "ar": f"[{chr(0x0600)}-{chr(0x06FF)}]",  # arabic
+    "he": f"[{chr(0x0590)}-{chr(0x05FF)}]",  # hebrew
+    "el": f"[{chr(0x0370)}-{chr(0x03FF)}]",  # greek
+    "hi": f"[{chr(0x0900)}-{chr(0x097F)}]",  # devanagari
+    "bn": f"[{chr(0x0980)}-{chr(0x09FF)}]",  # bengali
+    "ta": f"[{chr(0x0B80)}-{chr(0x0BFF)}]",  # tamil
+    "ru": f"[{chr(0x0400)}-{chr(0x04FF)}]",  # cyrillic (most-common default)
 }
 
 
@@ -79,32 +123,115 @@ def quality_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def langid_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Stopword-anchor language ID: score = hits per language, predict
-    argmax (ties / zero-evidence → 'und'), mirroring the langid
-    ParseFilter's minProb-gated prediction (LanguageID.java:89-120)."""
+    """Language ID: stopword-anchor scores over 37 space-tokenized
+    languages, argmax prediction (dict order wins ties), with an ordered
+    script-range fallback (SCRIPT_RANGES) for documents with zero stopword
+    evidence — covering the non-whitespace scripts (CJK, Thai) and
+    script-exclusive alphabets. Mirrors the langid ParseFilter's
+    minProb-gated prediction (LanguageID.java:89-120); ~48 predictable
+    labels total. Confidence = stopword hits/token for anchored docs,
+    script hits/char for fallback docs.
+
+    Pure codegen'd column expressions on purpose: at 100 TB this pass must
+    ride along an existing scan. A fastText/CLD3 pandas_udf slots into the
+    same (lang_pred, confidence) contract for the long tail.
+    """
     text = F.col(text_col)
-    n_tok = token_count_expr(text)
-    scores = {
-        lang: stopword_hits_expr(text, words) for lang, words in STOPWORDS.items()
-    }
-    best = F.greatest(*scores.values())
-    pred = F.lit("und")
-    # reversed so earlier languages win ties (when() chains first-match)
-    for lang in reversed(list(scores)):
-        pred = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(
-            pred
-        )
-    out = docs.select(
+    # ALL 37 stopword scores as ONE array subtree: every later use (the 37
+    # output columns, the argmax) is an element_at of this same expression,
+    # which whole-stage codegen's subexpression elimination computes ONCE
+    # per row. Naive formulations — score columns referenced from a prior
+    # projection (Catalyst collapses projects and re-inlines), or a
+    # when()-chain comparing each score to greatest(all) — re-evaluate the
+    # tokenize+filter scans O(langs²) times per row (measured 3-25×
+    # slower at sf0.1).
+    # score = number of DISTINCT anchor words present (array_intersect):
+    # native + codegen-able, unlike a filter() lambda which drops the whole
+    # projection to interpreted eval (2.5× slower measured, and no
+    # common-subexpression elimination). Distinct-hit scoring separates
+    # languages exactly as well as occurrence counts for 5-word anchors.
+    # Each score is a named projected column; whole-stage codegen's
+    # runtime CSE dedupes the re-inlined copies Catalyst's project
+    # collapse creates (an element_at(array(...)) formulation instead
+    # overflowed janino's method-size limit and fell back to interpreted).
+    toks = tokens_expr(text)
+
+    def _score(words):
+        return F.size(
+            F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
+        ).cast("bigint")
+
+    scored = docs.select(
         "doc_id",
-        *[F.col(text_col)],
-        *[s.alias(f"score_{lang}") for lang, s in scores.items()],
+        *[
+            _score(words).alias(f"score_{lang}")
+            for lang, words in STOPWORDS.items()
+        ],
+        token_count_expr(text).alias("__ntok"),
+        F.length(text).alias("__nchars"),
+        text.alias("__text"),
     )
-    return out.select(
+    # argmax via array_max over (score, -rank, lang) structs — struct
+    # comparison is field-lexicographic: max score first, then the
+    # SMALLEST dict rank (via -rank), matching the first-match tie rule
+    # of the oracle's CASE chain.
+    anchored = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    F.col(f"score_{lang}").alias("s"),
+                    F.lit(-i).alias("r"),
+                    F.lit(lang).alias("l"),
+                )
+                for i, lang in enumerate(STOPWORDS)
+            ]
+        )
+    )
+    # script fallback: earliest range (kana before CJK etc.) with any hit.
+    # The regexp_counts live ONLY inside this expression, which only
+    # appears inside the zero-evidence when() branch below — so they are
+    # never computed for stopword-anchored rows, whether or not Catalyst
+    # collapses the projections.
+    def _sh(lang):
+        return F.regexp_count(F.col("__text"), F.lit(SCRIPT_RANGES[lang]))
+
+    script = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    (_sh(lang) > 0).cast("int").alias("h"),
+                    F.lit(-i).alias("r"),
+                    F.lit(lang).alias("l"),
+                    _sh(lang).alias("n"),
+                )
+                for i, lang in enumerate(SCRIPT_RANGES)
+            ]
+        )
+    )
+    best = anchored["s"]
+    # ONE conditional struct so the script regexes only run for rows with
+    # zero stopword evidence (when() evaluates branches lazily per row —
+    # anchored rows, i.e. most of a real corpus, never pay the 11 regex
+    # scans)
+    fallback = F.when(
+        script["h"] > 0,
+        F.struct(
+            script["l"].alias("p"),
+            (script["n"] / F.greatest(F.col("__nchars"), F.lit(1))).alias("c"),
+        ),
+    ).otherwise(F.struct(F.lit("und").alias("p"), F.lit(0.0).alias("c")))
+    res = F.when(
+        best > 0,
+        F.struct(
+            anchored["l"].alias("p"),
+            (best / F.greatest(F.col("__ntok"), F.lit(1))).alias("c"),
+        ),
+    ).otherwise(fallback)
+    return scored.withColumn("__res", res).select(
         "doc_id",
-        *[F.col(f"score_{lang}").cast("bigint").alias(f"score_{lang}")
-          for lang in STOPWORDS],
-        F.round(best / F.greatest(n_tok, F.lit(1)), 4).alias("confidence"),
-        pred.alias("lang_pred"),
+        *[F.col(f"score_{lang}") for lang in STOPWORDS],
+        F.round(F.col("__res.c"), 4).alias("confidence"),
+        F.col("__res.p").alias("lang_pred"),
     )
 
 

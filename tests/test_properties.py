@@ -143,3 +143,70 @@ def test_langid_multilingual_snippets(spark):
     got = {r.doc_id: r.lang_pred for r in langid_scores(docs).collect()}
     want = dict(enumerate(snippets))
     assert got == want
+
+
+def test_langid_extended_languages(spark):
+    """Snippets across the round-4 breadth extension: additional
+    stopword-anchored languages plus non-Latin scripts."""
+    from pyspark.sql import Row
+
+    from incubator_stormcrawler_spark.functions.text import langid_scores
+
+    snippets = {
+        "no": "hunden kom fra byen etter et år eller to av og",
+        "hu": "és nem tudom hogy egy macska már itt van",
+        "vi": "của tôi và bạn là không có người nào",
+        "et": "kui ta oli seal või ka seda nägi",
+        "lv": "un tas ir ar mani par to kā vienmēr",
+        "lt": "kad tai buvo bet ne iš ten",
+        "sk": "sa aj ktorý bol keď iba dnes",
+        "sl": "in pa tudi kot še nikoli",
+        "hr": "koji su došli ili samo bez njih",
+        "ca": "amb els gossos però més aviat aquest la seva",
+        "sw": "ya watu wa kijiji kwa sababu ni katika",
+        "tl": "ang mga bata ng bayan ito ay hindi",
+        "bg": "на котката да се за храна той каза",
+        "uk": "і кіт та пес це як він сказав",
+        "el": "και το σπίτι της πόλης είναι εδώ που ήταν",
+        "he": "של החתול את הבית על הגג זה לא",
+        "ar": "في البيت من المدينة على السطح هذا أن",
+        "fa": "از خانه که را این است گربه",
+        "hi": "है के घर में की बिल्ली और कुत्ता",
+        "bn": "এবং না এই বাড়ি করে থেকে বিড়াল",
+        "ta": "மற்றும் இது என்று உள்ள ஒரு வீடு",
+    }
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(snippets.values())]
+    )
+    got = {r.doc_id: r.lang_pred for r in langid_scores(docs).collect()}
+    want = dict(enumerate(snippets))
+    assert got == want
+
+
+def test_langid_script_fallback(spark):
+    """Zero-stopword documents in non-whitespace or script-exclusive
+    alphabets resolve via the ordered script-range fallback: kana beats the
+    CJK-unified block for Japanese (kanji+kana mix), bare han reads zh,
+    hangul ko, thai th, anchor-free cyrillic defaults to ru; confidence is
+    script-hit density."""
+    from pyspark.sql import Row
+
+    from incubator_stormcrawler_spark.functions.text import langid_scores
+
+    cases = [
+        (0, "これは日本語の文章です", "ja"),       # kana + kanji mix
+        (1, "中文文本没有空格", "zh"),             # han only
+        (2, "한국어 문장 입니다", "ko"),
+        (3, "ภาษาไทยไม่มีวรรคตอน", "th"),
+        (4, "Просто текст без якорей", "ru"),      # cyrillic, no anchors
+        (5, "plain latin words only here", "und"),  # no evidence at all
+    ]
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t, _ in cases]
+    )
+    rows = {r.doc_id: r for r in langid_scores(docs).collect()}
+    for i, _, want in cases:
+        assert rows[i].lang_pred == want, (i, rows[i].lang_pred, want)
+    # script-detected rows report a hit-density confidence in (0, 1]
+    assert 0.0 < rows[0].confidence <= 1.0
+    assert rows[5].confidence == 0.0
