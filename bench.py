@@ -29,6 +29,8 @@ def main() -> None:
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
+    import gc
+
     for name, fn in e.queries().items():
         best = None
         try:
@@ -41,6 +43,18 @@ def main() -> None:
         except Exception as ex:  # a failing query gets a sentinel, not a crash
             print(f"bench error in {name}: {ex}", file=sys.stderr)
             timings[name] = -1.0
+        # Release per-query executor state: some operators cache() or
+        # localCheckpoint() intermediates (edge lists, signatures,
+        # centroids) that only the query's own lineage references. Left
+        # alone, 69 queries × best-of-2 accumulate hundreds of MB of dead
+        # blocks in the single local JVM and the LAST benchmarks (8 M-row
+        # baselines) pay for it in spills — measured 8× on the 8 M
+        # frontier window after the round-4 registry grew. clearCache
+        # drops named caches; the gc.collect() releases the Python
+        # DataFrame wrappers so the ContextCleaner can reap checkpoint
+        # RDDs.
+        spark.catalog.clearCache()
+        gc.collect()
     total = round(sum(t for t in timings.values() if t >= 0), 3)
 
     # BASELINE.md operator workloads (frontier/merge vs DuckDB, normalize +

@@ -98,14 +98,18 @@ class JdbcFrontierStore:
 
     # ---- DDL through the JVM ------------------------------------------
 
-    def _execute(self, *statements: str) -> None:
+    def _execute(self, *statements: str, transactional: bool = False) -> None:
         jvm = self.spark.sparkContext._jvm
         conn = jvm.java.sql.DriverManager.getConnection(self.jdbc_url)
         try:
+            if transactional:
+                conn.setAutoCommit(False)
             st = conn.createStatement()
             for sql in statements:
                 st.execute(sql)
             st.close()
+            if transactional:
+                conn.commit()
         finally:
             conn.close()
 
@@ -182,6 +186,57 @@ class JdbcFrontierStore:
             f"RENAME TABLE {staging} TO {self.table}",
             f"DROP TABLE {old}",
         )
+
+    def merge_commit(self, updates: DataFrame, now: str, **merge_kwargs) -> list[int]:
+        """Pruned incremental MERGE — the SQL twin of
+        ``FrontierTable.merge_commit``'s partition-pruned plan (and of what
+        a lakehouse ``MERGE INTO`` with source-derived partition predicates
+        compiles to):
+
+          1. touched buckets = distinct ``bucket(host(url))`` of the update
+             batch (metadata-sized collect, ≤ NUM_FRONTIER_BUCKETS ints);
+          2. the frontier read is filtered to those buckets — the predicate
+             is PUSHED to the DB (indexed ``bucket`` column,
+             tableCreation.script:37), so untouched bucket slices never
+             leave the database (plan-audited in tests/test_jdbc.py);
+          3. ``merge_status_updates`` runs on the pruned slice only;
+          4. commit = stage the merged slice, then one DB transaction
+             deletes the touched buckets and inserts the staged rows —
+             readers see the old or the new slice, never half of one.
+
+        Returns the touched bucket ids.
+        """
+        from ..functions.urls import bucket_expr, host_key_expr
+        from ..operators.status_merge import merge_status_updates
+
+        touched = sorted(
+            r.b
+            for r in updates.select(
+                bucket_expr(host_key_expr(F.col("url"))).alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+        pruned = self.read().where(F.col("bucket").isin(touched))
+        merged = merge_status_updates(pruned, updates, now, **merge_kwargs)
+
+        staging = f"{self.table}_staging"
+        if self._table_exists(staging):
+            self._execute(f"DROP TABLE {staging}")
+        self._execute(f"CREATE TABLE {staging} ({FRONTIER_TABLE_DDL})")
+        _rename(merged, _TO_SQL).select(
+            "url", "status", "nextfetchdate", "error_count", "host", "bucket"
+        ).write.mode("append").option("driver", self.driver).jdbc(
+            self.jdbc_url, staging
+        )
+        in_list = ",".join(str(b) for b in touched)
+        self._execute(
+            f"DELETE FROM {self.table} WHERE bucket IN ({in_list})",
+            f"INSERT INTO {self.table} SELECT * FROM {staging}",
+            transactional=True,
+        )
+        self._execute(f"DROP TABLE {staging}")
+        return touched
 
     def count(self) -> int:
         df = self.spark.read.jdbc(

@@ -142,3 +142,65 @@ def test_write_jdbc_indexer_batch(spark):
         "https://a.example/": ("Title A", "text a"),
         "https://b.example/": ("Title B", "text b"),
     }
+
+
+def test_jdbc_pruned_merge_commit(spark):
+    """StatusUpdaterBolt's persistence as a partition-pruned MERGE against
+    the DB (the SQL twin of FrontierTable.merge_commit): only the bucket
+    slices touched by the update batch are read — with the bucket predicate
+    PUSHED to the DB scan — merged, and swapped in one transaction;
+    untouched buckets never leave the database. Result must equal the
+    unpruned full merge."""
+    from incubator_stormcrawler_spark.functions.urls import (
+        bucket_expr,
+        host_key_expr,
+    )
+
+    s = JdbcFrontierStore(
+        spark, "jdbc:derby:memory:mergedb;create=true", table="urls"
+    )
+    # coherent layout: bucket derived from the politeness key, the
+    # invariant merge_commit prunes on
+    base = _seed_frontier(spark).withColumn(
+        "bucket", bucket_expr(F.col("key"))
+    )
+    s.seed(base)
+
+    updates = spark.createDataFrame(
+        [
+            ("https://h3.example/p3", "FETCHED"),
+            ("https://h3.example/new1", "DISCOVERED"),
+            ("https://h7.example/p7", "FETCH_ERROR"),
+        ],
+        "url string, status string",
+    )
+    touched_expected = sorted(
+        r.b
+        for r in updates.select(
+            bucket_expr(host_key_expr(F.col("url"))).alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+
+    # plan audit: the pruned scan pushes the bucket predicate into the DB
+    plan = (
+        s.read()
+        .where(F.col("bucket").isin(touched_expected))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "BUCKET" in plan.upper()
+
+    # semantics: pruned merge == full merge (computed before the mutation)
+    expected = {
+        r.url: (r.status, r.error_count)
+        for r in merge_status_updates(s.read(), updates, NOW).collect()
+    }
+    touched = s.merge_commit(updates, NOW)
+    assert touched == touched_expected
+    got = {r.url: (r.status, r.error_count) for r in s.read().collect()}
+    assert got == expected
+    assert got["https://h3.example/p3"][0] == "FETCHED"
+    assert "https://h3.example/new1" in got

@@ -146,3 +146,80 @@ def test_lsh_ann_tables_do_not_multiply_scans(spark):
     plan = plan_of(lsh_cosine_topk(emb, q, k=5))
     assert plan.count("Scan parquet") <= 2  # candidates + queries, once each
     assert plan.count("ArrowEvalPython") <= 5  # ≪ 2 stages × 6 tables
+
+
+def test_asof_join_single_shuffle_no_join(spark):
+    """asof_join is physically a union + one window — ONE hash exchange on
+    the key, ZERO join nodes, zero row amplification. A range-probe
+    formulation would plan a (broadcast) nested-loop join instead."""
+    from incubator_stormcrawler_spark.operators.timeseries import asof_join
+
+    ev = rel.load_events(spark, SF)
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    right = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    plan = plan_of(asof_join(left, right, key="user_id", time_col="ts"))
+    assert "Join" not in plan  # no join operator of any kind
+    assert plan.count("Window") == 1
+    # exactly one exchange introduced by the window partitioning
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_range_join_is_hash_join_not_bnlj(spark):
+    """Interval containment via equi-bucketization must plan as a hash
+    equi-join on the bucket id; Catalyst's native plan for the raw
+    inequality predicate is BroadcastNestedLoopJoin — O(n·m) — which dies
+    once ranges outgrow a broadcast."""
+    from incubator_stormcrawler_spark.operators.timeseries import (
+        range_join_bucketed,
+    )
+
+    ev = rel.load_events(spark, SF).select("ts", "event_type", "value")
+    base = F.lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+    ranges = spark.range(50).select(
+        F.col("id").alias("window_id"),
+        F.timestamp_add("HOUR", (F.col("id") * 7).cast("int"), base).alias(
+            "t_start"
+        ),
+        F.timestamp_add(
+            "HOUR", (F.col("id") * 7 + 3).cast("int"), base
+        ).alias("t_end"),
+    )
+    plan = plan_of(range_join_bucketed(ev, ranges, bucket_width_s=3600))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+
+
+def test_rollup_single_exchange(spark):
+    """ROLLUP grouping sets produce every grain from ONE shuffle (Expand +
+    partial agg map-side), not one aggregation pass per grain."""
+    from incubator_stormcrawler_spark.operators.timeseries import (
+        rollup_time_grain,
+    )
+
+    plan = plan_of(rollup_time_grain(rel.load_events(spark, SF)))
+    assert "Expand" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    # partial aggregation before the exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_pack_shards_windows_partition_by_bucket(spark):
+    """The per-doc cumsum window must partition by bucket (parallel);
+    only the num_buckets-row prefix-offset window may be global. A single
+    global window over the corpus is the classic one-partition trap this
+    construction exists to avoid."""
+    from incubator_stormcrawler_spark.operators.corpus import pack_shards
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(pack_shards(docs, tokens_per_shard=5000, num_buckets=8))
+    # the doc-level window runs partitioned on bucket
+    assert "partitionBy=[bucket" in plan.replace(" ", "").replace(
+        "specifiedwindowframe", ""
+    ) or "[bucket#" in plan.split("Window")[1]
+    # the broadcast of the 8-row offsets table stays a broadcast join
+    assert "BroadcastHashJoin" in plan

@@ -308,25 +308,43 @@ def bench_minhash_dedup(spark, n_docs: int = 100_000) -> dict:
 
 
 def run_baselines(spark, with_8m: bool = True) -> dict:
+    import gc
+
+    def _clean():
+        # same hygiene as bench.py's query loop: drop named caches and let
+        # the ContextCleaner reap checkpoint RDDs, so each baseline starts
+        # from a quiet block manager (the 100k-doc minhash and 8 M-row
+        # window otherwise inherit hundreds of MB of dead blocks and spill
+        # — measured 2-8× swings between runs)
+        spark.catalog.clearCache()
+        gc.collect()
+
     tmp = tempfile.mkdtemp(prefix="baseline_bench_")
     f1m = os.path.join(tmp, "frontier1m")
     f8m = os.path.join(tmp, "frontier8m")
     try:
         build_frontier_parquet(spark, f1m)
-        out = {
-            "frontier_query_1m": bench_frontier_query(spark, f1m),
-            "status_merge_100k_into_1m": bench_status_merge(spark, f1m),
-            "url_normalize_native_1m": bench_normalize(spark),
-            "url_normalize_python_200k": bench_python_normalize(spark),
-            "html_parse_10k": bench_parse(spark),
-            "crawl_pipeline_10k": bench_crawl_pipeline(spark),
-            "minhash_dedup_100k": bench_minhash_dedup(spark),
-        }
+        out = {}
+        for name, fn in [
+            ("frontier_query_1m", lambda: bench_frontier_query(spark, f1m)),
+            ("status_merge_100k_into_1m",
+             lambda: bench_status_merge(spark, f1m)),
+            ("url_normalize_native_1m", lambda: bench_normalize(spark)),
+            ("url_normalize_python_200k",
+             lambda: bench_python_normalize(spark)),
+            ("html_parse_10k", lambda: bench_parse(spark)),
+            ("crawl_pipeline_10k", lambda: bench_crawl_pipeline(spark)),
+            ("minhash_dedup_100k", lambda: bench_minhash_dedup(spark)),
+        ]:
+            _clean()
+            out[name] = fn()
         if with_8m:
             # the scale point where Spark's fixed overheads amortize:
             # ratio vs DuckDB drops from ~7x (1M) to ~1x (8M)
             build_frontier_parquet(spark, f8m, n=8_000_000, hosts=80_000)
+            _clean()
             out["frontier_query_8m"] = bench_frontier_query(spark, f8m)
+            _clean()
             out["status_merge_100k_into_8m"] = bench_status_merge(spark, f8m)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

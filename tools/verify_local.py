@@ -6,12 +6,17 @@ an order-insensitive value hash (columns sorted by name, rows sorted, values
 canonicalized). Usage:
 
     python tools/verify_local.py [sf_dir] [query ...]
+
+Set ``VERIFY_JSON_OUT=/path.json`` to also write a CORRECTNESS_r*.json-style
+report covering EVERY query — the driver's own gate checks only the first 50
+``queries()`` entries, so this artifact is the full-coverage record.
 """
 
 from __future__ import annotations
 
 import hashlib
 import math
+import os
 import sys
 import time
 from datetime import datetime
@@ -66,6 +71,7 @@ def main() -> int:
 
     qs, oracles = e.queries(), e.oracle_sql()
     failures = 0
+    report: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -76,12 +82,16 @@ def main() -> int:
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as ex:
             print(f"FAIL {name}: spark error: {ex}")
+            report[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "err": f"spark: {ex}"[:300]}
             failures += 1
             continue
         spark_t = time.time() - t0
         if name not in oracles:
             print(f"ok?  {name}: rows={len(srows)} (no oracle — rows-only check) "
                   f"[{spark_t:.1f}s]")
+            report[name] = {"rows_only": True, "spark_rows": len(srows),
+                            "err": None}
             if len(srows) == 0:
                 print(f"WARN {name}: 0 rows")
             continue
@@ -91,6 +101,8 @@ def main() -> int:
             drows = rel.fetchall()
         except Exception as ex:
             print(f"FAIL {name}: duckdb error: {ex}")
+            report[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "err": f"duckdb: {ex}"[:300]}
             failures += 1
             continue
         ok_rows = len(srows) == len(drows)
@@ -101,6 +113,11 @@ def main() -> int:
         status = "PASS" if (ok_rows and ok_cols and ok_hash) else "FAIL"
         if status == "FAIL":
             failures += 1
+        report[name] = {
+            "rows_match": ok_rows, "schema_match": ok_cols,
+            "hash_match": ok_hash, "spark_rows": len(srows),
+            "oracle_rows": len(drows), "err": None,
+        }
         print(
             f"{status} {name}: rows {len(srows)}/{len(drows)} cols_ok={ok_cols} "
             f"hash_ok={ok_hash} [{spark_t:.1f}s]"
@@ -113,6 +130,13 @@ def main() -> int:
                 print("   spark-only:", x.replace("\x01", " | ")[:200])
             for x in list(dset - sset)[:3]:
                 print("   duck-only :", x.replace("\x01", " | ")[:200])
+    out = os.environ.get("VERIFY_JSON_OUT")
+    if out:
+        import json
+
+        with open(out, "w") as fh:
+            json.dump(report, fh, indent=2)
+        print(f"wrote {out} ({len(report)} queries)")
     print("failures:", failures)
     return 1 if failures else 0
 
