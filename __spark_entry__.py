@@ -863,6 +863,35 @@ def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.kmeans_embeddings(emb, k=8, iterations=2)
 
 
+def q_corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 BPE merge candidates: corpus-wide adjacent symbol-pair
+    frequencies over the pretoken vocabulary (operators/corpus.py) — the
+    argmax of this statistic is the next BPE training merge."""
+    from incubator_stormcrawler_spark.operators.corpus import bpe_pair_merges
+
+    return bpe_pair_merges(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), k=20
+    )
+
+
+def q_text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document tf-idf top-3 keywords (operators/corpus.py) over the
+    documents table; smoothed idf, deterministic lexicographic ties."""
+    from incubator_stormcrawler_spark.operators.corpus import tfidf_keywords
+
+    return tfidf_keywords(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), top_n=3
+    )
+
+
+def q_embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: 8 subspaces × 16-entry deterministic
+    codebooks over the embedding table (operators/similarity.py) — the
+    IVF-PQ candidate-store encoding, value-checked code strings + rmse."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return sim.pq_encode(emb, m=8, k=16)
+
+
 # ---------------------------------------------------------------------------
 # Non-SQL-expressible operators (driver records rows-only checks — no
 # oracle_sql entries by design: effectful I/O round-trips and stubbed-codec
@@ -1966,6 +1995,70 @@ SELECT vec_id, cid, round(dist2, 4) AS dist2 FROM (
 
 _ORACLES["embedding_kmeans"] = _kmeans_oracle_sql(8, 2)
 
+# BPE merge statistic: vocab-weighted adjacent 2-char substring counts
+_ORACLES["corpus_bpe_merges"] = f"""
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(text, '{_BPEISH_SQL}', 0)) AS token
+  FROM documents
+), vocab AS (
+  SELECT token, count(*) AS cnt FROM tok GROUP BY token
+), pairs AS (
+  SELECT substr(token, i, 2) AS pair, cnt
+  FROM vocab, unnest(generate_series(1, length(token) - 1)) t(i)
+  WHERE length(token) >= 2
+)
+SELECT pair, sum(cnt) AS pair_count
+FROM pairs GROUP BY pair
+ORDER BY pair_count DESC, pair LIMIT 20
+"""
+
+# tf-idf keywords: smoothed idf = ln((N+1)/(df+1)) + 1, per-doc top-3
+_ORACLES["text_tfidf_keywords"] = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> ''
+  GROUP BY doc_id, term
+), dfc AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfc.df,
+         tf.tf * (ln((n.n + 1) / (dfc.df + 1)) + 1.0) AS tfidf
+  FROM tf JOIN dfc USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, round(tfidf, 4) AS tfidf, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term)::BIGINT AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+# product quantization: per-subspace argmin against the deterministic
+# 16-seed codebook; code string + reconstruction rmse
+_ORACLES["embedding_pq"] = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), seeds AS (
+  SELECT vec_id AS cid, v AS cv FROM e
+  ORDER BY md5(cast(vec_id AS VARCHAR)), vec_id LIMIT 16
+), pairs AS (
+  SELECT e.vec_id, t.s, c.cid,
+         list_sum(list_transform(range(1, 9),
+           i -> (e.v[t.s * 8 + i] - c.cv[t.s * 8 + i])
+              * (e.v[t.s * 8 + i] - c.cv[t.s * 8 + i]))) AS d2
+  FROM e, unnest(generate_series(0, 7)) t(s) CROSS JOIN seeds c
+), best AS (
+  SELECT vec_id, s, cid, d2,
+         row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS rn
+  FROM pairs
+)
+SELECT vec_id,
+       string_agg(cast(cid AS VARCHAR), '-' ORDER BY s) AS pq_code,
+       round(sqrt(sum(d2) / 64), 6) AS rmse
+FROM best WHERE rn = 1 GROUP BY vec_id
+"""
+
 # incremental dedup: index = fingerprints of doc_id < 250; batch = the rest
 # of the augmented corpus; fresh = batch keeper with unseen fingerprint.
 _ORACLES["dedup_incremental"] = f"""
@@ -2266,6 +2359,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "multimodal_audio_features": q_multimodal_audio_features,
         "multimodal_embeddings": q_multimodal_embeddings,
+        # round-4 additions (oracle-checked via VERIFY_ALL + benched)
+        "corpus_bpe_merges": q_corpus_bpe_merges,
+        "text_tfidf_keywords": q_text_tfidf_keywords,
+        "embedding_pq": q_embedding_pq,
     }
 
 

@@ -239,6 +239,108 @@ def vocab_topk(
     )
 
 
+def bpe_pair_merges(
+    docs: DataFrame,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """The BPE-training merge statistic: corpus-wide adjacent symbol-pair
+    frequencies over the pretoken vocabulary — the quantity whose argmax IS
+    the next BPE merge (Sennrich et al. 2016). Returns the top-k candidate
+    merges with their weighted counts.
+
+    Plan shape for 100 TB: pretokens aggregate FIRST (the vocabulary is
+    tiny relative to the corpus — millions of types vs trillions of
+    tokens), then pairs explode from the VOCAB, not the corpus: the
+    expensive per-character explode runs over |vocab| rows weighted by
+    count, never over the corpus itself. Both aggregations are partial
+    (map-side combine); the top-k is TakeOrderedAndProject.
+
+    One training iteration is this statistic; iterating merges rewrites
+    symbol sequences (inherently sequential) and belongs in a driver loop
+    over this operator — each step is one cheap vocab-sized job.
+    """
+    pieces = F.regexp_extract_all(F.col(text_col), F.lit(BPEISH_PATTERN), 0)
+    vocab = (
+        docs.select(F.explode(pieces).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # adjacent symbol pairs of a token = its 2-char substrings
+    pair = F.explode(
+        F.transform(
+            F.sequence(F.lit(1), F.length("token") - 1),
+            lambda i: F.col("token").substr(i, F.lit(2)),
+        )
+    )
+    return (
+        vocab.where(F.length("token") >= 2)
+        .select(pair.alias("pair"), "cnt")
+        .groupBy("pair")
+        .agg(F.sum("cnt").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), F.col("pair"))
+        .limit(k)
+    )
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    top_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document distinctive terms: tf-idf over whitespace tokens, top-n
+    per doc (ties broken lexicographically) — the classic keyword/topic
+    signal a corpus report attaches to each document (and the anchor-text
+    relevance model of search indexing, AbstractIndexerBolt's field
+    surface).
+
+    Scale shape: document frequencies aggregate partial-map-side over
+    (doc, term) distincts; the tiny term→df table broadcasts back onto the
+    exploded corpus, so the corpus shuffles ONCE on (doc_id) for the
+    per-doc top-n window. idf = ln((N+1)/(df+1)) + 1 (smoothed, sklearn
+    convention) — engine-portable arithmetic.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    ).where(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_counts = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    n_docs = docs.select(F.countDistinct(id_col).alias("n")).withColumn(
+        "__one", F.lit(1)
+    )
+    scored = (
+        tf.join(F.broadcast(df_counts), "term")
+        .withColumn("__one", F.lit(1))
+        .join(F.broadcast(n_docs), "__one")
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * (F.log((F.col("n") + 1) / (F.col("df") + 1)) + F.lit(1.0)),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= top_n)
+        .select(
+            id_col,
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            F.round("tfidf", 4).alias("tfidf"),
+            "rank",
+        )
+    )
+
+
 def dedup_clusters(
     pairs: DataFrame,
     iterations: int = 4,

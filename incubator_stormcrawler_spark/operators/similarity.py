@@ -323,6 +323,86 @@ def quantize_embeddings(
     )
 
 
+def pq_encode(
+    embeddings: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product quantization (Jégou et al. 2011): split each vector into
+    ``m`` subvectors and encode each against a ``k``-entry per-subspace
+    codebook — the memory layout of IVF-PQ ANN indexes (m bytes per vector
+    at k≤256 instead of 4·dim). Codebooks here are the deterministic
+    smallest-md5(id) seed sample (same reproducible rule as
+    ``ivf_cosine_topk`` / ``kmeans_embeddings`` seeding; Lloyd refinement
+    composes via ``kmeans_embeddings`` on the sliced subvectors).
+
+    Returns (vec_id, pq_code "c0-c1-…", rmse). Scale shape: the codebook
+    (k full vectors) broadcasts; the corpus explodes ×m subspaces, scores
+    against k candidates per subspace (partial-aggregable argmin via
+    ``min_by``), and regroups on vec_id — O(corpus·m·k) flops, ONE
+    corpus shuffle, no driver-side collect of data.
+    """
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+    )
+    seeds = (
+        e.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(k)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    )
+    d = (F.size("v") / m).cast("int")
+    sub = e.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"),
+        "v",
+    ).select(
+        "vec_id",
+        "s",
+        F.slice("v", F.col("s") * d + 1, d).alias("sv"),
+    )
+    dc = (F.size("cv") / m).cast("int")
+    csub = seeds.select(
+        "cid",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"),
+        "cv",
+    ).select(
+        "cid",
+        "s",
+        F.slice("cv", F.col("s") * dc + 1, dc).alias("csv"),
+    )
+    diff2 = F.aggregate(
+        F.zip_with(
+            F.col("sv"),
+            F.col("csv"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, z: acc + z,
+    )
+    scored = sub.join(F.broadcast(csub), "s").withColumn("d2", diff2)
+    best = scored.groupBy("vec_id", "s").agg(
+        F.min_by(F.struct("cid", "d2"), F.struct("d2", "cid")).alias("b"),
+        F.first(F.size("sv")).alias("subdim"),
+    )
+    return best.groupBy("vec_id").agg(
+        F.concat_ws(
+            "-",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("s", F.col("b.cid").alias("cid")))
+                ),
+                lambda p: p["cid"].cast("string"),
+            ),
+        ).alias("pq_code"),
+        F.round(
+            F.sqrt(F.sum("b.d2") / F.sum("subdim")), 6
+        ).alias("rmse"),
+    )
+
+
 def kmeans_embeddings(
     embeddings: DataFrame,
     k: int = 8,

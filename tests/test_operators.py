@@ -299,3 +299,63 @@ def test_round_date_units(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         round_date(F.col("t"), "WEEKS")
+
+
+def test_bpe_pair_merges_known_corpus(spark):
+    """Hand-checkable BPE merge statistic: 'aa' dominates a corpus of
+    'aaa' tokens (2 pairs per token), weighted by token frequency."""
+    from incubator_stormcrawler_spark.operators.corpus import bpe_pair_merges
+
+    docs = spark.createDataFrame(
+        [(1, "aaa aaa bb"), (2, "aaa cc bb")], "doc_id long, text string"
+    )
+    top = bpe_pair_merges(docs, k=3).collect()
+    # vocab: aaa×3 → pair 'aa' weight 2 each = 6; bb×2 → 'bb' 2; cc×1 → 'cc' 1
+    assert [(r.pair, r.pair_count) for r in top] == [
+        ("aa", 6), ("bb", 2), ("cc", 1)
+    ]
+
+
+def test_tfidf_keywords_distinctive_term_wins(spark):
+    """A term unique to one document outranks corpus-wide terms for it."""
+    from incubator_stormcrawler_spark.operators.corpus import tfidf_keywords
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common zebra zebra"),
+            (2, "common yak"),
+            (3, "common common common common"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.doc_id, r.rank): r.term
+        for r in tfidf_keywords(docs, top_n=2).collect()
+    }
+    assert out[(1, 1)] == "zebra"
+    assert out[(2, 1)] == "yak"
+    assert out[(3, 1)] == "common"
+
+
+def test_pq_encode_seeds_reconstruct_exactly(spark):
+    """Every codebook seed vector must encode with rmse 0 (its subvectors
+    ARE codebook entries); codes have m dash-separated parts."""
+    from pyspark.sql import functions as F
+
+    from incubator_stormcrawler_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    seeds = [
+        r.vec_id
+        for r in emb.select("vec_id")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(4)
+        .collect()
+    ]
+    out = sim.pq_encode(emb, m=8, k=4)
+    rows = {r.vec_id: r for r in out.collect()}
+    assert all(len(r.pq_code.split("-")) == 8 for r in rows.values())
+    for sid in seeds:
+        assert rows[sid].rmse == 0.0, (sid, rows[sid])
+    # non-seed vectors generally do NOT reconstruct exactly
+    assert any(r.rmse > 0 for r in rows.values())
