@@ -884,6 +884,28 @@ def q_text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token chunking with overlap (64-token chunks, 8 overlap) —
+    the RAG/training segmentation pass (operators/corpus.py); returns
+    chunk coordinates + text so the oracle value-checks the actual
+    slicing."""
+    from incubator_stormcrawler_spark.operators.corpus import chunk_documents
+
+    return chunk_documents(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        chunk_tokens=64,
+        overlap=8,
+    )
+
+
+def q_corpus_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity proxy: per-doc mean unigram log-probability
+    under the corpus's own unigram model (operators/corpus.py)."""
+    from incubator_stormcrawler_spark.operators.corpus import unigram_logprob
+
+    return unigram_logprob(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
 def q_embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization: 8 subspaces × 16-entry deterministic
     codebooks over the embedding table (operators/similarity.py) — the
@@ -2059,6 +2081,36 @@ SELECT vec_id,
 FROM best WHERE rn = 1 GROUP BY vec_id
 """
 
+# fixed-token chunking: start tokens via generate_series, list_slice twin
+_ORACLES["corpus_chunks"] = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), ex AS (
+  SELECT doc_id, toks,
+         cast(g.i AS BIGINT) AS start_token,
+         (g.i - 1) // 56 AS chunk_idx,
+         list_slice(toks, g.i, g.i + 63) AS piece
+  FROM t, unnest(generate_series(1, greatest(len(toks), 1), 56)) g(i)
+)
+SELECT doc_id, chunk_idx, start_token,
+       cast(len(piece) AS BIGINT) AS n_tokens,
+       array_to_string(piece, ' ') AS chunk_text
+FROM ex
+"""
+
+# unigram log-probability model from the corpus itself
+_ORACLES["corpus_unigram_logprob"] = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tok2 AS (SELECT * FROM tok WHERE term <> ''),
+counts AS (SELECT term, count(*) AS cnt FROM tok2 GROUP BY term),
+total AS (SELECT sum(cnt) AS total FROM counts),
+model AS (SELECT term, ln(cnt / total) AS logp FROM counts CROSS JOIN total)
+SELECT doc_id, count(*) AS n_tokens, round(avg(logp), 4) AS avg_logprob
+FROM tok2 JOIN model USING (term)
+GROUP BY doc_id
+"""
+
 # incremental dedup: index = fingerprints of doc_id < 250; batch = the rest
 # of the augmented corpus; fresh = batch keeper with unseen fingerprint.
 _ORACLES["dedup_incremental"] = f"""
@@ -2363,6 +2415,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_bpe_merges": q_corpus_bpe_merges,
         "text_tfidf_keywords": q_text_tfidf_keywords,
         "embedding_pq": q_embedding_pq,
+        "corpus_chunks": q_corpus_chunks,
+        "corpus_unigram_logprob": q_corpus_unigram_logprob,
     }
 
 

@@ -341,6 +341,83 @@ def tfidf_keywords(
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-token-budget chunks with overlap — the
+    segmentation step before embedding (RAG indexing) or sequence packing
+    (training). Deterministic: chunk i starts at token 1 + i·stride,
+    stride = chunk_tokens − overlap; the tail chunk may be short.
+
+    Pure projection + explode (no shuffle, no UDF): the chunker rides
+    along any corpus scan, and the ~chunk_tokens/stride row amplification
+    is the only cost — exactly what a 100 TB chunking pass must be.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.col(text_col), " ")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(stride)
+    )
+    exploded = docs.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.posexplode(starts).alias("chunk_idx", "start"),
+    )
+    piece = F.slice(F.col("__toks"), F.col("start"), chunk_tokens)
+    return exploded.select(
+        id_col,
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.col("start").cast("bigint").alias("start_token"),
+        F.size(piece).cast("bigint").alias("n_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    )
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram model — the cheap perplexity proxy of CCNet-style quality
+    filtering (docs whose tokens are globally rare score low; boilerplate
+    scores high). Two partial-aggregable passes: corpus term counts, then
+    a join back onto the exploded corpus and a per-doc mean.
+
+    Scale: the unigram table is vocabulary-sized; Spark broadcasts it when
+    it fits and AQE falls back to a shuffled hash join when it doesn't —
+    both fine, the corpus shuffles at most once on (doc_id) for the mean.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    ).where(F.col("term") != "")
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    model = counts.crossJoin(F.broadcast(total)).select(
+        "term", F.log(F.col("cnt") / F.col("total")).alias("logp")
+    )
+    return (
+        toks.join(model, "term")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("logp"), 4).alias("avg_logprob"),
+        )
+        .select(
+            id_col,
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            "avg_logprob",
+        )
+    )
+
+
 def dedup_clusters(
     pairs: DataFrame,
     iterations: int = 4,

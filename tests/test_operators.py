@@ -359,3 +359,39 @@ def test_pq_encode_seeds_reconstruct_exactly(spark):
         assert rows[sid].rmse == 0.0, (sid, rows[sid])
     # non-seed vectors generally do NOT reconstruct exactly
     assert any(r.rmse > 0 for r in rows.values())
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    """12 tokens, chunk=5, overlap=2 (stride 3): starts 1,4,7,10 — each
+    chunk repeats the previous chunk's last 2 tokens; the tail is short."""
+    from incubator_stormcrawler_spark.operators.corpus import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(1, 13)))],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        chunk_documents(docs, chunk_tokens=5, overlap=2).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    assert [r.start_token for r in rows] == [1, 4, 7, 10]
+    assert rows[0].chunk_text == "t1 t2 t3 t4 t5"
+    assert rows[1].chunk_text == "t4 t5 t6 t7 t8"       # 2-token overlap
+    assert rows[3].chunk_text == "t10 t11 t12"          # short tail
+    assert [r.n_tokens for r in rows] == [5, 5, 5, 3]
+
+
+def test_unigram_logprob_rare_text_scores_lower(spark):
+    """A document of corpus-rare tokens has lower mean log-probability
+    than one made of the dominant token."""
+    from incubator_stormcrawler_spark.operators.corpus import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "the the the the"), (2, "qux zot"), (3, "the the qux the")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.avg_logprob for r in unigram_logprob(docs).collect()}
+    assert got[2] < got[3] < got[1]
+    import math
+    # doc1: all 'the' (7 of 10 corpus tokens) → ln(0.7)
+    assert abs(got[1] - round(math.log(0.7), 4)) < 1e-9
