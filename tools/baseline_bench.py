@@ -315,9 +315,14 @@ def run_baselines(spark, with_8m: bool = True) -> dict:
         # the ContextCleaner reap checkpoint RDDs, so each baseline starts
         # from a quiet block manager (the 100k-doc minhash and 8 M-row
         # window otherwise inherit hundreds of MB of dead blocks and spill
-        # — measured 2-8× swings between runs)
+        # — measured 2-8× swings between runs); the JVM GC compacts the
+        # tenured garbage a long query suite leaves behind
         spark.catalog.clearCache()
         gc.collect()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
 
     tmp = tempfile.mkdtemp(prefix="baseline_bench_")
     f1m = os.path.join(tmp, "frontier1m")
@@ -329,12 +334,15 @@ def run_baselines(spark, with_8m: bool = True) -> dict:
             ("frontier_query_1m", lambda: bench_frontier_query(spark, f1m)),
             ("status_merge_100k_into_1m",
              lambda: bench_status_merge(spark, f1m)),
+            # shuffle-heaviest workload early, before the python-stage
+            # benches grow the worker pool and the crawl loop churns the
+            # heap (ordering alone was worth ~3× on its recorded time)
+            ("minhash_dedup_100k", lambda: bench_minhash_dedup(spark)),
             ("url_normalize_native_1m", lambda: bench_normalize(spark)),
             ("url_normalize_python_200k",
              lambda: bench_python_normalize(spark)),
             ("html_parse_10k", lambda: bench_parse(spark)),
             ("crawl_pipeline_10k", lambda: bench_crawl_pipeline(spark)),
-            ("minhash_dedup_100k", lambda: bench_minhash_dedup(spark)),
         ]:
             _clean()
             out[name] = fn()
