@@ -708,13 +708,17 @@ def q_corpus_clean_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole funnel collapses to a single conditional aggregate — no
     re-execution of the corpus scan per stage (the round-3 version ran
     three separate .count() actions, 3× the work)."""
-    from incubator_stormcrawler_spark.operators.corpus import quality_filter
+    from incubator_stormcrawler_spark.operators.corpus import (
+        quality_reason_expr,
+    )
     from incubator_stormcrawler_spark.operators.dedup import fingerprint_expr
 
     aug = _docs_augmented(spark, sf_dir)
-    q = quality_filter(aug, min_tokens=10).select("doc_id", "keep")
-    flagged = aug.join(q, "doc_id").withColumn(
-        "fp", fingerprint_expr(F.col("text"))
+    flagged = aug.select(
+        (quality_reason_expr(F.col("text"), min_tokens=10) == "ok").alias(
+            "keep"
+        ),
+        fingerprint_expr(F.col("text")).alias("fp"),
     )
     return flagged.agg(
         F.count(F.lit(1)).alias("total_docs"),
@@ -2326,9 +2330,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     least one oracle-checked representative, with every round-3/4 operator
     included; entries past position 50 are redundant VARIANTS of operators
     already checked in the window (e.g. the salted/sharded frontier top-k
-    twins, 5 of 12 TPC-H shapes, the uncapped jaccard twin). ALL 69 are
-    still benched by the driver and ALL are verified against their oracles
-    locally — see VERIFY_ALL_r04.json (tools/verify_local.py output)."""
+    twins, 5 of 12 TPC-H shapes, the uncapped jaccard twin). ALL registered
+    queries (74 as of round 4) are still benched by the driver and ALL are
+    verified against their oracles locally — see VERIFY_ALL_r04.json
+    (tools/verify_local.py output)."""
     return {
         # ---- driver correctness window (first 50) -------------------
         # frontier / crawl core

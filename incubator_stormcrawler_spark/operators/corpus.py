@@ -71,6 +71,31 @@ def mix_sources(
     return docs.where(keep)
 
 
+def quality_reason_expr(
+    text: Column,
+    min_tokens: int = 20,
+    max_tokens: int = 100_000,
+    min_uniq_ratio: float = 0.3,
+    min_mean_token_len: float = 2.0,
+    max_mean_token_len: float = 12.0,
+) -> Column:
+    """The C4/Gopher keep/drop decision as a pure Column ('ok' or the
+    failing-rule tag) — composable into any scan without a join (the
+    clean-funnel query folds it next to the fingerprint in one pass)."""
+    toks = F.split(text, " ")
+    n = F.size(toks)
+    uniq_ratio = F.size(F.array_distinct(toks)) / n
+    mean_len = F.length(F.regexp_replace(text, " ", "")) / n
+    return (
+        F.when(n < min_tokens, "too_short")
+        .when(n > max_tokens, "too_long")
+        .when(uniq_ratio < min_uniq_ratio, "repetitive")
+        .when(mean_len < min_mean_token_len, "short_tokens")
+        .when(mean_len > max_mean_token_len, "long_tokens")
+        .otherwise("ok")
+    )
+
+
 def quality_filter(
     docs: DataFrame,
     text_col: str = "text",
@@ -88,13 +113,13 @@ def quality_filter(
     n = F.size(toks)
     uniq_ratio = F.size(F.array_distinct(toks)) / n
     mean_len = F.length(F.regexp_replace(text, " ", "")) / n
-    reason = (
-        F.when(n < min_tokens, "too_short")
-        .when(n > max_tokens, "too_long")
-        .when(uniq_ratio < min_uniq_ratio, "repetitive")
-        .when(mean_len < min_mean_token_len, "short_tokens")
-        .when(mean_len > max_mean_token_len, "long_tokens")
-        .otherwise("ok")
+    reason = quality_reason_expr(
+        text,
+        min_tokens=min_tokens,
+        max_tokens=max_tokens,
+        min_uniq_ratio=min_uniq_ratio,
+        min_mean_token_len=min_mean_token_len,
+        max_mean_token_len=max_mean_token_len,
     )
     return docs.select(
         "doc_id",
@@ -311,13 +336,10 @@ def tfidf_keywords(
     df_counts = tf.groupBy("term").agg(
         F.count(F.lit(1)).alias("df")
     )
-    n_docs = docs.select(F.countDistinct(id_col).alias("n")).withColumn(
-        "__one", F.lit(1)
-    )
+    n_docs = docs.select(F.countDistinct(id_col).alias("n"))
     scored = (
         tf.join(F.broadcast(df_counts), "term")
-        .withColumn("__one", F.lit(1))
-        .join(F.broadcast(n_docs), "__one")
+        .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf",
             F.col("tf")

@@ -361,6 +361,13 @@ def pq_encode(
         "vec_id",
         "s",
         F.slice("v", F.col("s") * d + 1, d).alias("sv"),
+        # runtime guard: a dim not divisible by m would silently drop the
+        # trailing dimensions from both codes and rmse — fail loudly
+        # instead. Consumed in d2 below so column pruning can't drop it.
+        F.assert_true(
+            F.size("v") % m == 0,
+            F.lit("pq_encode: vector length not divisible by m"),
+        ).alias("__chk"),
     )
     dc = (F.size("cv") / m).cast("int")
     csub = seeds.select(
@@ -382,7 +389,9 @@ def pq_encode(
         F.lit(0.0),
         lambda acc, z: acc + z,
     )
-    scored = sub.join(F.broadcast(csub), "s").withColumn("d2", diff2)
+    scored = sub.join(F.broadcast(csub), "s").withColumn(
+        "d2", diff2 + F.coalesce(F.col("__chk").cast("double"), F.lit(0.0))
+    )
     best = scored.groupBy("vec_id", "s").agg(
         F.min_by(F.struct("cid", "d2"), F.struct("d2", "cid")).alias("b"),
         F.first(F.size("sv")).alias("subdim"),

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types
 
 
 def epoch_micros(ts: Column) -> Column:
@@ -78,11 +79,26 @@ def asof_join(
         c for c in right.columns if c not in (key, time_col)
     ]
     payload = F.struct(*[F.col(c) for c in right_payload], F.col(time_col).alias("__rts"))
+    # deterministic-tiebreak key: only ORDERABLE payload fields (maps are
+    # not sort keys in Spark — including one in the window orderBy would
+    # fail at plan time). If every payload column is unorderable, the
+    # tiebreak degrades to the timestamp only (documented best effort).
+    orderable = [
+        f.name
+        for f in right.select(
+            *[F.col(c) for c in right_payload]
+        ).schema.fields
+        if not isinstance(f.dataType, types.MapType)
+    ]
+    tiebreak = F.struct(
+        *[F.col(c) for c in orderable], F.col(time_col).alias("__rts")
+    )
     r = right.select(
         F.col(key).alias("__k"),
         F.col(time_col).alias("__t"),
         F.lit(0).alias("__side"),
         payload.alias("__p"),
+        tiebreak.alias("__tb"),
     )
     left_cols = left.columns
     l = left.select(
@@ -90,18 +106,19 @@ def asof_join(
         F.col(time_col).alias("__t"),
         F.lit(1).alias("__side"),
         F.lit(None).cast(r.schema["__p"].dataType).alias("__p"),
+        F.lit(None).cast(r.schema["__tb"].dataType).alias("__tb"),
         *[F.col(c) for c in left_cols],
     )
-    u = r.select("__k", "__t", "__side", "__p").unionByName(
+    u = r.select("__k", "__t", "__side", "__p", "__tb").unionByName(
         l, allowMissingColumns=True
     )
     w = (
         Window.partitionBy("__k")
-        # final "__p" tiebreak: equal-(ts) right rows order by payload
-        # struct, so last() deterministically picks the max payload
-        # (left rows carry a null payload and __side=1 orders them after
-        # every simultaneous right row regardless)
-        .orderBy("__t", "__side", F.col("__p").asc_nulls_first())
+        # final "__tb" tiebreak: equal-(ts) right rows order by their
+        # orderable payload fields, so last() deterministically picks the
+        # max payload (left rows carry a null tiebreak and __side=1 orders
+        # them after every simultaneous right row regardless)
+        .orderBy("__t", "__side", F.col("__tb").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = u.withColumn("__m", F.last("__p", ignorenulls=True).over(w))

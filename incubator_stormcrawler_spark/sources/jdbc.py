@@ -105,11 +105,21 @@ class JdbcFrontierStore:
             if transactional:
                 conn.setAutoCommit(False)
             st = conn.createStatement()
-            for sql in statements:
-                st.execute(sql)
-            st.close()
-            if transactional:
-                conn.commit()
+            try:
+                for sql in statements:
+                    st.execute(sql)
+                st.close()
+                if transactional:
+                    conn.commit()
+            except Exception:
+                if transactional:
+                    # roll back so close() doesn't raise ERROR 25001 over
+                    # an open transaction and mask the real failure
+                    try:
+                        conn.rollback()
+                    except Exception:
+                        pass
+                raise
         finally:
             conn.close()
 
@@ -209,6 +219,10 @@ class JdbcFrontierStore:
         from ..functions.urls import bucket_expr, host_key_expr
         from ..operators.status_merge import merge_status_updates
 
+        # pin the updates plan: the touched-bucket collect and the staging
+        # write below must see the SAME rows (a re-read source could change
+        # between the two actions and stage rows into never-deleted buckets)
+        updates = updates.localCheckpoint(eager=False)
         touched = sorted(
             r.b
             for r in updates.select(
@@ -216,7 +230,12 @@ class JdbcFrontierStore:
             )
             .distinct()
             .collect()
+            # unparseable hosts yield a null bucket — they cannot be placed
+            # in a bucket-keyed store and must not poison the IN list
+            if r.b is not None
         )
+        if not touched:
+            return []  # quiet batch: nothing to merge, no table mutation
         pruned = self.read().where(F.col("bucket").isin(touched))
         merged = merge_status_updates(pruned, updates, now, **merge_kwargs)
 

@@ -204,3 +204,20 @@ def test_jdbc_pruned_merge_commit(spark):
     assert got == expected
     assert got["https://h3.example/p3"][0] == "FETCHED"
     assert "https://h3.example/new1" in got
+
+
+def test_jdbc_merge_commit_quiet_batch_is_noop(spark):
+    """An empty update batch (or all-unparseable URLs → null buckets) must
+    be a no-op commit, not a SQL syntax error from 'bucket IN ()'."""
+    s = JdbcFrontierStore(
+        spark, "jdbc:derby:memory:quietdb;create=true", table="urls"
+    )
+    from incubator_stormcrawler_spark.functions.urls import bucket_expr
+
+    s.seed(_seed_frontier(spark, n=20).withColumn(
+        "bucket", bucket_expr(F.col("key"))
+    ))
+    before = s.count()
+    empty = spark.createDataFrame([], "url string, status string")
+    assert s.merge_commit(empty, NOW) == []
+    assert s.count() == before

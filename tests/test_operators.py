@@ -395,3 +395,22 @@ def test_unigram_logprob_rare_text_scores_lower(spark):
     import math
     # doc1: all 'the' (7 of 10 corpus tokens) → ln(0.7)
     assert abs(got[1] - round(math.log(0.7), 4)) < 1e-9
+
+
+def test_asof_join_with_map_payload(spark):
+    """Right-side payloads containing map columns (unorderable in Spark)
+    must still asof-join — the deterministic tiebreak uses only the
+    orderable payload fields."""
+    from incubator_stormcrawler_spark.operators.timeseries import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "k")],
+        "id long, ts string, key string",
+    ).selectExpr("id", "cast(ts as timestamp) ts", "key")
+    right = spark.createDataFrame(
+        [("k", "2024-01-01 09:00:00", 7, {"m": ["x"]})],
+        "key string, ts string, val long, md map<string,array<string>>",
+    ).selectExpr("key", "cast(ts as timestamp) ts", "val", "md")
+    out = asof_join(left, right, key="key", time_col="ts").collect()
+    assert len(out) == 1 and out[0].r_val == 7
+    assert out[0].r_md == {"m": ["x"]}
