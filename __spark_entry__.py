@@ -910,6 +910,15 @@ def q_corpus_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucket gap filling with LOCF per event type (hourly grain) —
+    the hypertable time_bucket_gapfill/locf shape
+    (operators/timeseries.py)."""
+    from incubator_stormcrawler_spark.operators.timeseries import gap_fill
+
+    return gap_fill(rel.load_events(spark, sf_dir))
+
+
 def q_embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization: 8 subspaces × 16-entry deterministic
     codebooks over the embedding table (operators/similarity.py) — the
@@ -2085,6 +2094,54 @@ SELECT vec_id,
 FROM best WHERE rn = 1 GROUP BY vec_id
 """
 
+# gap fill: dense per-key hourly spine + left join + LOCF window
+_ORACLES["events_gap_fill"] = """
+WITH sparse AS (
+  SELECT event_type AS key, date_trunc('hour', ts) AS bucket,
+         count(*) AS n, sum(value) AS v
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT key, min(bucket) AS lo, max(bucket) AS hi FROM sparse GROUP BY key
+), spine AS (
+  SELECT key, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+  FROM bounds
+), j AS (
+  SELECT s.key, s.bucket, sp.n, sp.v
+  FROM spine s LEFT JOIN sparse sp USING (key, bucket)
+)
+SELECT key AS event_type, bucket,
+       coalesce(n, 0) AS n_events,
+       round(coalesce(v, 0.0), 2) AS total_value,
+       round(last_value(v IGNORE NULLS) OVER (
+         PARTITION BY key ORDER BY bucket ROWS UNBOUNDED PRECEDING), 2)
+         AS locf_value
+FROM j
+"""
+
+_ORACLES["events_funnel"] = """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t1,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t2,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t3
+  FROM events GROUP BY user_id
+), flags AS (
+  SELECT t1 IS NOT NULL AS s1,
+         t1 IS NOT NULL AND t2 IS NOT NULL AND t2 >= t1 AS s2,
+         t1 IS NOT NULL AND t2 IS NOT NULL AND t2 >= t1
+           AND t3 IS NOT NULL AND t3 >= t2 AS s3
+  FROM per_user
+)
+SELECT count(*) FILTER (s1) AS users_view,
+       count(*) FILTER (s2) AS users_view_click,
+       count(*) FILTER (s3) AS users_full_funnel,
+       round(count(*) FILTER (s2) / count(*) FILTER (s1), 4)
+         AS view_to_click_rate,
+       round(count(*) FILTER (s3) / count(*) FILTER (s2), 4)
+         AS click_to_purchase_rate
+FROM flags
+"""
+
 # fixed-token chunking: start tokens via generate_series, list_slice twin
 _ORACLES["corpus_chunks"] = """
 WITH t AS (
@@ -2422,6 +2479,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pq": q_embedding_pq,
         "corpus_chunks": q_corpus_chunks,
         "corpus_unigram_logprob": q_corpus_unigram_logprob,
+        "events_gap_fill": q_events_gap_fill,
+        "events_funnel": rel.events_funnel,
     }
 
 

@@ -258,6 +258,42 @@ def events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: per user, the
+    FIRST timestamp of each step; a user converts a step only if its first
+    occurrence is at-or-after the previous step's first occurrence — the
+    standard product-analytics funnel, as two partial-aggregable groupBys
+    (per-user min-when, then one global conditional count). No joins, no
+    windows; at 100 TB the per-user aggregate is the only shuffle.
+    """
+    ev = load_events(spark, sf_dir)
+    first_of = lambda t: F.min(
+        F.when(F.col("event_type") == t, F.col("ts"))
+    )
+    per_user = ev.groupBy("user_id").agg(
+        first_of("view").alias("t1"),
+        first_of("click").alias("t2"),
+        first_of("purchase").alias("t3"),
+    )
+    step2 = (
+        F.col("t1").isNotNull()
+        & F.col("t2").isNotNull()
+        & (F.col("t2") >= F.col("t1"))
+    )
+    step3 = step2 & F.col("t3").isNotNull() & (F.col("t3") >= F.col("t2"))
+    return per_user.agg(
+        F.count_if(F.col("t1").isNotNull()).alias("users_view"),
+        F.count_if(step2).alias("users_view_click"),
+        F.count_if(step3).alias("users_full_funnel"),
+        F.round(
+            F.count_if(step2) / F.count_if(F.col("t1").isNotNull()), 4
+        ).alias("view_to_click_rate"),
+        F.round(F.count_if(step3) / F.count_if(step2), 4).alias(
+            "click_to_purchase_rate"
+        ),
+    )
+
+
 def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON scalar surface (LDJsonParseFilter-alike): extract props.k,
     aggregate by its decile."""

@@ -188,6 +188,64 @@ def range_join_bucketed(
     )
 
 
+def gap_fill(
+    events: DataFrame,
+    time_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    grain: str = "hour",
+) -> DataFrame:
+    """Time-bucket gap filling with last-observation-carried-forward — the
+    hypertable ``time_bucket_gapfill``/``locf`` shape: per key, every
+    bucket between that key's first and last observation exists in the
+    output; empty buckets report 0 counts and carry the previous bucket's
+    value forward.
+
+    Plan shape: aggregate to buckets FIRST (partial map-side; the corpus
+    never explodes), then build the dense spine by exploding
+    ``sequence(min, max, 1 grain)`` of the per-key BOUNDS — |keys| rows,
+    not |events| — and left-join the sparse aggregates back (broadcast or
+    hash by size, AQE's call). The LOCF window partitions by key so skew
+    splits; nothing touches the raw corpus twice.
+    """
+    step = {"hour": "interval 1 hour", "day": "interval 1 day",
+            "minute": "interval 1 minute"}[grain]
+    bucket = F.date_trunc(grain, F.col(time_col))
+    sparse = events.groupBy(
+        F.col(key_col).alias("key"), bucket.alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(value_col).alias("v"),
+    )
+    # the sparse aggregate feeds BOTH the bounds/spine branch and the
+    # left join — truncate its lineage so the raw-events scan+aggregate
+    # runs once, not once per branch (same pattern as dedup signatures)
+    sparse = sparse.localCheckpoint(eager=False)
+    spine = (
+        sparse.groupBy("key")
+        .agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+        .select(
+            "key",
+            F.explode(
+                F.expr(f"sequence(lo, hi, {step})")
+            ).alias("bucket"),
+        )
+    )
+    joined = spine.join(sparse, ["key", "bucket"], "left")
+    w = (
+        Window.partitionBy("key")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        F.col("key").alias(key_col),
+        "bucket",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+        F.round(F.coalesce(F.col("v"), F.lit(0.0)), 2).alias("total_value"),
+        F.round(F.last("v", ignorenulls=True).over(w), 2).alias("locf_value"),
+    )
+
+
 def rollup_time_grain(
     events: DataFrame,
     time_col: str = "ts",

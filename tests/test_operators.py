@@ -414,3 +414,59 @@ def test_asof_join_with_map_payload(spark):
     out = asof_join(left, right, key="key", time_col="ts").collect()
     assert len(out) == 1 and out[0].r_val == 7
     assert out[0].r_md == {"m": ["x"]}
+
+
+def test_gap_fill_locf_and_zero_counts(spark):
+    """Missing buckets appear with 0 counts and carry the last value
+    forward; the spine is per-key (no cross-key leakage)."""
+    from incubator_stormcrawler_spark.operators.timeseries import gap_fill
+
+    ev = spark.createDataFrame(
+        [
+            ("a", "2024-01-01 10:15:00", 10.0),
+            ("a", "2024-01-01 13:05:00", 4.0),   # 11:00 and 12:00 missing
+            ("b", "2024-01-01 11:30:00", 7.0),
+        ],
+        "event_type string, ts string, value double",
+    ).selectExpr("event_type", "cast(ts as timestamp) ts", "value")
+    rows = {
+        (r.event_type, str(r.bucket)): r
+        for r in gap_fill(ev).collect()
+    }
+    assert len(rows) == 5  # a: 10,11,12,13; b: 11
+    gap = rows[("a", "2024-01-01 11:00:00")]
+    assert gap.n_events == 0 and gap.total_value == 0.0
+    assert gap.locf_value == 10.0                  # carried from 10:00
+    assert rows[("a", "2024-01-01 13:00:00")].locf_value == 4.0
+    assert ("b", "2024-01-01 10:00:00") not in rows  # per-key bounds
+
+
+def test_events_funnel_ordering_semantics(spark):
+    """A user whose purchase precedes their first view-click chain does
+    not count as a full-funnel conversion."""
+    import incubator_stormcrawler_spark.operators.relational as rel
+    from unittest import mock
+
+    ev = spark.createDataFrame(
+        [
+            (1, "view", "2024-01-01 10:00:00"),
+            (1, "click", "2024-01-01 11:00:00"),
+            (1, "purchase", "2024-01-01 12:00:00"),   # full funnel
+            (2, "purchase", "2024-01-01 09:00:00"),
+            (2, "view", "2024-01-01 10:00:00"),
+            (2, "click", "2024-01-01 11:00:00"),      # purchase too early
+            (3, "view", "2024-01-01 10:00:00"),       # view only
+        ],
+        "user_id long, event_type string, ts string",
+    ).selectExpr(
+        "user_id", "event_type", "cast(ts as timestamp) ts",
+        "cast(1.0 as double) value", "cast(user_id as string) props",
+        "cast(user_id as long) event_id",
+    )
+    with mock.patch.object(rel, "load_events", return_value=ev):
+        r = rel.events_funnel(spark, "unused").collect()[0]
+    assert r.users_view == 3
+    assert r.users_view_click == 2      # users 1 and 2
+    assert r.users_full_funnel == 1     # user 1 only
+    assert r.view_to_click_rate == 0.6667
+    assert r.click_to_purchase_rate == 0.5
