@@ -576,3 +576,45 @@ def repetition_metrics(docs: DataFrame, n: int = 2, text_col: str = "text") -> D
             ).alias("top_ngram_frac"),
         )
     )
+
+
+def segment_dedup(
+    docs: DataFrame,
+    segment_tokens: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Paragraph-level exact dedup, first occurrence wins — the CCNet /
+    RefinedWeb line-dedup pass. Real web corpora split on newlines; this
+    corpus carries none, so segmentation is fixed-token (chunk_documents
+    with overlap=0) and the unit of dedup is the segment. A segment that
+    appears anywhere earlier in (doc_id, chunk_idx) order is dropped
+    corpus-wide; output is the surviving segments.
+
+    Plan: the chunker rides the scan (pure explode, no shuffle), then TWO
+    hash-partitioned-on-md5 shuffles: a partial-aggregable groupBy picks
+    each hash's keeper (min struct(doc_id, chunk_idx)) and a join back on
+    the hash marks survivors. Boilerplate-heavy corpora concentrate
+    duplicates INTO one hash, but min() partial-aggregates map-side, so a
+    hot segment costs one row per map task — no hot reducer; the join-back
+    side is the corpus itself, uniformly hashed. That is the 100 TB shape:
+    nothing quadratic, nothing driver-side, both shuffle keys uniform.
+    """
+    segs = chunk_documents(
+        docs,
+        chunk_tokens=segment_tokens,
+        overlap=0,
+        text_col=text_col,
+        id_col=id_col,
+    ).withColumn("__h", F.md5(F.col("chunk_text")))
+    keeper = segs.groupBy("__h").agg(
+        F.min(F.struct(F.col(id_col), F.col("chunk_idx"))).alias("__k")
+    )
+    return (
+        segs.join(keeper, "__h")
+        .where(
+            (F.col(id_col) == F.col(f"__k.{id_col}"))
+            & (F.col("chunk_idx") == F.col("__k.chunk_idx"))
+        )
+        .select(id_col, "chunk_idx", "chunk_text")
+    )

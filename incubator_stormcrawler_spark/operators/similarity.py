@@ -585,3 +585,68 @@ def embedding_cosine_dedup(
     return block_pairs.mapInPandas(
         run, schema="id1 bigint, id2 bigint, sim double"
     )
+
+
+def semdedup(
+    embeddings: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    threshold: float = 0.92,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv 2303.09540): semantic
+    deduplication = k-means partition the embedding space, then inside
+    each cluster drop every vector that has a higher-similarity twin —
+    cosine >= threshold — with a smaller id. Returns one row per vector:
+    (vec_id, cid, kept, dup_of) where dup_of is the smallest same-cluster
+    id that shadows a dropped vector (NULL for survivors).
+
+    Keep rule: the paper keeps the member farthest from the centroid; we
+    keep the smallest id of each duplicate relation instead — same corpus
+    shrink, but deterministic and expressible in ANSI SQL so the DuckDB
+    oracle can value-check it (documented swap point; changing the rule is
+    a one-line edit of the min()).
+
+    Scale: this is the whole point of SemDeDup — the quadratic pair stage
+    is confined WITHIN clusters. k grows with corpus size (the paper uses
+    50k clusters for LAION-440M) so the expected cluster N/k stays
+    bounded; the self-join shuffles both sides once on cid and AQE splits
+    a skewed mega-cluster. The k-means assignment is localCheckpoint'd so
+    the pair join and the final survivor join don't each replay Lloyd's
+    iterations.
+    """
+    assigned = (
+        kmeans_embeddings(
+            embeddings, k=k, iterations=iterations,
+            id_col=id_col, vec_col=vec_col,
+        )
+        .select("vec_id", "cid")
+        .localCheckpoint(eager=False)
+    )
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+    )
+    withv = assigned.join(e, "vec_id")
+    a = withv.select(
+        F.col("vec_id").alias("id1"), "cid", F.col("v").alias("v1")
+    )
+    b = withv.select(
+        F.col("vec_id").alias("id2"), "cid", F.col("v").alias("v2")
+    )
+    sim = _dot(F.col("v1"), F.col("v2")) / (
+        _norm(F.col("v1")) * _norm(F.col("v2"))
+    )
+    shadows = (
+        a.join(b, "cid")
+        .where(F.col("id1") < F.col("id2"))
+        .where(F.round(sim, 4) >= threshold)
+        .groupBy(F.col("id2").alias("vec_id"))
+        .agg(F.min("id1").alias("dup_of"))
+    )
+    return assigned.join(shadows, "vec_id", "left").select(
+        "vec_id",
+        "cid",
+        F.col("dup_of").isNull().alias("kept"),
+        "dup_of",
+    )

@@ -321,3 +321,57 @@ def test_pii_scrub_redacts_and_counts(spark):
     assert "192.168" not in got[1].clean_text
     assert got[2].n_email == 0 and got[2].clean_text == got[2].clean_text
     assert got[2].clean_text == "no pii here just words"
+
+
+def test_segment_dedup_first_occurrence_wins(spark):
+    from incubator_stormcrawler_spark.operators.corpus import segment_dedup
+
+    # doc 1: segments A B; doc 2: segment A again (dropped) + unique C;
+    # doc 3 repeats B twice internally (second copy dropped too)
+    seg_a = " ".join(f"a{i}" for i in range(4))
+    seg_b = " ".join(f"b{i}" for i in range(4))
+    seg_c = " ".join(f"c{i}" for i in range(4))
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=seg_a + " " + seg_b),
+            Row(doc_id=2, text=seg_a + " " + seg_c),
+            Row(doc_id=3, text=seg_b + " " + seg_b),
+        ]
+    )
+    got = {
+        (r.doc_id, r.chunk_idx): r.chunk_text
+        for r in segment_dedup(docs, segment_tokens=4).collect()
+    }
+    assert got == {
+        (1, 0): seg_a,
+        (1, 1): seg_b,
+        (2, 1): seg_c,
+    }
+
+
+def test_semdedup_drops_intra_cluster_twin_keeps_cross_cluster(spark):
+    from incubator_stormcrawler_spark.operators.similarity import semdedup
+
+    # two tight clusters in 4-d; ids 1,2 nearly identical (same cluster →
+    # 2 shadowed by 1); id 3 orthogonal-ish in the other cluster survives;
+    # id 4 identical to 3 → shadowed by 3
+    emb = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[1.0, 0.0, 0.0, 0.1]),
+            Row(vec_id=2, embedding=[1.0, 0.01, 0.0, 0.1]),
+            Row(vec_id=3, embedding=[0.0, 1.0, 0.2, 0.0]),
+            Row(vec_id=4, embedding=[0.0, 1.0, 0.2, 0.0]),
+        ]
+    )
+    got = {
+        r.vec_id: r for r in semdedup(emb, k=2, iterations=2, threshold=0.95).collect()
+    }
+    assert len(got) == 4
+    assert got[1].kept and got[1].dup_of is None
+    assert not got[2].kept and got[2].dup_of == 1
+    assert got[3].kept
+    assert not got[4].kept and got[4].dup_of == 3
+    # cluster assignment actually separated the two groups
+    assert got[1].cid == got[2].cid
+    assert got[3].cid == got[4].cid
+    assert got[1].cid != got[3].cid

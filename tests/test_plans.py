@@ -223,3 +223,28 @@ def test_pack_shards_windows_partition_by_bucket(spark):
     ) or "[bucket#" in plan.split("Window")[1]
     # the broadcast of the 8-row offsets table stays a broadcast join
     assert "BroadcastHashJoin" in plan
+
+
+def test_segment_dedup_partial_agg_no_cartesian(spark):
+    from incubator_stormcrawler_spark.operators.corpus import segment_dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(segment_dedup(docs, segment_tokens=32))
+    # keeper selection must partial-aggregate map-side (hot boilerplate
+    # segments cost one row per map task, not a hot reducer)
+    assert "partial_min" in plan or "partial_finalmerge" in plan.lower() or \
+        plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semdedup_pair_join_is_hash_join_on_cid(spark):
+    from incubator_stormcrawler_spark.operators.similarity import semdedup
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = plan_of(semdedup(emb, k=4, iterations=1, threshold=0.4))
+    # the intra-cluster pair stage must be an equi-join on cid — never a
+    # nested-loop over all pairs (that would be the all-pairs quadratic
+    # plan SemDeDup exists to avoid)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
