@@ -886,6 +886,17 @@ def q_corpus_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return segment_dedup(_docs_augmented(spark, sf_dir), segment_tokens=32)
 
 
+def q_corpus_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean log-probability under an interpolated bigram LM
+    trained on the corpus itself (operators/corpus.py:bigram_logprob) —
+    catches word-order damage the unigram proxy can't."""
+    from incubator_stormcrawler_spark.operators.corpus import bigram_logprob
+
+    return bigram_logprob(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), lam=0.8
+    )
+
+
 def q_corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 BPE merge candidates: corpus-wide adjacent symbol-pair
     frequencies over the pretoken vocabulary (operators/corpus.py) — the
@@ -2251,6 +2262,65 @@ FROM tok2 JOIN model USING (term)
 GROUP BY doc_id
 """
 
+# interpolated bigram LM: P(w2|w1) = lam·c12/c1 + (1−lam)·c(w2)/N.
+# (1−lam) is interpolated from the Python float so both engines use the
+# bit-identical constant (1.0 − 0.8 != 0.2 in IEEE doubles).
+_BIGRAM_LAM = 0.8
+_ORACLES["corpus_bigram_logprob"] = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), t2 AS (
+  SELECT * FROM t WHERE len(toks) >= 2
+), bg AS (
+  SELECT doc_id, toks[g.i] AS w1, toks[g.i + 1] AS w2
+  FROM t2, unnest(generate_series(1, len(toks) - 1)) g(i)
+  WHERE toks[g.i] <> '' AND toks[g.i + 1] <> ''
+), c12 AS (
+  SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, count(*) AS c1 FROM bg GROUP BY w1
+), uni AS (
+  SELECT term, count(*) AS cu FROM (
+    SELECT unnest(string_split(text, ' ')) AS term FROM documents
+  ) WHERE term <> '' GROUP BY term
+), total AS (SELECT sum(cu) AS total FROM uni),
+model AS (
+  SELECT c12.w1, c12.w2,
+         ln({_BIGRAM_LAM} * c12 / c1 + {1.0 - _BIGRAM_LAM!r} * cu / total)
+           AS logp
+  FROM c12 JOIN c1 USING (w1) JOIN uni ON uni.term = c12.w2
+  CROSS JOIN total
+)
+SELECT doc_id, count(*) AS n_bigrams, round(avg(logp), 4) AS avg_logprob
+FROM bg JOIN model USING (w1, w2)
+GROUP BY doc_id
+"""
+
+_ORACLES["tpch_promo_revenue"] = """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1.0 - l_discount)
+                              ELSE 0.0 END)
+             / sum(l_extendedprice * (1.0 - l_discount)), 4) AS promo_pct,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+  AND l_shipdate < TIMESTAMP '1997-04-01'
+"""
+
+_ORACLES["tpch_brand_revenue"] = """
+SELECT p_brand, round(sum(l_extendedprice * (1.0 - l_discount)), 2)
+         AS revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size <= 15
+       AND l_quantity >= 1 AND l_quantity <= 21)
+   OR (p_brand = 'Brand#23' AND p_size <= 25
+       AND l_quantity >= 10 AND l_quantity <= 30)
+   OR (p_brand = 'Brand#34' AND p_size <= 35
+       AND l_quantity >= 20 AND l_quantity <= 40)
+GROUP BY p_brand ORDER BY p_brand
+"""
+
 # incremental dedup: index = fingerprints of doc_id < 250; batch = the rest
 # of the augmented corpus; fresh = batch keeper with unseen fingerprint.
 _ORACLES["dedup_incremental"] = f"""
@@ -2495,6 +2565,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_unigram_logprob": q_corpus_unigram_logprob,
         "corpus_segment_dedup": q_corpus_segment_dedup,
         "text_tfidf_keywords": q_text_tfidf_keywords,
+        "corpus_bigram_logprob": q_corpus_bigram_logprob,
+        "tpch_promo_revenue": rel.promo_revenue,
+        "tpch_brand_revenue": rel.brand_revenue,
         # embeddings
         "embedding_quantize": q_embedding_quantize,
         "embedding_kmeans": q_embedding_kmeans,
@@ -2512,15 +2585,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "status_merge": q_status_merge,
         "deletion_stream": q_deletion_stream,
         "url_normalize_native": q_url_normalize_native,
-        "seeds_parse": q_seeds_parse,
-        "indexer_projection": q_indexer_projection,
         "parse_richdoc": q_parse_richdoc,
         "xpath_html": q_xpath_html,
         "link_rank": q_link_rank,
         "tpch_pricing_summary": rel.pricing_summary,
         "tpch_shipping_priority": rel.shipping_priority,
         "events_hourly": rel.events_hourly,
-        "events_rate_10s": q_events_rate_10s,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -2532,6 +2602,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CORRECTNESS_r03.json (all benched; all locally verified) -----
         "frontier_topk_bucket_ordered": q_frontier_topk_bucket_ordered,
         "frontier_host_budget": q_frontier_host_budget,
+        "seeds_parse": q_seeds_parse,
+        "indexer_projection": q_indexer_projection,
+        "events_rate_10s": q_events_rate_10s,
         "frontier_topk_sharded": q_frontier_topk_sharded,
         "frontier_topk_salted": q_frontier_topk_salted,
         "frontier_due_histogram": q_due_histogram,

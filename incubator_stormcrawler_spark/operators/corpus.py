@@ -618,3 +618,81 @@ def segment_dedup(
         )
         .select(id_col, "chunk_idx", "chunk_text")
     )
+
+
+def bigram_logprob(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.8,
+) -> DataFrame:
+    """Per-document mean log-probability under an interpolated bigram LM
+    trained on the corpus itself — one step up the CCNet quality ladder
+    from ``unigram_logprob``: P(w2|w1) = lam·c(w1,w2)/c(w1·) +
+    (1−lam)·c(w2)/N. Repetitive/boilerplate docs score high, incoherent
+    token soup scores low, and unlike the unigram proxy this catches
+    WORD-ORDER damage (shuffled text keeps its unigram score, loses its
+    bigram score).
+
+    Scale: all three count tables (bigram vocab, left-context counts,
+    unigram vocab) are vocabulary-sized and partial-aggregable; Spark
+    broadcasts them when they fit and AQE shuffles otherwise. The corpus
+    stream shuffles once on (doc_id) for the final mean — the same shape
+    as unigram_logprob, one extra vocab-sized join. Docs with fewer than
+    two tokens have no bigrams and drop out (both engines agree).
+    """
+    toks_arr = F.split(F.col(text_col), " ")
+    base = docs.select(F.col(id_col), toks_arr.alias("__toks")).where(
+        F.size("__toks") >= 2
+    )
+    bg = (
+        base.select(
+            F.col(id_col),
+            F.col("__toks"),
+            # size >= 2 is guaranteed above, so the sequence never inverts
+            F.explode(
+                F.sequence(F.lit(1), F.size("__toks") - 1)
+            ).alias("__i"),
+        )
+        .select(
+            F.col(id_col),
+            F.element_at("__toks", F.col("__i")).alias("w1"),
+            F.element_at("__toks", F.col("__i") + 1).alias("w2"),
+        )
+        .where((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    uni = (
+        docs.select(F.explode(toks_arr).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    total = uni.agg(F.sum("cu").alias("total"))
+    model = (
+        c12.join(c1, "w1")
+        .join(uni.withColumnRenamed("term", "w2"), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            F.log(
+                F.lit(lam) * F.col("c12") / F.col("c1")
+                + F.lit(1.0 - lam) * F.col("cu") / F.col("total")
+            ).alias("logp"),
+        )
+    )
+    return (
+        bg.join(model, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("logp"), 4).alias("avg_logprob"),
+        )
+        .select(
+            id_col,
+            F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+            "avg_logprob",
+        )
+    )

@@ -307,3 +307,74 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("value"), 4).alias("avg_value"),
         )
     )
+
+
+def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style: promo revenue share for one ship month — the
+    classic big-fact × small-dim join. part must BROADCAST (the plan
+    audit asserts it); the promo share is one conditional aggregate over
+    the joined stream, no second pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1997-03-01")
+            & (F.col("l_shipdate") < "1997-04-01")
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)
+                )
+                / F.sum(rev),
+                4,
+            ).alias("promo_pct"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+        )
+    )
+
+
+def brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-style: disjunctive brand/size/quantity predicates over
+    the part-lineitem join, revenue per brand. The OR-of-ANDs predicate
+    can only be evaluated post-join, but the per-side conjuncts
+    (quantity bound, size bound) push into the scans and part still
+    broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & (F.col("p_size") <= 15)
+            & (F.col("l_quantity") >= 1)
+            & (F.col("l_quantity") <= 21)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & (F.col("p_size") <= 25)
+            & (F.col("l_quantity") >= 10)
+            & (F.col("l_quantity") <= 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & (F.col("p_size") <= 35)
+            & (F.col("l_quantity") >= 20)
+            & (F.col("l_quantity") <= 40)
+        )
+    )
+    return (
+        li.where((F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 40))
+        .join(F.broadcast(part.where(F.col("p_size") <= 35)),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .where(cond)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(rev), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("p_brand")
+    )

@@ -375,3 +375,34 @@ def test_semdedup_drops_intra_cluster_twin_keeps_cross_cluster(spark):
     assert got[1].cid == got[2].cid
     assert got[3].cid == got[4].cid
     assert got[1].cid != got[3].cid
+
+
+def test_bigram_logprob_matches_hand_model(spark):
+    import math
+
+    from incubator_stormcrawler_spark.operators.corpus import bigram_logprob
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b a b"),
+            Row(doc_id=2, text="b a c"),
+            Row(doc_id=3, text="x"),  # <2 tokens: no bigrams, drops out
+        ]
+    )
+    # corpus bigram stream: (a,b)x2 (b,a)x2 (a,c)x1  -> c1: a=3, b=2
+    # unigram stream: a=3 b=3 c=1 x=1, N=8
+    lam = 0.8
+    uni = {"a": 3 / 8, "b": 3 / 8, "c": 1 / 8}
+    c12 = {("a", "b"): 2, ("b", "a"): 2, ("a", "c"): 1}
+    c1 = {"a": 3, "b": 2}
+
+    def lp(w1, w2):
+        return math.log(lam * c12[(w1, w2)] / c1[w1] + (1 - lam) * uni[w2])
+
+    exp1 = round((lp("a", "b") + lp("b", "a") + lp("a", "b")) / 3, 4)
+    exp2 = round((lp("b", "a") + lp("a", "c")) / 2, 4)
+
+    got = {r.doc_id: r for r in bigram_logprob(docs, lam=lam).collect()}
+    assert set(got) == {1, 2}
+    assert got[1].n_bigrams == 3 and got[1].avg_logprob == exp1
+    assert got[2].n_bigrams == 2 and got[2].avg_logprob == exp2

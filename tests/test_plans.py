@@ -248,3 +248,21 @@ def test_semdedup_pair_join_is_hash_join_on_cid(spark):
     # plan SemDeDup exists to avoid)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_promo_revenue_broadcasts_part_and_pushes_shipdate(spark):
+    plan = plan_of(rel.promo_revenue(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    pushed = plan.split("PushedFilters: [")[1]
+    assert "l_shipdate" in pushed  # month filter reaches the fact scan
+
+
+def test_brand_revenue_pushes_per_side_conjuncts(spark):
+    plan = plan_of(rel.brand_revenue(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    # the OR-of-ANDs stays post-join, but the derived per-side bounds
+    # (quantity, size) must reach the scans
+    scans = plan.split("PushedFilters: [")
+    assert any("l_quantity" in s.splitlines()[0] for s in scans[1:])
+    assert any("p_size" in s.splitlines()[0] for s in scans[1:])
