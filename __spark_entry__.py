@@ -897,6 +897,28 @@ def q_corpus_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling stage (every 2nd frame) over the synthetic
+    media corpus — the row-multiplying mapInPandas shape
+    (operators/multimodal.py:sample_frames); frame bytes value-checked
+    via the hex oracle."""
+    from incubator_stormcrawler_spark.operators.multimodal import (
+        sample_frames,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, 60)
+    out = sample_frames(media, every_n=2)
+    return out.select(
+        "media_id",
+        "frame_idx",
+        F.length(F.col("content")).cast("bigint").alias("n_bytes"),
+        "width",
+        "height",
+        F.hex(F.col("content")).alias("content_hex"),
+    )
+
+
 def q_corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 BPE merge candidates: corpus-wide adjacent symbol-pair
     frequencies over the pretoken vocabulary (operators/corpus.py) — the
@@ -2321,6 +2343,20 @@ WHERE (p_brand = 'Brand#12' AND p_size <= 15
 GROUP BY p_brand ORDER BY p_brand
 """
 
+# video rows: i%3=2, 8x8 frames, n_frames = 4 + (i%3) = 6 always (video
+# implies i%3==2); content = md5 digest repeated to 384 bytes; sampling
+# every 2nd frame keeps frame_idx 0,2,4, each a 64-byte (128 hex) slice.
+_ORACLES["multimodal_frames"] = """
+WITH vid AS (
+  SELECT i AS media_id, repeat(md5('media' || i), 24) AS chex
+  FROM generate_series(0, 59) t(i) WHERE i % 3 = 2
+)
+SELECT media_id, fi AS frame_idx, 64::BIGINT AS n_bytes,
+       8 AS width, 8 AS height,
+       upper(substr(chex, 128 * fi + 1, 128)) AS content_hex
+FROM vid, unnest([0, 2, 4]) t2(fi)
+"""
+
 # incremental dedup: index = fingerprints of doc_id < 250; batch = the rest
 # of the augmented corpus; fresh = batch keeper with unseen fingerprint.
 _ORACLES["dedup_incremental"] = f"""
@@ -2578,6 +2614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": q_multimodal_resize,
         "multimodal_audio_features": q_multimodal_audio_features,
         "multimodal_embeddings": q_multimodal_embeddings,
+        "multimodal_frames": q_multimodal_frames,
         # flagship representatives, green in r03 (22) -----------------
         "frontier_topk": q_frontier_topk,
         "frontier_next_generation": q_frontier_next_generation,
@@ -2590,7 +2627,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_rank": q_link_rank,
         "tpch_pricing_summary": rel.pricing_summary,
         "tpch_shipping_priority": rel.shipping_priority,
-        "events_hourly": rel.events_hourly,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -2605,6 +2641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seeds_parse": q_seeds_parse,
         "indexer_projection": q_indexer_projection,
         "events_rate_10s": q_events_rate_10s,
+        "events_hourly": rel.events_hourly,
         "frontier_topk_sharded": q_frontier_topk_sharded,
         "frontier_topk_salted": q_frontier_topk_salted,
         "frontier_due_histogram": q_due_histogram,
