@@ -643,6 +643,40 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_cosine_topk(emb, queries, k=5)
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality harness: recall@5 of the sign-LSH scale path against
+    the exact cosine baseline, per query — the evaluation loop an ANN
+    index needs before anyone trusts it at scale. Composition of the two
+    registered operators (semi join on the shared (query_id, vec_id)
+    result space); the oracle composes the same two SQL pipelines."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 20)
+    exact = sim.cosine_topk(emb, queries, k=5).select("query_id", "vec_id")
+    lsh = sim.lsh_cosine_topk(emb, queries, k=5).select(
+        "query_id", "vec_id"
+    )
+    hits = (
+        exact.join(lsh, ["query_id", "vec_id"], "semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            F.coalesce(F.col("n_hit"), F.lit(0))
+            .cast("bigint")
+            .alias("n_hit"),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact"), 4
+            ).alias("recall"),
+        )
+    )
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: 16 deterministic sample centroids, probe the 4 nearest
     cells per query, exact rerank — the cluster-pruned index path beside
@@ -874,6 +908,14 @@ def q_embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus the intra-cluster pair rule in SQL."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return sim.semdedup(emb, k=8, iterations=2, threshold=0.4)
+
+
+def q_corpus_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup per Lee et al. 2022 over the augmented corpus
+    (operators/dedup.py:substring_dedup): every repeated >= 16-token span
+    is removed, first occurrence wins; planted exact copies vanish whole,
+    near copies keep only their novel tail."""
+    return dd.substring_dedup(_docs_augmented(spark, sf_dir), window=16)
 
 
 def q_corpus_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1575,6 +1617,44 @@ SELECT query_id, vec_id, round(sim_raw, 4) AS sim, rank FROM (
                                ORDER BY sim_raw DESC, vec_id) AS rank
   FROM scored
 ) WHERE rank <= 5
+"""
+
+_ORACLES["ann_recall"] = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20
+), exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY list_cosine_similarity(qv, v) DESC,
+                                       vec_id) AS rank
+    FROM q, e WHERE vec_id <> query_id
+  ) WHERE rank <= 5
+), cand AS (
+  SELECT DISTINCT query_id, vec_id FROM (
+{_LSH_TABLES_SQL}
+  ) WHERE query_id <> vec_id
+), lsh AS (
+  SELECT query_id, vec_id FROM (
+    SELECT c.query_id, c.vec_id,
+           row_number() OVER (PARTITION BY c.query_id
+                              ORDER BY list_cosine_similarity(q.qv, e.v)
+                                       DESC, c.vec_id) AS rank
+    FROM cand c
+    JOIN q ON q.query_id = c.query_id
+    JOIN e ON e.vec_id = c.vec_id
+  ) WHERE rank <= 5
+), hits AS (
+  SELECT exact.query_id, count(*) AS n_hit
+  FROM exact JOIN lsh USING (query_id, vec_id)
+  GROUP BY exact.query_id
+)
+SELECT ex.query_id, ex.n_exact, coalesce(hits.n_hit, 0) AS n_hit,
+       round(coalesce(hits.n_hit, 0) / ex.n_exact, 4) AS recall
+FROM (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY query_id) ex
+LEFT JOIN hits USING (query_id)
 """
 
 _ORACLES["ann_ivf_topk"] = """
@@ -2284,6 +2364,48 @@ FROM tok2 JOIN model USING (term)
 GROUP BY doc_id
 """
 
+# exact substring dedup: sliding 16-token gram hashes, first occurrence in
+# (doc_id, pos) order wins; a token is removed iff covered by a duplicate
+# gram start (running-max span widening). clean_fp = md5 of kept tokens
+# ('' when the whole doc is removed — coalesce matches Spark's concat_ws).
+_ORACLES["corpus_substring_dedup"] = f"""
+WITH {_DOCS_AUG_CTE.strip()},
+t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM docs_aug
+), tok AS (
+  SELECT doc_id, g.i AS pos, toks[g.i] AS tok
+  FROM t, unnest(generate_series(1, len(toks))) g(i)
+), gr AS (
+  SELECT doc_id, g.i AS pos,
+         md5(array_to_string(list_slice(toks, g.i, g.i + 15), ' ')) AS h
+  FROM t, unnest(generate_series(1, len(toks) - 15)) g(i)
+  WHERE len(toks) >= 16
+), rk AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+  FROM gr
+), dup AS (
+  SELECT doc_id, pos FROM rk WHERE rn > 1
+), mk AS (
+  SELECT tok.doc_id, tok.pos, tok.tok,
+         max(CASE WHEN dup.pos IS NOT NULL THEN dup.pos END)
+           OVER (PARTITION BY tok.doc_id ORDER BY tok.pos
+                 ROWS UNBOUNDED PRECEDING) AS last_dup
+  FROM tok LEFT JOIN dup ON tok.doc_id = dup.doc_id AND tok.pos = dup.pos
+), res AS (
+  SELECT doc_id, pos, tok,
+         last_dup IS NOT NULL AND pos < last_dup + 16 AS removed
+  FROM mk
+)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       sum(CASE WHEN removed THEN 1 ELSE 0 END) AS n_removed,
+       md5(coalesce(
+         string_agg(CASE WHEN NOT removed THEN tok END, ' ' ORDER BY pos),
+         '')) AS clean_fp
+FROM res GROUP BY doc_id
+"""
+
 # interpolated bigram LM: P(w2|w1) = lam·c12/c1 + (1−lam)·c(w2)/N.
 # (1−lam) is interpolated from the Python float so both engines use the
 # bit-identical constant (1.0 − 0.8 != 0.2 in IEEE doubles).
@@ -2600,6 +2722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_chunks": q_corpus_chunks,
         "corpus_unigram_logprob": q_corpus_unigram_logprob,
         "corpus_segment_dedup": q_corpus_segment_dedup,
+        "corpus_substring_dedup": q_corpus_substring_dedup,
         "text_tfidf_keywords": q_text_tfidf_keywords,
         "corpus_bigram_logprob": q_corpus_bigram_logprob,
         "tpch_promo_revenue": rel.promo_revenue,
@@ -2609,6 +2732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_kmeans": q_embedding_kmeans,
         "embedding_pq": q_embedding_pq,
         "embedding_semdedup": q_embedding_semdedup,
+        "ann_recall": q_ann_recall,
         # effectful / multimodal round-trips
         "warc_roundtrip": q_warc_roundtrip,
         "multimodal_resize": q_multimodal_resize,
@@ -2621,12 +2745,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_status_counts": q_status_counts,
         "status_merge": q_status_merge,
         "deletion_stream": q_deletion_stream,
-        "url_normalize_native": q_url_normalize_native,
         "parse_richdoc": q_parse_richdoc,
         "xpath_html": q_xpath_html,
         "link_rank": q_link_rank,
         "tpch_pricing_summary": rel.pricing_summary,
-        "tpch_shipping_priority": rel.shipping_priority,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -2642,10 +2764,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "indexer_projection": q_indexer_projection,
         "events_rate_10s": q_events_rate_10s,
         "events_hourly": rel.events_hourly,
+        "tpch_shipping_priority": rel.shipping_priority,
         "frontier_topk_sharded": q_frontier_topk_sharded,
         "frontier_topk_salted": q_frontier_topk_salted,
         "frontier_due_histogram": q_due_histogram,
         "adaptive_scheduler": q_adaptive_scheduler,
+        "url_normalize_native": q_url_normalize_native,
         "status_merge_counts": q_status_merge_counts,
         "url_partition_keys": q_url_partition_keys,
         "anchor_text_agg": q_anchor_text_agg,

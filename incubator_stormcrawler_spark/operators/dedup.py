@@ -408,3 +408,131 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         .where(F.col("hamming") <= max_hamming)
         .select("doc1", "doc2", "hamming")
     )
+
+
+def substring_dedup(
+    docs: DataFrame,
+    window: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact substring deduplication (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): remove every token span
+    that repeats a >= ``window``-token substring seen earlier in the
+    corpus, first occurrence wins. The reference implementation builds a
+    suffix array; the Spark-expressible equivalent for a FIXED minimum
+    match length is sliding ``window``-token gram hashes (stride 1): a
+    token is removed iff it is covered by some gram whose identical text
+    occurred earlier in global (doc_id, pos) order. Exact duplicate docs
+    vanish entirely; partially-copied docs lose exactly the copied spans.
+
+    Returns (doc_id, n_tokens, n_removed, clean_fp) where clean_fp is the
+    md5 of the surviving tokens joined by single spaces ('' when the whole
+    doc is removed) — compact enough to value-check against the oracle.
+
+    Scale: three corpus-sized shuffles, all on uniform keys — (1) the
+    gram-hash groupBy picking each hash's first occurrence
+    (partial-aggregable min-struct, so a boilerplate gram repeated 10^9
+    times costs one row per map task, never a hot reducer — this is why
+    it's NOT a row_number window over the hash); (2) the join marking
+    duplicate gram starts back onto the token stream; (3) the per-doc
+    running-max window that widens gram starts into covered spans. Shuffles
+    (2) and (3) run ONLY over docs that contain a duplicate gram (semi
+    join on the checkpointed dup set); the untouched majority of a
+    lightly-duplicated corpus is a pure projection. The stride-1 gram
+    stream is the big intermediate (n_tokens rows/doc, same as the corpus
+    itself); nothing is quadratic and nothing collects.
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.col(text_col), " ")
+    base = docs.select(F.col(id_col), toks.alias("__toks"))
+    grams = (
+        base.where(F.size("__toks") >= window)
+        .select(
+            F.col(id_col),
+            F.col("__toks"),
+            F.explode(
+                F.sequence(F.lit(1), F.size("__toks") - (window - 1))
+            ).alias("pos"),
+        )
+        .select(
+            F.col(id_col),
+            "pos",
+            F.md5(
+                F.concat_ws(
+                    " ", F.slice(F.col("__toks"), F.col("pos"), window)
+                )
+            ).alias("h"),
+        )
+    )
+    keeper = grams.groupBy("h").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__k")
+    )
+    # dup feeds two consumers (the touched-doc set and the span marking);
+    # checkpoint so the gram self-aggregation pipeline runs once
+    dup = (
+        grams.join(keeper, "h")
+        .where(
+            (F.col(id_col) != F.col(f"__k.{id_col}"))
+            | (F.col("pos") != F.col("__k.pos"))
+        )
+        .select(F.col(id_col), "pos", F.lit(1).alias("__dup"))
+        .localCheckpoint(eager=False)
+    )
+    # Only docs that CONTAIN a duplicate gram pay the token explode + span
+    # window — in a lightly-duplicated corpus that's a small minority. The
+    # untouched majority is a pure projection (no explode, no shuffle):
+    # n_removed = 0 and clean_fp over the original token array.
+    dup_docs = dup.select(id_col).distinct()
+    untouched = base.join(dup_docs, id_col, "anti").select(
+        F.col(id_col),
+        F.size("__toks").cast("bigint").alias("n_tokens"),
+        F.lit(0).cast("bigint").alias("n_removed"),
+        F.md5(F.concat_ws(" ", F.col("__toks"))).alias("clean_fp"),
+    )
+    tok = (
+        base.join(dup_docs, id_col, "semi")
+        .select(F.col(id_col), F.posexplode("__toks").alias("__p0", "tok"))
+        .select(F.col(id_col), (F.col("__p0") + 1).alias("pos"), "tok")
+    )
+    w_doc = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = (
+        tok.join(dup, [id_col, "pos"], "left")
+        .withColumn(
+            "__last_dup",
+            F.max(F.when(F.col("__dup") == 1, F.col("pos"))).over(w_doc),
+        )
+        .withColumn(
+            "__removed",
+            F.col("__last_dup").isNotNull()
+            & (F.col("pos") < F.col("__last_dup") + window),
+        )
+    )
+    touched = marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("__removed"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_removed"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("__removed"),
+                                F.struct(F.col("pos"), F.col("tok")),
+                            )
+                        )
+                    ),
+                    lambda s: s["tok"],
+                ),
+            )
+        ).alias("clean_fp"),
+    )
+    return touched.unionByName(untouched)

@@ -406,3 +406,34 @@ def test_bigram_logprob_matches_hand_model(spark):
     assert set(got) == {1, 2}
     assert got[1].n_bigrams == 3 and got[1].avg_logprob == exp1
     assert got[2].n_bigrams == 2 and got[2].avg_logprob == exp2
+
+
+def test_substring_dedup_removes_copied_span_keeps_novel_tail(spark):
+    import hashlib
+
+    from incubator_stormcrawler_spark.operators.dedup import substring_dedup
+
+    span = " ".join(f"s{i}" for i in range(6))  # 6-token repeated span
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=span + " tail1 tail2"),
+            # exact copy of the span + novel tail: span removed, tail kept
+            Row(doc_id=2, text=span + " novel1 novel2"),
+            # full exact duplicate: removed entirely
+            Row(doc_id=3, text=span + " tail1 tail2"),
+            # too short for any 6-gram: untouched
+            Row(doc_id=4, text="a b c"),
+        ]
+    )
+    got = {r.doc_id: r for r in substring_dedup(docs, window=6).collect()}
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+
+    assert got[1].n_tokens == 8 and got[1].n_removed == 0
+    assert got[1].clean_fp == md5(span + " tail1 tail2")
+    # doc 2: grams starting inside the span are dups; the span tokens are
+    # covered, novel tail survives
+    assert got[2].n_removed == 6
+    assert got[2].clean_fp == md5("novel1 novel2")
+    # doc 3 duplicates doc 1 entirely -> every token covered
+    assert got[3].n_removed == 8 and got[3].clean_fp == md5("")
+    assert got[4].n_removed == 0 and got[4].clean_fp == md5("a b c")

@@ -266,3 +266,15 @@ def test_brand_revenue_pushes_per_side_conjuncts(spark):
     scans = plan.split("PushedFilters: [")
     assert any("l_quantity" in s.splitlines()[0] for s in scans[1:])
     assert any("p_size" in s.splitlines()[0] for s in scans[1:])
+
+
+def test_substring_dedup_partial_agg_no_cartesian(spark):
+    from incubator_stormcrawler_spark.operators.dedup import substring_dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(substring_dedup(docs, window=16))
+    # gram-hash keeper must partial-aggregate map-side (hot boilerplate
+    # grams must never become a hot window partition / reducer)
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
