@@ -961,6 +961,32 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 for a fixed 3-term query over the documents
+    table (operators/corpus.py:bm25_search) — native relevance scoring,
+    the in-engine counterpart of delegating to a search backend."""
+    from incubator_stormcrawler_spark.operators.corpus import bm25_search
+
+    return bm25_search(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        query_terms=["spark", "window", "merge"],
+        k=10,
+    )
+
+
+def q_corpus_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index posting lists for the 50 highest-df terms
+    (operators/corpus.py:inverted_postings): term -> df, total tf,
+    doc-sorted 'doc:tf' list."""
+    from incubator_stormcrawler_spark.operators.corpus import (
+        inverted_postings,
+    )
+
+    return inverted_postings(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), max_terms=50
+    )
+
+
 def q_corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 BPE merge candidates: corpus-wide adjacent symbol-pair
     frequencies over the pretoken vocabulary (operators/corpus.py) — the
@@ -2406,6 +2432,54 @@ SELECT doc_id,
 FROM res GROUP BY doc_id
 """
 
+# BM25: Lucene's non-negative idf, ranking on the ROUNDED score (both
+# engines round to 4 dp before the rank window, so ties break identically);
+# k1+1 interpolated from the Python float for bit-identical constants.
+_BM25_K1, _BM25_B = 1.2, 0.75
+_ORACLES["corpus_bm25"] = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), stats AS (
+  SELECT count(*) AS n, avg(len(toks)) AS avgdl FROM t
+), tok AS (
+  SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t
+), tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf FROM tok
+  WHERE term IN ('spark', 'window', 'merge') GROUP BY doc_id, dl, term
+), dft AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), sc AS (
+  SELECT tf.doc_id,
+         round(sum(
+           ln((n - df + 0.5) / (df + 0.5) + 1.0)
+           * (tf * {_BM25_K1 + 1!r})
+           / (tf + {_BM25_K1!r} * ({1 - _BM25_B!r} + {_BM25_B!r} * dl / avgdl))
+         ), 4) AS score,
+         count(*) AS n_terms_hit
+  FROM tf JOIN dft USING (term) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, score, n_terms_hit, rank FROM (
+  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM sc
+) WHERE rank <= 10
+"""
+
+_ORACLES["corpus_postings"] = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT term, doc_id, count(*) AS tf FROM tok
+  WHERE term <> '' GROUP BY term, doc_id
+), agg AS (
+  SELECT term, count(*) AS df, sum(tf) AS total_tf,
+         string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
+  FROM tf GROUP BY term
+)
+SELECT term, df, total_tf, postings, rank FROM (
+  SELECT *, row_number() OVER (ORDER BY df DESC, term) AS rank FROM agg
+) WHERE rank <= 50
+"""
+
 # interpolated bigram LM: P(w2|w1) = lam·c12/c1 + (1−lam)·c(w2)/N.
 # (1−lam) is interpolated from the Python float so both engines use the
 # bit-identical constant (1.0 − 0.8 != 0.2 in IEEE doubles).
@@ -2723,6 +2797,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_unigram_logprob": q_corpus_unigram_logprob,
         "corpus_segment_dedup": q_corpus_segment_dedup,
         "corpus_substring_dedup": q_corpus_substring_dedup,
+        "corpus_bm25": q_corpus_bm25,
+        "corpus_postings": q_corpus_postings,
         "text_tfidf_keywords": q_text_tfidf_keywords,
         "corpus_bigram_logprob": q_corpus_bigram_logprob,
         "tpch_promo_revenue": rel.promo_revenue,
@@ -2742,9 +2818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # flagship representatives, green in r03 (22) -----------------
         "frontier_topk": q_frontier_topk,
         "frontier_next_generation": q_frontier_next_generation,
-        "frontier_status_counts": q_status_counts,
         "status_merge": q_status_merge,
-        "deletion_stream": q_deletion_stream,
         "parse_richdoc": q_parse_richdoc,
         "xpath_html": q_xpath_html,
         "link_rank": q_link_rank,
@@ -2770,6 +2844,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_due_histogram": q_due_histogram,
         "adaptive_scheduler": q_adaptive_scheduler,
         "url_normalize_native": q_url_normalize_native,
+        "frontier_status_counts": q_status_counts,
+        "deletion_stream": q_deletion_stream,
         "status_merge_counts": q_status_merge_counts,
         "url_partition_keys": q_url_partition_keys,
         "anchor_text_agg": q_anchor_text_agg,

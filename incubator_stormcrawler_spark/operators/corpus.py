@@ -696,3 +696,131 @@ def bigram_logprob(
             "avg_logprob",
         )
     )
+
+
+def bm25_search(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 top-k document search for a bag of query terms — the
+    relevance scoring the reference delegates to its search backends
+    (OpenSearch/Solr indexers, external/opensearch/.../IndexerBolt.java),
+    expressed natively so the corpus table IS the index. idf uses the
+    standard Robertson–Sparck Jones form with +1 flooring
+    (ln((N − df + 0.5)/(df + 0.5) + 1), Lucene's non-negative variant).
+
+    Scale: the query-term list is a literal broadcast into the scan
+    predicate; tf/doclen are one partial-aggregable pass over the exploded
+    matching tokens only (array_intersect pre-filters docs, so untouched
+    documents never explode); df is vocabulary-row-sized. One shuffle on
+    (doc_id), one TakeOrderedAndProject for the top-k — no global sort.
+    """
+    qarr = F.array(*[F.lit(t) for t in query_terms])
+    toks = F.split(F.col(text_col), " ")
+    # doc length from the array (no explode); only docs hitting >= 1 query
+    # term continue to the tf explode
+    cand = docs.select(
+        F.col(id_col), toks.alias("__toks"), F.size(toks).alias("dl")
+    ).where(F.size(F.array_intersect(toks, qarr)) > 0)
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.size(toks)).alias("avgdl"),
+    )
+    tf = (
+        cand.select(F.col(id_col), "dl", F.explode("__toks").alias("term"))
+        .where(F.array_contains(qarr, F.col("term")))
+        .groupBy(id_col, "term", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+            ),
+        )
+        .withColumn(
+            "w",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.round(F.sum("w"), 4).alias("score"),
+            F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
+        )
+    )
+    from pyspark.sql import Window
+
+    # global top-k via orderBy+limit (TakeOrderedAndProject — distributed
+    # partial top-k, no single-partition window over the full match set);
+    # the rank window then runs over k rows only
+    top = scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .select(id_col, "score", "n_terms_hit", "rank")
+    )
+
+
+def inverted_postings(
+    docs: DataFrame,
+    max_terms: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Inverted-index posting lists for the ``max_terms`` highest-df
+    terms: term → df, total tf, and the doc_id-sorted posting list
+    '(doc:tf,...)' — the native-build counterpart of shipping documents to
+    an external search indexer (SURVEY §2.9).
+
+    Scale: tf pairs are one partial-aggregable groupBy; the per-term
+    posting assembly is collect_list + array_sort INSIDE a term-keyed
+    aggregate — each task materializes single-term lists, so memory is
+    bounded by the largest posting list (at true web scale, postings
+    chunk by doc-range before collect; documented swap point). Term
+    selection is TakeOrderedAndProject, no global sort.
+    """
+    tf = (
+        docs.select(
+            F.col(id_col),
+            F.explode(F.split(F.col(text_col), " ")).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .groupBy("term", id_col)
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    agg = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.sum("tf").cast("bigint").alias("total_tf"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col(id_col), "tf"))),
+                lambda s: F.concat_ws(":", s[id_col].cast("string"),
+                                      s["tf"].cast("string")),
+            ),
+        ).alias("postings"),
+    )
+    from pyspark.sql import Window
+
+    # same TakeOrderedAndProject-then-stamp-rank shape as bm25_search:
+    # the vocabulary never sorts globally, only the max_terms head does
+    top = agg.orderBy(F.col("df").desc(), F.col("term")).limit(max_terms)
+    w = Window.orderBy(F.col("df").desc(), F.col("term"))
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .select("term", "df", "total_tf", "postings", "rank")
+    )

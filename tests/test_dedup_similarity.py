@@ -437,3 +437,103 @@ def test_substring_dedup_removes_copied_span_keeps_novel_tail(spark):
     # doc 3 duplicates doc 1 entirely -> every token covered
     assert got[3].n_removed == 8 and got[3].clean_fp == md5("")
     assert got[4].n_removed == 0 and got[4].clean_fp == md5("a b c")
+
+
+def test_bm25_scores_and_ranks(spark):
+    import math
+
+    from incubator_stormcrawler_spark.operators.corpus import bm25_search
+
+    # 3 docs; query term 'x': doc1 has 2 hits of 4 tokens, doc2 1 of 4,
+    # doc3 none. N=3, df=2, avgdl=4.
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="x a x b"),
+            Row(doc_id=2, text="x c d e"),
+            Row(doc_id=3, text="f g h i"),
+        ]
+    )
+    got = bm25_search(docs, ["x"], k=10).collect()
+    idf = math.log((3 - 2 + 0.5) / (2 + 0.5) + 1)
+    k1, b = 1.2, 0.75
+
+    def w(tf, dl, avgdl=4.0):
+        return idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    assert [r.doc_id for r in got] == [1, 2]
+    assert got[0].rank == 1 and got[1].rank == 2
+    assert got[0].score == round(w(2, 4), 4)
+    assert got[1].score == round(w(1, 4), 4)
+
+
+def test_inverted_postings_sorted_by_doc(spark):
+    from incubator_stormcrawler_spark.operators.corpus import (
+        inverted_postings,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=2, text="t t u"),
+            Row(doc_id=1, text="t v"),
+        ]
+    )
+    got = {r.term: r for r in inverted_postings(docs, max_terms=10).collect()}
+    assert got["t"].df == 2 and got["t"].total_tf == 3
+    assert got["t"].postings == "1:1,2:2"  # doc-sorted, tf attached
+    assert got["t"].rank == 1  # highest df first
+    assert got["u"].postings == "2:1"
+
+
+def test_substring_dedup_matches_python_reference(spark):
+    """Differential test: seeded random corpus (small vocab → natural
+    collisions) + planted exact/partial copies, checked token-for-token
+    against a straightforward Python reference of the same semantics."""
+    import hashlib
+    import random
+
+    from incubator_stormcrawler_spark.operators.dedup import substring_dedup
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(12)]
+    w = 5
+    docs = []
+    for did in range(1, 31):
+        n = rng.randint(3, 25)
+        docs.append((did, " ".join(rng.choice(vocab) for _ in range(n))))
+    # planted copies: full dup of doc 3, partial copy of doc 7's head
+    docs.append((100, docs[2][1]))
+    docs.append((101, " ".join(docs[6][1].split(" ")[:10]) + " zz1 zz2"))
+
+    seen = {}
+    dup_starts = {}
+    for did, text in sorted(docs):
+        toks = text.split(" ")
+        for p in range(1, len(toks) - w + 2):
+            gram = " ".join(toks[p - 1 : p - 1 + w])
+            if gram in seen:
+                dup_starts.setdefault(did, set()).add(p)
+            else:
+                seen[gram] = (did, p)
+    expected = {}
+    for did, text in docs:
+        toks = text.split(" ")
+        removed = [False] * len(toks)
+        last = None
+        for p in range(1, len(toks) + 1):
+            if p in dup_starts.get(did, set()):
+                last = p
+            if last is not None and p < last + w:
+                removed[p - 1] = True
+        kept = [t for t, r in zip(toks, removed) if not r]
+        expected[did] = (
+            len(toks),
+            sum(removed),
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.clean_fp)
+        for r in substring_dedup(sdf, window=w).collect()
+    }
+    assert got == expected

@@ -278,3 +278,19 @@ def test_substring_dedup_partial_agg_no_cartesian(spark):
     assert plan.count("HashAggregate") >= 2
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bm25_and_postings_topk_is_take_ordered(spark):
+    from incubator_stormcrawler_spark.operators.corpus import (
+        bm25_search,
+        inverted_postings,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p1 = plan_of(bm25_search(docs, ["spark", "window", "merge"], k=10))
+    p2 = plan_of(inverted_postings(docs, max_terms=50))
+    # the match set / vocabulary must reach the head via distributed
+    # partial top-k, not a single-partition global sort of everything
+    assert "TakeOrderedAndProject" in p1
+    assert "TakeOrderedAndProject" in p2
+    assert "CartesianProduct" not in p1 and "CartesianProduct" not in p2
