@@ -987,6 +987,15 @@ def q_corpus_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (MOSS; Schleimer et al. 2003) over the
+    documents table (operators/dedup.py:winnow_fingerprints): k=4 grams,
+    w=4 windows, packed-min selection, per-doc digest."""
+    return dd.winnow_fingerprints(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), k=4, w=4
+    )
+
+
 def q_corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 BPE merge candidates: corpus-wide adjacent symbol-pair
     frequencies over the pretoken vocabulary (operators/corpus.py) — the
@@ -2432,6 +2441,35 @@ SELECT doc_id,
 FROM res GROUP BY doc_id
 """
 
+# winnowing: k=4 token grams, packed (28-bit hash << 20 | pos) values,
+# min over each w=4 forward window of FULL width; digest over the sorted
+# distinct selected set.
+_ORACLES["doc_winnow"] = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  WHERE len(string_split(text, ' ')) >= 7
+), gr AS (
+  SELECT doc_id, len(toks) AS n, g.i AS pos,
+         ('0x' || substr(md5(array_to_string(
+             list_slice(toks, g.i, g.i + 3), ' ')), 1, 7))::BIGINT
+           * 1048576 + g.i AS packed
+  FROM t, unnest(generate_series(1, len(toks) - 3)) g(i)
+), sel AS (
+  SELECT doc_id, n, pos,
+         min(packed) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+           AS wmin
+  FROM gr
+)
+SELECT doc_id,
+       cast(max(n) - 3 AS BIGINT) AS n_grams,
+       cast(count(DISTINCT wmin) AS BIGINT) AS n_selected,
+       round(count(DISTINCT wmin) / (max(n) - 3), 4) AS density,
+       md5(array_to_string(list_sort(list(DISTINCT wmin)), ','))
+         AS fp_digest
+FROM sel WHERE pos <= n - 6 GROUP BY doc_id
+"""
+
 # BM25: Lucene's non-negative idf, ranking on the ROUNDED score (both
 # engines round to 4 dp before the rank window, so ties break identically);
 # k1+1 interpolated from the Python float for bit-identical constants.
@@ -2799,6 +2837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_substring_dedup": q_corpus_substring_dedup,
         "corpus_bm25": q_corpus_bm25,
         "corpus_postings": q_corpus_postings,
+        "doc_winnow": q_doc_winnow,
         "text_tfidf_keywords": q_text_tfidf_keywords,
         "corpus_bigram_logprob": q_corpus_bigram_logprob,
         "tpch_promo_revenue": rel.promo_revenue,
@@ -2820,7 +2859,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_next_generation": q_frontier_next_generation,
         "status_merge": q_status_merge,
         "parse_richdoc": q_parse_richdoc,
-        "xpath_html": q_xpath_html,
         "link_rank": q_link_rank,
         "tpch_pricing_summary": rel.pricing_summary,
         "dedup_exact": q_dedup_exact,
@@ -2846,6 +2884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize_native": q_url_normalize_native,
         "frontier_status_counts": q_status_counts,
         "deletion_stream": q_deletion_stream,
+        "xpath_html": q_xpath_html,
         "status_merge_counts": q_status_merge_counts,
         "url_partition_keys": q_url_partition_keys,
         "anchor_text_agg": q_anchor_text_agg,

@@ -536,3 +536,97 @@ def substring_dedup(
         ).alias("clean_fp"),
     )
     return touched.unionByName(untouched)
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003
+    — the MOSS algorithm): hash every k-token gram, slide a w-gram window,
+    keep each window's minimum hash. Guarantee: any shared run of at least
+    w + k − 1 tokens contributes at least one shared fingerprint, while
+    only ~2/(w+1) of grams are kept — position-aware local fingerprints at
+    a fraction of the full gram set. Complements the global signatures
+    (MinHash: set similarity; SimHash: multiset distance) with
+    match-LOCATING capability.
+
+    Ties and selection are deterministic: the window minimum is the packed
+    (hash << 20 | pos) value, so equal hashes resolve to the earliest
+    position and both engines agree bit-for-bit. Output is one row per doc:
+    gram count, selected-fingerprint count, density, and an md5 digest of
+    the ordered fingerprint set (compact value-check surface).
+
+    Scale: grams ride the scan (index explode, no shuffle); the forward-
+    looking min is ONE per-doc window (single shuffle on doc_id); the
+    distinct + digest fold into the same per-doc aggregation. Nothing
+    touches a corpus-wide key, so there is no hot-reducer risk at all —
+    cheaper than every other pass in this module.
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.col(text_col), " ")
+    base = docs.select(F.col(id_col), toks.alias("__toks")).where(
+        F.size("__toks") >= k + w - 1
+    )
+    grams = base.select(
+        F.col(id_col),
+        F.size("__toks").alias("__n"),
+        F.explode(
+            F.sequence(F.lit(1), F.size("__toks") - (k - 1))
+        ).alias("pos"),
+        F.col("__toks"),
+    ).select(
+        F.col(id_col),
+        "__n",
+        "pos",
+        # 28-bit gram hash packed with the 20-bit position: lexicographic
+        # min on the packed value == (hash, pos) min, engine-portable
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            " ", F.slice(F.col("__toks"), F.col("pos"), k)
+                        )
+                    ),
+                    1,
+                    7,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            * F.lit(1048576)
+            + F.col("pos")
+        ).alias("packed"),
+    )
+    w_fwd = (
+        Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    )
+    selected = (
+        grams.withColumn("__wmin", F.min("packed").over(w_fwd))
+        # only full windows select (window start must leave w grams)
+        .where(F.col("pos") <= F.col("__n") - (k - 1) - (w - 1))
+        .select(F.col(id_col), F.col("__n"), F.col("__wmin"))
+    )
+    return selected.groupBy(id_col).agg(
+        (F.max("__n") - (k - 1)).cast("bigint").alias("n_grams"),
+        F.count_distinct(F.col("__wmin")).cast("bigint").alias("n_selected"),
+        F.round(
+            F.count_distinct(F.col("__wmin"))
+            / (F.max("__n") - (k - 1)),
+            4,
+        ).alias("density"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_set("__wmin")),
+                    lambda x: x.cast("string"),
+                ),
+            )
+        ).alias("fp_digest"),
+    )

@@ -537,3 +537,48 @@ def test_substring_dedup_matches_python_reference(spark):
         for r in substring_dedup(sdf, window=w).collect()
     }
     assert got == expected
+
+
+def test_winnow_guarantee_and_determinism(spark):
+    """Winnowing's core guarantee: two docs sharing a run of >= w+k-1
+    tokens share at least one selected fingerprint; and selection is
+    deterministic (same doc -> same digest)."""
+    from incubator_stormcrawler_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(7))  # w+k-1 = 7 shared tokens
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a1 a2 " + shared + " a3 a4"),
+            Row(doc_id=2, text="b1 " + shared + " b2 b3 b4"),
+            Row(doc_id=3, text="c1 c2 " + shared + " a3 a4"),  # same tail as 1
+            Row(doc_id=4, text=" ".join(f"u{i}" for i in range(12))),
+        ]
+    )
+    out = winnow_fingerprints(docs, k=4, w=4)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    # density ~ 2/(w+1) ballpark; must select at least one per full window
+    for r in rows.values():
+        assert 1 <= r.n_selected <= r.n_grams
+
+    # the shared-run guarantee: re-derive the selected packed sets and
+    # check docs 1 and 2 intersect on a fingerprint from the shared run
+    import hashlib
+
+    def selected(text, k=4, w=4):
+        toks = text.split(" ")
+        packed = []
+        for p in range(1, len(toks) - k + 2):
+            gram = " ".join(toks[p - 1 : p - 1 + k])
+            h = int(hashlib.md5(gram.encode()).hexdigest()[:7], 16)
+            packed.append((h * 1048576 + p, gram))
+        sel = set()
+        for s in range(0, len(packed) - w + 1):
+            sel.add(min(packed[s : s + w]))
+        return sel
+
+    s1 = {g for _, g in selected("a1 a2 " + shared + " a3 a4")}
+    s2 = {g for _, g in selected("b1 " + shared + " b2 b3 b4")}
+    assert s1 & s2  # at least one shared selected GRAM text
