@@ -987,6 +987,36 @@ def q_corpus_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_card_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payment-card audit with Luhn verification over the documents table
+    with deterministically planted card strings (a Luhn-valid Visa-format
+    number on doc_id%50==0, a Luhn-INVALID 16-digit run on doc_id%50==1):
+    candidates counted by pattern, valid hits by the checksum
+    (functions/text.py:card_audit)."""
+    from incubator_stormcrawler_spark.functions.text import card_audit
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.when(
+            F.expr("mod(doc_id, 50) = 0"),
+            F.concat(F.col("text"), F.lit(" card 4539 1488 0343 6467 ok")),
+        )
+        .when(
+            F.expr("mod(doc_id, 50) = 1"),
+            F.concat(F.col("text"), F.lit(" num 1234 5678 9012 3456 no")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return card_audit(docs)
+
+
+def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over (event_type, day) — all four groupings in
+    one exchange (operators/relational.py:events_cube)."""
+    return rel.events_cube(spark, sf_dir)
+
+
 def q_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (MOSS; Schleimer et al. 2003) over the
     documents table (operators/dedup.py:winnow_fingerprints): k=4 grams,
@@ -2441,6 +2471,53 @@ SELECT doc_id,
 FROM res GROUP BY doc_id
 """
 
+# card audit: same candidate regex; DuckDB's Luhn fold mirrors the Spark
+# SQL one (list_transform/list_sum vs transform/aggregate).
+_ORACLES["text_card_audit"] = """
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN mod(doc_id, 50) = 0
+                THEN text || ' card 4539 1488 0343 6467 ok'
+              WHEN mod(doc_id, 50) = 1
+                THEN text || ' num 1234 5678 9012 3456 no'
+              ELSE text END AS text
+  FROM documents
+), cands AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '[0-9](?:[ -]?[0-9]){12,18}') AS cs
+  FROM aug
+), flat AS (
+  SELECT doc_id, regexp_replace(unnest(cs), '[ -]', '', 'g') AS d
+  FROM cands
+), checked AS (
+  SELECT doc_id,
+         CASE WHEN length(d) BETWEEN 13 AND 19 AND
+           list_sum(list_transform(range(1, length(d) + 1), i ->
+             CASE WHEN (length(d) - i) % 2 = 1 THEN
+               CASE WHEN 2 * substr(d, i, 1)::INT > 9
+                    THEN 2 * substr(d, i, 1)::INT - 9
+                    ELSE 2 * substr(d, i, 1)::INT END
+             ELSE substr(d, i, 1)::INT END)) % 10 = 0
+         THEN 1 ELSE 0 END AS ok
+  FROM flat
+)
+SELECT c.doc_id,
+       cast(len(c.cs) AS BIGINT) AS n_card_candidates,
+       cast(coalesce(sum(ch.ok), 0) AS BIGINT) AS n_luhn_valid
+FROM cands c LEFT JOIN checked ch USING (doc_id)
+GROUP BY c.doc_id, c.cs
+"""
+
+_ORACLES["events_cube"] = """
+SELECT event_type,
+       cast(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       count(*) AS n_events,
+       cast(sum(cast(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM events
+GROUP BY CUBE(event_type, cast(date_trunc('day', ts) AS TIMESTAMP))
+"""
+
 # winnowing: k=4 token grams, packed (28-bit hash << 20 | pos) values,
 # min over each w=4 forward window of FULL width; digest over the sorted
 # distinct selected set.
@@ -2838,6 +2915,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_bm25": q_corpus_bm25,
         "corpus_postings": q_corpus_postings,
         "doc_winnow": q_doc_winnow,
+        "text_card_audit": q_text_card_audit,
+        "events_cube": q_events_cube,
         "text_tfidf_keywords": q_text_tfidf_keywords,
         "corpus_bigram_logprob": q_corpus_bigram_logprob,
         "tpch_promo_revenue": rel.promo_revenue,

@@ -280,3 +280,52 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
     for name, pat in PII_PATTERNS.items():
         scrubbed = F.regexp_replace(scrubbed, pat, f"<{name.upper()}>")
     return docs.select("doc_id", *counts, scrubbed.alias("clean_text"))
+
+
+CARD_CANDIDATE_RE = r"[0-9](?:[ -]?[0-9]){12,18}"
+
+# Luhn checksum as a pure SQL expression over a digits-only string `d`:
+# from the rightmost digit, double every second one, subtract 9 when the
+# double exceeds 9, and require the sum % 10 == 0. Written in the SQL
+# subset shared by Spark and DuckDB (HOF transform/aggregate over an index
+# sequence + substr with a computed position) so the oracle runs the
+# IDENTICAL check.
+_LUHN_SQL = (
+    "aggregate(transform(sequence(1, length({d})), i -> "
+    "CASE WHEN (length({d}) - i) % 2 = 1 THEN "
+    "IF(2 * cast(substring({d}, i, 1) as int) > 9, "
+    "2 * cast(substring({d}, i, 1) as int) - 9, "
+    "2 * cast(substring({d}, i, 1) as int)) "
+    "ELSE cast(substring({d}, i, 1) as int) END), 0, (a, x) -> a + x) "
+    "% 10 = 0"
+)
+
+
+def card_audit(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """Payment-card audit for corpus hygiene: count 13–19-digit candidate
+    runs (space/dash separators allowed) and how many pass the Luhn
+    checksum — the verification step that separates real card leakage
+    from random digit runs (a plain regex over web text is mostly false
+    positives; Luhn-valid hits are the rows a scrub/legal pass must act
+    on).
+
+    Pure expressions end to end: candidate extraction, digit stripping,
+    and the Luhn fold all run as HOFs inside the projection — no explode,
+    no shuffle, rides any scan like ``pii_scrub``.
+    """
+    from pyspark.sql import functions as F
+
+    cand = F.expr(
+        f"regexp_extract_all({text_col}, '{CARD_CANDIDATE_RE}', 0)"
+    )
+    digits = "regexp_replace(c, '[ -]', '')"
+    luhn = _LUHN_SQL.format(d=digits)
+    valid = F.expr(
+        f"size(filter(regexp_extract_all({text_col}, '{CARD_CANDIDATE_RE}',"
+        f" 0), c -> length({digits}) BETWEEN 13 AND 19 AND {luhn}))"
+    )
+    return docs.select(
+        id_col,
+        F.size(cand).cast("bigint").alias("n_card_candidates"),
+        valid.cast("bigint").alias("n_luhn_valid"),
+    )

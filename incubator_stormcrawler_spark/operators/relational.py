@@ -378,3 +378,29 @@ def brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over (event_type, day): every marginal plus the
+    grand total in ONE exchange — the OLAP companion of the time-grain
+    ROLLUP (`timeseries.rollup_time_grain`); Catalyst expands the
+    grouping-set expansion BEFORE the shuffle so partial aggregation
+    still applies to all 4 groupings."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.cube(
+            F.col("event_type"),
+            F.date_trunc("day", F.col("ts")).alias("day"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # exact integer cents: floor(x*100 + 0.5) per row, BIGINT sum —
+            # a double sum's result depends on partition order, and the
+            # CUBE margins aggregate enough rows that round(sum, 2) flips
+            # its last digit between engines; integer sums are
+            # order-independent
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("total_cents"),
+        )
+    )

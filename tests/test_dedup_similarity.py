@@ -582,3 +582,27 @@ def test_winnow_guarantee_and_determinism(spark):
     s1 = {g for _, g in selected("a1 a2 " + shared + " a3 a4")}
     s2 = {g for _, g in selected("b1 " + shared + " b2 b3 b4")}
     assert s1 & s2  # at least one shared selected GRAM text
+
+
+def test_card_audit_luhn_separates_valid_from_noise(spark):
+    from incubator_stormcrawler_spark.functions.text import card_audit
+
+    docs = spark.createDataFrame(
+        [
+            # valid Visa-format (Luhn ok), with separators
+            Row(doc_id=1, text="pay 4539 1488 0343 6467 now"),
+            # 16 digits, Luhn fails
+            Row(doc_id=2, text="ref 1234 5678 9012 3456 x"),
+            # valid Amex (15 digits, no separators)
+            Row(doc_id=3, text="amex 378282246310005 ok"),
+            # too short to be a candidate at all
+            Row(doc_id=4, text="pin 1234 end"),
+            Row(doc_id=5, text="no digits at all"),
+        ]
+    )
+    got = {r.doc_id: r for r in card_audit(docs).collect()}
+    assert got[1].n_card_candidates == 1 and got[1].n_luhn_valid == 1
+    assert got[2].n_card_candidates == 1 and got[2].n_luhn_valid == 0
+    assert got[3].n_card_candidates == 1 and got[3].n_luhn_valid == 1
+    assert got[4].n_card_candidates == 0 and got[4].n_luhn_valid == 0
+    assert got[5].n_card_candidates == 0 and got[5].n_luhn_valid == 0

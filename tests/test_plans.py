@@ -294,3 +294,12 @@ def test_bm25_and_postings_topk_is_take_ordered(spark):
     assert "TakeOrderedAndProject" in p1
     assert "TakeOrderedAndProject" in p2
     assert "CartesianProduct" not in p1 and "CartesianProduct" not in p2
+
+
+def test_events_cube_single_exchange_with_partial_agg(spark):
+    plan = plan_of(rel.events_cube(spark, SF))
+    # grouping-set expansion happens BEFORE the shuffle (Expand feeding a
+    # partial HashAggregate), so all four groupings share one exchange
+    assert "Expand" in plan
+    assert plan.count("Exchange") == 1
+    assert plan.count("HashAggregate") >= 2
