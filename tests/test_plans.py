@@ -303,3 +303,35 @@ def test_events_cube_single_exchange_with_partial_agg(spark):
     assert "Expand" in plan
     assert plan.count("Exchange") == 1
     assert plan.count("HashAggregate") >= 2
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Co-located join: both sides written bucketed by the join key with
+    equal bucket counts -> the recurring join plans with ZERO Exchange
+    (the 100 TB technique for joins that repeat every generation/pass)."""
+    from incubator_stormcrawler_spark.sources.bucketed import (
+        read_table,
+        write_bucketed,
+    )
+
+    left = spark.range(10_000).selectExpr(
+        "id as key", "id % 7 as status_code"
+    )
+    right = spark.range(5_000).selectExpr("id as key", "id * 2 as metric")
+    write_bucketed(left, "bk_left", "key", 8, str(tmp_path / "l"))
+    write_bucketed(right, "bk_right", "key", 8, str(tmp_path / "r"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force a non-broadcast join so the bucket co-partitioning is what
+        # elides the shuffle, not a broadcast
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = read_table(spark, "bk_left").join(
+            read_table(spark, "bk_right"), "key"
+        )
+        plan = plan_of(joined)
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 5_000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bk_left")
+        spark.sql("DROP TABLE IF EXISTS bk_right")
