@@ -1017,6 +1017,14 @@ def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rel.events_cube(spark, sf_dir)
 
 
+def q_events_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation of event-type hourly volumes from
+    exact integer co-moment sums (operators/relational.py:
+    events_correlation) — deterministic cross-engine time-series
+    similarity."""
+    return rel.events_correlation(spark, sf_dir)
+
+
 def q_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (MOSS; Schleimer et al. 2003) over the
     documents table (operators/dedup.py:winnow_fingerprints): k=4 grams,
@@ -2518,6 +2526,29 @@ FROM events
 GROUP BY CUBE(event_type, cast(date_trunc('day', ts) AS TIMESTAMP))
 """
 
+# pairwise Pearson from exact integer co-moment sums (order-independent;
+# one final double expression in both engines).
+_ORACLES["events_correlation"] = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+), m AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*) AS n,
+         sum(a.n) AS sx, sum(b.n) AS sy,
+         sum(a.n * b.n) AS sxy,
+         sum(a.n * a.n) AS sxx, sum(b.n * b.n) AS syy
+  FROM hourly a JOIN hourly b USING (hour)
+  WHERE a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, cast(n AS BIGINT) AS n_hours,
+       round((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4)
+         AS pearson
+FROM m
+"""
+
 # winnowing: k=4 token grams, packed (28-bit hash << 20 | pos) values,
 # min over each w=4 forward window of FULL width; digest over the sorted
 # distinct selected set.
@@ -2917,6 +2948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_winnow": q_doc_winnow,
         "text_card_audit": q_text_card_audit,
         "events_cube": q_events_cube,
+        "events_correlation": q_events_correlation,
         "text_tfidf_keywords": q_text_tfidf_keywords,
         "corpus_bigram_logprob": q_corpus_bigram_logprob,
         "tpch_promo_revenue": rel.promo_revenue,

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# Per-language stopword anchors for the n-gram/stopword heuristic — 37
+# Per-language stopword anchors for the n-gram/stopword heuristic — 44
 # space-tokenized languages toward the reference detector's breadth
 # (optimaize covers 70+, LanguageID.java:54; a model-backed pandas_udf
 # slots into the same contract for the rest). Each anchor word appears in
@@ -60,6 +60,13 @@ STOPWORDS = {
     "hi": ["है", "के", "में", "की", "और"],
     "bn": ["এবং", "না", "এই", "করে", "থেকে"],
     "ta": ["மற்றும்", "இது", "என்று", "உள்ள", "ஒரு"],
+    "af": ["'n", "vir", "baie", "hulle", "gesê"],
+    "is": ["að", "ég", "því", "þetta", "hún"],
+    "sq": ["që", "një", "për", "është", "shumë"],
+    "eu": ["eta", "ez", "dago", "baina", "zen"],
+    "cy": ["mae", "ddim", "wedi", "gyda", "ond"],
+    "az": ["və", "ilə", "olaraq", "daha", "edir"],
+    "sr": ["је", "су", "као", "него", "овај"],
 }
 
 # Script-range fallback for documents with zero stopword evidence — the
@@ -80,6 +87,18 @@ SCRIPT_RANGES = {
     "hi": f"[{chr(0x0900)}-{chr(0x097F)}]",  # devanagari
     "bn": f"[{chr(0x0980)}-{chr(0x09FF)}]",  # bengali
     "ta": f"[{chr(0x0B80)}-{chr(0x0BFF)}]",  # tamil
+    "ka": f"[{chr(0x10A0)}-{chr(0x10FF)}]",  # georgian
+    "hy": f"[{chr(0x0530)}-{chr(0x058F)}]",  # armenian
+    "am": f"[{chr(0x1200)}-{chr(0x137F)}]",  # ethiopic (amharic)
+    "si": f"[{chr(0x0D80)}-{chr(0x0DFF)}]",  # sinhala
+    "te": f"[{chr(0x0C00)}-{chr(0x0C7F)}]",  # telugu
+    "kn": f"[{chr(0x0C80)}-{chr(0x0CFF)}]",  # kannada
+    "ml": f"[{chr(0x0D00)}-{chr(0x0D7F)}]",  # malayalam
+    "gu": f"[{chr(0x0A80)}-{chr(0x0AFF)}]",  # gujarati
+    "pa": f"[{chr(0x0A00)}-{chr(0x0A7F)}]",  # gurmukhi (punjabi)
+    "my": f"[{chr(0x1000)}-{chr(0x109F)}]",  # myanmar (burmese)
+    "km": f"[{chr(0x1780)}-{chr(0x17FF)}]",  # khmer
+    "lo": f"[{chr(0x0E80)}-{chr(0x0EFF)}]",  # lao
     "ru": f"[{chr(0x0400)}-{chr(0x04FF)}]",  # cyrillic (most-common default)
 }
 
@@ -123,13 +142,15 @@ def quality_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def langid_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Language ID: stopword-anchor scores over 37 space-tokenized
+    """Language ID: stopword-anchor scores over 44 space-tokenized
     languages, argmax prediction (dict order wins ties), with an ordered
     script-range fallback (SCRIPT_RANGES) for documents with zero stopword
     evidence — covering the non-whitespace scripts (CJK, Thai) and
     script-exclusive alphabets. Mirrors the langid ParseFilter's
-    minProb-gated prediction (LanguageID.java:89-120); ~48 predictable
-    labels total. Confidence = stopword hits/token for anchored docs,
+    minProb-gated prediction (LanguageID.java:89-120); ~60 predictable
+    labels total (44 anchored + script-exclusive alphabets incl. Georgian,
+    Armenian, Ethiopic, Sinhala, Telugu, Kannada, Malayalam, Gujarati,
+    Gurmukhi, Myanmar, Khmer, Lao). Confidence = stopword hits/token for anchored docs,
     script hits/char for fallback docs.
 
     Pure codegen'd column expressions on purpose: at 100 TB this pass must
@@ -137,7 +158,7 @@ def langid_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     same (lang_pred, confidence) contract for the long tail.
     """
     text = F.col(text_col)
-    # ALL 37 stopword scores as ONE array subtree: every later use (the 37
+    # ALL 44 stopword scores as ONE array subtree: every later use (the 44
     # output columns, the argmax) is an element_at of this same expression,
     # which whole-stage codegen's subexpression elimination computes ONCE
     # per row. Naive formulations — score columns referenced from a prior

@@ -404,3 +404,54 @@ def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_cents"),
         )
     )
+
+
+def events_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity across event types: Pearson correlation of
+    hourly volumes for every type pair — the "which signals move
+    together" query of ops dashboards and the batch twin of streaming
+    correlation monitors.
+
+    Determinism: correlation is computed from the five INTEGER co-moment
+    sums (n, Sx, Sy, Sxy, Sxx, Syy) rather than an engine's corr()
+    accumulator — integer sums are exact and order-independent, so both
+    engines produce bit-identical inputs to one final double expression.
+    Scale: the hourly grid is |hours × types| (tiny relative to raw
+    events, one partial-aggregable pass); the pair join is over the grid,
+    not the events.
+    """
+    ev = load_events(spark, sf_dir)
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        F.col("event_type"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    a = hourly.select(
+        "hour", F.col("event_type").alias("type_a"), F.col("n").alias("na")
+    )
+    b = hourly.select(
+        "hour", F.col("event_type").alias("type_b"), F.col("n").alias("nb")
+    )
+    m = (
+        a.join(b, "hour")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("na").alias("sx"),
+            F.sum("nb").alias("sy"),
+            F.sum(F.col("na") * F.col("nb")).alias("sxy"),
+            F.sum(F.col("na") * F.col("na")).alias("sxx"),
+            F.sum(F.col("nb") * F.col("nb")).alias("syy"),
+        )
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select(
+        "type_a",
+        "type_b",
+        F.col("n").cast("bigint").alias("n_hours"),
+        F.round(num / den, 4).alias("pearson"),
+    )

@@ -210,3 +210,42 @@ def test_langid_script_fallback(spark):
     # script-detected rows report a hit-density confidence in (0, 1]
     assert 0.0 < rows[0].confidence <= 1.0
     assert rows[5].confidence == 0.0
+
+
+def test_langid_round4_breadth(spark):
+    """Round-4 additions: 7 new stopword-anchored languages and 12
+    script-exclusive alphabets resolve correctly."""
+    from pyspark.sql import Row
+
+    from incubator_stormcrawler_spark.functions.text import langid_scores
+
+    anchored = {
+        "af": "die hond het 'n been vir hulle baie gesê",
+        "is": "að hún sagði ég því þetta væri gott",
+        "sq": "që një ditë për të është shumë mirë",
+        "eu": "eta gero ez dago baina hor zen behin",
+        "cy": "mae hi ddim wedi mynd gyda nhw ond yma",
+        "az": "və o ilə birlikdə olaraq daha çox edir",
+        "sr": "је пас су стигли као него овај дан",
+    }
+    scripts = {
+        "ka": "კატა სახლში ზის და ელოდება",
+        "hy": "կատուն նստած է տանը եւ սպասում է",
+        "am": "ድመቷ በቤት ውስጥ ተቀምጣለች",
+        "si": "බළලා ගෙදර සිටියි",
+        "te": "పిల్లి ఇంట్లో కూర్చుంది",
+        "kn": "ಬೆಕ್ಕು ಮನೆಯಲ್ಲಿ ಕುಳಿತಿದೆ",
+        "ml": "പൂച്ച വീട്ടിൽ ഇരിക്കുന്നു",
+        "gu": "બિલાડી ઘરમાં બેઠી છે",
+        "pa": "ਬਿੱਲੀ ਘਰ ਵਿੱਚ ਬੈਠੀ ਹੈ",
+        "my": "ကြောင်သည် အိမ်တွင် ထိုင်နေသည်",
+        "km": "ឆ្មាអង្គុយនៅផ្ទះ",
+        "lo": "ແມວນັ່ງຢູ່ເຮືອນ",
+    }
+    snippets = {**anchored, **scripts}
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(snippets.values())]
+    )
+    got = {r.doc_id: r.lang_pred for r in langid_scores(docs).collect()}
+    want = dict(enumerate(snippets))
+    assert got == want
