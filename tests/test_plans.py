@@ -335,3 +335,61 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bk_left")
         spark.sql("DROP TABLE IF EXISTS bk_right")
+
+
+def test_bucketed_frontier_merge_never_shuffles_frontier(spark, tmp_path):
+    """The production status-merge layout: frontier stored bucketed by
+    url -> the full-outer MERGE shuffles ONLY the update batch; the
+    frontier side reads bucketed (Bucketed: true) with no Exchange. At
+    8M rows locally the shuffle it avoids is cheap; at 10^9 frontier rows
+    on object storage it is the merge's dominant cost."""
+    from incubator_stormcrawler_spark.operators.status_merge import (
+        merge_status_updates,
+    )
+    from incubator_stormcrawler_spark.sources.bucketed import (
+        read_table,
+        write_bucketed,
+    )
+
+    frontier = spark.range(50_000).selectExpr(
+        "'https://h' || cast(id % 100 as string) || '.com/p' || cast(id as string) as url",
+        "'DISCOVERED' as status",
+        "timestamp'2024-01-01 00:00:00' as next_fetch_date",
+        "0 as error_count",
+        "'h' || cast(id % 100 as string) || '.com' as key",
+        "cast(id % 10 as int) as bucket",
+    )
+    write_bucketed(frontier, "bk_frontier", "url", 32, str(tmp_path / "bf"))
+    updates = spark.range(500).selectExpr(
+        "'https://h1.com/p' || cast(id as string) as url",
+        "'FETCHED' as status",
+        "timestamp'2024-01-02 00:00:00' as next_fetch_date",
+        "0 as error_count",
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        merged = merge_status_updates(
+            read_table(spark, "bk_frontier"), updates,
+            now="2024-01-03 00:00:00",
+        )
+        import re
+
+        plan = plan_of(merged)
+        assert "Bucketed: true" in plan
+        # the definitive property: no Exchange hash-partitions on the
+        # frontier scan's own url attribute — every shuffle in the plan
+        # belongs to the update batch aligning itself to the buckets
+        m = re.search(
+            r"spark_catalog\.default\.bk_frontier\[url#(\d+)", plan
+        )
+        assert m, plan
+        assert f"Exchange hashpartitioning(url#{m.group(1)}," not in plan, (
+            plan
+        )
+        # 5 of the 500 update urls exist (h1.com hosts only ids%100==1);
+        # the other 495 insert -> 50_000 + 495
+        assert merged.count() == 50_495
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bk_frontier")
