@@ -572,6 +572,19 @@ def winnow_fingerprints(
     base = docs.select(F.col(id_col), toks.alias("__toks")).where(
         F.size("__toks") >= k + w - 1
     )
+    # the packed (hash << 20 | pos) layout gives the position 20 bits —
+    # overflow would silently corrupt the window-min ordering, so fail
+    # loudly instead (split longer docs before fingerprinting). The check
+    # is folded into `packed` below (same pattern as pq_encode's dim
+    # guard) so column pruning can't drop it.
+    len_guard = F.coalesce(
+        F.assert_true(
+            F.size("__toks") < F.lit(1048576),
+            F.lit("winnow_fingerprints: document exceeds 2^20 tokens; "
+                  "pos would overflow the packed fingerprint"),
+        ).cast("bigint"),
+        F.lit(0).cast("bigint"),
+    )
     grams = base.select(
         F.col(id_col),
         F.size("__toks").alias("__n"),
@@ -601,6 +614,7 @@ def winnow_fingerprints(
             ).cast("bigint")
             * F.lit(1048576)
             + F.col("pos")
+            + len_guard
         ).alias("packed"),
     )
     w_fwd = (

@@ -627,16 +627,21 @@ def semdedup(
     e = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
     )
-    withv = assigned.join(e, "vec_id")
+    # precompute each vector's norm ONCE (O(N) folds) — the intra-cluster
+    # self-join is the quadratic stage, and recomputing both norms per
+    # candidate pair would triple its per-pair flops
+    withv = assigned.join(e, "vec_id").withColumn(
+        "nrm", _norm(F.col("v"))
+    )
     a = withv.select(
-        F.col("vec_id").alias("id1"), "cid", F.col("v").alias("v1")
+        F.col("vec_id").alias("id1"), "cid",
+        F.col("v").alias("v1"), F.col("nrm").alias("n1"),
     )
     b = withv.select(
-        F.col("vec_id").alias("id2"), "cid", F.col("v").alias("v2")
+        F.col("vec_id").alias("id2"), "cid",
+        F.col("v").alias("v2"), F.col("nrm").alias("n2"),
     )
-    sim = _dot(F.col("v1"), F.col("v2")) / (
-        _norm(F.col("v1")) * _norm(F.col("v2"))
-    )
+    sim = _dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2"))
     shadows = (
         a.join(b, "cid")
         .where(F.col("id1") < F.col("id2"))

@@ -50,6 +50,14 @@ def status_priority(status: Column) -> Column:
     return expr.otherwise(0)
 
 
+def ranked_status_key(status: Column) -> Column:
+    """Encode (priority, status) as one sortable string so ``max_by`` is
+    total and deterministic — shared by every dedupe/merge aggregation
+    (changing the encoding here changes ALL of them together)."""
+    pr = status_priority(status)
+    return F.concat(F.lpad(pr.cast("string"), 2, "0"), F.lit(":"), status)
+
+
 def dedupe_updates(updates: DataFrame) -> DataFrame:
     """Collapse one generation's emissions to one row per URL.
 
@@ -59,9 +67,7 @@ def dedupe_updates(updates: DataFrame) -> DataFrame:
     through the shuffle. Priority ties are broken by status string (all
     same-priority statuses are identical anyway).
     """
-    pr = status_priority(F.col("status"))
-    # Encode (priority, status) so max_by is total and deterministic.
-    ranked = F.concat(F.lpad(pr.cast("string"), 2, "0"), F.lit(":"), F.col("status"))
+    ranked = ranked_status_key(F.col("status"))
     return updates.groupBy("url").agg(
         F.max_by(F.col("status"), ranked).alias("status")
     )
@@ -131,10 +137,7 @@ def merge_status_updates(
         # ONE groupBy carries status max_by AND the extra aggregates —
         # splitting them into two groupBys + an equi-join (the round-3
         # shape) doubled the shuffle over the update batch for nothing
-        pr = status_priority(F.col("status"))
-        ranked = F.concat(
-            F.lpad(pr.cast("string"), 2, "0"), F.lit(":"), F.col("status")
-        )
+        ranked = ranked_status_key(F.col("status"))
         aggs = [F.max_by(F.col("status"), ranked).alias("u_status")]
         if with_depth:
             aggs.append(F.min("depth").alias("u_depth"))

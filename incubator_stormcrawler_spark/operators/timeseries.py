@@ -81,14 +81,25 @@ def asof_join(
     payload = F.struct(*[F.col(c) for c in right_payload], F.col(time_col).alias("__rts"))
     # deterministic-tiebreak key: only ORDERABLE payload fields (maps are
     # not sort keys in Spark — including one in the window orderBy would
-    # fail at plan time). If every payload column is unorderable, the
-    # tiebreak degrades to the timestamp only (documented best effort).
+    # fail at plan time, and a map NESTED inside a struct/array poisons
+    # the whole field, so the check recurses). If every payload column is
+    # unorderable, the tiebreak degrades to the timestamp only
+    # (documented best effort).
+    def _orderable(dt) -> bool:
+        if isinstance(dt, types.MapType):
+            return False
+        if isinstance(dt, types.ArrayType):
+            return _orderable(dt.elementType)
+        if isinstance(dt, types.StructType):
+            return all(_orderable(f.dataType) for f in dt.fields)
+        return True
+
     orderable = [
         f.name
         for f in right.select(
             *[F.col(c) for c in right_payload]
         ).schema.fields
-        if not isinstance(f.dataType, types.MapType)
+        if _orderable(f.dataType)
     ]
     tiebreak = F.struct(
         *[F.col(c) for c in orderable], F.col(time_col).alias("__rts")

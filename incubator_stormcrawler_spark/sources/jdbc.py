@@ -219,6 +219,11 @@ class JdbcFrontierStore:
         from ..functions.urls import bucket_expr, host_key_expr
         from ..operators.status_merge import merge_status_updates
 
+        # null urls can't key the PRIMARY-KEY store (and would violate the
+        # NOT NULL constraint at the staging append) — drop them up front.
+        # Unparseable-but-non-null urls are fine: host_key_expr returns ''
+        # for them, which hashes to a real bucket like any other key.
+        updates = updates.where(F.col("url").isNotNull())
         # pin the updates plan: the touched-bucket collect and the staging
         # write below must see the SAME rows (a re-read source could change
         # between the two actions and stage rows into never-deleted buckets)
@@ -230,8 +235,6 @@ class JdbcFrontierStore:
             )
             .distinct()
             .collect()
-            # unparseable hosts yield a null bucket — they cannot be placed
-            # in a bucket-keyed store and must not poison the IN list
             if r.b is not None
         )
         if not touched:

@@ -470,3 +470,22 @@ def test_events_funnel_ordering_semantics(spark):
     assert r.users_full_funnel == 1     # user 1 only
     assert r.view_to_click_rate == 0.6667
     assert r.click_to_purchase_rate == 0.5
+
+
+def test_asof_join_nested_map_payload_excluded_from_tiebreak(spark):
+    """A map nested inside a struct payload column is unorderable — the
+    tiebreak must skip it (recursively) instead of failing at plan time,
+    while the payload itself still carries through."""
+    from incubator_stormcrawler_spark.operators.timeseries import asof_join
+
+    left = spark.sql(
+        "SELECT 'k1' AS key, timestamp'2024-01-01 01:00:00' AS ts"
+    )
+    right = spark.sql(
+        "SELECT 'k1' AS key, timestamp'2024-01-01 00:30:00' AS ts, "
+        "named_struct('tags', map('a', 'b')) AS md, 7 AS x"
+    )
+    out = asof_join(left, right, key="key").collect()
+    assert len(out) == 1
+    assert out[0].r_x == 7
+    assert out[0].r_md.tags == {"a": "b"}
