@@ -212,6 +212,19 @@ def q_link_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_rank(edges, iterations=5)
 
 
+def q_link_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities over the same link graph as link_rank —
+    unnormalized integer iterations, bit-identical cross-engine
+    (operators/linkrank.py:hits)."""
+    from incubator_stormcrawler_spark.operators.linkrank import hits
+
+    edges = spark.read.parquet(f"{sf_dir}/lineitem.parquet").selectExpr(
+        "'o' || cast(mod(l_orderkey, 500) as string) as src",
+        "'p' || cast(mod(l_partkey, 300) as string) as dst",
+    )
+    return hits(edges, iterations=2)
+
+
 def q_events_rate_10s(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PerSecondReducer analog (util/PerSecondReducer.java; FetcherBolt
     fetched_perSec metric): per-10s-bucket event rates."""
@@ -1293,6 +1306,14 @@ FROM per_sess GROUP BY user_id
 """
 
 from incubator_stormcrawler_spark.operators.linkrank import unrolled_pagerank_sql
+
+from incubator_stormcrawler_spark.operators.linkrank import unrolled_hits_sql
+
+_ORACLES["link_hits"] = unrolled_hits_sql(
+    "edges AS (SELECT 'o' || cast(mod(l_orderkey, 500) as varchar) AS src,"
+    " 'p' || cast(mod(l_partkey, 300) as varchar) AS dst FROM lineitem)",
+    iterations=2,
+)
 
 _ORACLES["link_rank"] = unrolled_pagerank_sql(
     "edges AS (SELECT 'o' || cast(mod(l_orderkey, 500) as varchar) AS src,"
@@ -2972,8 +2993,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "status_merge": q_status_merge,
         "parse_richdoc": q_parse_richdoc,
         "link_rank": q_link_rank,
+        "link_hits": q_link_hits,
         "text_langid": q_text_langid,
-        "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "text_quality": q_text_quality,
@@ -3018,6 +3039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "parse_word_doc": q_parse_word_doc,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "dedup_exact": q_dedup_exact,
         "ann_ivf_topk": q_ann_ivf_topk,
     }
 

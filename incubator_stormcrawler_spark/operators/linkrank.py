@@ -104,3 +104,102 @@ def unrolled_pagerank_sql(
         + ",\n".join(parts)
         + f"\nSELECT node, round(rank, 6) AS rank FROM r{iterations}"
     )
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) — the complementary link
+    signal to PageRank: a page is a good AUTHORITY if good hubs point at
+    it, a good HUB if it points at good authorities. Frontier blending
+    uses authority for content pages, hub for index/listing pages.
+
+    Deliberately UNNORMALIZED with a small fixed iteration count: starting
+    from hub=1, every score stays an exact INTEGER (auth = sum of
+    in-neighbor hubs, hub = sum of out-neighbor auths), so the computation
+    is bit-identical on any engine, any partitioning — no floating-point
+    normalization sums to drift. Rankings are invariant to the missing
+    normalization (it's a positive scalar per iteration); with default
+    iterations=2 scores are bounded by ~deg^4, far inside bigint range.
+
+    Shape: per iteration two edge⋈score joins + partial-aggregable sums —
+    the same one-shuffle-per-side pattern as link_rank; scores
+    localCheckpoint per iteration to cut lineage.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .cache()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .cache()
+    )
+    hub = nodes.withColumn("h", F.lit(1).cast("bigint"))
+    auth = None
+    for _ in range(iterations):
+        auth = (
+            e.join(hub, e.src == hub.node)
+            .groupBy(F.col("dst").alias("n"))
+            .agg(F.sum("h").alias("a"))
+        )
+        auth = (
+            nodes.join(auth, nodes.node == auth.n, "left")
+            .select(
+                "node", F.coalesce(F.col("a"), F.lit(0)).cast("bigint").alias("a")
+            )
+            .localCheckpoint(eager=False)
+        )
+        hub = (
+            e.join(auth, e.dst == auth.node)
+            .groupBy(F.col("src").alias("n"))
+            .agg(F.sum("a").alias("h"))
+        )
+        hub = (
+            nodes.join(hub, nodes.node == hub.n, "left")
+            .select(
+                "node", F.coalesce(F.col("h"), F.lit(0)).cast("bigint").alias("h")
+            )
+            .localCheckpoint(eager=False)
+        )
+    return auth.join(hub, "node").select(
+        "node", F.col("a").alias("authority"), F.col("h").alias("hub")
+    )
+
+
+def unrolled_hits_sql(edges_cte: str, iterations: int = 2) -> str:
+    """The identical unnormalized-integer HITS unrolled as chained CTEs."""
+    parts = [
+        edges_cte,
+        "e AS (SELECT DISTINCT src, dst FROM edges)",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "h0 AS (SELECT node, CAST(1 AS BIGINT) AS h FROM nodes)",
+    ]
+    for it in range(iterations):
+        parts.append(
+            f"a{it + 1} AS (SELECT nodes.node,"
+            f" CAST(coalesce(s.a, 0) AS BIGINT) AS a FROM nodes"
+            f" LEFT JOIN (SELECT e.dst AS node, sum(h{it}.h) AS a"
+            f" FROM e JOIN h{it} ON e.src = h{it}.node GROUP BY e.dst) s"
+            f" USING (node))"
+        )
+        parts.append(
+            f"h{it + 1} AS (SELECT nodes.node,"
+            f" CAST(coalesce(s.h, 0) AS BIGINT) AS h FROM nodes"
+            f" LEFT JOIN (SELECT e.src AS node, sum(a{it + 1}.a) AS h"
+            f" FROM e JOIN a{it + 1} ON e.dst = a{it + 1}.node"
+            f" GROUP BY e.src) s USING (node))"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+SELECT a{iterations}.node, a{iterations}.a AS authority,
+       h{iterations}.h AS hub
+FROM a{iterations} JOIN h{iterations} USING (node)
+"""
+    )

@@ -489,3 +489,24 @@ def test_asof_join_nested_map_payload_excluded_from_tiebreak(spark):
     assert len(out) == 1
     assert out[0].r_x == 7
     assert out[0].r_md.tags == {"a": "b"}
+
+
+def test_hits_hand_checked_scores(spark):
+    """Unnormalized integer HITS on a tiny graph, hand-computed:
+    edges a->c, b->c, b->d  (b is the better hub; c the better authority).
+    iter1: auth c=2 (a+b), d=1; hub a=2, b=3.
+    iter2: auth c=a.h+b.h=5, d=b.h=3; hub a=5, b=5+3=8."""
+    from pyspark.sql import Row
+
+    from incubator_stormcrawler_spark.operators.linkrank import hits
+
+    edges = spark.createDataFrame(
+        [Row(src="a", dst="c"), Row(src="b", dst="c"), Row(src="b", dst="d")]
+    )
+    got = {r.node: (r.authority, r.hub) for r in hits(edges, iterations=2).collect()}
+    assert got == {
+        "a": (0, 5),
+        "b": (0, 8),
+        "c": (5, 0),
+        "d": (3, 0),
+    }
