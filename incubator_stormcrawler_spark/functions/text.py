@@ -336,13 +336,15 @@ def card_audit(docs, text_col: str = "text", id_col: str = "doc_id"):
     """
     from pyspark.sql import functions as F
 
-    cand = F.expr(
-        f"regexp_extract_all({text_col}, '{CARD_CANDIDATE_RE}', 0)"
-    )
+    # null text audits as empty (0 candidates, 0 valid) — without the
+    # coalesce, size(regexp_extract_all(NULL)) is -1/NULL and the two
+    # output columns would disagree about how "no text" is represented
+    src = f"coalesce({text_col}, '')"
+    cand = F.expr(f"regexp_extract_all({src}, '{CARD_CANDIDATE_RE}', 0)")
     digits = "regexp_replace(c, '[ -]', '')"
     luhn = _LUHN_SQL.format(d=digits)
     valid = F.expr(
-        f"size(filter(regexp_extract_all({text_col}, '{CARD_CANDIDATE_RE}',"
+        f"size(filter(regexp_extract_all({src}, '{CARD_CANDIDATE_RE}',"
         f" 0), c -> length({digits}) BETWEEN 13 AND 19 AND {luhn}))"
     )
     return docs.select(

@@ -129,6 +129,8 @@ def hits(
     the same one-shuffle-per-side pattern as link_rank; scores
     localCheckpoint per iteration to cut lineage.
     """
+    if iterations < 1:
+        raise ValueError("hits: iterations must be >= 1")
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .distinct()
@@ -174,6 +176,8 @@ def hits(
 
 def unrolled_hits_sql(edges_cte: str, iterations: int = 2) -> str:
     """The identical unnormalized-integer HITS unrolled as chained CTEs."""
+    if iterations < 1:
+        raise ValueError("unrolled_hits_sql: iterations must be >= 1")
     parts = [
         edges_cte,
         "e AS (SELECT DISTINCT src, dst FROM edges)",

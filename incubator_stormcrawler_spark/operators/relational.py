@@ -449,9 +449,13 @@ def events_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
         * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
     )
+    # a zero-variance series (constant counts, or a single shared hour)
+    # has no defined correlation: nullif keeps the division NULL in BOTH
+    # engines (Spark's non-ANSI divide would return NULL but DuckDB's
+    # IEEE float divide returns inf/NaN — an engine divergence otherwise)
     return m.select(
         "type_a",
         "type_b",
         F.col("n").cast("bigint").alias("n_hours"),
-        F.round(num / den, 4).alias("pearson"),
+        F.round(num / F.nullif(den, F.lit(0.0)), 4).alias("pearson"),
     )

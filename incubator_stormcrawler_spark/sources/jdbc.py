@@ -228,6 +228,8 @@ class JdbcFrontierStore:
         # write below must see the SAME rows (a re-read source could change
         # between the two actions and stage rows into never-deleted buckets)
         updates = updates.localCheckpoint(eager=False)
+        # bucket_expr over a non-null url is always non-null (even an
+        # unparseable host hashes via ''), so no null-guard is needed here
         touched = sorted(
             r.b
             for r in updates.select(
@@ -235,7 +237,6 @@ class JdbcFrontierStore:
             )
             .distinct()
             .collect()
-            if r.b is not None
         )
         if not touched:
             return []  # quiet batch: nothing to merge, no table mutation
