@@ -606,3 +606,51 @@ def test_card_audit_luhn_separates_valid_from_noise(spark):
     assert got[3].n_card_candidates == 1 and got[3].n_luhn_valid == 1
     assert got[4].n_card_candidates == 0 and got[4].n_luhn_valid == 0
     assert got[5].n_card_candidates == 0 and got[5].n_luhn_valid == 0
+
+
+def test_segment_dedup_identity_on_unique_corpus(spark):
+    """A corpus with no repeated segments passes through unchanged —
+    dedup must never drop novel content."""
+    from incubator_stormcrawler_spark.operators.corpus import segment_dedup
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=i, text=" ".join(f"d{i}w{k}" for k in range(9)))
+            for i in range(12)
+        ]
+    )
+    got = segment_dedup(docs, segment_tokens=4).collect()
+    # every chunk of every doc survives: 12 docs x ceil(9/4)=3 chunks
+    assert len(got) == 36
+
+
+def test_substring_dedup_is_idempotent_on_its_output_semantics(spark):
+    """Feeding substring_dedup's surviving text back in removes nothing
+    more (the first pass removed every cross-document repeat)."""
+    import hashlib
+
+    from incubator_stormcrawler_spark.operators.dedup import substring_dedup
+
+    span = " ".join(f"s{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=span + " a1 a2 a3"),
+            Row(doc_id=2, text=span + " b1 b2 b3"),
+            Row(doc_id=3, text="c1 c2 c3 c4 c5 c6 c7 c8"),
+        ]
+    )
+    first = {r.doc_id: r for r in substring_dedup(docs, window=8).collect()}
+    # doc2 lost the copied span; rebuild the surviving texts and re-run
+    survivors = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=span + " a1 a2 a3"),
+            Row(doc_id=2, text="b1 b2 b3"),
+            Row(doc_id=3, text="c1 c2 c3 c4 c5 c6 c7 c8"),
+        ]
+    )
+    second = {
+        r.doc_id: r for r in substring_dedup(survivors, window=8).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert first[2].clean_fp == md5("b1 b2 b3")
+    assert all(r.n_removed == 0 for r in second.values())
