@@ -739,11 +739,12 @@ def q_corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → clusters via 4-iteration min-label propagation
-    (keeper = min doc_id); pairs come from the 3-gram Jaccard operator."""
+    (keeper = min doc_id); pairs come from the CAPPED 3-gram Jaccard
+    operator — the stop-shingle-bounded scale path."""
     from incubator_stormcrawler_spark.operators.corpus import dedup_clusters
 
     pairs = dd.ngram_jaccard_pairs(_docs_augmented(spark, sf_dir), n=3,
-                                   threshold=0.6)
+                                   threshold=0.6, max_shingle_df=20)
     return dedup_clusters(pairs, iterations=4)
 
 
@@ -2064,7 +2065,30 @@ dpairs AS (
   WHERE round(n_common / (s1.n_sh + s2.n_sh - n_common), 4) >= 0.6
 )"""
 
-_ORACLES["dedup_clusters"] = _unrolled_label_propagation(_JACCARD_PAIRS_CTES, 4)
+# clusters feed on the CAPPED jaccard pairs — the scale path (stop-shingle
+# fan-out bounded), matching q_dedup_clusters; the uncapped pairs CTE
+# remains the verification twin for dedup_ngram_jaccard.
+_JACCARD_PAIRS_CAPPED_CTES = f"""{_DOCS_AUG_CTE.strip()}, {_SHINGLE_CTE.strip()},
+kept AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 20
+),
+shc AS (SELECT sh.* FROM sh JOIN kept USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_common
+  FROM shc a JOIN shc b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+),
+dpairs AS (
+  SELECT doc1, doc2 FROM common
+  JOIN sizes s1 ON s1.doc_id = doc1
+  JOIN sizes s2 ON s2.doc_id = doc2
+  WHERE round(n_common / (s1.n_sh + s2.n_sh - n_common), 4) >= 0.6
+)"""
+
+_ORACLES["dedup_clusters"] = _unrolled_label_propagation(
+    _JACCARD_PAIRS_CAPPED_CTES, 4
+)
 
 _ORACLES["corpus_clean_funnel"] = f"""
 WITH {_DOCS_AUG_CTE.strip()},
