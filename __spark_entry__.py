@@ -1854,7 +1854,7 @@ WITH aud AS (
 )
 SELECT media_id, 2048 AS n_samples,
        round(sqrt(avg(v::DOUBLE * v)), 6) AS rms,
-       sum(flip) AS zero_crossings
+       cast(sum(flip) AS BIGINT) AS zero_crossings
 FROM flags GROUP BY media_id
 """
 
@@ -2352,7 +2352,7 @@ WITH tok AS (
   FROM vocab, unnest(generate_series(1, length(token) - 1)) t(i)
   WHERE length(token) >= 2
 )
-SELECT pair, sum(cnt) AS pair_count
+SELECT pair, cast(sum(cnt) AS BIGINT) AS pair_count
 FROM pairs GROUP BY pair
 ORDER BY pair_count DESC, pair LIMIT 20
 """
@@ -2517,7 +2517,7 @@ t AS (
 )
 SELECT doc_id,
        count(*) AS n_tokens,
-       sum(CASE WHEN removed THEN 1 ELSE 0 END) AS n_removed,
+       cast(sum(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
        md5(coalesce(
          string_agg(CASE WHEN NOT removed THEN tok END, ' ' ORDER BY pos),
          '')) AS clean_fp
@@ -2663,7 +2663,7 @@ WITH tok AS (
   SELECT term, doc_id, count(*) AS tf FROM tok
   WHERE term <> '' GROUP BY term, doc_id
 ), agg AS (
-  SELECT term, count(*) AS df, sum(tf) AS total_tf,
+  SELECT term, count(*) AS df, cast(sum(tf) AS BIGINT) AS total_tf,
          string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
   FROM tf GROUP BY term
 )

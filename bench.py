@@ -69,21 +69,45 @@ def main() -> None:
             print(f"baseline bench error: {ex}", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    # Baselines go to stderr (BASELINE.md already records them) so stdout
-    # ends with ONE compact JSON line — the driver keeps a bounded tail of
-    # the output, and a long line would lose its head (BENCH_r01 parsed
-    # null for exactly that reason).
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # The driver keeps only a bounded (~2 KB) TAIL of stdout and parses the
+    # final JSON line. With 90+ queries the per-query map alone is ~3.5 KB,
+    # so embedding it in the final line pushes the line's HEAD (metric,
+    # total) out of the capture window — BENCH_r04 parsed null for exactly
+    # that reason (r01 had the same failure from the baselines map). So:
+    # full detail goes to a repo file + stderr, and stdout ENDS with a
+    # short summary-only line that always fits in the tail.
+    detail = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
     if baselines:
         print("baselines: " + json.dumps(baselines, separators=(",", ":")),
               file=sys.stderr)
+    print("queries: " + json.dumps(timings, separators=(",", ":")),
+          file=sys.stderr)
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL_latest.json"
+    )
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError as ex:
+        print(f"could not write {detail_path}: {ex}", file=sys.stderr)
+    n_err = sum(1 for t in timings.values() if t < 0)
     print(
         json.dumps(
             {
                 "metric": "total_query_wall_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
+                "n_queries": len(timings),
+                "n_errors": n_err,
+                "detail_file": "BENCH_DETAIL_latest.json",
             },
             separators=(",", ":"),
         ),

@@ -15,19 +15,58 @@ def test_every_query_has_an_oracle():
     assert set(q) == set(o)
 
 
-def test_driver_window_tail_is_r03_green():
-    """Every entry past position 50 must already be green in
-    CORRECTNESS_r03.json — otherwise a query exists that NO driver round
-    has ever correctness-checked."""
+def _green_rows(path: str) -> set[str]:
+    """Names whose driver row is fully green (not merely present)."""
+    rows = json.load(open(path))
+    return {
+        k for k, v in rows.items()
+        if v.get("rows_match") and v.get("schema_match") and v.get("hash_match")
+    }
+
+
+def test_driver_window_tail_is_driver_green():
+    """Every entry past position 50 must have a GREEN row in a prior
+    driver round (r03 or r04) — otherwise a query exists that NO driver
+    round has ever correctness-checked, or one whose only driver row is a
+    failure. Membership alone is not enough: a failing row would satisfy a
+    key-set check while the query stays driver-red forever."""
     import __spark_entry__ as e
 
-    r03 = set(json.load(open("/root/repo/CORRECTNESS_r03.json")))
+    green = _green_rows("/root/repo/CORRECTNESS_r03.json") | _green_rows(
+        "/root/repo/CORRECTNESS_r04.json"
+    )
     ks = list(e.queries())
-    unchecked_tail = [k for k in ks[50:] if k not in r03]
+    unchecked_tail = [k for k in ks[50:] if k not in green]
     assert unchecked_tail == [], (
-        f"queries past the driver's 50-entry gate with no prior "
+        f"queries past the driver's 50-entry gate with no prior GREEN "
         f"correctness row: {unchecked_tail}"
     )
+
+
+def test_no_hugeint_oracle_columns():
+    """DuckDB types sum(BIGINT) as HUGEINT, which the driver's
+    pandas/Arrow canonicalization renders as float64 ("540.0" vs Spark's
+    "540") — a guaranteed hash mismatch on value-identical results (the
+    entire r04 46/50 gap). DESCRIBE plans each oracle against the
+    registered views without executing it, so this sweep is cheap and
+    catches the whole class mechanically."""
+    import duckdb
+
+    import __spark_entry__ as e
+
+    sf_dir = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    bad: dict[str, list[str]] = {}
+    for name, sql in e.oracle_sql().items():
+        desc = con.sql(f"DESCRIBE ({sql})").fetchall()
+        huge = [r[0] for r in desc if str(r[1]).upper() in
+                ("HUGEINT", "UHUGEINT")]
+        if huge:
+            bad[name] = huge
+    assert bad == {}, f"oracles with HUGEINT output columns: {bad}"
 
 
 def test_no_duplicate_registry_keys():

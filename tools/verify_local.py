@@ -98,6 +98,22 @@ def main() -> int:
         try:
             rel = con.sql(oracles[name])
             dcols = [c.lower() for c in rel.columns]
+            # Driver-compat guard: the driver canonicalizes oracle results
+            # through pandas/Arrow, where DuckDB HUGEINT (the type of
+            # sum(BIGINT)) becomes float64 — "540" hashes as "540.0" and the
+            # row mismatches even though values are identical (the entire
+            # r04 46/50 gap). fetchall() below returns Python ints and would
+            # mask it, so fail mechanically on the TYPE.
+            huge = [c for c, t in zip(rel.columns, rel.types)
+                    if str(t).upper() in ("HUGEINT", "UHUGEINT")]
+            if huge:
+                print(f"FAIL {name}: oracle columns typed HUGEINT "
+                      f"(driver-incompatible, cast to BIGINT): {huge}")
+                report[name] = {"rows_match": False, "schema_match": False,
+                                "hash_match": False,
+                                "err": f"hugeint oracle cols: {huge}"}
+                failures += 1
+                continue
             drows = rel.fetchall()
         except Exception as ex:
             print(f"FAIL {name}: duckdb error: {ex}")
