@@ -128,10 +128,11 @@ def emb(spark, sf_dir):
 
 
 def test_lsh_cosine_recall(emb):
-    """LSH ANN must recover a solid share of the exact top-5. Random 64-dim
-    data is the worst case for sign-LSH (neighbors sit at cosine ~0.3-0.5),
-    so the bar is recall ≥ 0.5 with the default 6 tables × 4 planes; real
-    clustered embeddings do far better."""
+    """LSH ANN must recover most of the exact top-5. Random 64-dim data is
+    the worst case for sign-LSH (neighbors sit at cosine ~0.3-0.5); the
+    default multi-probe config (8 tables × 12 planes, Hamming≤3 probes)
+    measured 0.86 recall@5 at sf0.01, so the floor is 0.75 to absorb
+    query-subset variance; real clustered embeddings do far better."""
     queries = emb.where(F.col("vec_id") < 10)
     exact = {
         (r.query_id, r.vec_id)
@@ -142,7 +143,7 @@ def test_lsh_cosine_recall(emb):
         for r in sim.lsh_cosine_topk(emb, queries, k=5).collect()
     }
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.5, f"LSH recall too low: {recall}"
+    assert recall >= 0.75, f"LSH recall too low: {recall}"
 
 
 def test_ivf_cosine_recall_and_pruning(emb):

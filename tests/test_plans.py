@@ -132,9 +132,10 @@ def test_block_gemm_dedup_joins_blocks_not_rows(spark):
 
 
 def test_lsh_ann_tables_do_not_multiply_scans(spark):
-    """lsh_cosine_topk computes ALL 6 tables' buckets in one vectorized
-    pass per side: the table count must never multiply the parquet scans
-    (old shape: 6 scans + 6 broadcast builds) or the Arrow stages."""
+    """lsh_cosine_topk computes ALL 8 tables' buckets in one vectorized
+    pass per side: neither the table count nor the 299-mask multi-probe
+    explosion may multiply the parquet scans (old shape: one scan +
+    broadcast build per table) or the Arrow stages."""
     from pyspark.sql import functions as F  # noqa: F811
 
     from incubator_stormcrawler_spark.operators.similarity import (
