@@ -1038,11 +1038,16 @@ def q_text_card_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.when(
             F.expr("mod(doc_id, 50) = 0"),
-            F.concat(F.col("text"), F.lit(" card 4539 1488 0343 6467 ok")),
+            # coalesce before concat: F.concat is null-propagating, while
+            # the oracle coalesces text to '' first — a null-text doc at
+            # doc_id%50 in {0,1} would otherwise plant in one engine only
+            F.concat(F.coalesce(F.col("text"), F.lit("")),
+                     F.lit(" card 4539 1488 0343 6467 ok")),
         )
         .when(
             F.expr("mod(doc_id, 50) = 1"),
-            F.concat(F.col("text"), F.lit(" num 1234 5678 9012 3456 no")),
+            F.concat(F.coalesce(F.col("text"), F.lit("")),
+                     F.lit(" num 1234 5678 9012 3456 no")),
         )
         .otherwise(F.col("text"))
         .alias("text"),

@@ -156,103 +156,97 @@ def langid_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     Pure codegen'd column expressions on purpose: at 100 TB this pass must
     ride along an existing scan. A fastText/CLD3 pandas_udf slots into the
     same (lang_pred, confidence) contract for the long tail.
+
+    Built as SQL strings (selectExpr), not pyspark.sql.functions
+    composition: the 44-language tree is ~2,000 Column-API calls, each a
+    py4j round trip, costing ~1.9 s of DRIVER time per query build —
+    pure fixed overhead that dominated the sf0.1 bench (1.65 s total for
+    0.19 s of execution). One parsed SQL string per projection builds the
+    IDENTICAL plan in ~0.2 s. (Fixed cost, so irrelevant at 100 TB — this
+    is about honest bench numbers and snappy interactive use.)
     """
-    text = F.col(text_col)
-    # ALL 44 stopword scores as ONE array subtree: every later use (the 44
-    # output columns, the argmax) is an element_at of this same expression,
-    # which whole-stage codegen's subexpression elimination computes ONCE
-    # per row. Naive formulations — score columns referenced from a prior
-    # projection (Catalyst collapses projects and re-inlines), or a
-    # when()-chain comparing each score to greatest(all) — re-evaluate the
-    # tokenize+filter scans O(langs²) times per row (measured 3-25×
-    # slower at sf0.1).
-    # score = number of DISTINCT anchor words present (array_intersect):
-    # native + codegen-able, unlike a filter() lambda which drops the whole
-    # projection to interpreted eval (2.5× slower measured, and no
-    # common-subexpression elimination). Distinct-hit scoring separates
-    # languages exactly as well as occurrence counts for 5-word anchors.
-    # Each score is a named projected column; whole-stage codegen's
+    def _q(s: str) -> str:
+        """SQL single-quoted string literal (Spark default escaping)."""
+        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    tcol = f"`{text_col}`"
+    toks = f"split({tcol}, ' ')"
+    # ALL 44 stopword scores as named projected columns. score = number of
+    # DISTINCT anchor words present (array_intersect): native +
+    # codegen-able, unlike a filter() lambda which drops the projection to
+    # interpreted eval (2.5× slower measured, and no common-subexpression
+    # elimination). Distinct-hit scoring separates languages exactly as
+    # well as occurrence counts for 5-word anchors. Whole-stage codegen's
     # runtime CSE dedupes the re-inlined copies Catalyst's project
     # collapse creates (an element_at(array(...)) formulation instead
     # overflowed janino's method-size limit and fell back to interpreted).
-    toks = tokens_expr(text)
-
-    def _score(words):
-        return F.size(
-            F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
-        ).cast("bigint")
-
-    scored = docs.select(
+    score_cols = [
+        "cast(size(array_intersect("
+        + toks
+        + ", array("
+        + ", ".join(_q(w) for w in words)
+        + f"))) as bigint) AS score_{lang}"
+        for lang, words in STOPWORDS.items()
+    ]
+    scored = docs.selectExpr(
         "doc_id",
-        *[
-            _score(words).alias(f"score_{lang}")
-            for lang, words in STOPWORDS.items()
-        ],
-        token_count_expr(text).alias("__ntok"),
-        F.length(text).alias("__nchars"),
-        text.alias("__text"),
+        *score_cols,
+        f"size({toks}) AS __ntok",
+        f"length({tcol}) AS __nchars",
+        f"{tcol} AS __text",
     )
     # argmax via array_max over (score, -rank, lang) structs — struct
     # comparison is field-lexicographic: max score first, then the
     # SMALLEST dict rank (via -rank), matching the first-match tie rule
     # of the oracle's CASE chain.
-    anchored = F.array_max(
-        F.array(
-            *[
-                F.struct(
-                    F.col(f"score_{lang}").alias("s"),
-                    F.lit(-i).alias("r"),
-                    F.lit(lang).alias("l"),
-                )
-                for i, lang in enumerate(STOPWORDS)
-            ]
+    anchored = (
+        "array_max(array("
+        + ", ".join(
+            f"named_struct('s', score_{lang}, 'r', {-i}, 'l', {_q(lang)})"
+            for i, lang in enumerate(STOPWORDS)
         )
+        + "))"
     )
     # script fallback: earliest range (kana before CJK etc.) with any hit.
     # The regexp_counts live ONLY inside this expression, which only
-    # appears inside the zero-evidence when() branch below — so they are
+    # appears inside the zero-evidence CASE branch below — so they are
     # never computed for stopword-anchored rows, whether or not Catalyst
     # collapses the projections.
-    def _sh(lang):
-        return F.regexp_count(F.col("__text"), F.lit(SCRIPT_RANGES[lang]))
-
-    script = F.array_max(
-        F.array(
-            *[
-                F.struct(
-                    (_sh(lang) > 0).cast("int").alias("h"),
-                    F.lit(-i).alias("r"),
-                    F.lit(lang).alias("l"),
-                    _sh(lang).alias("n"),
-                )
-                for i, lang in enumerate(SCRIPT_RANGES)
-            ]
+    script = (
+        "array_max(array("
+        + ", ".join(
+            "named_struct('h', cast(regexp_count(__text, "
+            + _q(SCRIPT_RANGES[lang])
+            + f") > 0 as int), 'r', {-i}, 'l', "
+            + _q(lang)
+            + ", 'n', regexp_count(__text, "
+            + _q(SCRIPT_RANGES[lang])
+            + "))"
+            for i, lang in enumerate(SCRIPT_RANGES)
         )
+        + "))"
     )
-    best = anchored["s"]
-    # ONE conditional struct so the script regexes only run for rows with
-    # zero stopword evidence (when() evaluates branches lazily per row —
-    # anchored rows, i.e. most of a real corpus, never pay the 11 regex
-    # scans)
-    fallback = F.when(
-        script["h"] > 0,
-        F.struct(
-            script["l"].alias("p"),
-            (script["n"] / F.greatest(F.col("__nchars"), F.lit(1))).alias("c"),
-        ),
-    ).otherwise(F.struct(F.lit("und").alias("p"), F.lit(0.0).alias("c")))
-    res = F.when(
-        best > 0,
-        F.struct(
-            anchored["l"].alias("p"),
-            (best / F.greatest(F.col("__ntok"), F.lit(1))).alias("c"),
-        ),
-    ).otherwise(fallback)
-    return scored.withColumn("__res", res).select(
+    # CASE evaluates branches lazily per row, so anchored rows (most of a
+    # real corpus) never pay the 23 regex scans. Zero-evidence rows are
+    # further pre-gated by a byte-level ASCII test: every SCRIPT_RANGES
+    # class is ≥ U+0370, so pure-ASCII text (length == octet_length under
+    # UTF-8) cannot match any of them — those rows resolve to 'und' for
+    # the price of two length() calls instead of 23 regex scans.
+    # Output-identical to the ungated form.
+    und = "named_struct('p', 'und', 'c', cast(0.0 as double))"
+    res = (
+        f"CASE WHEN {anchored}.s > 0 THEN named_struct("
+        f"'p', {anchored}.l, 'c', {anchored}.s / greatest(__ntok, 1)) "
+        f"WHEN length(__text) <> octet_length(__text) THEN "
+        f"CASE WHEN {script}.h > 0 THEN named_struct('p', {script}.l, "
+        f"'c', {script}.n / greatest(__nchars, 1)) ELSE {und} END "
+        f"ELSE {und} END"
+    )
+    return scored.selectExpr(
         "doc_id",
-        *[F.col(f"score_{lang}") for lang in STOPWORDS],
-        F.round(F.col("__res.c"), 4).alias("confidence"),
-        F.col("__res.p").alias("lang_pred"),
+        *[f"score_{lang}" for lang in STOPWORDS],
+        f"round(({res}).c, 4) AS confidence",
+        f"({res}).p AS lang_pred",
     )
 
 

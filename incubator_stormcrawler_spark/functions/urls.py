@@ -382,13 +382,84 @@ def paid_level_domain(host: str, multi_suffixes: set[str] | None = None) -> str:
     return tail2
 
 
+class DnsCache:
+    """Executor-local TTL cache over an injectable resolver — the Spark
+    twin of the reference's partitioner IP cache
+    (core/.../util/URLPartitionerBolt.java:101-104, Guava cache over
+    InetAddress lookups in URLPartitioner.java:62-68).
+
+    One instance lives per executor process (module-level ``DNS_CACHE``);
+    workers are long-lived, so the cache amortizes across batches exactly
+    like the reference's per-bolt cache. ``resolver`` is injectable so
+    tests (and air-gapped runs) use a fake; production passes
+    ``socket.gethostbyname`` or a real async resolver. Failures are
+    negative-cached for ``error_ttl`` so a dead nameserver can't stall a
+    partition-key stage per-row."""
+
+    def __init__(self, resolver=None, ttl: float = 3600.0,
+                 error_ttl: float = 60.0, max_entries: int = 10_000):
+        self.resolver = resolver
+        self.ttl = ttl
+        self.error_ttl = error_ttl
+        self.max_entries = max_entries
+        self._cache: dict[str, tuple[str | None, float]] = {}
+        self.hits = 0
+        self.misses = 0
+
+    def resolve(self, host: str, now: float | None = None) -> str | None:
+        import time as _time
+
+        t = _time.monotonic() if now is None else now
+        ent = self._cache.get(host)
+        if ent is not None and ent[1] > t:
+            self.hits += 1
+            return ent[0]
+        self.misses += 1
+        if self.resolver is None:
+            return None
+        try:
+            ip = self.resolver(host)
+            expiry = t + self.ttl
+        except OSError:
+            ip = None
+            expiry = t + self.error_ttl
+        if len(self._cache) >= self.max_entries:
+            # simple wholesale eviction of expired entries; if still full,
+            # drop the cache (bounded memory beats LRU bookkeeping here)
+            self._cache = {h: e for h, e in self._cache.items() if e[1] > t}
+            if len(self._cache) >= self.max_entries:
+                self._cache.clear()
+        self._cache[host] = (ip, expiry)
+        return ip
+
+
+#: Per-process default cache. Resolver is None (no network) until a
+#: pipeline injects one — ``set_resolver(socket.gethostbyname)`` in a
+#: production bootstrap, a dict-backed fake in tests.
+DNS_CACHE = DnsCache()
+
+
+def set_resolver(resolver) -> None:
+    """Install the process-wide resolver used by byIP partitioning (call
+    once per executor, e.g. from a mapInPandas stage's first batch)."""
+    DNS_CACHE.resolver = resolver
+    DNS_CACHE._cache.clear()
+
+
 def partition_key(
-    url: str, mode: str = "byHost", metadata: dict | None = None
+    url: str,
+    mode: str = "byHost",
+    metadata: dict | None = None,
+    dns_cache: DnsCache | None = None,
 ) -> str | None:
     """URLPartitioner.getPartition (core/.../util/URLPartitioner.java:44-93):
-    byHost | byDomain | byIP. byIP honors a metadata-provided ``ip`` (the
-    reference resolves DNS otherwise; we require it pre-resolved — no DNS at
-    scale inside a scalar function)."""
+    byHost | byDomain | byIP. byIP resolution order mirrors the reference:
+    a metadata-provided ``ip`` wins (URLPartitioner.java:57-60), else the
+    executor-local TTL DNS cache resolves the host (``dns_cache`` argument,
+    defaulting to the process-wide ``DNS_CACHE``; resolver injectable for
+    tests/air-gapped runs), else fall back to the host key rather than
+    failing the row (the reference emits the un-partitioned tuple on
+    UnknownHostException, java:64-68)."""
     try:
         host = urlsplit(url).hostname or ""
     except ValueError:
@@ -402,5 +473,9 @@ def partition_key(
             ips = metadata.get("ip")
             if ips:
                 return ips[0] if isinstance(ips, (list, tuple)) else ips
-        return host  # fall back rather than resolving DNS per-row
+        cache = dns_cache if dns_cache is not None else DNS_CACHE
+        ip = cache.resolve(host)
+        if ip:
+            return ip
+        return host  # resolver absent/failed: degrade to host partitioning
     return host.lower()

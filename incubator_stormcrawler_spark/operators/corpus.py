@@ -491,6 +491,32 @@ def dedup_clusters(
     )
 
 
+def persist_candidate_pairs(pairs: DataFrame, path: str) -> None:
+    """Materialize a dedup candidate-pair table (doc1, doc2, ...) for
+    downstream cluster resolution — at 100 TB the pair table is produced
+    ONCE by the (expensive) candidate-generation pass and every consumer
+    (cluster resolution, keeper selection, audit sampling) reads the
+    stored table instead of replaying the shingle/signature self-join.
+    Written partitioned by ``crc32(doc1) % 64`` so the cluster stage's
+    edge scan parallelizes without a shuffle-for-layout step and a single
+    hot doc1 cannot skew one file."""
+    (
+        pairs.withColumn(
+            "bucket", F.crc32(F.col("doc1").cast("string")) % 64
+        )
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
+def load_candidate_pairs(spark, path: str) -> DataFrame:
+    """Read a pair table written by ``persist_candidate_pairs`` (drops the
+    layout-only bucket column)."""
+    return spark.read.parquet(path).drop("bucket")
+
+
 def decontaminate(
     docs: DataFrame,
     eval_docs: DataFrame,

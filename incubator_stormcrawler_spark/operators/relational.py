@@ -419,6 +419,14 @@ def events_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the hourly grid is |hours × types| (tiny relative to raw
     events, one partial-aggregable pass); the pair join is over the grid,
     not the events.
+
+    Semantics: the inner join on hour correlates over the INTERSECTION of
+    each pair's active hours — an hour where one type had zero events is
+    excluded, not counted as 0. That biases Pearson upward for sparse
+    pairs relative to full-series correlation; it is the deliberate
+    contract here (both engines implement it identically). For
+    full-series semantics, gap-fill zero-count hours from the joint hour
+    spine first (``timeseries.gap_fill``) and correlate the dense grid.
     """
     ev = load_events(spark, sf_dir)
     hourly = ev.groupBy(

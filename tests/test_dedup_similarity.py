@@ -202,6 +202,40 @@ def test_dedup_clusters_chain(spark):
     assert got == {1: 1, 5: 1, 9: 1, 20: 20, 21: 20}
 
 
+def test_dedup_clusters_from_persisted_pairs(spark, sf_dir, tmp_path):
+    """Pipeline shape at 100 TB: the candidate-generation pass runs ONCE
+    and materializes the pair table; cluster resolution reads the STORED
+    pairs instead of replaying the shingle self-join. Clusters from the
+    stored table must equal clusters from the inline pairs (the oracle
+    contract of `dedup_clusters`)."""
+    from incubator_stormcrawler_spark.operators.corpus import (
+        dedup_clusters,
+        load_candidate_pairs,
+        persist_candidate_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dd.ngram_jaccard_pairs(docs, n=3, threshold=0.6,
+                                   max_shingle_df=20)
+    store = str(tmp_path / "pairs")
+    persist_candidate_pairs(pairs, store)
+    stored = load_candidate_pairs(spark, store)
+    # the stored table IS the pair set (columns preserved, layout dropped)
+    assert set(stored.columns) >= {"doc1", "doc2"}
+    inline = {(r.doc_id, r.cluster)
+              for r in dedup_clusters(pairs, 4).collect()}
+    from_store = {(r.doc_id, r.cluster)
+                  for r in dedup_clusters(stored, 4).collect()}
+    assert from_store == inline
+    # and the cluster stage's input is the parquet store, not the shingle
+    # self-join: the stored frame's plan is a bare scan with zero
+    # aggregates/joins (dedup_clusters localCheckpoints the edge list, so
+    # its own final plan shows an ExistingRDD — assert on the input)
+    plan = stored._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" in plan
+    assert "Aggregate" not in plan and "Join" not in plan
+
+
 def test_hash_sample_deterministic_and_sized(spark, sf_dir):
     from incubator_stormcrawler_spark.operators.corpus import hash_sample
 

@@ -206,6 +206,57 @@ def test_partition_key_by_ip_from_metadata():
     assert partition_key("https://x.com/", "byIP", {"ip": ["1.2.3.4"]}) == "1.2.3.4"
 
 
+def test_partition_key_by_ip_resolver_cache():
+    """byIP with an injected resolver (URLPartitioner.java:62-68 resolves
+    DNS; URLPartitionerBolt.java:101-104 caches). Fake resolver stands in
+    for socket.gethostbyname — the production swap is
+    ``urls.set_resolver(socket.gethostbyname)`` once per executor."""
+    from incubator_stormcrawler_spark.functions.urls import DnsCache
+
+    calls = []
+
+    def fake_resolver(host):
+        calls.append(host)
+        if host == "down.example":
+            raise OSError("NXDOMAIN")
+        return "10.0.0." + str(len(host) % 250)
+
+    cache = DnsCache(resolver=fake_resolver, ttl=3600, error_ttl=60)
+    ip = partition_key("https://x.com/a", "byIP", dns_cache=cache)
+    assert ip == "10.0.0.5"
+    # second URL, same host: served from cache, resolver not re-invoked
+    assert partition_key("https://x.com/b", "byIP", dns_cache=cache) == ip
+    assert calls == ["x.com"]
+    # metadata ip still wins over the resolver (reference order)
+    assert (
+        partition_key("https://x.com/", "byIP", {"ip": "9.9.9.9"},
+                      dns_cache=cache)
+        == "9.9.9.9"
+    )
+    # resolution failure: negative-cached, degrades to host partitioning
+    assert partition_key("https://down.example/", "byIP",
+                         dns_cache=cache) == "down.example"
+    assert partition_key("https://down.example/x", "byIP",
+                         dns_cache=cache) == "down.example"
+    assert calls.count("down.example") == 1  # error TTL suppressed retry
+
+
+def test_dns_cache_ttl_expiry_and_no_resolver():
+    from incubator_stormcrawler_spark.functions.urls import DnsCache
+
+    calls = []
+    cache = DnsCache(resolver=lambda h: (calls.append(h) or "1.1.1.1"),
+                     ttl=100)
+    assert cache.resolve("a.com", now=0.0) == "1.1.1.1"
+    assert cache.resolve("a.com", now=50.0) == "1.1.1.1"   # cached
+    assert calls == ["a.com"]
+    assert cache.resolve("a.com", now=150.0) == "1.1.1.1"  # expired → re-resolve
+    assert calls == ["a.com", "a.com"]
+    # no resolver installed: byIP degrades to host (sandbox default)
+    nores = DnsCache(resolver=None)
+    assert partition_key("https://y.org/", "byIP", dns_cache=nores) == "y.org"
+
+
 def test_pld():
     assert paid_level_domain("www.example.com") == "example.com"
     assert paid_level_domain("deep.sub.example.co.uk") == "example.co.uk"
