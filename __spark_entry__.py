@@ -2812,6 +2812,159 @@ WHERE (p_brand = 'Brand#12' AND p_size <= 15
 GROUP BY p_brand ORDER BY p_brand
 """
 
+# -- TPC-H breadth (round 5) ------------------------------------------------
+
+_ORACLES["tpch_priority_waiting"] = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+_ORACLES["tpch_volume_shipping"] = """
+SELECT supp_nation, cust_nation, l_year,
+       round(sum(volume), 2) AS revenue
+FROM (
+  SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+         year(l_shipdate) AS l_year,
+         l_extendedprice * (1.0 - l_discount) AS volume
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+    AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+      OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+)
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+_ORACLES["tpch_market_share"] = """
+SELECT year(o_orderdate) AS o_year,
+       round(sum(CASE WHEN sn.n_name = 'NATION_1'
+                      THEN l_extendedprice * (1.0 - l_discount)
+                      ELSE 0.0 END)
+             / sum(l_extendedprice * (1.0 - l_discount)), 4) AS mkt_share,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_type = 'STANDARD'
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND o_custkey IN (
+    SELECT c_custkey FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA')
+GROUP BY o_year ORDER BY o_year
+"""
+
+_ORACLES["tpch_product_profit"] = """
+SELECT n.n_name AS nation, year(o_orderdate) AS o_year,
+       round(sum(l_extendedprice * (1.0 - l_discount)
+                 - 0.6 * p_retailprice * l_quantity), 2) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_type IN ('PROMO', 'ECONOMY')
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n ON s_nationkey = n.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY nation, o_year ORDER BY nation, o_year DESC
+"""
+
+_ORACLES["tpch_returned_customers"] = """
+SELECT c_custkey, c_name, revenue,
+       round(c_acctbal, 2) AS c_acctbal, n_name
+FROM (
+  SELECT o_custkey, round(sum(l_extendedprice * (1.0 - l_discount)), 2)
+           AS revenue
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1996-10-01'
+    AND o_orderdate < TIMESTAMP '1997-01-01'
+  GROUP BY o_custkey
+)
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+_ORACLES["tpch_customer_distribution"] = """
+SELECT c_count, count(*) AS custdist FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey
+)
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+_ORACLES["tpch_top_supplier"] = """
+WITH per_supp AS (
+  SELECT l_suppkey, round(sum(l_extendedprice * (1.0 - l_discount)), 2)
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM per_supp JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM per_supp)
+ORDER BY s_suppkey
+"""
+
+_ORACLES["tpch_small_qty_revenue"] = """
+WITH brand_lines AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#13'
+), thresholds AS (
+  SELECT l_partkey AS ap, 0.2 * avg(l_quantity) AS qty_threshold
+  FROM brand_lines GROUP BY l_partkey
+)
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+       count(*) AS n_lines
+FROM brand_lines JOIN thresholds ON l_partkey = ap
+WHERE l_quantity < qty_threshold
+"""
+
+_ORACLES["tpch_large_volume_customers"] = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       round(o_totalprice, 2) AS o_totalprice,
+       cast(total_qty AS BIGINT) AS total_qty
+FROM (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+)
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+"""
+
+_ORACLES["tpch_dormant_customers"] = """
+SELECT n_name, count(*) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                   WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY n_name ORDER BY n_name
+"""
+
 # video rows: i%3=2, 8x8 frames, n_frames = 4 + (i%3) = 6 always (video
 # implies i%3==2); content = md5 digest repeated to 384 bytes; sampling
 # every 2nd frame keeps frame_idx 0,2,4, each a 64-byte (128 hex) slice.
@@ -3043,8 +3196,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     multimodal_audio_features — r04's only hash-fails, value-identical but
     driver-incompatible oracle typing), the retuned ANN family
     (ann_recall, ann_lsh_topk — multi-probe 12×8×H≤3; ann_ivf_topk — 32×12;
-    plus NEW ann_ivf_recall), and any queries added this round; backfilled
-    with unchanged driver-green flagships. Every entry past position 50 is
+    plus NEW ann_ivf_recall), the 10 NEW TPC-H-breadth queries
+    (Q4/Q7/Q8/Q9/Q10/Q13/Q15/Q17/Q18/Q22 adapted to the driver schema),
+    and the two impl-touched hash-identical queries (text_langid,
+    text_card_audit); backfilled with unchanged driver-green flagships. Every entry past position 50 is
     GREEN in CORRECTNESS_r03 or r04 AND unchanged since, so every
     registered query has a driver-checked row matching its current
     behavior. tests/test_registry.py asserts the tail-green invariant
@@ -3053,14 +3208,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     VERIFY_ALL_r05.json (tools/verify_local.py output)."""
     return {
         # ---- driver correctness window (first 50) -------------------
-        # never driver-checked before round 4 (28) --------------------
-        # time-series operators
+        # re-cast HUGEINT oracles (r04's only hash-fails) -------------
+        "corpus_bpe_merges": q_corpus_bpe_merges,
+        "corpus_substring_dedup": q_corpus_substring_dedup,
+        "corpus_postings": q_corpus_postings,
+        "multimodal_audio_features": q_multimodal_audio_features,
+        # ANN family: retuned (multi-probe LSH, 32x12 IVF) + new -------
+        "ann_recall": q_ann_recall,
+        "ann_ivf_recall": q_ann_ivf_recall,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        # NEW round-5 TPC-H breadth (10) ------------------------------
+        "tpch_priority_waiting": rel.order_priority_waiting,
+        "tpch_volume_shipping": rel.volume_shipping,
+        "tpch_market_share": rel.market_share,
+        "tpch_product_profit": rel.product_profit,
+        "tpch_returned_customers": rel.returned_item_customers,
+        "tpch_customer_distribution": rel.customer_order_distribution,
+        "tpch_top_supplier": rel.top_supplier,
+        "tpch_small_qty_revenue": rel.small_quantity_revenue,
+        "tpch_large_volume_customers": rel.large_volume_customers,
+        "tpch_dormant_customers": rel.dormant_customers,
+        # implementation touched this round (hash-identical, re-checked
+        # out of caution): langid SQL-string rewrite + ASCII gate;
+        # card-audit null-text coalesce
+        "text_langid": q_text_langid,
+        "text_card_audit": q_text_card_audit,
+        # backfill: r04-green unchanged flagships (30) ----------------
         "events_asof_join": q_events_asof_join,
         "events_range_join": q_events_range_join,
         "events_rollup": q_events_rollup,
         "events_gap_fill": q_events_gap_fill,
         "events_funnel": rel.events_funnel,
-        # dedup / corpus construction
         "dedup_incremental": q_dedup_incremental,
         "dedup_clusters": q_dedup_clusters,
         "corpus_token_stats": q_corpus_token_stats,
@@ -3071,50 +3250,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pack_shards": q_corpus_pack_shards,
         "corpus_stratified_sample": q_corpus_stratified_sample,
         "corpus_vocab": q_corpus_vocab,
-        "corpus_bpe_merges": q_corpus_bpe_merges,
         "corpus_chunks": q_corpus_chunks,
         "corpus_unigram_logprob": q_corpus_unigram_logprob,
         "corpus_segment_dedup": q_corpus_segment_dedup,
-        "corpus_substring_dedup": q_corpus_substring_dedup,
         "corpus_bm25": q_corpus_bm25,
-        "corpus_postings": q_corpus_postings,
         "doc_winnow": q_doc_winnow,
-        "text_card_audit": q_text_card_audit,
         "events_cube": q_events_cube,
         "events_correlation": q_events_correlation,
         "text_tfidf_keywords": q_text_tfidf_keywords,
         "corpus_bigram_logprob": q_corpus_bigram_logprob,
         "tpch_promo_revenue": rel.promo_revenue,
         "tpch_brand_revenue": rel.brand_revenue,
-        # embeddings
         "embedding_quantize": q_embedding_quantize,
         "embedding_kmeans": q_embedding_kmeans,
         "embedding_pq": q_embedding_pq,
         "embedding_semdedup": q_embedding_semdedup,
-        "ann_recall": q_ann_recall,
-        "ann_ivf_recall": q_ann_ivf_recall,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        # effectful / multimodal round-trips
+        # ---- past the 50-entry driver window: ALL green in
+        # CORRECTNESS_r03/r04 and unchanged since (all benched; all
+        # locally verified) -------------------------------------------
         "warc_roundtrip": q_warc_roundtrip,
         "multimodal_resize": q_multimodal_resize,
-        "multimodal_audio_features": q_multimodal_audio_features,
         "multimodal_embeddings": q_multimodal_embeddings,
         "multimodal_frames": q_multimodal_frames,
-        # flagship representatives, green in r03 (22) -----------------
         "frontier_topk": q_frontier_topk,
         "frontier_next_generation": q_frontier_next_generation,
         "status_merge": q_status_merge,
         "parse_richdoc": q_parse_richdoc,
         "link_rank": q_link_rank,
         "link_hits": q_link_hits,
-        "text_langid": q_text_langid,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "text_quality": q_text_quality,
-        # ---- past the 50-entry driver window: ALL green in
-        # CORRECTNESS_r03.json and unchanged since (all benched; all
-        # locally verified) -------------------------------------------
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
         "frontier_topk_bucket_ordered": q_frontier_topk_bucket_ordered,
         "frontier_host_budget": q_frontier_host_budget,

@@ -467,3 +467,317 @@ def events_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_hours"),
         F.round(num / F.nullif(den, F.lit(0.0)), 4).alias("pearson"),
     )
+
+
+# -- TPC-H breadth (round 5): the remaining queries expressible over the
+# -- driver's reduced schema (no partsupp, no commit/receipt dates — Q2,
+# -- Q11, Q16, Q20, Q21 need them and are out of scope; Q4/Q8/Q9/Q22 are
+# -- adapted to the columns that exist, keeping each query's
+# -- plan-shape lesson intact).
+
+
+def order_priority_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style: orders (one quarter) with at least one lineitem
+    shipped >90 days after the order date, counted by priority. The
+    EXISTS compiles to a LEFT SEMI join on orderkey — no row
+    amplification when an order has several late lines; both date
+    filters push into their scans."""
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-style: shipped revenue between two nations (both
+    directions) by ship year. supplier/customer/nation broadcast; the
+    only real shuffle is lineitem⋈orders on orderkey, then a tiny
+    grouped aggregate."""
+    n1, n2 = "NATION_1", "NATION_2"
+    nation = _t(spark, sf_dir, "nation")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    supp_n = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust_n = _t(spark, sf_dir, "customer").join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust_n), F.col("o_custkey") == F.col("c_custkey"))
+        .where(
+            ((F.col("supp_nation") == n1) & (F.col("cust_nation") == n2))
+            | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(F.round(F.sum(rev), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-style: NATION_1's share of STANDARD-part revenue sold
+    into the ASIA region, by order year. All dimensions broadcast; the
+    share is a conditional aggregate over one joined stream (no second
+    pass, no self-join)."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    part = _t(spark, sf_dir, "part").where(F.col("p_type") == "STANDARD")
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    supp_n = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    # customers restricted to the target region (nation⋈region broadcast)
+    cust_r = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust_r), F.col("o_custkey") == F.col("c_custkey"),
+              "left_semi")
+        .join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_1", rev).otherwise(
+                        0.0
+                    )
+                )
+                / F.sum(rev),
+                4,
+            ).alias("mkt_share"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+        )
+        .orderBy("o_year")
+    )
+
+
+def product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-style product-type profit by supplier nation and order
+    year. The schema carries no partsupp, so supply cost is proxied as
+    60% of the part's retail price — the plan lesson (two broadcast dims
+    into the fact, one shuffle on orderkey, small grouped output) is
+    unchanged."""
+    nation = _t(spark, sf_dir, "nation")
+    part = _t(spark, sf_dir, "part").where(
+        F.col("p_type").isin("PROMO", "ECONOMY")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supp_n = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    profit = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style: top-20 customers by revenue lost to returns in one
+    quarter. orders filters to the quarter BEFORE the join; the top-20 is
+    orderBy+limit (TakeOrderedAndProject — no full sort); customer and
+    nation broadcast into the aggregate's output, not the fact stream."""
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-10-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    per_cust = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum(rev), 2).alias("revenue"))
+    )
+    return (
+        per_cust.join(
+            F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("c_custkey"),
+            F.col("c_name"),
+            F.col("revenue"),
+            F.round(F.col("c_acctbal"), 2).alias("c_acctbal"),
+            F.col("n_name"),
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-style: distribution of customers by order count,
+    excluding low-priority orders. Two aggregations: per-customer count
+    (left join keeps zero-order customers), then the count-of-counts —
+    both partial-aggregable, the second over a tiny key space."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "5-LOW"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-style: the supplier(s) with maximum shipped revenue in
+    one quarter. The max is a broadcast scalar (cross join of a 1-row
+    aggregate), so the per-supplier aggregate is computed ONCE — the
+    decorrelated form of Q15's view-with-subquery; ties kept, matching
+    the spec. Comparison is on the ROUNDED revenue so the equality is
+    deterministic cross-engine."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(rev), 2).alias("total_revenue")
+    )
+    mx = per_supp.agg(F.max("total_revenue").alias("mx"))
+    return (
+        per_supp.join(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey"),
+            F.col("s_name"),
+            F.col("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style: average yearly revenue lost if small-quantity
+    orders (below 20% of a part's average quantity) weren't taken, for
+    one brand. The correlated avg subquery decorrelates to a per-part
+    aggregate joined back to the fact — the join is on partkey with the
+    aggregate side small enough to broadcast after the brand filter.
+    l_quantity is integer-valued, so the per-part average is exact and
+    the threshold comparison is deterministic cross-engine."""
+    part = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#13")
+    li = _t(spark, sf_dir, "lineitem")
+    brand_lines = li.join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    avg_qty = brand_lines.groupBy(F.col("l_partkey").alias("ap")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    return (
+        brand_lines.join(
+            F.broadcast(avg_qty), F.col("l_partkey") == F.col("ap")
+        )
+        .where(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style: top-100 orders whose total quantity exceeds 150,
+    with the customer attached. The HAVING is a semi join from orders to
+    the per-order quantity aggregate; quantities are integer-valued so
+    the threshold is exact; final top-100 is TakeOrderedAndProject."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 150)
+    )
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").alias("o_orderdate"),
+            F.round(F.col("o_totalprice"), 2).alias("o_totalprice"),
+            F.col("total_qty").cast("bigint").alias("total_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+def dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-style: well-funded customers with no recent orders, by
+    nation. The global average balance is a broadcast scalar; "no recent
+    orders" is a LEFT ANTI join against the date-filtered orders scan
+    (the NOT EXISTS plan); per-nation output is tiny."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    recent = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= "1999-01-01"
+    ).select("o_custkey")
+    avg_bal = cust.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )

@@ -41,6 +41,29 @@ def test_q3_top10_takeordered(spark):
     assert "TakeOrderedAndProject" in plan  # top-10, not a global sort
 
 
+def test_round5_tpch_plan_shapes(spark):
+    """The round-5 TPC-H additions keep their plan lessons: EXISTS
+    compiles to LEFT SEMI (no row amplification), NOT EXISTS to LEFT
+    ANTI, top-k to TakeOrderedAndProject (no global sort), and no plan
+    contains a non-broadcast cartesian."""
+    p = plan_of(rel.order_priority_waiting(spark, SF))
+    assert "LeftSemi" in p and "CartesianProduct" not in p
+    p = plan_of(rel.returned_item_customers(spark, SF))
+    assert "TakeOrderedAndProject" in p
+    p = plan_of(rel.large_volume_customers(spark, SF))
+    assert "TakeOrderedAndProject" in p
+    p = plan_of(rel.market_share(spark, SF))
+    assert "LeftSemi" in p  # region-restricted customers probe as a semi
+    assert "CartesianProduct" not in p
+    p = plan_of(rel.dormant_customers(spark, SF))
+    assert "LeftAnti" in p
+    # top_supplier's scalar max joins as a broadcast, and the per-supplier
+    # aggregate is computed once (ONE pass over lineitem)
+    p = plan_of(rel.top_supplier(spark, SF))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert p.count("Scan parquet") <= 3  # lineitem (maybe reused) + supplier
+
+
 def test_broadcast_merge_never_shuffles_frontier(spark, tmp_path):
     from incubator_stormcrawler_spark.operators.status_merge import (
         merge_status_updates,
