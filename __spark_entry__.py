@@ -755,6 +755,38 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source")
 
 
+def q_corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted source rebalancing report (alpha=0.5, the
+    XLM-R/mT5 mixing rule): per-source token share, keep rate
+    ∝ share^(alpha−1), and deterministic-hash kept counts
+    (operators/corpus.py:temperature_mix)."""
+    from incubator_stormcrawler_spark.operators.corpus import temperature_mix
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return temperature_mix(docs, alpha=0.5)
+
+
+def q_corpus_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch assembly: 64-token buckets, batches of 8,
+    padding-waste-bounded (operators/corpus.py:length_bucketed_batches;
+    the sharded scale variant is property-tested)."""
+    from incubator_stormcrawler_spark.operators.corpus import (
+        length_bucketed_batches,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return length_bucketed_batches(docs, batch_size=8, bucket_bits=6)
+
+
+def q_corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc occurrence coverage of the corpus's own top-10 vocabulary —
+    the OOV-rate tokenizer-fit signal (operators/corpus.py:vocab_coverage)."""
+    from incubator_stormcrawler_spark.operators.corpus import vocab_coverage
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return vocab_coverage(docs, vocab_size=10)
+
+
 def q_corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/Gopher-style keep/drop with failing-rule audit tags."""
     from incubator_stormcrawler_spark.operators.corpus import quality_filter
@@ -2011,6 +2043,73 @@ WHERE (source = 'src0' AND {_HASH_BUCKET.format(salt='mix')} < 65536)
    OR (source = 'src2' AND {_HASH_BUCKET.format(salt='mix')} < {int(0.2 * 65536)})
 """
 
+_ORACLES["corpus_temperature_mix"] = f"""
+WITH per_src AS (
+  SELECT source, count(*) AS n_docs,
+         cast(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT cast(sum(n_tokens) AS BIGINT) AS total_tokens FROM per_src
+), rated AS (
+  SELECT source, n_docs, n_tokens,
+         n_tokens / cast(total_tokens AS DOUBLE) AS share,
+         pow(n_tokens / cast(total_tokens AS DOUBLE), -0.5) AS w
+  FROM per_src, tot
+), wm AS (SELECT max(w) AS wmax FROM rated),
+rates AS (
+  SELECT source, n_docs, n_tokens, round(share, 6) AS share,
+         round(w / wmax, 6) AS rate
+  FROM rated, wm
+), kept AS (
+  SELECT d.source, count(*) AS n_kept
+  FROM documents d JOIN rates r ON d.source = r.source
+  WHERE {_HASH_BUCKET.format(salt='tmix')} < floor(r.rate * 65536 + 0.5)
+  GROUP BY d.source
+)
+SELECT r.source, r.n_docs, r.n_tokens, r.share, r.rate,
+       cast(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+FROM rates r LEFT JOIN kept k ON r.source = k.source
+ORDER BY r.source
+"""
+
+_ORACLES["corpus_batches"] = """
+WITH base AS (
+  SELECT doc_id,
+         cast(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       cast(n_tokens >> 6 AS BIGINT) AS bucket,
+       0 AS shard,
+       -- floor, not a bare cast: DuckDB casts double->int by ROUNDING
+       -- (0.5 -> 1) while Spark's cast truncates
+       cast(floor((row_number() OVER (PARTITION BY n_tokens >> 6
+                                      ORDER BY n_tokens, doc_id) - 1) / 8)
+            AS BIGINT) AS batch_in_bucket
+FROM base
+"""
+
+_ORACLES["corpus_vocab_coverage"] = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), vocab AS (
+  SELECT token FROM (
+    SELECT token, count(*) AS cnt FROM tok WHERE token <> ''
+    GROUP BY token ORDER BY cnt DESC, token LIMIT 10
+  )
+), in_vocab AS (
+  SELECT doc_id, count(*) AS n_in_vocab
+  FROM tok WHERE token IN (SELECT token FROM vocab)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       cast(len(string_split(d.text, ' ')) AS BIGINT) AS n_words,
+       cast(coalesce(iv.n_in_vocab, 0) AS BIGINT) AS n_in_vocab,
+       round(coalesce(iv.n_in_vocab, 0)
+             / greatest(len(string_split(d.text, ' ')), 1), 4) AS coverage
+FROM documents d LEFT JOIN in_vocab iv ON d.doc_id = iv.doc_id
+"""
+
 _ORACLES["corpus_quality_filter"] = """
 WITH t AS (
   SELECT doc_id, string_split(text, ' ') AS toks,
@@ -3229,6 +3328,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_small_qty_revenue": rel.small_quantity_revenue,
         "tpch_large_volume_customers": rel.large_volume_customers,
         "tpch_dormant_customers": rel.dormant_customers,
+        # NEW round-5 training-pipeline operators (3) -----------------
+        "corpus_temperature_mix": q_corpus_temperature_mix,
+        "corpus_batches": q_corpus_batches,
+        "corpus_vocab_coverage": q_corpus_vocab_coverage,
         # implementation touched this round (hash-identical, re-checked
         # out of caution): langid SQL-string rewrite + ASCII gate;
         # card-audit null-text coalesce

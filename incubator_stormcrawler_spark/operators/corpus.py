@@ -850,3 +850,170 @@ def inverted_postings(
         top.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .select("term", "df", "total_tf", "postings", "rank")
     )
+
+
+def temperature_mix(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    source_col: str = "source",
+    text_col: str = "text",
+    salt: str = "tmix",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-weighted source mixing (the multilingual/multi-source
+    rebalancing rule of XLM-R / mT5 corpus assembly): target share of
+    source s ∝ (token_share_s)^alpha, alpha < 1 upsampling low-resource
+    sources. Downsample-only: per-source keep rate ∝ share^(alpha−1),
+    normalized so the most-upweighted source keeps everything; docs are
+    kept by the same deterministic md5 bucket as ``hash_sample`` so the
+    mixture is reproducible across engines and reshards.
+
+    Two tiny aggregates (per-source token sums — partial-aggregable, one
+    row per source) and one broadcast join back; the corpus is scanned
+    once and never shuffled. Rates round to 6 decimals BEFORE the
+    threshold compare so pow()'s ulp-level engine differences cannot
+    flip a keep decision. Returns the per-source mixing report (the
+    audit artifact a mixing pass must emit); the kept docs are the same
+    filter applied to the corpus (see tests).
+    """
+    toks = F.size(F.split(F.col(text_col), " ")).cast("bigint")
+    per_src = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(toks).alias("n_tokens"),
+    )
+    total = per_src.agg(F.sum("n_tokens").alias("total_tokens"))
+    rated = (
+        per_src.join(F.broadcast(total))
+        .withColumn("share", F.col("n_tokens") / F.col("total_tokens"))
+        .withColumn("w", F.pow(F.col("share"), F.lit(alpha - 1.0)))
+    )
+    wmax = rated.agg(F.max("w").alias("wmax"))
+    rates = (
+        rated.join(F.broadcast(wmax))
+        .withColumn("rate", F.round(F.col("w") / F.col("wmax"), 6))
+        .select("source", "n_docs", "n_tokens",
+                F.round("share", 6).alias("share"), "rate")
+    )
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))),
+            1, 4,
+        ),
+        16, 10,
+    ).cast("int")
+    kept = (
+        docs.select(F.col(source_col).alias("source"), F.col(id_col),
+                    bucket.alias("__b"))
+        .join(F.broadcast(rates.select("source", "rate")), "source")
+        .where(F.col("__b") < F.floor(F.col("rate") * 65536 + 0.5))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source", "n_docs", "n_tokens", "share", "rate",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint")
+            .alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+def length_bucketed_batches(
+    docs: DataFrame,
+    batch_size: int = 8,
+    bucket_bits: int = 6,
+    text_col: str = "text",
+    num_shards: int = 1,
+) -> DataFrame:
+    """Length-bucketed batching: group documents of similar token counts
+    into fixed-size batches so padding waste inside a batch is bounded —
+    the batch-assembly step between packing and the training loader.
+    Bucket = n_tokens >> bucket_bits (64-token ranges by default); within
+    a bucket, docs order by (n_tokens, doc_id) and chop into batches of
+    ``batch_size``.
+
+    One shuffle (the per-bucket window). Bucket cardinality is small, so
+    at 100 TB a single bucket would be a hot window partition: pass
+    ``num_shards > 1`` to salt the window key with a deterministic
+    doc-hash shard — batches then never cross shards, the window
+    parallelizes freely, and expected padding waste is unchanged (each
+    shard still sorts by length). num_shards=1 keeps the output
+    oracle-comparable; the sharded path is property-tested instead.
+    """
+    from pyspark.sql import Window
+
+    n_tok = F.size(F.split(F.col(text_col), " ")).cast("bigint")
+    base = docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.shiftright(n_tok, bucket_bits).alias("bucket"),
+    )
+    if num_shards > 1:
+        base = base.withColumn(
+            "shard",
+            (F.crc32(F.col("doc_id").cast("string")) % num_shards)
+            .cast("int"),
+        )
+        w = Window.partitionBy("bucket", "shard").orderBy(
+            "n_tokens", "doc_id"
+        )
+    else:
+        base = base.withColumn("shard", F.lit(0))
+        w = Window.partitionBy("bucket").orderBy("n_tokens", "doc_id")
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        F.col("bucket").cast("bigint").alias("bucket"),
+        "shard",
+        ((F.row_number().over(w) - 1) / batch_size).cast("bigint")
+        .alias("batch_in_bucket"),
+    )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    vocab_size: int = 1000,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document coverage of the corpus's own top-``vocab_size``
+    vocabulary: the OOV-rate quality signal (tokenizer fit, gibberish
+    detection). Vocabulary = top tokens by count (count desc, token asc
+    ties); per-doc coverage counts token OCCURRENCES inside the vocab.
+
+    The vocab is vocab_size rows — broadcast into the token stream, so
+    the corpus explode joins without a shuffle and collapses straight
+    back to one row per doc (partial-aggregable)."""
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.col(text_col), " ")).alias("token"),
+    ).where(F.col("token") != "")
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token"))
+        .limit(vocab_size)
+        .select("token")
+    )
+    n_tok = F.size(F.split(F.col(text_col), " ")).cast("bigint")
+    in_vocab = (
+        tok.join(F.broadcast(vocab), "token", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_in_vocab"))
+    )
+    return (
+        docs.select("doc_id", n_tok.alias("n_words"))
+        .join(in_vocab, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            F.coalesce(F.col("n_in_vocab"), F.lit(0)).cast("bigint")
+            .alias("n_in_vocab"),
+            F.round(
+                F.coalesce(F.col("n_in_vocab"), F.lit(0))
+                / F.greatest(F.col("n_words"), F.lit(1)),
+                4,
+            ).alias("coverage"),
+        )
+    )

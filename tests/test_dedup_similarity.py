@@ -147,11 +147,12 @@ def test_lsh_cosine_recall(emb):
 
 
 def test_ivf_cosine_recall_and_pruning(emb):
-    """IVF ANN: probing 4 of 16 cells must (a) actually prune — every
-    query's candidate set is a strict subset of the corpus — and (b) keep
-    recall ≥ 0.4 against exact top-5 on worst-case random vectors (probing
-    1/4 of cells over near-uniform cosine structure; clustered real
-    embeddings concentrate neighbors in the probed cells)."""
+    """IVF ANN: probing 12 of 32 cells (the round-5 default) must (a)
+    actually prune — every query's candidate set is a strict subset of
+    the corpus — and (b) keep recall ≥ 0.4 against exact top-5 on
+    worst-case random vectors (measured 0.69 at sf0.01; clustered real
+    embeddings concentrate neighbors in the probed cells and do far
+    better)."""
     queries = emb.where(F.col("vec_id") < 10)
     exact = {
         (r.query_id, r.vec_id)
@@ -689,3 +690,89 @@ def test_substring_dedup_is_idempotent_on_its_output_semantics(spark):
     md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
     assert first[2].clean_fp == md5("b1 b2 b3")
     assert all(r.n_removed == 0 for r in second.values())
+
+
+def test_temperature_mix_upsamples_low_resource(spark):
+    """alpha<1 must give low-token sources a HIGHER keep rate than
+    high-token ones, with the top-weighted source keeping everything
+    (rate 1.0), and kept counts must match the deterministic hash rule."""
+    from pyspark.sql import Row
+
+    from incubator_stormcrawler_spark.operators.corpus import temperature_mix
+
+    rows = []
+    did = 0
+    for src, n_docs, words in [("big", 200, 40), ("small", 20, 10)]:
+        for _ in range(n_docs):
+            rows.append(Row(doc_id=did, source=src, text=" ".join(["w"] * words)))
+            did += 1
+    docs = spark.createDataFrame(rows)
+    rep = {r.source: r for r in temperature_mix(docs, alpha=0.5).collect()}
+    assert rep["small"].rate == 1.0          # most-upweighted keeps all
+    assert rep["big"].rate < rep["small"].rate
+    assert rep["small"].n_kept == 20         # rate 1.0 -> every doc kept
+    # expected big rate: (share_small/share_big)^0.5
+    share_big = 200 * 40 / (200 * 40 + 20 * 10)
+    share_small = 1 - share_big
+    assert abs(rep["big"].rate - (share_small / share_big) ** 0.5) < 1e-5
+    assert 0 < rep["big"].n_kept < 200       # genuinely downsampled
+
+
+def test_length_bucketed_batches_sharded_scale_path(spark):
+    """The num_shards>1 variant (the 100 TB window-skew fix) must keep the
+    batching contract: every batch stays within one (bucket, shard), holds
+    at most batch_size docs, and at most one batch per group is partial;
+    all docs are assigned exactly once."""
+    from pyspark.sql import Row
+
+    from incubator_stormcrawler_spark.operators.corpus import (
+        length_bucketed_batches,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(["w"] * (5 + i % 90))) for i in range(300)]
+    )
+    out = length_bucketed_batches(docs, batch_size=8, bucket_bits=5,
+                                  num_shards=4).collect()
+    assert len(out) == 300 and len({r.doc_id for r in out}) == 300
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for r in out:
+        groups[(r.bucket, r.shard, r.batch_in_bucket)].append(r)
+    partial_per = defaultdict(int)
+    for (b, s, _), rs in groups.items():
+        assert len(rs) <= 8
+        if len(rs) < 8:
+            partial_per[(b, s)] += 1
+    assert all(v == 1 for v in partial_per.values())
+    # within a batch, lengths are contiguous in the shard's sorted order:
+    # batch max n_tokens <= next batch's min n_tokens
+    per_shard = defaultdict(dict)
+    for (b, s, bt), rs in groups.items():
+        per_shard[(b, s)][bt] = rs
+    for (b, s), batches in per_shard.items():
+        for bt in sorted(batches)[:-1]:
+            cur_max = max(r.n_tokens for r in batches[bt])
+            nxt_min = min(r.n_tokens for r in batches[bt + 1])
+            assert cur_max <= nxt_min
+
+
+def test_vocab_coverage_known_values(spark):
+    """Hand-checked coverage: vocab of size 1 = the most frequent token;
+    coverage counts occurrences of vocab tokens over ALL whitespace
+    positions."""
+    from pyspark.sql import Row
+
+    from incubator_stormcrawler_spark.operators.corpus import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="a a a b"),   # 3/4 covered by vocab {a}
+            Row(doc_id=1, text="b c d e"),   # 0/4
+            Row(doc_id=2, text="a b"),       # 1/2
+        ]
+    )
+    got = {r.doc_id: (r.n_words, r.n_in_vocab, r.coverage)
+           for r in vocab_coverage(docs, vocab_size=1).collect()}
+    assert got == {0: (4, 3, 0.75), 1: (4, 0, 0.0), 2: (2, 1, 0.5)}
