@@ -283,31 +283,26 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
     # 64 parallel sum() aggregates over the token rows (not a ×64 explode):
     # one shuffle of (doc, token-hashes), partial sums map-side, then the
-    # signature assembles as a pure projection.
+    # signature assembles as a pure projection. Aggregates and signature
+    # are built as SQL expr strings: the Column-API formulation was ~600
+    # py4j round trips of pure driver overhead per query build (~1 s;
+    # same lesson as langid_scores — the plan is identical).
     sums = [
-        F.sum(
-            2
-            * (
-                F.ascii(
-                    F.substring(
-                        F.col("th") if j < 32 else F.col("th2"), (j % 32) + 1, 1
-                    )
-                )
-                % 2
-            )
-            - 1
-        ).alias(f"s{j}")
+        F.expr(
+            f"sum(2 * (ascii(substring({'th' if j < 32 else 'th2'}, "
+            f"{(j % 32) + 1}, 1)) % 2) - 1) AS s{j}"
+        )
         for j in range(64)
     ]
     wide = exploded.groupBy("doc_id").agg(*sums)
-    sig = None
-    for j in range(64):
-        # bit 63 is the two's-complement sign bit: adding -(1<<63) keeps the
-        # arithmetic inside signed-long range on both engines
-        weight = -(1 << 63) if j == 63 else (1 << j)
-        bit = F.when(F.col(f"s{j}") >= 0, F.lit(weight)).otherwise(F.lit(0))
-        sig = bit if sig is None else sig + bit
-    return wide.select("doc_id", sig.cast("long").alias("simhash"))
+    # bit 63 via shiftleft(1L, 63) == Long.MIN_VALUE: the two's-complement
+    # sign bit, keeping the sum inside signed-long range on both engines
+    sig = " + ".join(
+        f"(CASE WHEN s{j} >= 0 THEN shiftleft(cast(1 AS BIGINT), {j}) "
+        f"ELSE cast(0 AS BIGINT) END)"
+        for j in range(64)
+    )
+    return wide.selectExpr("doc_id", f"cast({sig} AS BIGINT) AS simhash")
 
 
 def incremental_exact_dedup(
