@@ -9,6 +9,7 @@ sampling — no RNG, reproducible across runs/engines/cluster sizes).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -1017,3 +1018,68 @@ def vocab_coverage(
             ).alias("coverage"),
         )
     )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply learned BPE merges to text — the encode half of the tokenizer
+    story (``bpe_pair_merges`` is the training statistic). Classic
+    algorithm (Sennrich 2016 / GPT-2): whitespace-pretokenize, split each
+    word to characters, repeatedly merge the lowest-rank adjacent pair
+    until none applies.
+
+    Iterative merging is not SQL-expressible, so this is a deliberate
+    Pandas-UDF stage (Arrow-batched, the sanctioned slow path): merges
+    ship to executors once via closure (rank dict, broadcast-sized), and a
+    per-batch word cache collapses the Zipf head — each DISTINCT word in a
+    batch is encoded once, so throughput tracks unique-word count, not
+    token count. Returns (doc_id, n_words, n_pieces, pieces_fp) — the
+    fingerprint value-checks batch-shape refactors in tests.
+    """
+    import hashlib as _hashlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+
+    def encode_word(word: str, cache: dict) -> list[str]:
+        got = cache.get(word)
+        if got is not None:
+            return got
+        pieces = list(word)
+        while len(pieces) > 1:
+            best_i, best_r = -1, None
+            for i in range(len(pieces) - 1):
+                r = ranks.get((pieces[i], pieces[i + 1]))
+                if r is not None and (best_r is None or r < best_r):
+                    best_i, best_r = i, r
+            if best_r is None:
+                break
+            pieces[best_i: best_i + 2] = [
+                pieces[best_i] + pieces[best_i + 1]
+            ]
+        cache[word] = pieces
+        return pieces
+
+    @pandas_udf("struct<n_words: bigint, n_pieces: bigint, pieces_fp: string>")
+    def enc(texts: pd.Series) -> pd.DataFrame:
+        cache: dict = {}
+        rows = []
+        for t in texts:
+            if t is None:
+                rows.append((0, 0, ""))
+                continue
+            words = [w for w in t.split(" ") if w]
+            out: list[str] = []
+            for w in words:
+                out.extend(encode_word(w, cache))
+            fp = _hashlib.md5("\x01".join(out).encode()).hexdigest()
+            rows.append((len(words), len(out), fp))
+        return pd.DataFrame(rows, columns=["n_words", "n_pieces", "pieces_fp"])
+
+    return docs.select(
+        "doc_id", enc(F.col(text_col)).alias("__e")
+    ).select("doc_id", "__e.n_words", "__e.n_pieces", "__e.pieces_fp")

@@ -49,11 +49,33 @@ class FrontierTable:
     def exists(self) -> bool:
         return self.current_version() > 0
 
-    def read(self, spark: SparkSession) -> DataFrame:
-        v = self.current_version()
+    def read(
+        self, spark: SparkSession, version: int | None = None
+    ) -> DataFrame:
+        """Read the current snapshot, or a specific retained ``version``
+        (time travel — the Delta `VERSION AS OF` shape): snapshots are
+        immutable once the pointer moves past them, so a historical read
+        is just a scan of that version's directory. Only the last 3
+        versions are retained (``_vacuum``); older versions raise, same
+        as Delta after VACUUM."""
+        v = self.current_version() if version is None else version
         if v == 0:
             return spark.createDataFrame([], FRONTIER_DDL)
-        return spark.read.parquet(os.path.join(self.path, f"v{v:06d}"))
+        snap = os.path.join(self.path, f"v{v:06d}")
+        if version is not None and not os.path.isdir(snap):
+            raise ValueError(
+                f"version {version} not retained (current "
+                f"{self.current_version()}, keep=3 — vacuumed)"
+            )
+        return spark.read.parquet(snap)
+
+    def versions(self) -> list[int]:
+        """Retained snapshot versions, ascending (the time-travel menu)."""
+        out = []
+        for name in os.listdir(self.path):
+            if name.startswith("v") and name[1:].isdigit():
+                out.append(int(name[1:]))
+        return sorted(out)
 
     def commit(self, df: DataFrame) -> int:
         """Materialize ``df`` as the next snapshot and flip the pointer

@@ -776,3 +776,30 @@ def test_vocab_coverage_known_values(spark):
     got = {r.doc_id: (r.n_words, r.n_in_vocab, r.coverage)
            for r in vocab_coverage(docs, vocab_size=1).collect()}
     assert got == {0: (4, 3, 0.75), 1: (4, 0, 0.0), 2: (2, 1, 0.5)}
+
+
+def test_bpe_encode_hand_example(spark):
+    """Classic BPE on a hand example: merges learned rank order applies
+    lowest-rank-first, untouched words stay as characters."""
+    from pyspark.sql import Row
+
+    from incubator_stormcrawler_spark.operators.corpus import bpe_encode
+
+    # merges: ('l','o')->0, ('lo','w')->1, ('e','r')->2
+    merges = [("l", "o"), ("lo", "w"), ("e", "r")]
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="low lower"),
+            Row(doc_id=1, text="ab"),       # no applicable merge
+            Row(doc_id=2, text=None),       # null text
+        ]
+    )
+    got = {r.doc_id: (r.n_words, r.n_pieces, r.pieces_fp)
+           for r in bpe_encode(docs, merges).collect()}
+    # "low" -> l o w -> lo w -> low;  "lower" -> ... -> low e r -> low er
+    import hashlib
+    fp0 = hashlib.md5("\x01".join(["low", "low", "er"]).encode()).hexdigest()
+    fp1 = hashlib.md5("\x01".join(["a", "b"]).encode()).hexdigest()
+    assert got[0] == (2, 3, fp0)
+    assert got[1] == (1, 2, fp1)
+    assert got[2] == (0, 0, "")

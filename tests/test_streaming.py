@@ -306,3 +306,29 @@ def test_stateful_url_dedup(spark, tmp_path):
         assert urls.count("https://a.com/1") == 1  # never re-emitted
     finally:
         q.stop()
+
+
+def test_frontier_table_time_travel(spark, tmp_path):
+    """Snapshot versions are immutable and readable by number (the Delta
+    `VERSION AS OF` contract): commits bump the version, historic reads
+    see the old rows, vacuumed versions raise."""
+    t = FrontierTable(str(tmp_path / "tt"))
+    for n in (1, 2, 3):
+        t.commit(spark.createDataFrame(
+            [(f"https://h/{i}", "DISCOVERED", None, 0, "h", 0)
+             for i in range(n)],
+            "url string, status string, next_fetch_date timestamp, "
+            "error_count int, key string, bucket int",
+        ))
+    assert t.current_version() == 3
+    assert t.versions() == [1, 2, 3]
+    assert t.read(spark).count() == 3
+    assert t.read(spark, version=2).count() == 2
+    assert t.read(spark, version=1).count() == 1
+    # a 4th commit vacuums v1 (keep=3)
+    t.commit(t.read(spark))
+    assert t.versions() == [2, 3, 4]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not retained"):
+        t.read(spark, version=1)
