@@ -805,6 +805,21 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs, iterations=4)
 
 
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → clusters via alternating large/small-star
+    contraction (Kiveris 2014) — the O(log² n)-round WEB-SCALE resolver
+    (label propagation needs diameter-many rounds); same pair source and
+    same (doc_id, cluster=component-min) contract as ``dedup_clusters``,
+    so both resolvers check against the same oracle."""
+    from incubator_stormcrawler_spark.operators.corpus import (
+        star_contraction_components,
+    )
+
+    pairs = dd.ngram_jaccard_pairs(_docs_augmented(spark, sf_dir), n=3,
+                                   threshold=0.6, max_shingle_df=20)
+    return star_contraction_components(pairs)
+
+
 def q_corpus_clean_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus-cleaning funnel as ONE plan and ONE action: quality
     filter → exact dedup over the augmented corpus, reported as
@@ -2270,6 +2285,13 @@ _ORACLES["dedup_clusters"] = _unrolled_label_propagation(
     _JACCARD_PAIRS_CAPPED_CTES, 4
 )
 
+# Star contraction computes the SAME components (cluster = component min)
+# as converged label propagation; near-dup components at sf0.01 have tiny
+# diameters, so the 4-round unrolled oracle is already converged and both
+# resolvers must hash-match it. Registering both paths keeps the scale
+# algorithm driver-checked, not just pytest-checked.
+_ORACLES["dedup_clusters_star"] = _ORACLES["dedup_clusters"]
+
 _ORACLES["corpus_clean_funnel"] = f"""
 WITH {_DOCS_AUG_CTE.strip()},
 q AS (
@@ -3328,10 +3350,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_small_qty_revenue": rel.small_quantity_revenue,
         "tpch_large_volume_customers": rel.large_volume_customers,
         "tpch_dormant_customers": rel.dormant_customers,
-        # NEW round-5 training-pipeline operators (3) -----------------
+        # NEW round-5 training-pipeline operators (4) -----------------
         "corpus_temperature_mix": q_corpus_temperature_mix,
         "corpus_batches": q_corpus_batches,
         "corpus_vocab_coverage": q_corpus_vocab_coverage,
+        "dedup_clusters_star": q_dedup_clusters_star,
         # implementation touched this round (hash-identical, re-checked
         # out of caution): langid SQL-string rewrite + ASCII gate;
         # card-audit null-text coalesce

@@ -803,3 +803,73 @@ def test_bpe_encode_hand_example(spark):
     assert got[0] == (2, 3, fp0)
     assert got[1] == (1, 2, fp1)
     assert got[2] == (0, 0, "")
+
+
+def test_star_contraction_long_chain(spark):
+    """The web-scale cluster resolver must converge on a LONG chain —
+    exactly the case fixed-iteration label propagation cannot handle
+    (diameter 30 needs 30 propagation rounds; star contraction does it
+    in O(log² n) rounds)."""
+    from pyspark.sql import Row
+
+    from incubator_stormcrawler_spark.operators.corpus import (
+        star_contraction_components,
+    )
+
+    chain = [Row(doc1=i, doc2=i + 1) for i in range(30)]       # 0-…-30
+    chain += [Row(doc1=100, doc2=101)]                          # second comp
+    got = {r.doc_id: r.cluster for r in star_contraction_components(
+        spark.createDataFrame(chain)).collect()}
+    assert all(got[i] == 0 for i in range(31))
+    assert got[100] == 100 and got[101] == 100
+
+
+def test_star_contraction_matches_union_find(spark):
+    """Random sparse graph: components must equal a union-find ground
+    truth, and isolated pair-free nodes label themselves."""
+    from pyspark.sql import Row
+
+    from incubator_stormcrawler_spark.operators.corpus import (
+        star_contraction_components,
+    )
+
+    edges = [((i * 17) % 97, (i * 43 + 7) % 97) for i in range(60)]
+    parent = list(range(97))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        if a != b:
+            parent[find(a)] = find(b)
+    truth = {}
+    seen_nodes = {n for e in edges for n in e}
+    for n in seen_nodes:
+        truth.setdefault(n, min(m for m in seen_nodes
+                                if find(m) == find(n)))
+    got = {r.doc_id: r.cluster for r in star_contraction_components(
+        spark.createDataFrame([Row(doc1=a, doc2=b) for a, b in edges
+                               if a != b])).collect()}
+    assert got == truth
+
+
+def test_star_contraction_same_contract_as_label_prop(spark):
+    """On short-diameter graphs (the near-dup regime) the two resolvers
+    agree exactly — star contraction is a drop-in replacement."""
+    from pyspark.sql import Row
+
+    from incubator_stormcrawler_spark.operators.corpus import (
+        dedup_clusters,
+        star_contraction_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [Row(doc1=1, doc2=5), Row(doc1=5, doc2=9), Row(doc1=20, doc2=21)]
+    )
+    lp = {(r.doc_id, r.cluster) for r in dedup_clusters(pairs, 4).collect()}
+    sc = {(r.doc_id, r.cluster)
+          for r in star_contraction_components(pairs).collect()}
+    assert sc == lp
