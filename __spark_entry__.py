@@ -1239,6 +1239,18 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_image_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash per image (the image-dedup signature;
+    operators/multimodal.py:image_ahash) — bit math value-checked by the
+    oracle's pixel-level reconstruction."""
+    from incubator_stormcrawler_spark.operators.multimodal import (
+        image_ahash,
+        synthesize_media,
+    )
+
+    return image_ahash(synthesize_media(spark, 60))
+
+
 def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio RMS/zero-crossing features over synthetic PCM, value-checked
     against a DuckDB int16 reconstruction."""
@@ -1956,6 +1968,31 @@ WITH img AS (
 SELECT media_id, 64::BIGINT AS n_bytes, 8 AS width, 8 AS height,
        upper(string_agg(hx, '' ORDER BY y, x)) AS content_hex
 FROM px GROUP BY media_id
+"""
+
+# aHash over the same 8x8 reconstruction as multimodal_resize: bit j
+# (j = y*8+x) set iff pixel >= mean; mean = sum/64.0 is exact in double.
+# Bit 63 is the int64 sign bit: -(1<<63) written overflow-safely.
+_ORACLES["multimodal_image_hash"] = """
+WITH img AS (
+  SELECT i AS media_id, 16 + (i % 4) * 8 AS w,
+         repeat(md5('media' || i), 64) AS chex
+  FROM generate_series(0, 59) t(i) WHERE i % 3 = 0
+), px AS (
+  SELECT media_id, y * 8 + x AS j,
+         ('0x' || substr(chex, 2 * ((2 * y) * w + (x * w // 8)) + 1, 2))::INT
+           AS v
+  FROM img, generate_series(0, 7) ty(y), generate_series(0, 7) tx(x)
+), m AS (
+  SELECT media_id, sum(v) / 64.0 AS mean FROM px GROUP BY media_id
+)
+SELECT px.media_id,
+       cast(sum(CASE WHEN v >= mean THEN
+                  CASE WHEN j = 63 THEN -9223372036854775807 - 1
+                       ELSE (1::BIGINT << j) END
+                 ELSE 0 END) AS BIGINT) AS ahash
+FROM px JOIN m ON px.media_id = m.media_id
+GROUP BY px.media_id
 """
 
 # audio rows: i%3=1, 2048 int16-LE samples from 4096 digest-repeated bytes;
@@ -2933,6 +2970,44 @@ WHERE (p_brand = 'Brand#12' AND p_size <= 15
 GROUP BY p_brand ORDER BY p_brand
 """
 
+_ORACLES["events_anomalies"] = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT event_type, count(*) AS n_hours,
+         cast(sum(n_events) AS BIGINT) AS sx,
+         cast(sum(n_events * n_events) AS BIGINT) AS sxx
+  FROM hourly GROUP BY event_type
+), z AS (
+  SELECT h.event_type, hour, n_events,
+         (n_events - sx / cast(n_hours AS DOUBLE))
+           / sqrt(sxx / cast(n_hours AS DOUBLE)
+                  - (sx / cast(n_hours AS DOUBLE))
+                    * (sx / cast(n_hours AS DOUBLE))) AS zval
+  FROM hourly h JOIN stats s ON h.event_type = s.event_type
+  WHERE sxx * n_hours > sx * sx
+)
+SELECT event_type, hour, cast(n_events AS BIGINT) AS n_events,
+       round(zval, 4) AS z
+FROM z WHERE abs(zval) >= 2.0
+ORDER BY event_type, hour
+"""
+
+_ORACLES["events_retention"] = """
+WITH ev AS (
+  SELECT user_id, date_trunc('day', ts) AS day FROM events
+), first AS (
+  SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id
+)
+SELECT cohort_day, date_diff('day', cohort_day, day) AS day_offset,
+       count(DISTINCT ev.user_id) AS n_users
+FROM ev JOIN first ON ev.user_id = first.user_id
+GROUP BY cohort_day, day_offset
+ORDER BY cohort_day, day_offset
+"""
+
 # -- TPC-H breadth (round 5) ------------------------------------------------
 
 _ORACLES["tpch_priority_waiting"] = """
@@ -3355,6 +3430,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_batches": q_corpus_batches,
         "corpus_vocab_coverage": q_corpus_vocab_coverage,
         "dedup_clusters_star": q_dedup_clusters_star,
+        "multimodal_image_hash": q_multimodal_image_hash,
+        "events_anomalies": rel.events_anomalies,
+        "events_retention": rel.events_retention,
         # implementation touched this round (hash-identical, re-checked
         # out of caution): langid SQL-string rewrite + ASCII gate;
         # card-audit null-text coalesce

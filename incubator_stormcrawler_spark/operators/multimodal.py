@@ -258,3 +258,70 @@ def byte_embedding(media: DataFrame, dim: int = 64) -> DataFrame:
             yield pd.DataFrame(out, columns=["media_id", "embedding"])
 
     return media.select("media_id", "content").mapInPandas(run, schema=EMBED_DDL)
+
+
+AHASH_DDL = "media_id bigint, ahash bigint"
+
+
+def image_ahash(media: DataFrame) -> DataFrame:
+    """Perceptual average-hash per image (aHash): resize to 8×8, bit j
+    (row-major, j = y·8+x) set iff pixel ≥ the image's mean — the
+    image-dedup analogue of SimHash, robust to rescaling/re-encoding
+    noise the byte fingerprint is blind to. Same mapInPandas stage shape
+    as ``resize_images`` (decode stubbed, plumbing and hash math real);
+    bit 63 wraps into the int64 sign bit so the signature is an ordinary
+    BIGINT column both engines compare exactly.
+
+    Mean = sum/64.0 is exact in double (sum ≤ 16320, divisor a power of
+    two), so the ≥-mean bit is deterministic cross-engine.
+    """
+    import pandas as pd
+
+    imgs = media.where(F.col("kind") == "image")
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                img = decode_image(bytes(row.content), row.media_meta)
+                res = resize_nearest(img, 8, 8).astype(np.int64).ravel()
+                mean = res.sum() / 64.0
+                h = np.uint64(0)
+                for j in range(64):
+                    if res[j] >= mean:
+                        h |= np.uint64(1) << np.uint64(j)
+                out.append({"media_id": row.media_id,
+                            "ahash": int(h.astype(np.int64))})
+            yield pd.DataFrame(out, columns=["media_id", "ahash"])
+
+    return imgs.select("media_id", "content", "media_meta").mapInPandas(
+        run, schema=AHASH_DDL
+    )
+
+
+def image_near_dup_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Image near-dup pairs from aHash signatures — reuses the SimHash
+    16-bit banding. At the default ``max_hamming ≤ 3`` the pigeonhole
+    guarantees completeness (≤3 differing bits leave ≥1 of the 4 bands
+    intact, so every qualifying pair shares a band); wider thresholds
+    keep the same plan but trade recall like any banded LSH. One banded
+    equi self-join, never all-pairs."""
+    from incubator_stormcrawler_spark.operators.dedup import (
+        simhash_band_candidates,
+    )
+
+    sig = hashes.select(
+        F.col("media_id").alias("doc_id"), F.col("ahash").alias("simhash")
+    )
+    cand = simhash_band_candidates(sig)
+    hamming = F.bit_count(
+        F.col("s1").bitwiseXOR(F.col("s2"))
+    )
+    return (
+        cand.where(hamming <= max_hamming)
+        .select(
+            F.col("doc1").alias("media1"),
+            F.col("doc2").alias("media2"),
+            hamming.cast("int").alias("hamming"),
+        )
+    )

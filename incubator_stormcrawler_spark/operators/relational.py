@@ -781,3 +781,73 @@ def dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+def events_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly volume anomalies per event type: z-score of each hour's
+    count against the type's own distribution, flagging |z| ≥ 2 — the
+    ops-dashboard outlier query. The z-score is computed from exact
+    INTEGER sums (n, Σx, Σx²) like ``events_correlation``'s co-moments,
+    so both engines derive bit-identical doubles and the threshold
+    comparison is deterministic. Two tiny aggregates over the hourly
+    grid; the events table shuffles once."""
+    ev = load_events(spark, sf_dir)
+    hourly = ev.groupBy(
+        F.col("event_type"),
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("n_events").cast("long").alias("sx"),
+        F.sum(F.col("n_events") * F.col("n_events")).cast("long").alias("sxx"),
+    )
+    mean = F.col("sx") / F.col("n_hours")
+    var = F.col("sxx") / F.col("n_hours") - mean * mean
+    z = (F.col("n_events") - mean) / F.sqrt(var)
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        # var > 0 as EXACT integer arithmetic (n·Σx² > (Σx)²): a
+        # constant-count type has var 0 and z = 0/0 = NaN, and NaN
+        # comparison semantics differ between engines (DuckDB sorts NaN
+        # high) — the integer guard dodges the whole class
+        .where(F.col("sxx") * F.col("n_hours") > F.col("sx") * F.col("sx"))
+        .withColumn("z", z)
+        .where(F.abs(F.col("z")) >= 2.0)
+        .select(
+            "event_type",
+            "hour",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.round("z", 4).alias("z"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by their FIRST event day, counted
+    per day-offset they return — the standard product-analytics triangle.
+    Two aggregates: per-user first day (partial-aggregable min), then
+    distinct users per (cohort_day, offset); the join carrying the cohort
+    back to the event stream is on user_id (one shuffle each side, AQE
+    handles the skewed power users)."""
+    ev = load_events(spark, sf_dir).select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .groupBy(
+            # DATE, not the truncated timestamp: DuckDB's date_trunc('day')
+            # returns DATE, and the driver canonicalizes values as strings
+            # ("2024-01-01" vs "2024-01-01 00:00:00") — align the type here
+            F.to_date(F.col("cohort_day")).alias("cohort_day"),
+            "day_offset",
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )

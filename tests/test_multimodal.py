@@ -84,3 +84,43 @@ def test_byte_embedding_normalized_and_composable(spark, media):
     renamed = emb.withColumnRenamed("media_id", "vec_id")
     top = cosine_topk(renamed, renamed.where(F.col("vec_id") < 3), k=3)
     assert top.count() == 9
+
+
+def test_image_ahash_and_near_dup_pairs(spark):
+    """aHash: identical images hash identically; a lightly-perturbed copy
+    lands within a small hamming distance (near-dup found by the banded
+    join); an unrelated image does not pair with either."""
+    from incubator_stormcrawler_spark.operators.multimodal import (
+        MEDIA_SCHEMA_DDL,
+        image_ahash,
+        image_near_dup_pairs,
+        synthesize_media,
+    )
+    import hashlib
+
+    w, h = 16, 16
+
+    def img_bytes(seed: str) -> bytearray:
+        blob = hashlib.md5(seed.encode()).digest() * 64
+        return bytearray((blob * ((w * h) // len(blob) + 1))[: w * h])
+
+    base = img_bytes("imgA")
+    near = bytearray(base)
+    near[0] = (near[0] + 4) % 256  # nudge ONE sampled pixel slightly
+    rows = [
+        (0, "image", base, (w, h, None, None, "raw8")),
+        (1, "image", near, (w, h, None, None, "raw8")),
+        (2, "image", bytearray(base), (w, h, None, None, "raw8")),  # exact dup
+        (3, "image", img_bytes("unrelated"), (w, h, None, None, "raw8")),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA_DDL)
+    hashes = image_ahash(media)
+    hv = {r.media_id: r.ahash for r in hashes.collect()}
+    assert hv[0] == hv[2]                      # exact dup → identical hash
+    assert bin(hv[0] ^ hv[1]).count("1") <= 3  # near dup → tiny hamming
+    assert bin(hv[0] ^ hv[3]).count("1") > 10  # unrelated → far
+    pairs = {(r.media1, r.media2): r.hamming
+             for r in image_near_dup_pairs(hashes, max_hamming=3).collect()}
+    assert pairs.get((0, 2)) == 0
+    assert (0, 1) in pairs and (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
