@@ -755,6 +755,19 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source")
 
 
+def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-ingest NEAR-dup dedup (operators/dedup.py:
+    incremental_lsh_dedup): yesterday's corpus (doc_id < 250) contributes
+    only its STORED MinHash signatures — the index a 100 TB pipeline
+    maintains instead of re-shingling daily; today's batch (doc_id >= 250
+    of the augmented corpus) shingles, bands against the index, and
+    reranks. Pairs whose newer side is a batch doc, est_sim >= 0.5."""
+    aug = _docs_augmented(spark, sf_dir)
+    index_sigs = dd.minhash_signatures(aug.where("doc_id < 250"))
+    batch = aug.where("doc_id >= 250")
+    return dd.incremental_lsh_dedup(batch, index_sigs)
+
+
 def q_corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-weighted source rebalancing report (alpha=0.5, the
     XLM-R/mT5 mixing rule): per-source token share, keep rate
@@ -1586,6 +1599,21 @@ SELECT doc1, doc2,
 FROM cand
 JOIN mh m1 ON m1.doc_id = doc1
 JOIN mh m2 ON m2.doc_id = doc2 AND m2.h = m1.h
+GROUP BY doc1, doc2
+HAVING round(sum(cast(m1.v = m2.v as int)) / 8, 4) >= 0.5
+"""
+
+# Incremental variant: identical signatures/bands; candidate pairs are
+# exactly those whose NEWER side is a batch doc (doc2 >= 250) — the
+# batch-vs-index plus within-batch subset of the full candidate set.
+_ORACLES["dedup_minhash_incremental"] = f"""
+WITH {_DOCS_AUG_CTE.strip()}, {_SHINGLE_CTE.strip()}, {_MINHASH_CTE.strip()}
+SELECT doc1, doc2,
+       round(sum(cast(m1.v = m2.v as int)) / 8, 4) AS est_sim
+FROM cand
+JOIN mh m1 ON m1.doc_id = doc1
+JOIN mh m2 ON m2.doc_id = doc2 AND m2.h = m1.h
+WHERE doc2 >= 250
 GROUP BY doc1, doc2
 HAVING round(sum(cast(m1.v = m2.v as int)) / 8, 4) >= 0.5
 """
@@ -3433,6 +3461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_hash": q_multimodal_image_hash,
         "events_anomalies": rel.events_anomalies,
         "events_retention": rel.events_retention,
+        "dedup_minhash_incremental": q_dedup_minhash_incremental,
         # implementation touched this round (hash-identical, re-checked
         # out of caution): langid SQL-string rewrite + ASCII gate;
         # card-audit null-text coalesce

@@ -198,6 +198,29 @@ def minhash_signatures(
     return wide.select("doc_id", F.expr(stack_expr))
 
 
+def band_keys(mh: DataFrame, band_rows: int = 2) -> DataFrame:
+    """(doc_id, b, bkey) LSH band keys from a (doc_id, h, v) signature
+    relation — band key = md5 of the band's minhashes concatenated in h
+    order (struct-sorted collect_list keeps it order-deterministic for
+    any r). Factored out so the incremental path can band a STORED
+    signature index without recomputing shingles."""
+    return (
+        mh.withColumn("b", (F.col("h") / band_rows).cast("int"))
+        .groupBy("doc_id", "b")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("h", "v"))),
+                        lambda s: s["v"],
+                    ),
+                    "",
+                )
+            ).alias("bkey")
+        )
+    )
+
+
 def lsh_candidate_pairs(
     docs: DataFrame,
     num_hashes: int = 8,
@@ -220,23 +243,7 @@ def lsh_candidate_pairs(
     # without lineage truncation the shingle explode + min-agg plan
     # re-executes for each (same pattern as the shingle/simhash relations).
     mh = minhash_signatures(docs, num_hashes, n).localCheckpoint(eager=False)
-    # band key = md5 of the band's minhashes concatenated in h order —
-    # struct-sorted collect_list keeps it order-deterministic for any r
-    bands = (
-        mh.withColumn("b", (F.col("h") / band_rows).cast("int"))
-        .groupBy("doc_id", "b")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("h", "v"))),
-                        lambda s: s["v"],
-                    ),
-                    "",
-                )
-            ).alias("bkey")
-        )
-    )
+    bands = band_keys(mh, band_rows)
     b1 = bands.alias("b1")
     b2 = bands.alias("b2")
     cands = (
@@ -638,4 +645,63 @@ def winnow_fingerprints(
                 ),
             )
         ).alias("fp_digest"),
+    )
+
+
+def incremental_lsh_dedup(
+    new_docs: DataFrame,
+    index_sigs: DataFrame,
+    num_hashes: int = 8,
+    band_rows: int = 2,
+    n: int = 3,
+    min_est_sim: float = 0.5,
+) -> DataFrame:
+    """Incremental NEAR-dup dedup: match a NEW batch against a STORED
+    MinHash signature index (plus within-batch pairs) — the daily-delta
+    near-dup path beside ``incremental_exact_dedup``'s fingerprint one.
+
+    ``index_sigs``: the persisted (doc_id, h, v) signature table from
+    prior passes (``minhash_signatures`` output — the index a 100 TB
+    pipeline maintains instead of re-shingling the corpus each day).
+    Only the BATCH explodes shingles; the index contributes its stored
+    signatures to banding and the est-sim rerank. The band join keys on
+    (b, bkey) with the batch side small — broadcast or AQE-handled —
+    and candidate pairs are exactly those whose NEWER side is a batch
+    doc (doc2 in batch, doc1 any earlier doc). Returns
+    (doc1, doc2, est_sim) with est_sim ≥ ``min_est_sim``.
+    """
+    batch_sigs = minhash_signatures(new_docs, num_hashes, n).localCheckpoint(
+        eager=False
+    )
+    all_sigs = index_sigs.unionByName(batch_sigs).localCheckpoint(eager=False)
+    bands = band_keys(all_sigs, band_rows)
+    batch_ids = batch_sigs.select("doc_id").distinct()
+    batch_bands = bands.join(batch_ids, "doc_id", "left_semi")
+    cands = (
+        bands.alias("b1")
+        .join(batch_bands.alias("b2"), ["b", "bkey"])
+        .where(F.col("b1.doc_id") < F.col("b2.doc_id"))
+        .select(
+            F.col("b1.doc_id").alias("doc1"), F.col("b2.doc_id").alias("doc2")
+        )
+        .distinct()
+    )
+    m1 = all_sigs.select(
+        F.col("doc_id").alias("doc1"), "h", F.col("v").alias("v1")
+    )
+    m2 = all_sigs.select(
+        F.col("doc_id").alias("doc2"), "h", F.col("v").alias("v2")
+    )
+    return (
+        cands.join(m1, "doc1")
+        .join(m2, ["doc2", "h"])
+        .groupBy("doc1", "doc2")
+        .agg(
+            F.round(
+                F.sum((F.col("v1") == F.col("v2")).cast("int"))
+                / F.lit(num_hashes),
+                4,
+            ).alias("est_sim")
+        )
+        .where(F.col("est_sim") >= min_est_sim)
     )

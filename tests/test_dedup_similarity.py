@@ -873,3 +873,20 @@ def test_star_contraction_same_contract_as_label_prop(spark):
     sc = {(r.doc_id, r.cluster)
           for r in star_contraction_components(pairs).collect()}
     assert sc == lp
+
+
+def test_incremental_lsh_matches_full_subset(spark, docs):
+    """The incremental near-dup pass (batch vs stored signature index)
+    must return EXACTLY the subset of the full-corpus LSH pairs whose
+    newer side is a batch doc — re-shingling only the delta changes the
+    cost, never the answer."""
+    index_docs = docs.where(F.col("doc_id") <= 3)
+    batch = docs.where(F.col("doc_id") > 3)
+    index_sigs = dd.minhash_signatures(index_docs)
+    inc = {(r.doc1, r.doc2, r.est_sim) for r in
+           dd.incremental_lsh_dedup(batch, index_sigs).collect()}
+    full = {(r.doc1, r.doc2, r.est_sim) for r in
+            dd.lsh_candidate_pairs(docs, min_est_sim=0.5).collect()
+            if r.doc2 > 3}
+    assert inc == full
+    assert all(d2 > 3 for _, d2, _ in inc)  # newer side always in batch
