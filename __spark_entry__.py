@@ -768,6 +768,32 @@ def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.incremental_lsh_dedup(batch, index_sigs)
 
 
+def q_corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing at seq_len=512 over the
+    deterministic bucketed-cumsum stream layout (operators/corpus.py:
+    pack_sequences) — the loader-facing coordinates (first/last sequence,
+    span, in-sequence offset) per document."""
+    from incubator_stormcrawler_spark.operators.corpus import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_sequences(docs, seq_len=512, num_buckets=8).select(
+        "doc_id", "n_tokens", "global_offset", "first_seq", "last_seq",
+        "n_seqs", "offset_in_seq",
+    )
+
+
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease from engine-portable proxies (functions/
+    text.py:readability_scores) — prose-vs-boilerplate quality signal."""
+    from incubator_stormcrawler_spark.functions.text import (
+        readability_scores,
+    )
+
+    return readability_scores(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+
+
 def q_corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-weighted source rebalancing report (alpha=0.5, the
     XLM-R/mT5 mixing rule): per-source token share, keep rate
@@ -2451,6 +2477,61 @@ SELECT doc_id, bucket, n_tokens,
 FROM cum JOIN offs USING (bucket)
 """
 
+# pack_sequences = the same deterministic stream layout cut at seq_len=512
+_ORACLES["corpus_pack_sequences"] = """
+WITH base AS (
+  SELECT doc_id, md5('shard|' || cast(doc_id AS VARCHAR)) AS h,
+         CASE WHEN text IS NULL OR text = '' THEN 0
+              ELSE len(string_split(text, ' ')) END::BIGINT AS n_tokens
+  FROM documents
+), b2 AS (
+  SELECT *, (('0x' || substr(h, 1, 4))::INT % 8)::INT AS bucket FROM base
+), cum AS (
+  SELECT *, sum(n_tokens) OVER (PARTITION BY bucket ORDER BY h, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum_in_bucket
+  FROM b2
+), offs AS (
+  SELECT bucket,
+         sum(btot) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) - btot
+           AS bucket_offset
+  FROM (SELECT bucket, sum(n_tokens) AS btot FROM b2 GROUP BY bucket)
+), pos AS (
+  SELECT doc_id, n_tokens,
+         (bucket_offset + cum_in_bucket - n_tokens)::BIGINT AS start
+  FROM cum JOIN offs USING (bucket)
+)
+SELECT doc_id, n_tokens, start AS global_offset,
+       (start // 512)::BIGINT AS first_seq,
+       CASE WHEN n_tokens > 0 THEN ((start + n_tokens - 1) // 512)::BIGINT
+            ELSE (start // 512)::BIGINT END AS last_seq,
+       CASE WHEN n_tokens > 0
+            THEN ((start + n_tokens - 1) // 512 - start // 512 + 1)::BIGINT
+            ELSE 0::BIGINT END AS n_seqs,
+       (start - (start // 512) * 512)::BIGINT AS offset_in_seq
+FROM pos
+"""
+
+_ORACLES["text_readability"] = """
+WITH m AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS words,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS sentences,
+         len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))
+           + len(string_split(text, ' '))
+           - len(list_filter(string_split(text, ' '),
+                             w -> regexp_matches(w, '[aeiouyAEIOUY]')))
+           AS syllables
+  FROM documents
+)
+SELECT doc_id,
+       cast(words AS BIGINT) AS n_words,
+       cast(sentences AS BIGINT) AS n_sentences,
+       cast(syllables AS BIGINT) AS n_syllables,
+       round(206.835 - 1.015 * (words / cast(sentences AS DOUBLE))
+             - 84.6 * (syllables / cast(words AS DOUBLE)), 4) AS flesch
+FROM m
+"""
+
 _ORACLES["corpus_stratified_sample"] = """
 SELECT doc_id, lang, sample_rank FROM (
   SELECT doc_id, lang,
@@ -3462,6 +3543,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomalies": rel.events_anomalies,
         "events_retention": rel.events_retention,
         "dedup_minhash_incremental": q_dedup_minhash_incremental,
+        "corpus_pack_sequences": q_corpus_pack_sequences,
+        "text_readability": q_text_readability,
         # implementation touched this round (hash-identical, re-checked
         # out of caution): langid SQL-string rewrite + ASCII gate;
         # card-audit null-text coalesce

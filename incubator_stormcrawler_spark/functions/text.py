@@ -346,3 +346,46 @@ def card_audit(docs, text_col: str = "text", id_col: str = "doc_id"):
         F.size(cand).cast("bigint").alias("n_card_candidates"),
         valid.cast("bigint").alias("n_luhn_valid"),
     )
+
+
+def readability_scores(docs, text_col: str = "text") -> "DataFrame":
+    """Flesch reading-ease per document from engine-portable proxies:
+    sentences = punctuation-run count ([.!?]+, min 1), words = whitespace
+    tokens, syllables = vowel-GROUP count per word (min 1/word — the
+    standard dictionary-free approximation). score = 206.835 −
+    1.015·(words/sentences) − 84.6·(syllables/words), rounded; a corpus
+    quality signal orthogonal to the length/repetition family (C4 keeps
+    prose; Flesch separates prose from listings/boilerplate).
+
+    Pure codegen projections — regexp_count + size, no explode, no UDF —
+    so the pass rides any existing scan and the DuckDB oracle computes
+    identically (both regex engines agree on these character classes).
+    """
+    text = F.col(text_col)
+    words = F.size(F.split(text, " "))
+    sentences = F.greatest(
+        F.regexp_count(text, F.lit(r"[.!?]+")), F.lit(1)
+    )
+    vowel_groups = F.regexp_count(text, F.lit(r"[aeiouyAEIOUY]+"))
+    # every word counts at least one syllable: vowel-less words (numbers,
+    # symbols) still get 1 — add the shortfall via the word count minus
+    # words containing a vowel group
+    words_with_vowels = F.size(
+        F.filter(
+            F.split(text, " "),
+            lambda w: w.rlike("[aeiouyAEIOUY]"),
+        )
+    )
+    syllables = vowel_groups + (words - words_with_vowels)
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words / sentences)
+        - F.lit(84.6) * (syllables / words)
+    )
+    return docs.select(
+        "doc_id",
+        words.cast("bigint").alias("n_words"),
+        sentences.cast("bigint").alias("n_sentences"),
+        syllables.cast("bigint").alias("n_syllables"),
+        F.round(score, 4).alias("flesch"),
+    )

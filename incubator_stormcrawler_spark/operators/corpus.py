@@ -1179,3 +1179,49 @@ def star_contraction_components(
             F.coalesce(F.col("cluster"), F.col("node")).alias("cluster"),
         )
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int = 512,
+    num_buckets: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: lay the corpus out as one
+    deterministic token stream (``pack_shards``'s bucketed-cumsum global
+    offsets — no global sort) and cut it into fixed ``seq_len`` training
+    sequences. Per doc: the first/last sequence it lands in, how many
+    sequences it spans, and its offset within the first — everything a
+    loader needs to materialize sequence k by range-scanning docs with
+    first_seq ≤ k ≤ last_seq (an offset-range predicate that prunes on
+    the shard/offset layout at 100 TB).
+
+    Empty docs (0 tokens) occupy no stream positions: they report their
+    insertion point (first_seq = the sequence their offset falls in) and
+    span 0 sequences (last_seq = first_seq − 1 convention would be odd;
+    they emit n_seqs = 0 and last_seq = first_seq so range scans skip
+    them by the n_seqs > 0 predicate).
+    """
+    packed = pack_shards(
+        docs, tokens_per_shard=seq_len, num_buckets=num_buckets,
+        text_col=text_col, id_col=id_col,
+    )
+    start = F.col("global_offset")
+    end = start + F.col("n_tokens")  # exclusive
+    first_seq = F.floor(start / F.lit(seq_len)).cast("bigint")
+    # last sequence touched = floor((end-1)/seq_len) for non-empty docs
+    last_seq = F.when(
+        F.col("n_tokens") > 0,
+        F.floor((end - 1) / F.lit(seq_len)).cast("bigint"),
+    ).otherwise(first_seq)
+    return packed.select(
+        id_col,
+        "n_tokens",
+        "global_offset",
+        first_seq.alias("first_seq"),
+        last_seq.alias("last_seq"),
+        F.when(F.col("n_tokens") > 0, last_seq - first_seq + 1)
+        .otherwise(F.lit(0)).cast("bigint").alias("n_seqs"),
+        (start - first_seq * seq_len).cast("bigint").alias("offset_in_seq"),
+    )
