@@ -2154,6 +2154,7 @@ WITH per_src AS (
   SELECT source, count(*) AS n_docs,
          cast(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
   FROM documents GROUP BY source
+  HAVING cast(sum(len(string_split(text, ' '))) AS BIGINT) > 0
 ), tot AS (
   SELECT cast(sum(n_tokens) AS BIGINT) AS total_tokens FROM per_src
 ), rated AS (

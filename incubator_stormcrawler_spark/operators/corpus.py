@@ -881,7 +881,11 @@ def temperature_mix(
     per_src = docs.groupBy(F.col(source_col).alias("source")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(toks).alias("n_tokens"),
-    )
+    # a zero-token source would hit pow(0, alpha-1) = Infinity and a NaN
+    # rate, whose comparison semantics DIFFER between engines (DuckDB
+    # sorts NaN high) — exclude it up front: it contributes nothing to
+    # the mixture by definition. Mirrored in the oracle.
+    ).where(F.col("n_tokens") > 0)
     total = per_src.agg(F.sum("n_tokens").alias("total_tokens"))
     rated = (
         per_src.join(F.broadcast(total))
