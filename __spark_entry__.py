@@ -3535,7 +3535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_small_qty_revenue": rel.small_quantity_revenue,
         "tpch_large_volume_customers": rel.large_volume_customers,
         "tpch_dormant_customers": rel.dormant_customers,
-        # NEW round-5 training-pipeline operators (4) -----------------
+        # NEW round-5 pipeline/analytics operators (10) ---------------
         "corpus_temperature_mix": q_corpus_temperature_mix,
         "corpus_batches": q_corpus_batches,
         "corpus_vocab_coverage": q_corpus_vocab_coverage,
@@ -3551,7 +3551,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # card-audit null-text coalesce
         "text_langid": q_text_langid,
         "text_card_audit": q_text_card_audit,
-        # backfill: r04-green unchanged flagships (30) ----------------
+        # backfill: r04-green unchanged flagships (30 listed; the
+        # 50-entry window cuts after ~20 of them — the rest slide into
+        # the green-unchanged tail, which test_registry.py guards) -----
         "events_asof_join": q_events_asof_join,
         "events_range_join": q_events_range_join,
         "events_rollup": q_events_rollup,

@@ -870,8 +870,11 @@ def temperature_mix(
     mixture is reproducible across engines and reshards.
 
     Two tiny aggregates (per-source token sums — partial-aggregable, one
-    row per source) and one broadcast join back; the corpus is scanned
-    once and never shuffled. Rates round to 6 decimals BEFORE the
+    row per source) and one broadcast join back; the corpus is never
+    shuffled, though THIS reporting operator scans it twice (once for
+    the rate aggregate, once for the kept counts) — a production mixing
+    pass fuses the second scan's broadcast-rate filter into the
+    downstream write instead of counting. Rates round to 6 decimals BEFORE the
     threshold compare so pow()'s ulp-level engine differences cannot
     flip a keep decision. Returns the per-source mixing report (the
     audit artifact a mixing pass must emit); the kept docs are the same
@@ -1114,10 +1117,12 @@ def star_contraction_components(
     # Canonicalize ONCE and checkpoint BEFORE deriving nodes and the
     # working edge set: both consumers otherwise replay the (possibly
     # expensive — shingle self-join) pair-generation lineage; measured 2×
-    # on the jaccard-fed query at sf0.1.
+    # on the jaccard-fed query at sf0.1. Ids keep their NATIVE type —
+    # least/greatest/min work for any orderable type (string fingerprints
+    # included), preserving the drop-in dedup_clusters contract.
     raw = pairs.select(
-        F.least(F.col(a_col).cast("long"), F.col(b_col).cast("long")).alias("a"),
-        F.greatest(F.col(a_col).cast("long"), F.col(b_col).cast("long")).alias("b"),
+        F.least(F.col(a_col), F.col(b_col)).alias("a"),
+        F.greatest(F.col(a_col), F.col(b_col)).alias("b"),
     ).distinct().localCheckpoint(eager=False)
     nodes = (
         raw.select(F.col("a").alias("node"))
@@ -1151,26 +1156,39 @@ def star_contraction_components(
         )
 
     def sig(df: DataFrame) -> tuple:
-        # Exact convergence fingerprint in ONE tiny aggregate: every star
-        # re-attachment replaces an endpoint u by m < u and distinct only
-        # removes rows, so sum(a+b) over the distinct edge set strictly
-        # decreases on ANY change — (count, sum) unchanged ⇔ edge set
-        # unchanged. Replaces a count + exceptAll comparison (two jobs,
-        # one a full shuffle) per round.
-        r = df.agg(
+        # Convergence fingerprint in ONE tiny aggregate: (edge count,
+        # XOR of per-edge xxhash64). Equal edge sets always agree;
+        # distinct sets collide with probability ~2^-64 per check (a
+        # false 'converged' needs a 64-bit xor collision at matching
+        # counts — negligible, and type-agnostic where an id-sum test
+        # would require non-negative numeric ids). Replaces a count +
+        # exceptAll comparison (two jobs, one a full shuffle) per round.
+        r = df.select(
+            F.xxhash64(F.col("a"), F.col("b")).alias("hx")
+        ).agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("a") + F.col("b")).alias("s"),
+            F.expr("bit_xor(hx)").alias("x"),
         ).collect()[0]
         return (r[0], r[1])
 
     prev = None
+    converged = False
     for _ in range(max_iterations):
         e2 = star(star(e, large=True), large=False).distinct().localCheckpoint()
         cur = sig(e2)
         e = e2
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged and prev is not None and max_iterations > 0:
+        # a non-star edge set would yield silently WRONG labels below —
+        # fail loudly instead (O(log² n) rounds converge any real graph;
+        # exhausting 20 double-rounds means something is pathological)
+        raise RuntimeError(
+            f"star contraction did not converge in {max_iterations} "
+            f"double-rounds ({e.count()} edges remain)"
+        )
     roots = e.groupBy(F.col("b").alias("node")).agg(
         F.min("a").alias("cluster")
     )

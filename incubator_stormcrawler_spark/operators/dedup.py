@@ -664,23 +664,44 @@ def incremental_lsh_dedup(
     prior passes (``minhash_signatures`` output — the index a 100 TB
     pipeline maintains instead of re-shingling the corpus each day).
     Only the BATCH explodes shingles; the index contributes its stored
-    signatures to banding and the est-sim rerank. The band join keys on
-    (b, bkey) with the batch side small — broadcast or AQE-handled —
-    and candidate pairs are exactly those whose NEWER side is a batch
-    doc (doc2 in batch, doc1 any earlier doc). Returns
-    (doc1, doc2, est_sim) with est_sim ≥ ``min_est_sim``.
+    signatures to banding and the est-sim rerank. A doc_id present in
+    BOTH sides is a re-ingest, not a duplicate: its stale index
+    signatures are dropped so the batch's fresh ones stand alone (a
+    naive union would double its (h, v) rows and corrupt its band key
+    into matching nothing). The band join keys on (b, bkey) with the
+    batch side small — broadcast or AQE-handled — and candidate pairs
+    are exactly those with at least one batch doc: (index doc, batch
+    doc) in that orientation regardless of id magnitude (ids carry no
+    recency order — hash-derived ids or backfills violate it), plus
+    id-ordered within-batch pairs. Returns (doc1, doc2, est_sim) with
+    doc2 always the batch doc and est_sim ≥ ``min_est_sim``.
     """
     batch_sigs = minhash_signatures(new_docs, num_hashes, n).localCheckpoint(
         eager=False
     )
-    all_sigs = index_sigs.unionByName(batch_sigs).localCheckpoint(eager=False)
-    bands = band_keys(all_sigs, band_rows)
     batch_ids = batch_sigs.select("doc_id").distinct()
-    batch_bands = bands.join(batch_ids, "doc_id", "left_semi")
+    fresh_index = index_sigs.join(batch_ids, "doc_id", "left_anti")
+    all_sigs = fresh_index.unionByName(batch_sigs).localCheckpoint(
+        eager=False
+    )
+    bands = band_keys(all_sigs, band_rows)
+    batch_flag = batch_ids.withColumn("is_batch", F.lit(True))
+    flagged = bands.join(batch_flag, "doc_id", "left").withColumn(
+        "is_batch", F.coalesce(F.col("is_batch"), F.lit(False))
+    )
+    b2 = flagged.where(F.col("is_batch"))
     cands = (
-        bands.alias("b1")
-        .join(batch_bands.alias("b2"), ["b", "bkey"])
-        .where(F.col("b1.doc_id") < F.col("b2.doc_id"))
+        flagged.alias("b1")
+        .join(b2.alias("b2"), ["b", "bkey"])
+        .where(
+            (F.col("b1.doc_id") != F.col("b2.doc_id"))
+            # index-vs-batch: always (index, batch); batch-vs-batch:
+            # id-ordered once
+            & (
+                (~F.col("b1.is_batch"))
+                | (F.col("b1.doc_id") < F.col("b2.doc_id"))
+            )
+        )
         .select(
             F.col("b1.doc_id").alias("doc1"), F.col("b2.doc_id").alias("doc2")
         )

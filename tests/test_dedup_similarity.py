@@ -877,9 +877,9 @@ def test_star_contraction_same_contract_as_label_prop(spark):
 
 def test_incremental_lsh_matches_full_subset(spark, docs):
     """The incremental near-dup pass (batch vs stored signature index)
-    must return EXACTLY the subset of the full-corpus LSH pairs whose
-    newer side is a batch doc — re-shingling only the delta changes the
-    cost, never the answer."""
+    must return EXACTLY the subset of the full-corpus LSH pairs that
+    involve a batch doc — re-shingling only the delta changes the cost,
+    never the answer."""
     index_docs = docs.where(F.col("doc_id") <= 3)
     batch = docs.where(F.col("doc_id") > 3)
     index_sigs = dd.minhash_signatures(index_docs)
@@ -890,3 +890,48 @@ def test_incremental_lsh_matches_full_subset(spark, docs):
             if r.doc2 > 3}
     assert inc == full
     assert all(d2 > 3 for _, d2, _ in inc)  # newer side always in batch
+
+
+def test_incremental_lsh_nonmonotone_ids_and_reingest(spark, docs):
+    """Ids carry no recency order: an index doc with a LARGER id than a
+    batch near-dup must still pair (emitted as (index, batch)); and a
+    doc_id present in both index and batch is a re-ingest whose stale
+    index signatures are dropped — NOT a self-duplicate, and its band
+    key must not be corrupted by doubled signature rows."""
+    # index = {3, 4, 5} (3 is a near-dup of 1/2); batch = {1, 2}
+    index_sigs = dd.minhash_signatures(docs.where(F.col("doc_id") >= 3))
+    batch = docs.where(F.col("doc_id") <= 2)
+    got = {(r.doc1, r.doc2) for r in
+           dd.incremental_lsh_dedup(batch, index_sigs).collect()}
+    assert (1, 2) in got          # within-batch exact pair, id-ordered
+    assert (3, 1) in got and (3, 2) in got  # index-vs-batch, index first
+    assert not any(4 in p or 5 in p for p in got)
+    # re-ingest: doc 1's signatures ALSO in the index (stale copy) — the
+    # result must be identical, with no phantom self-pair
+    index_with_overlap = dd.minhash_signatures(
+        docs.where((F.col("doc_id") >= 3) | (F.col("doc_id") == 1))
+    )
+    got2 = {(r.doc1, r.doc2) for r in
+            dd.incremental_lsh_dedup(batch, index_with_overlap).collect()}
+    assert got2 == got
+    assert not any(a == b for a, b in got2)
+
+
+def test_star_contraction_string_ids(spark):
+    """Ids keep their native type: string doc ids (URL fingerprints — the
+    id type dedup_clusters accepts) must resolve identically, with the
+    component min under lexicographic order as the cluster label."""
+    from pyspark.sql import Row
+
+    from incubator_stormcrawler_spark.operators.corpus import (
+        star_contraction_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [Row(doc1="urlB", doc2="urlA"), Row(doc1="urlB", doc2="urlC"),
+         Row(doc1="x2", doc2="x1")]
+    )
+    got = {r.doc_id: r.cluster
+           for r in star_contraction_components(pairs).collect()}
+    assert got == {"urlA": "urlA", "urlB": "urlA", "urlC": "urlA",
+                   "x1": "x1", "x2": "x1"}
