@@ -935,3 +935,35 @@ def test_star_contraction_string_ids(spark):
            for r in star_contraction_components(pairs).collect()}
     assert got == {"urlA": "urlA", "urlB": "urlA", "urlC": "urlA",
                    "x1": "x1", "x2": "x1"}
+
+
+def test_pack_sequences_stream_invariants(spark):
+    """The packed token stream must be gap-free and non-overlapping:
+    sorted by global_offset, each doc starts exactly where the previous
+    ended; sequence coordinates are consistent with the offsets; empty
+    docs occupy no stream positions (n_seqs=0)."""
+    from pyspark.sql import Row
+
+    from incubator_stormcrawler_spark.operators.corpus import pack_sequences
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(["w"] * (i % 37))) for i in range(200)]
+        + [Row(doc_id=1000, text=None)]
+    )
+    rows = sorted(pack_sequences(docs, seq_len=32).collect(),
+                  key=lambda r: (r.global_offset, r.doc_id))
+    pos = 0
+    for r in rows:
+        if r.n_tokens == 0:
+            assert r.n_seqs == 0
+            continue
+        assert r.global_offset == pos   # gap-free, non-overlapping
+        pos += r.n_tokens
+        assert r.first_seq == r.global_offset // 32
+        assert r.last_seq == (r.global_offset + r.n_tokens - 1) // 32
+        assert r.n_seqs == r.last_seq - r.first_seq + 1
+        assert r.offset_in_seq == r.global_offset - r.first_seq * 32
+    total = sum(r.n_tokens for r in rows)
+    assert pos == total  # stream length == token total
+    # NOTE: docs with text=None pack as 0 tokens ('' splits to 1 token in
+    # Spark, None to null — pack_shards coalesces both to 0)
