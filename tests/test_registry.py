@@ -62,11 +62,17 @@ def test_no_hugeint_oracle_columns():
     bad: dict[str, list[str]] = {}
     for name, sql in e.oracle_sql().items():
         desc = con.sql(f"DESCRIBE ({sql})").fetchall()
-        huge = [r[0] for r in desc if str(r[1]).upper() in
-                ("HUGEINT", "UHUGEINT")]
-        if huge:
-            bad[name] = huge
-    assert bad == {}, f"oracles with HUGEINT output columns: {bad}"
+        # DECIMAL is the same class of trap: pandas fetches it as
+        # decimal.Decimal objects whose str() ("540.00") diverges from
+        # Spark's double rendering — cast to DOUBLE or BIGINT instead
+        risky = [
+            f"{r[0]}:{r[1]}" for r in desc
+            if str(r[1]).upper() in ("HUGEINT", "UHUGEINT")
+            or str(r[1]).upper().startswith("DECIMAL")
+        ]
+        if risky:
+            bad[name] = risky
+    assert bad == {}, f"oracles with driver-incompatible output types: {bad}"
 
 
 def test_no_duplicate_registry_keys():
