@@ -34,22 +34,30 @@ def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def hash_bucket_expr(salt: str, id_col: str = "doc_id") -> Column:
+    """The shared deterministic sampling bucket: first 4 md5 hex digits of
+    (salt|id) as an int in [0, 65536) — engine-portable, stable across
+    runs/reshards (every sampling/mixing operator keys off this)."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))),
+            1, 4,
+        ),
+        16, 10,
+    ).cast("int")
+
+
 def hash_sample(
     docs: DataFrame,
     fraction: float,
     salt: str = "s1",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Deterministic Bernoulli-by-hash sampling: keep iff the first 4 md5
-    hex digits of (salt|id) fall under fraction·16^4. Engine-portable and
-    stable — re-running, resharding, or switching engines keeps the SAME
-    sample (unlike rand()-based sampling)."""
-    bucket = F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))), 1, 4),
-        16,
-        10,
-    ).cast("int")
-    return docs.where(bucket < int(fraction * 65536))
+    """Deterministic Bernoulli-by-hash sampling: keep iff the md5 bucket
+    falls under fraction·16^4. Engine-portable and stable — re-running,
+    resharding, or switching engines keeps the SAME sample (unlike
+    rand()-based sampling)."""
+    return docs.where(hash_bucket_expr(salt, id_col) < int(fraction * 65536))
 
 
 def mix_sources(
@@ -61,11 +69,7 @@ def mix_sources(
 ) -> DataFrame:
     """Source-weighted mixing: per-source deterministic sampling rates —
     the 'data mixture' step of corpus assembly, as one filter."""
-    bucket = F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))), 1, 4),
-        16,
-        10,
-    ).cast("int")
+    bucket = hash_bucket_expr(salt, id_col)
     keep = F.lit(False)
     for src, w in weights.items():
         keep = keep | ((F.col(source_col) == src) & (bucket < int(w * 65536)))
@@ -889,6 +893,9 @@ def temperature_mix(
     # sorts NaN high) — exclude it up front: it contributes nothing to
     # the mixture by definition. Mirrored in the oracle.
     ).where(F.col("n_tokens") > 0)
+    # truncate lineage: `total` and `rated` both consume per_src, and
+    # without this the corpus-wide token aggregate executes twice
+    per_src = per_src.localCheckpoint(eager=False)
     total = per_src.agg(F.sum("n_tokens").alias("total_tokens"))
     rated = (
         per_src.join(F.broadcast(total))
@@ -902,16 +909,9 @@ def temperature_mix(
         .select("source", "n_docs", "n_tokens",
                 F.round("share", 6).alias("share"), "rate")
     )
-    bucket = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))),
-            1, 4,
-        ),
-        16, 10,
-    ).cast("int")
     kept = (
         docs.select(F.col(source_col).alias("source"), F.col(id_col),
-                    bucket.alias("__b"))
+                    hash_bucket_expr(salt, id_col).alias("__b"))
         .join(F.broadcast(rates.select("source", "rate")), "source")
         .where(F.col("__b") < F.floor(F.col("rate") * 65536 + 0.5))
         .groupBy("source")
@@ -993,10 +993,12 @@ def vocab_coverage(
     The vocab is vocab_size rows — broadcast into the token stream, so
     the corpus explode joins without a shuffle and collapses straight
     back to one row per doc (partial-aggregable)."""
+    # truncate lineage: the vocab aggregate AND the coverage join both
+    # consume `tok` — without this the corpus explode executes twice
     tok = docs.select(
         "doc_id",
         F.explode(F.split(F.col(text_col), " ")).alias("token"),
-    ).where(F.col("token") != "")
+    ).where(F.col("token") != "").localCheckpoint(eager=False)
     vocab = (
         tok.groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -1181,7 +1183,7 @@ def star_contraction_components(
             converged = True
             break
         prev = cur
-    if not converged and prev is not None and max_iterations > 0:
+    if not converged and max_iterations > 0:
         # a non-star edge set would yield silently WRONG labels below —
         # fail loudly instead (O(log² n) rounds converge any real graph;
         # exhausting 20 double-rounds means something is pathological)

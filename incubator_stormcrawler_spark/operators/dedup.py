@@ -686,9 +686,12 @@ def incremental_lsh_dedup(
     )
     bands = band_keys(all_sigs, band_rows)
     batch_flag = batch_ids.withColumn("is_batch", F.lit(True))
+    # truncate lineage: both sides of the band self-join consume this
+    # relation, and without it the banding groupBy executes twice (same
+    # pattern as the signature relation in lsh_candidate_pairs)
     flagged = bands.join(batch_flag, "doc_id", "left").withColumn(
         "is_batch", F.coalesce(F.col("is_batch"), F.lit(False))
-    )
+    ).localCheckpoint(eager=False)
     b2 = flagged.where(F.col("is_batch"))
     cands = (
         flagged.alias("b1")
