@@ -3271,6 +3271,44 @@ WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
 GROUP BY n_name ORDER BY n_name
 """
 
+_ORACLES["tpch_shipmode_priority"] = """
+SELECT l_returnflag,
+       count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+         AS high_line_count,
+       count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+         AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_returnflag IN ('A', 'R')
+  AND l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+# textbook Q21 EXISTS/NOT-EXISTS; the Spark side is the single-pass
+# grouped rewrite, so a green row proves the two formulations agree
+_ORACLES["tpch_waiting_suppliers"] = """
+WITH l1 AS (
+  SELECT l_orderkey, l_suppkey
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+    AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+)
+SELECT s_name, count(*) AS numwait
+FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM l1) w
+JOIN supplier ON s_suppkey = w.l_suppkey
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = w.l_orderkey AND l2.l_suppkey <> w.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM l1 l3
+    WHERE l3.l_orderkey = w.l_orderkey AND l3.l_suppkey <> w.l_suppkey)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name LIMIT 10
+"""
+
 # video rows: i%3=2, 8x8 frames, n_frames = 4 + (i%3) = 6 always (video
 # implies i%3==2); content = md5 digest repeated to 384 bytes; sampling
 # every 2nd frame keeps frame_idx 0,2,4, each a 64-byte (128 hex) slice.
@@ -3535,6 +3573,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_small_qty_revenue": rel.small_quantity_revenue,
         "tpch_large_volume_customers": rel.large_volume_customers,
         "tpch_dormant_customers": rel.dormant_customers,
+        # NEW round-6: the last two TPC-H shapes expressible on the
+        # reduced schema (Q12 conditional-agg split; Q21 sole-late-
+        # supplier, rewritten as ONE grouped pass — the oracle keeps the
+        # textbook EXISTS/NOT-EXISTS form, so the driver's check also
+        # proves the rewrite) ------------------------------------------
+        "tpch_shipmode_priority": rel.shipmode_priority,
+        "tpch_waiting_suppliers": rel.waiting_suppliers,
         # NEW round-5 pipeline/analytics operators (10) ---------------
         "corpus_temperature_mix": q_corpus_temperature_mix,
         "corpus_batches": q_corpus_batches,

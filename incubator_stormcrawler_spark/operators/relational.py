@@ -851,3 +851,96 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("user_id").alias("n_users"))
         .orderBy("cohort_day", "day_offset")
     )
+
+
+def shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape adapted to the reduced schema (no ``l_shipmode`` /
+    commit/receipt dates — TESTDATA.md): for lines in two return classes
+    ('A', 'R' — standing in for Q12's MAIL/SHIP pair) that shipped LATE
+    (>60 days after the order date) during 1997, count urgent-priority
+    vs non-urgent orders per class.
+
+    Plan: both scans carry pushed filters (returnflag IN + shipdate range
+    on lineitem; nothing scans a column it doesn't use); one shuffle joins
+    lineitem⋈orders on orderkey; the priority split is a CONDITIONAL
+    aggregate over the joined stream — Q12's signature shape — so there is
+    no second pass and no self-join. count() FILTER-style conditionals
+    stay BIGINT in both engines (no HUGEINT/DECIMAL drift).
+    """
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag").isin("A", "R"))
+        .where(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .select("l_orderkey", "l_returnflag", "l_shipdate")
+    )
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(urgent, 1)).alias("high_line_count"),
+            F.count(F.when(~urgent, 1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape adapted to the reduced schema: suppliers who were
+    the SOLE late supplier (line shipped >60 days after the order date)
+    on a finished ('F') multi-supplier order, ranked by how many orders
+    they held up.
+
+    Scale: classic Q21 is two self-joins on lineitem (EXISTS another
+    supplier, NOT EXISTS another LATE supplier) — three passes over the
+    fact table. Here it is rewritten as ONE grouped pass per order:
+    n_supp = countDistinct(supplier), n_late_supp = countDistinct(late
+    supplier), and the waiting supplier is the late one in orders with
+    n_supp > 1 AND n_late_supp == 1. One orderkey shuffle total; the
+    oracle keeps the textbook EXISTS/NOT-EXISTS form, so the driver's
+    cross-engine check also proves the rewrite's equivalence. supplier is
+    broadcast for the name.
+    """
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    lines = li.join(
+        orders, F.col("l_orderkey") == F.col("o_orderkey")
+    ).withColumn(
+        "is_late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+    )
+    per_order = lines.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(
+            F.when(F.col("is_late"), F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+        F.max(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "sole_late_supp"
+        ),
+    )
+    waiting = per_order.where(
+        (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        waiting.groupBy("sole_late_supp")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(supp), F.col("sole_late_supp") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )
