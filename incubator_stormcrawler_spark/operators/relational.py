@@ -903,13 +903,20 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: classic Q21 is two self-joins on lineitem (EXISTS another
     supplier, NOT EXISTS another LATE supplier) — three passes over the
-    fact table. Here it is rewritten as ONE grouped pass per order:
-    n_supp = countDistinct(supplier), n_late_supp = countDistinct(late
-    supplier), and the waiting supplier is the late one in orders with
-    n_supp > 1 AND n_late_supp == 1. One orderkey shuffle total; the
-    oracle keeps the textbook EXISTS/NOT-EXISTS form, so the driver's
-    cross-engine check also proves the rewrite's equivalence. supplier is
-    broadcast for the name.
+    fact table. Here it is rewritten as ONE grouped pass per order over
+    small per-order supplier SETS: n_supp = size(collect_set(supplier)),
+    late_set = collect_set(late supplier), and the waiting supplier is
+    the sole element of late_set in orders with n_supp > 1 AND
+    size(late_set) == 1. collect_set (not count_distinct) is deliberate:
+    two count_distincts over the same grouping compile to an Expand (3x
+    row multiplication of the fact table) plus TWO exchanges on expanded
+    keys (r6 plan, caught by the r7 plan audit), while collect_set is a
+    single ObjectHashAggregate with map-side partial merge — truly ONE
+    orderkey shuffle, and set sizes are bounded by suppliers-per-order
+    (~7 in TPC-H). The oracle keeps the textbook EXISTS/NOT-EXISTS form,
+    so the driver's cross-engine check also proves the rewrite's
+    equivalence. supplier is broadcast for the name;
+    tests/test_plans.py::test_round6_tpch_plan_shapes pins the shape.
     """
     orders = _t(spark, sf_dir, "orders").where(
         F.col("o_orderstatus") == "F"
@@ -924,17 +931,19 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
     )
     per_order = lines.groupBy("l_orderkey").agg(
-        F.count_distinct("l_suppkey").alias("n_supp"),
-        F.count_distinct(
+        F.size(F.collect_set("l_suppkey")).alias("n_supp"),
+        F.collect_set(
             F.when(F.col("is_late"), F.col("l_suppkey"))
-        ).alias("n_late_supp"),
-        F.max(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
-            "sole_late_supp"
-        ),
+        ).alias("late_set"),
     )
+    # INVARIANT: element_at(late_set, 1) identifies THE late supplier
+    # only under the adjacent size(late_set) == 1 filter. If that
+    # predicate is ever relaxed or moved, the element becomes an
+    # arbitrary late supplier — keep the filter and the projection
+    # together.
     waiting = per_order.where(
-        (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
-    )
+        (F.col("n_supp") > 1) & (F.size("late_set") == 1)
+    ).withColumn("sole_late_supp", F.element_at("late_set", 1))
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         waiting.groupBy("sole_late_supp")

@@ -64,6 +64,32 @@ def test_round5_tpch_plan_shapes(spark):
     assert p.count("Scan parquet") <= 3  # lineitem (maybe reused) + supplier
 
 
+def test_round6_tpch_plan_shapes(spark):
+    """Q12/Q21 (round 6) plan pins. Q12: both pushed filters reach the
+    lineitem scan and the priority split is ONE conditional aggregate
+    over the joined stream (lineitem scanned once, no second pass).
+    Q21: the r7 rewrite replaced the count_distinct pair — which compiled
+    to an Expand (3x row multiplication of the fact table) plus two
+    exchanges on expanded keys — with collect_set in a single
+    ObjectHashAggregate: no Expand, lineitem scanned once (no self-join),
+    at most two hash exchanges (the orderkey shuffle plus the tiny
+    post-filter per-supplier count), supplier broadcast, top-10 as
+    TakeOrderedAndProject."""
+    p = plan_of(rel.shipmode_priority(spark, SF))
+    pushed = p.split("PushedFilters: [")[1]
+    assert "In(l_returnflag" in pushed
+    assert "GreaterThanOrEqual(l_shipdate" in pushed
+    assert p.count("lineitem.parquet") == 1
+    assert "CartesianProduct" not in p
+
+    p = plan_of(rel.waiting_suppliers(spark, SF))
+    assert "Expand" not in p
+    assert p.count("lineitem.parquet") == 1
+    assert p.count("Exchange hashpartitioning") <= 2
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+
+
 def test_broadcast_merge_never_shuffles_frontier(spark, tmp_path):
     from incubator_stormcrawler_spark.operators.status_merge import (
         merge_status_updates,

@@ -25,16 +25,20 @@ def _green_rows(path: str) -> set[str]:
 
 
 def test_driver_window_tail_is_driver_green():
-    """Every entry past position 50 must have a GREEN row in a prior
-    driver round (r03 or r04) — otherwise a query exists that NO driver
-    round has ever correctness-checked, or one whose only driver row is a
-    failure. Membership alone is not enough: a failing row would satisfy a
-    key-set check while the query stays driver-red forever."""
+    """Every entry past position 50 must have a GREEN row in SOME prior
+    driver round — otherwise a query exists that NO driver round has ever
+    correctness-checked, or one whose only driver row is a failure.
+    Membership alone is not enough: a failing row would satisfy a key-set
+    check while the query stays driver-red forever. The green set is the
+    union over ALL committed CORRECTNESS_r*.json files (r7 fix: the
+    source list grows with rounds instead of hardcoding r03|r04)."""
+    import glob
+
     import __spark_entry__ as e
 
-    green = _green_rows("/root/repo/CORRECTNESS_r03.json") | _green_rows(
-        "/root/repo/CORRECTNESS_r04.json"
-    )
+    green: set[str] = set()
+    for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+        green |= _green_rows(path)
     ks = list(e.queries())
     unchecked_tail = [k for k in ks[50:] if k not in green]
     assert unchecked_tail == [], (
