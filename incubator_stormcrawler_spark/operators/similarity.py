@@ -19,6 +19,116 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def clustered_embeddings(
+    spark,
+    n: int = 2000,
+    dim: int = 16,
+    n_clusters: int = 64,
+    noise: float = 0.15,
+) -> DataFrame:
+    """Deterministic CLUSTERED embedding fixture: ``n_clusters`` uniform
+    random centers in [-1,1]^dim, each vector = its cluster's center plus
+    per-vector noise of amplitude ``noise`` (cluster = vec_id mod
+    n_clusters). Within-cluster cosine ≈ 0.99, cross-cluster ≈ 0 — the
+    geometry real text/image embeddings have and the driver's random
+    `embeddings` table deliberately lacks (IVF's worst case, where recall
+    can only track scan fraction). All randomness is md5-derived
+    arithmetic, so DuckDB reproduces the exact same vectors from the same
+    expressions (see `_CLUSTERED_FIXTURE_SQL` in __spark_entry__.py) —
+    the fixture itself is oracle-checkable, not just the queries over it.
+    """
+    elems = []
+    for j in range(dim):
+        # integer-in-[-1000,1000] / double → exact IEEE division, so
+        # DuckDB reproduces every element bit-for-bit (1e3 not 1000.0:
+        # a decimal literal would make the whole expression DECIMAL)
+        c = (
+            f"(cast(conv(substr(md5(concat('c-', cast(id % {n_clusters} "
+            f"as string), '-{j}')), 1, 8), 16, 10) as bigint) % 2001 "
+            f"- 1000) / 1e3"
+        )
+        nz = (
+            f"((cast(conv(substr(md5(concat('n-', cast(id as string), "
+            f"'-{j}')), 1, 8), 16, 10) as bigint) % 2001 - 1000) / 1e3)"
+            f" * {noise}"
+        )
+        elems.append(f"({c} + {nz})")
+    return spark.range(n).selectExpr(
+        "id as vec_id", f"array({', '.join(elems)}) as embedding"
+    )
+
+
+def ivf_scan_stats(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 32,
+    n_probe: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-query CANDIDATE COUNT of the IVF index (how many vectors the
+    probe set actually scores) — the cost half of the recall/cost curve.
+    Mirrors ``ivf_cosine_topk``'s centroid sampling, assignment, and
+    probing exactly; returns (query_id, n_candidates, scan_frac)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cosine(qv: pd.Series, cv: pd.Series) -> pd.Series:
+        a = np.array(list(qv), dtype=np.float64)
+        b = np.array(list(cv), dtype=np.float64)
+        an = np.linalg.norm(a, axis=1)
+        bn = np.linalg.norm(b, axis=1)
+        an[an == 0] = 1.0
+        bn[bn == 0] = 1.0
+        return pd.Series(np.einsum("ij,ij->i", a, b) / (an * bn))
+
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+    )
+    n_total = e.count()
+    cents = (
+        e.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(n_centroids)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    )
+    scored = e.crossJoin(F.broadcast(cents)).withColumn(
+        "csim", cosine(F.col("v"), F.col("cv"))
+    )
+    assign = scored.groupBy("vec_id").agg(
+        F.max_by(
+            F.col("cid"), F.struct(F.col("csim"), -F.col("cid"))
+        ).alias("cid")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    qs = q.crossJoin(F.broadcast(cents)).withColumn(
+        "csim", cosine(F.col("qv"), F.col("cv"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("csim").desc(), F.col("cid")
+    )
+    probes = (
+        qs.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= n_probe)
+        .select("query_id", "cid")
+    )
+    return (
+        assign.join(F.broadcast(probes), "cid")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_candidates"))
+        .select(
+            "query_id",
+            "n_candidates",
+            F.round(F.col("n_candidates") / F.lit(n_total), 4).alias(
+                "scan_frac"
+            ),
+        )
+    )
+
+
 def _dot(a, b):
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
