@@ -119,12 +119,20 @@ class CrawlLoop:
             )
         self._merge_and_write(updates, now)
 
-    def _merge_and_write(self, updates: DataFrame, now: str) -> DataFrame:
+    def _merge_and_write(
+        self, updates: DataFrame, now: str, batch_id: str | None = None
+    ) -> DataFrame:
         """Merge one batch of status updates into the frontier and commit;
         returns the merged table. Incremental (partition-pruned) when
-        bucket-partitioned and a snapshot already exists."""
+        bucket-partitioned and a snapshot already exists. A batch_id makes
+        a crash-retried merge a no-op instead of a double-apply —
+        FrontierTable's exactly-once contract. Seed injection passes None
+        (it may run several times per generation, and DISCOVERED-merge is
+        idempotent by its own semantics)."""
         if self.bucket_partitioned and self.table.exists():
-            self.table.merge_commit(self.spark, updates, now)
+            self.table.merge_commit(
+                self.spark, updates, now, batch_id=batch_id
+            )
             return self.read_frontier()
         merged = merge_status_updates(self.read_frontier(), updates, now)
         self._write_frontier(merged)
@@ -318,7 +326,9 @@ class CrawlLoop:
         # outlink and filter plans up to 3× each — the 537 p/s regression).
         fetched_ok = pages.count()
         n_docs = docs.count()
-        merged = self._merge_and_write(updates, now)
+        merged = self._merge_and_write(
+            updates, now, batch_id=f"gen-{self.generation}"
+        )
         counts = {
             "generation": self.generation,
             "batch": batch.count(),

@@ -94,11 +94,23 @@ class FrontierTable:
         self._vacuum(keep=3)
         return v
 
+    def last_batch_id(self) -> str | None:
+        """Batch id recorded by the current snapshot's commit (None for
+        plain commits or an empty table)."""
+        v = self.current_version()
+        marker = os.path.join(self.path, f"v{v:06d}", "_BATCH")
+        try:
+            with open(marker) as f:
+                return f.read().strip()
+        except FileNotFoundError:
+            return None
+
     def merge_commit(
         self,
         spark: SparkSession,
         updates: DataFrame,
         now: str,
+        batch_id: str | None = None,
         **merge_kwargs,
     ) -> int:
         """Delta-``MERGE INTO``-shaped incremental commit: rewrite ONLY the
@@ -121,6 +133,17 @@ class FrontierTable:
 
         Requires ``partition_by="bucket"`` and byHost politeness keys (the
         bucket must be derivable from the URL on both sides).
+
+        Crash-restart contract (the exactly-once claim of SURVEY §3.1,
+        reference ``AbstractStatusUpdaterBolt.java:150-161``; Delta's
+        ``txnAppId``/``txnVersion`` idiom): a commit is visible only once
+        the pointer flips, and the flip records ``batch_id`` in the new
+        snapshot. A crash BEFORE the flip leaves a partial staging dir
+        that the retry's ``mode("overwrite")`` replaces; a retry AFTER
+        the flip (caller never saw the ack) is a no-op because the
+        current snapshot already carries this batch_id. Either way the
+        table equals the single-run result — pinned by
+        tests/test_streaming.py::test_merge_commit_crash_restart_idempotent.
         """
         from pyspark.sql import functions as F
 
@@ -129,6 +152,9 @@ class FrontierTable:
 
         if self.partition_by != "bucket":
             raise ValueError("merge_commit requires partition_by='bucket'")
+
+        if batch_id is not None and self.last_batch_id() == batch_id:
+            return self.current_version()
 
         v = self.current_version()
         # metadata-sized collect: ≤ num_buckets ints after distinct
@@ -172,6 +198,9 @@ class FrontierTable:
                             os.path.join(dst, fname),
                         )
 
+        if batch_id is not None:
+            with open(os.path.join(snap_new, "_BATCH"), "w") as f:
+                f.write(batch_id)
         tmp = self._pointer + ".tmp"
         with open(tmp, "w") as f:
             f.write(str(new_v))

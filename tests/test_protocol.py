@@ -413,3 +413,66 @@ def test_browser_protocol_reuses_browser():
     proto.get_protocol_output("https://a.example/1", {})
     proto.get_protocol_output("https://a.example/2", {})
     assert len(calls) == 1  # one browser per protocol instance
+
+
+def test_fetch_global_rate_1000_keys_32_partitions():
+    """Cluster-scale politeness property (FetcherBolt.java:191-245): with
+    1,000 hosts hash-assigned to 32 partitions — the repartition("key")
+    shape fetch() uses — the per-host fetch rate never exceeds 1/delay
+    GLOBALLY, because (a) every key lives in exactly ONE partition and
+    (b) within that partition its fetches are serial with >= delay
+    spacing. Fake clocks per partition, zero wall-clock sleeps; every
+    inter-fetch gap of every host across the whole fleet is checked."""
+    n_keys, n_parts, delay = 1000, 32, 1.0
+    site = {
+        f"https://h{k}.example/p{i}": "x"
+        for k in range(n_keys)
+        for i in range(3)
+    }
+    rows = [(u, u.split("/")[2]) for u in sorted(site)]
+
+    # hash-partition by key — a deterministic stand-in for
+    # repartition("key"): the property that matters is key -> ONE partition
+    parts: dict[int, list] = {p: [] for p in range(n_parts)}
+    for u, k in rows:
+        parts[hash(k) % n_parts].append((u, k))
+    assigned = {}
+    for p, prows in parts.items():
+        for _, k in prows:
+            assert assigned.setdefault(k, p) == p  # key never spans parts
+
+    class FakeTimeProtocol(MemoryProtocol):
+        def __init__(self, site, fc):
+            super().__init__(site)
+            self.fc = fc
+            self.fake_log: list[tuple[float, str]] = []
+
+        def get_protocol_output(self, url, metadata):
+            self.fake_log.append((self.fc.t, url))
+            return super().get_protocol_output(url, metadata)
+
+    fetch_times: dict[str, list[float]] = {}
+    total = 0
+    for p, prows in parts.items():
+        if not prows:
+            continue
+        fc = FakeClock()
+        proto = FakeTimeProtocol(site, fc)
+        results = fetch_partition(
+            prows, proto, server_delay=delay, respect_robots=False,
+            clock=fc.clock, sleep=fc.sleep,
+        )
+        total += len(results)
+        for t, url in proto.fake_log:
+            fetch_times.setdefault(url.split("/")[2], []).append(t)
+
+    assert total == len(rows)
+    assert len(fetch_times) == n_keys
+    eps = 1e-9
+    for key, ts in fetch_times.items():
+        ts.sort()
+        assert len(ts) == 3
+        for a, b in zip(ts, ts[1:]):
+            assert b - a >= delay - eps, (
+                f"host {key} fetched {b - a:.3f}s apart (< {delay}s)"
+            )

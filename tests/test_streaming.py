@@ -332,3 +332,89 @@ def test_frontier_table_time_travel(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="not retained"):
         t.read(spark, version=1)
+
+
+def test_merge_commit_crash_restart_idempotent(spark, tmp_path, monkeypatch):
+    """The exactly-once claim of SURVEY §3.1 (reference
+    AbstractStatusUpdaterBolt.java:150-161), crash-tested at BOTH crash
+    points of the commit protocol:
+
+    1. crash BETWEEN staging write and pointer swap — the retry must
+       replace the partial staging dir and produce the single-run table;
+    2. crash AFTER the swap, before the caller sees the ack — the retry
+       with the same batch_id must be a NO-OP (Delta's txnAppId/
+       txnVersion idiom), not a double-apply (error_count would
+       escalate twice on FETCH_ERROR updates if it re-merged).
+    """
+    from pyspark.sql import functions as F
+
+    from incubator_stormcrawler_spark.operators.synthetic import (
+        synthetic_frontier,
+    )
+    from incubator_stormcrawler_spark.streaming import frontier_table as ftm
+
+    NOW = "2024-01-15 00:00:00"
+    frontier = synthetic_frontier(spark, "/root/testdata/sf0.001")
+    updates = spark.createDataFrame(
+        [("https://host1.example/p101", "FETCHED"),
+         ("https://host1.example/brandnew", "DISCOVERED"),
+         ("https://host2.example/p2", "FETCH_ERROR")],
+        "url string, status string",
+    )
+
+    def snapshot(table):
+        return sorted(
+            (r.url, r.status, str(r.next_fetch_date), r.error_count,
+             r.key, r.bucket)
+            for r in table.read(spark).collect()
+        )
+
+    # reference: the uncrashed single run
+    ref = FrontierTable(str(tmp_path / "ref"), partition_by="bucket")
+    ref.commit(frontier)
+    ref.merge_commit(spark, updates, NOW, batch_id="gen-1")
+    expected = snapshot(ref)
+
+    # crash point 1: staging dir written, pointer swap dies
+    t = FrontierTable(str(tmp_path / "crash"), partition_by="bucket")
+    t.commit(frontier)
+    v1 = t.current_version()
+    real_replace = os.replace
+
+    def dying_replace(src, dst):
+        if dst == t._pointer:
+            raise OSError("simulated crash before pointer swap")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(ftm.os, "replace", dying_replace)
+    with pytest.raises(OSError, match="simulated crash"):
+        t.merge_commit(spark, updates, NOW, batch_id="gen-1")
+    monkeypatch.setattr(ftm.os, "replace", real_replace)
+
+    # the partial staging dir exists but the table is untouched
+    assert os.path.isdir(os.path.join(t.path, f"v{v1 + 1:06d}"))
+    assert t.current_version() == v1
+
+    v2 = t.merge_commit(spark, updates, NOW, batch_id="gen-1")  # retry
+    assert v2 == v1 + 1
+    assert snapshot(t) == expected
+
+    # crash point 2: commit landed, ack lost — same batch_id retries
+    # must not double-apply (version unchanged, bytes unchanged)
+    v3 = t.merge_commit(spark, updates, NOW, batch_id="gen-1")
+    assert v3 == v2
+    assert snapshot(t) == expected
+    # and a NEW batch on the same table still goes through
+    more = spark.createDataFrame(
+        [("https://host2.example/p2", "FETCH_ERROR")],
+        "url string, status string",
+    )
+    v4 = t.merge_commit(spark, more, NOW, batch_id="gen-2")
+    assert v4 == v2 + 1
+    errs = {
+        r.url: r.error_count
+        for r in t.read(spark).where(
+            F.col("url") == "https://host2.example/p2"
+        ).collect()
+    }
+    assert errs["https://host2.example/p2"] == 2  # once per distinct batch

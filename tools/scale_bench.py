@@ -1,0 +1,404 @@
+"""Measured scaling curves for the headline operators — the evidence that
+SCALE.md's plan-shape claims hold when the data grows, not just at sf0.1.
+
+Each operator runs at 3 sizes spanning 16× (4× steps), timed after the
+same cache/GC hygiene bench.py uses. For each curve we report the growth
+exponent alpha = log(t_hi/t_lo) / log(n_hi/n_lo): alpha ≈ 1 is linear
+scaling (fixed overheads make sub-linear alphas common at these sizes);
+alpha substantially above ~1.3 flags a plan that degrades super-linearly
+and needs a fix before anyone believes the 100 TB story.
+
+Also measures the one A/B SCALE.md argues qualitatively: salted vs
+unsalted grouped top-k on a HEAVILY skewed frontier (90% of URLs on 10
+hosts) — the salted two-phase plan must win at the top scale.
+
+Run:  python tools/scale_bench.py [--quick]
+Writes SCALING.json and prints a markdown table for BASELINE.md.
+--quick drops every size by 4× (CI-speed smoke of the same curves).
+"""
+
+from __future__ import annotations
+
+import gc
+import json
+import math
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+NOW = "2024-01-15 00:00:00"
+
+
+def _clean(spark):
+    spark.catalog.clearCache()
+    gc.collect()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
+
+
+def timed(fn) -> float:
+    t0 = time.time()
+    fn()
+    return time.time() - t0
+
+
+def alpha(points: list[dict]) -> float:
+    """Growth exponent over the widest span of a curve."""
+    lo, hi = points[0], points[-1]
+    return round(
+        math.log(hi["sec"] / lo["sec"]) / math.log(hi["rows"] / lo["rows"]), 2
+    )
+
+
+def synth_docs(spark, n: int):
+    """~40-token docs, md5-derived unique word streams, 2% planted
+    near-dups — the minhash bench corpus (tools/baseline_bench.py)."""
+    words = (
+        "concat_ws(' ', transform(sequence(0, 39), j -> "
+        "substr(md5(cast(id as string) || '-' || cast(j as string)), 1, 6)))"
+    )
+    near = words.replace("cast(id as string)", "cast(id - 1 as string)")
+    return spark.range(n).selectExpr(
+        "id as doc_id",
+        f"case when mod(id, 50) = 0 and id > 0 then {near} || ' tail' "
+        f"else {words} end as text",
+    )
+
+
+def synth_dup_docs(spark, n: int):
+    """Corpus for substring/segment dedup: every 4th doc repeats doc
+    (id-1)'s text with a unique prefix — long shared spans, plenty of
+    exact-duplicate segments."""
+    words = (
+        "concat_ws(' ', transform(sequence(0, 63), j -> "
+        "substr(md5(cast(id as string) || '.' || cast(j as string)), 1, 6)))"
+    )
+    prev = words.replace("cast(id as string)", "cast(id - 1 as string)")
+    return spark.range(n).selectExpr(
+        "id as doc_id",
+        f"case when mod(id, 4) = 0 and id > 0 then "
+        f"concat('pfx', cast(id as string), ' ', {prev}) "
+        f"else {words} end as text",
+    )
+
+
+def synth_pairs(spark, n_edges: int):
+    """Near-dup pair graph: chains of 8 nodes (i ~ i+1 within a block)
+    plus every 16th edge long-range — components of mixed diameter."""
+    return spark.range(n_edges).selectExpr(
+        "case when mod(id, 16) = 0 then cast(id as bigint) "
+        "else cast(id + floor(id / 8) as bigint) end as doc1",
+        "case when mod(id, 16) = 0 then cast(id + 12345 as bigint) "
+        "else cast(id + floor(id / 8) + 1 as bigint) end as doc2",
+    )
+
+
+def curve_frontier_topk(spark, tmp, sizes):
+    from tools.baseline_bench import build_frontier_parquet
+
+    from incubator_stormcrawler_spark.operators.frontier import frontier_topk
+
+    out = []
+    for n in sizes:
+        path = os.path.join(tmp, f"fr{n}")
+        build_frontier_parquet(spark, path, n=n, hosts=max(n // 100, 100))
+        _clean(spark)
+        fr = spark.read.parquet(path).select("url", "next_fetch_date", "key")
+        sec = timed(
+            lambda: frontier_topk(
+                fr, NOW, max_per_bucket=2, max_results=10_000
+            ).count()
+        )
+        out.append({"rows": n, "sec": round(sec, 2),
+                    "rows_per_sec": int(n / sec)})
+        shutil.rmtree(path, ignore_errors=True)
+    return out
+
+
+def skewed_topk_ab(spark, tmp, n):
+    """Salted vs unsalted grouped top-k where 90% of URLs sit on 10 hosts
+    (the rest uniform over n/1000) — the Zipf head that breaks a plain
+    window. Returns both timings and asserts identical results."""
+    from incubator_stormcrawler_spark.operators.frontier import (
+        frontier_topk,
+        frontier_topk_salted,
+    )
+
+    path = os.path.join(tmp, f"skew{n}")
+    spark.range(n).selectExpr(
+        "case when mod(id, 10) < 9 then concat('hot', cast(mod(id, 10) as string)) "
+        f"else concat('h', cast(mod(id, {max(n // 1000, 100)}) as string)) end as key",
+        "concat('https://x/', cast(id as string)) as url",
+        "timestampadd(MINUTE, cast(mod(id * 7, 20160) as int), "
+        "timestamp '2024-01-08 00:00:00') as next_fetch_date",
+    ).write.mode("overwrite").parquet(path)
+    fr = spark.read.parquet(path)
+    _clean(spark)
+    t_plain = timed(
+        lambda: frontier_topk(fr, NOW, max_per_bucket=5,
+                              max_results=10_000).count()
+    )
+    _clean(spark)
+    t_salted = timed(
+        lambda: frontier_topk_salted(fr, NOW, max_per_bucket=5,
+                                     max_results=10_000, salt_buckets=32)
+        .count()
+    )
+    a = {(r.url,) for r in
+         frontier_topk(fr, NOW, 5, 10_000).select("url").collect()}
+    b = {(r.url,) for r in
+         frontier_topk_salted(fr, NOW, 5, 10_000).select("url").collect()}
+    assert a == b, "salted top-k diverged from plain top-k"
+    shutil.rmtree(path, ignore_errors=True)
+    return {"rows": n, "plain_sec": round(t_plain, 2),
+            "salted_sec": round(t_salted, 2),
+            "speedup": round(t_plain / t_salted, 2)}
+
+
+def curve_status_merge(spark, tmp, sizes):
+    from tools.baseline_bench import build_frontier_parquet
+
+    from incubator_stormcrawler_spark.operators.status_merge import (
+        merge_status_updates,
+    )
+
+    out = []
+    for n in sizes:
+        path = os.path.join(tmp, f"fm{n}")
+        build_frontier_parquet(spark, path, n=n, hosts=max(n // 100, 100))
+        frontier = spark.read.parquet(path)
+        updates = spark.range(100_000).selectExpr(
+            f"concat('https://host', cast(mod(id, {max(n // 100, 100)}) as string), "
+            "'.example/p', cast(id * 11 as string)) as url",
+            "case when mod(id, 10) < 5 then 'DISCOVERED' "
+            "when mod(id, 10) < 8 then 'FETCHED' else 'FETCH_ERROR' end as status",
+        )
+        _clean(spark)
+        sec = timed(
+            lambda: merge_status_updates(frontier, updates, NOW)
+            .agg(F.count(F.lit(1)), F.sum("error_count")).collect()
+        )
+        out.append({"rows": n, "sec": round(sec, 2),
+                    "rows_per_sec": int(n / sec)})
+        shutil.rmtree(path, ignore_errors=True)
+    return out
+
+
+def curve_merge_commit(spark, tmp, sizes):
+    """The SECOND physical merge strategy: bucket-pruned MERGE into a
+    bucket-partitioned FrontierTable — cost should track the TOUCHED
+    buckets' rows, so absolute times stay well under the full-outer
+    strategy as the table grows (updates span all buckets here, making
+    this the worst case for pruning: every partition is touched)."""
+    from incubator_stormcrawler_spark.streaming.frontier_table import (
+        FrontierTable,
+    )
+
+    out = []
+    for n in sizes:
+        tdir = os.path.join(tmp, f"mc{n}")
+        hosts = max(n // 100, 100)
+        table = FrontierTable(tdir, partition_by="bucket")
+        frontier = spark.range(n).selectExpr(
+            f"concat('https://host', cast(mod(id, {hosts}) as string), "
+            "'.example/p', cast(id as string)) as url",
+            "'DISCOVERED' as status",
+            "timestamp '2024-01-08 00:00:00' as next_fetch_date",
+            "0 as error_count",
+            f"concat('host', cast(mod(id, {hosts}) as string), '.example') as key",
+            "cast(mod(id, 10) as int) as bucket",
+        )
+        table.commit(frontier)
+        updates = spark.range(100_000).selectExpr(
+            f"concat('https://host', cast(mod(id, {hosts}) as string), "
+            "'.example/p', cast(id * 11 as string)) as url",
+            "case when mod(id, 10) < 5 then 'DISCOVERED' "
+            "when mod(id, 10) < 8 then 'FETCHED' else 'FETCH_ERROR' end as status",
+        )
+        _clean(spark)
+        sec = timed(lambda: table.merge_commit(spark, updates, NOW))
+        out.append({"rows": n, "sec": round(sec, 2),
+                    "rows_per_sec": int(n / sec)})
+        shutil.rmtree(tdir, ignore_errors=True)
+    return out
+
+
+def curve_minhash(spark, sizes):
+    from incubator_stormcrawler_spark.operators.dedup import (
+        lsh_candidate_pairs,
+    )
+
+    out = []
+    for n in sizes:
+        docs = synth_docs(spark, n)
+        _clean(spark)
+        sec = timed(
+            lambda: lsh_candidate_pairs(
+                docs, num_hashes=8, band_rows=2, min_est_sim=0.5
+            ).count()
+        )
+        out.append({"rows": n, "sec": round(sec, 2),
+                    "rows_per_sec": int(n / sec)})
+    return out
+
+
+def curve_star_contraction(spark, sizes):
+    from incubator_stormcrawler_spark.operators.corpus import (
+        star_contraction_components,
+    )
+
+    out = []
+    for n in sizes:
+        pairs = synth_pairs(spark, n)
+        _clean(spark)
+        sec = timed(lambda: star_contraction_components(pairs).count())
+        out.append({"rows": n, "sec": round(sec, 2),
+                    "rows_per_sec": int(n / sec)})
+    return out
+
+
+def curve_substring_dedup(spark, sizes):
+    from incubator_stormcrawler_spark.operators.dedup import substring_dedup
+
+    out = []
+    for n in sizes:
+        docs = synth_dup_docs(spark, n)
+        _clean(spark)
+        sec = timed(
+            lambda: substring_dedup(docs).agg(
+                F.sum("n_removed"), F.count(F.lit(1))
+            ).collect()
+        )
+        out.append({"rows": n, "sec": round(sec, 2),
+                    "rows_per_sec": int(n / sec)})
+    return out
+
+
+def curve_segment_dedup(spark, sizes):
+    from incubator_stormcrawler_spark.operators.corpus import segment_dedup
+
+    out = []
+    for n in sizes:
+        docs = synth_dup_docs(spark, n)
+        _clean(spark)
+        sec = timed(lambda: segment_dedup(docs).count())
+        out.append({"rows": n, "sec": round(sec, 2),
+                    "rows_per_sec": int(n / sec)})
+    return out
+
+
+def curve_bm25(spark, sizes):
+    from incubator_stormcrawler_spark.operators.corpus import bm25_search
+
+    out = []
+    for n in sizes:
+        docs = synth_docs(spark, n)
+        # query terms that actually occur: words of docs 1 and 2
+        terms = [
+            r[0] for r in docs.where("doc_id in (1, 2)")
+            .selectExpr("explode(split(text, ' ')) w").limit(6).collect()
+        ]
+        _clean(spark)
+        sec = timed(lambda: bm25_search(docs, terms, k=10).count())
+        out.append({"rows": n, "sec": round(sec, 2),
+                    "rows_per_sec": int(n / sec)})
+    return out
+
+
+def curve_crawl_generation(spark, sizes):
+    from tools.baseline_bench import bench_crawl_pipeline
+
+    out = []
+    for n in sizes:
+        _clean(spark)
+        r = bench_crawl_pipeline(spark, n_pages=n, hosts=max(n // 100, 100))
+        out.append({"rows": n, "sec": r["spark_sec"],
+                    "rows_per_sec": r["pages_per_sec"]})
+    return out
+
+
+def main():
+    quick = "--quick" in sys.argv
+    d = 4 if quick else 1
+
+    from incubator_stormcrawler_spark.session import get_spark
+
+    spark = get_spark("scale-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    tmp = tempfile.mkdtemp(prefix="scale_bench_")
+    results: dict[str, object] = {}
+    try:
+        curves = [
+            ("frontier_topk",
+             lambda: curve_frontier_topk(
+                 spark, tmp, [1_000_000 // d, 4_000_000 // d,
+                              16_000_000 // d])),
+            ("status_merge_full_outer",
+             lambda: curve_status_merge(
+                 spark, tmp, [1_000_000 // d, 4_000_000 // d,
+                              16_000_000 // d])),
+            ("merge_commit_bucket_pruned",
+             lambda: curve_merge_commit(
+                 spark, tmp, [1_000_000 // d, 4_000_000 // d,
+                              16_000_000 // d])),
+            ("minhash_lsh_pairs",
+             lambda: curve_minhash(
+                 spark, [100_000 // d, 400_000 // d, 1_600_000 // d])),
+            ("star_contraction",
+             lambda: curve_star_contraction(
+                 spark, [100_000 // d, 400_000 // d, 1_600_000 // d])),
+            ("substring_dedup",
+             lambda: curve_substring_dedup(
+                 spark, [25_000 // d, 100_000 // d, 400_000 // d])),
+            ("segment_dedup",
+             lambda: curve_segment_dedup(
+                 spark, [50_000 // d, 200_000 // d, 800_000 // d])),
+            ("bm25",
+             lambda: curve_bm25(
+                 spark, [100_000 // d, 400_000 // d, 1_600_000 // d])),
+            ("crawl_generation",
+             lambda: curve_crawl_generation(
+                 spark, [12_000 // d, 25_000 // d, 100_000 // d])),
+        ]
+        for name, fn in curves:
+            pts = fn()
+            results[name] = {"points": pts, "alpha": alpha(pts)}
+            print(f"## {name}: alpha={results[name]['alpha']}", flush=True)
+            for p in pts:
+                print(f"   {p}", flush=True)
+
+        results["skewed_topk_ab"] = skewed_topk_ab(
+            spark, tmp, 16_000_000 // d
+        )
+        print(f"## skewed_topk_ab: {results['skewed_topk_ab']}", flush=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    results["quick"] = quick
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "SCALING.json"), "w") as f:
+        json.dump(results, f, indent=2)
+
+    # markdown table for BASELINE.md
+    print("\n| operator | sizes (rows) | secs | rows/s @ max | alpha |")
+    print("|---|---|---|---|---|")
+    for name, r in results.items():
+        if not isinstance(r, dict) or "points" not in r:
+            continue
+        pts = r["points"]
+        sizes = " / ".join(f"{p['rows']:,}" for p in pts)
+        secs = " / ".join(str(p["sec"]) for p in pts)
+        print(f"| {name} | {sizes} | {secs} | "
+              f"{pts[-1]['rows_per_sec']:,} | {r['alpha']} |")
+
+
+if __name__ == "__main__":
+    main()
