@@ -641,8 +641,12 @@ def segment_dedup(
     keeper = segs.groupBy("__h").agg(
         F.min(F.struct(F.col(id_col), F.col("chunk_idx"))).alias("__k")
     )
+    # hint("merge"): same fix as substring_dedup's dup join — the keeper
+    # aggregate is corpus-sized but Catalyst's plan-time estimate can put
+    # it under the broadcast threshold; SMJ keeps the join-back linear
+    # and AQE-skew-splittable on a hot boilerplate segment.
     return (
-        segs.join(keeper, "__h")
+        segs.join(keeper.hint("merge"), "__h")
         .where(
             (F.col(id_col) == F.col(f"__k.{id_col}"))
             & (F.col("chunk_idx") == F.col("__k.chunk_idx"))

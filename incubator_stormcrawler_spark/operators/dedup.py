@@ -412,6 +412,59 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     )
 
 
+def substring_dup_starts(
+    docs: DataFrame,
+    window: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Duplicate-gram START positions (doc_id, pos, __dup=1): every
+    sliding ``window``-token gram occurrence that is NOT its hash's
+    first (doc_id, pos) occurrence. substring_dedup's stage (1)+(2),
+    factored out pre-checkpoint so tests/test_plans.py can pin the
+    physical plan. hint("merge") on the join-back: Catalyst's plan-time
+    size estimate for the keeper aggregate sails under the broadcast
+    threshold, so it BROADCASTS a corpus-sized build side — measured
+    48 s vs 16 s (SMJ) for this stage at 400k docs / 19.6M grams, and
+    the gap grows with the corpus (the r7 scaling curves caught this as
+    alpha = 1.12). SMJ keeps the shuffle linear AND stays eligible for
+    AQE skew-splitting on a mega-hot boilerplate gram (which a
+    window-over-h formulation — the other way to find non-keepers —
+    can never split)."""
+    toks = F.split(F.col(text_col), " ")
+    base = docs.select(F.col(id_col), toks.alias("__toks"))
+    grams = (
+        base.where(F.size("__toks") >= window)
+        .select(
+            F.col(id_col),
+            F.col("__toks"),
+            F.explode(
+                F.sequence(F.lit(1), F.size("__toks") - (window - 1))
+            ).alias("pos"),
+        )
+        .select(
+            F.col(id_col),
+            "pos",
+            F.md5(
+                F.concat_ws(
+                    " ", F.slice(F.col("__toks"), F.col("pos"), window)
+                )
+            ).alias("h"),
+        )
+    )
+    keeper = grams.groupBy("h").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__k")
+    )
+    return (
+        grams.join(keeper.hint("merge"), "h")
+        .where(
+            (F.col(id_col) != F.col(f"__k.{id_col}"))
+            | (F.col("pos") != F.col("__k.pos"))
+        )
+        .select(F.col(id_col), "pos", F.lit(1).alias("__dup"))
+    )
+
+
 def substring_dedup(
     docs: DataFrame,
     window: int = 16,
@@ -449,39 +502,11 @@ def substring_dedup(
 
     toks = F.split(F.col(text_col), " ")
     base = docs.select(F.col(id_col), toks.alias("__toks"))
-    grams = (
-        base.where(F.size("__toks") >= window)
-        .select(
-            F.col(id_col),
-            F.col("__toks"),
-            F.explode(
-                F.sequence(F.lit(1), F.size("__toks") - (window - 1))
-            ).alias("pos"),
-        )
-        .select(
-            F.col(id_col),
-            "pos",
-            F.md5(
-                F.concat_ws(
-                    " ", F.slice(F.col("__toks"), F.col("pos"), window)
-                )
-            ).alias("h"),
-        )
-    )
-    keeper = grams.groupBy("h").agg(
-        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__k")
-    )
     # dup feeds two consumers (the touched-doc set and the span marking);
     # checkpoint so the gram self-aggregation pipeline runs once
-    dup = (
-        grams.join(keeper, "h")
-        .where(
-            (F.col(id_col) != F.col(f"__k.{id_col}"))
-            | (F.col("pos") != F.col("__k.pos"))
-        )
-        .select(F.col(id_col), "pos", F.lit(1).alias("__dup"))
-        .localCheckpoint(eager=False)
-    )
+    dup = substring_dup_starts(
+        docs, window, text_col, id_col
+    ).localCheckpoint(eager=False)
     # Only docs that CONTAIN a duplicate gram pay the token explode + span
     # window — in a lightly-duplicated corpus that's a small minority. The
     # untouched majority is a pure projection (no explode, no shuffle):

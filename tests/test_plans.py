@@ -286,6 +286,9 @@ def test_segment_dedup_partial_agg_no_cartesian(spark):
         plan.count("HashAggregate") >= 2
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # keeper join-back pinned to sort-merge (same broadcast-misestimate
+    # hazard as substring_dedup's dup join; see that test)
+    assert "SortMergeJoin" in plan
 
 
 def test_semdedup_pair_join_is_hash_join_on_cid(spark):
@@ -328,6 +331,20 @@ def test_substring_dedup_partial_agg_no_cartesian(spark):
     assert plan.count("HashAggregate") >= 2
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # the dup join-back must be SORT-MERGE, never broadcast: Catalyst's
+    # plan-time estimate of the corpus-sized keeper aggregate can slip
+    # under the broadcast threshold and broadcast ~1 GB to every task
+    # (measured 48 s vs 16 s at 400k docs, alpha 1.12 on the r7 scaling
+    # curve). The merge hint pins it; asserted on the factored
+    # pre-checkpoint stage (the final plan hides it behind the
+    # localCheckpoint's ExistingRDD scan).
+    from incubator_stormcrawler_spark.operators.dedup import (
+        substring_dup_starts,
+    )
+
+    dup_plan = plan_of(substring_dup_starts(docs, window=16))
+    assert "SortMergeJoin" in dup_plan
+    assert "BroadcastHashJoin" not in dup_plan
 
 
 def test_bm25_and_postings_topk_is_take_ordered(spark):

@@ -44,7 +44,12 @@ def _clean(spark):
         pass
 
 
-def timed(fn) -> float:
+def timed(fn, warmup: bool = False) -> float:
+    """Time fn; with warmup=True run it once untimed first (JIT, python
+    worker pool, shuffle-service spinup — measured 3x swings on the
+    smallest curve point otherwise, which fabricates sub-linear alphas)."""
+    if warmup:
+        fn()
     t0 = time.time()
     fn()
     return time.time() - t0
@@ -115,7 +120,8 @@ def curve_frontier_topk(spark, tmp, sizes):
         sec = timed(
             lambda: frontier_topk(
                 fr, NOW, max_per_bucket=2, max_results=10_000
-            ).count()
+            ).count(),
+            warmup=(n == sizes[0]),
         )
         out.append({"rows": n, "sec": round(sec, 2),
                     "rows_per_sec": int(n / sec)})
@@ -124,9 +130,11 @@ def curve_frontier_topk(spark, tmp, sizes):
 
 
 def skewed_topk_ab(spark, tmp, n):
-    """Salted vs unsalted grouped top-k where 90% of URLs sit on 10 hosts
-    (the rest uniform over n/1000) — the Zipf head that breaks a plain
-    window. Returns both timings and asserts identical results."""
+    """Salted vs unsalted grouped top-k where 95% of URLs sit on ONE host
+    (the rest uniform over n/1000) — the single-giant-queue case (one CDN
+    domain owning the frontier) where a plain window serializes the whole
+    hot partition into one task while every other core idles. Returns
+    both timings and asserts identical results."""
     from incubator_stormcrawler_spark.operators.frontier import (
         frontier_topk,
         frontier_topk_salted,
@@ -134,7 +142,7 @@ def skewed_topk_ab(spark, tmp, n):
 
     path = os.path.join(tmp, f"skew{n}")
     spark.range(n).selectExpr(
-        "case when mod(id, 10) < 9 then concat('hot', cast(mod(id, 10) as string)) "
+        "case when mod(id, 20) < 19 then 'mega.example' "
         f"else concat('h', cast(mod(id, {max(n // 1000, 100)}) as string)) end as key",
         "concat('https://x/', cast(id as string)) as url",
         "timestampadd(MINUTE, cast(mod(id * 7, 20160) as int), "
@@ -144,13 +152,15 @@ def skewed_topk_ab(spark, tmp, n):
     _clean(spark)
     t_plain = timed(
         lambda: frontier_topk(fr, NOW, max_per_bucket=5,
-                              max_results=10_000).count()
+                              max_results=10_000).count(),
+        warmup=True,
     )
     _clean(spark)
     t_salted = timed(
         lambda: frontier_topk_salted(fr, NOW, max_per_bucket=5,
                                      max_results=10_000, salt_buckets=32)
-        .count()
+        .count(),
+        warmup=True,
     )
     a = {(r.url,) for r in
          frontier_topk(fr, NOW, 5, 10_000).select("url").collect()}
@@ -184,7 +194,8 @@ def curve_status_merge(spark, tmp, sizes):
         _clean(spark)
         sec = timed(
             lambda: merge_status_updates(frontier, updates, NOW)
-            .agg(F.count(F.lit(1)), F.sum("error_count")).collect()
+            .agg(F.count(F.lit(1)), F.sum("error_count")).collect(),
+            warmup=(n == sizes[0]),
         )
         out.append({"rows": n, "sec": round(sec, 2),
                     "rows_per_sec": int(n / sec)})
@@ -201,6 +212,28 @@ def curve_merge_commit(spark, tmp, sizes):
     from incubator_stormcrawler_spark.streaming.frontier_table import (
         FrontierTable,
     )
+
+    def build(tdir, n, hosts):
+        table = FrontierTable(tdir, partition_by="bucket")
+        table.commit(spark.range(n).selectExpr(
+            f"concat('https://host', cast(mod(id, {hosts}) as string), "
+            "'.example/p', cast(id as string)) as url",
+            "'DISCOVERED' as status",
+            "timestamp '2024-01-08 00:00:00' as next_fetch_date",
+            "0 as error_count",
+            f"concat('host', cast(mod(id, {hosts}) as string), "
+            "'.example') as key",
+            "cast(mod(id, 10) as int) as bucket",
+        ))
+        return table
+
+    # merge_commit mutates its table, so timed() can't re-run it for
+    # warmup — warm the machinery once on a throwaway table instead
+    warm = build(os.path.join(tmp, "mc_warm"), 10_000, 100)
+    warm.merge_commit(spark, spark.createDataFrame(
+        [("https://host1.example/p1", "FETCHED")],
+        "url string, status string"), NOW)
+    shutil.rmtree(os.path.join(tmp, "mc_warm"), ignore_errors=True)
 
     out = []
     for n in sizes:
@@ -231,6 +264,47 @@ def curve_merge_commit(spark, tmp, sizes):
     return out
 
 
+def curve_merge_commit_one_bucket(spark, tmp, sizes):
+    """The pruning PAYOFF: the update batch touches a single host (one
+    bucket of 10), so merge_commit re-reads and rewrites ~1/10 of the
+    table and hard-links the rest. The claim that makes pruned MERGE the
+    100 TB path is that this cost tracks the TOUCHED slice, not the
+    table — i.e. this curve should grow ~10× slower than the
+    every-bucket one."""
+    from incubator_stormcrawler_spark.streaming.frontier_table import (
+        FrontierTable,
+    )
+
+    out = []
+    for n in sizes:
+        tdir = os.path.join(tmp, f"mc1b{n}")
+        hosts = max(n // 100, 100)
+        table = FrontierTable(tdir, partition_by="bucket")
+        table.commit(spark.range(n).selectExpr(
+            f"concat('https://host', cast(mod(id, {hosts}) as string), "
+            "'.example/p', cast(id as string)) as url",
+            "'DISCOVERED' as status",
+            "timestamp '2024-01-08 00:00:00' as next_fetch_date",
+            "0 as error_count",
+            f"concat('host', cast(mod(id, {hosts}) as string), "
+            "'.example') as key",
+            "cast(mod(id, 10) as int) as bucket",
+        ))
+        updates = spark.range(100_000).selectExpr(
+            "concat('https://host0.example/p', cast(id * 11 as string)) "
+            "as url",
+            "case when mod(id, 10) < 5 then 'DISCOVERED' "
+            "when mod(id, 10) < 8 then 'FETCHED' "
+            "else 'FETCH_ERROR' end as status",
+        )
+        _clean(spark)
+        sec = timed(lambda: table.merge_commit(spark, updates, NOW))
+        out.append({"rows": n, "sec": round(sec, 2),
+                    "rows_per_sec": int(n / sec)})
+        shutil.rmtree(tdir, ignore_errors=True)
+    return out
+
+
 def curve_minhash(spark, sizes):
     from incubator_stormcrawler_spark.operators.dedup import (
         lsh_candidate_pairs,
@@ -243,7 +317,8 @@ def curve_minhash(spark, sizes):
         sec = timed(
             lambda: lsh_candidate_pairs(
                 docs, num_hashes=8, band_rows=2, min_est_sim=0.5
-            ).count()
+            ).count(),
+            warmup=(n == sizes[0]),
         )
         out.append({"rows": n, "sec": round(sec, 2),
                     "rows_per_sec": int(n / sec)})
@@ -259,7 +334,10 @@ def curve_star_contraction(spark, sizes):
     for n in sizes:
         pairs = synth_pairs(spark, n)
         _clean(spark)
-        sec = timed(lambda: star_contraction_components(pairs).count())
+        sec = timed(
+            lambda: star_contraction_components(pairs).count(),
+            warmup=(n == sizes[0]),
+        )
         out.append({"rows": n, "sec": round(sec, 2),
                     "rows_per_sec": int(n / sec)})
     return out
@@ -275,7 +353,8 @@ def curve_substring_dedup(spark, sizes):
         sec = timed(
             lambda: substring_dedup(docs).agg(
                 F.sum("n_removed"), F.count(F.lit(1))
-            ).collect()
+            ).collect(),
+            warmup=(n == sizes[0]),
         )
         out.append({"rows": n, "sec": round(sec, 2),
                     "rows_per_sec": int(n / sec)})
@@ -289,7 +368,10 @@ def curve_segment_dedup(spark, sizes):
     for n in sizes:
         docs = synth_dup_docs(spark, n)
         _clean(spark)
-        sec = timed(lambda: segment_dedup(docs).count())
+        sec = timed(
+            lambda: segment_dedup(docs).count(),
+            warmup=(n == sizes[0]),
+        )
         out.append({"rows": n, "sec": round(sec, 2),
                     "rows_per_sec": int(n / sec)})
     return out
@@ -307,7 +389,10 @@ def curve_bm25(spark, sizes):
             .selectExpr("explode(split(text, ' ')) w").limit(6).collect()
         ]
         _clean(spark)
-        sec = timed(lambda: bm25_search(docs, terms, k=10).count())
+        sec = timed(
+            lambda: bm25_search(docs, terms, k=10).count(),
+            warmup=(n == sizes[0]),
+        )
         out.append({"rows": n, "sec": round(sec, 2),
                     "rows_per_sec": int(n / sec)})
     return out
@@ -316,6 +401,7 @@ def curve_bm25(spark, sizes):
 def curve_crawl_generation(spark, sizes):
     from tools.baseline_bench import bench_crawl_pipeline
 
+    bench_crawl_pipeline(spark, n_pages=2_000, hosts=50)  # warm pool/JIT
     out = []
     for n in sizes:
         _clean(spark)
@@ -347,6 +433,10 @@ def main():
                               16_000_000 // d])),
             ("merge_commit_bucket_pruned",
              lambda: curve_merge_commit(
+                 spark, tmp, [1_000_000 // d, 4_000_000 // d,
+                              16_000_000 // d])),
+            ("merge_commit_one_bucket_touched",
+             lambda: curve_merge_commit_one_bucket(
                  spark, tmp, [1_000_000 // d, 4_000_000 // d,
                               16_000_000 // d])),
             ("minhash_lsh_pairs",
