@@ -16,8 +16,32 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _wait_for_quiet_box(
+    threshold: float = 4.0, max_wait_sec: float = 600.0
+) -> float:
+    """Wait (bounded) for the 1-minute loadavg to fall under ``threshold``
+    before timing anything. The r6 driver bench regressed a uniform
+    ~1.32× across 112 queries with ZERO code changes — the signature of a
+    busy box — and the artifact gave no way to tell. Now the bench (a)
+    refuses to start hot while the box is busy, up to 10 minutes, and
+    (b) records the loadavg it actually started at in both JSON outputs
+    so an environmental regression is diagnosable from the artifact."""
+    deadline = time.time() + max_wait_sec
+    load = os.getloadavg()[0]
+    while load > threshold and time.time() < deadline:
+        print(
+            f"bench: 1m loadavg {load:.1f} > {threshold} — waiting for a "
+            f"quiet box ({int(deadline - time.time())}s left)",
+            file=sys.stderr,
+        )
+        time.sleep(15)
+        load = os.getloadavg()[0]
+    return load
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    start_load = _wait_for_quiet_box()
     import __spark_entry__ as e
     from incubator_stormcrawler_spark.session import get_spark
 
@@ -83,6 +107,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "load_1m_at_start": round(start_load, 2),
+        "load_1m_at_end": round(os.getloadavg()[0], 2),
     }
     if baselines:
         print("baselines: " + json.dumps(baselines, separators=(",", ":")),
@@ -107,6 +133,7 @@ def main() -> None:
                 "sf": sf_val,
                 "n_queries": len(timings),
                 "n_errors": n_err,
+                "load_1m_at_start": round(start_load, 2),
                 "detail_file": "BENCH_DETAIL_latest.json",
             },
             separators=(",", ":"),

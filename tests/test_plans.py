@@ -64,6 +64,30 @@ def test_round5_tpch_plan_shapes(spark):
     assert p.count("Scan parquet") <= 3  # lineitem (maybe reused) + supplier
 
 
+def test_frontier_topk_partial_window_group_limit(spark):
+    """The skew property the crawl core depends on: Spark's
+    InsertWindowGroupLimit must plant a PARTIAL WindowGroupLimit BELOW
+    the key exchange, so every map task forwards at most k rows per
+    politeness key and a mega-host can never flood one reducer. This is
+    why the plain declarative top-k beats the hand-salted two-phase
+    variant at every measured scale (SCALING.json skewed_topk_ab: 95%
+    of 64M rows on one host). If an engine/config change drops the rule,
+    this fails and frontier_topk_salted becomes the fallback."""
+    from incubator_stormcrawler_spark.operators.frontier import frontier_topk
+
+    fr = spark.range(10_000).selectExpr(
+        "concat('k', cast(id % 50 as string)) as key",
+        "concat('u', cast(id as string)) as url",
+        "timestamp '2024-01-08 00:00:00' as next_fetch_date",
+    )
+    p = plan_of(frontier_topk(fr, "2024-01-15 00:00:00", 5, 1000))
+    below_exchange = p.split("Exchange hashpartitioning")[1]
+    assert "WindowGroupLimit" in below_exchange
+    assert "Partial" in below_exchange, (
+        "partial WindowGroupLimit must sit below the key exchange"
+    )
+
+
 def test_round6_tpch_plan_shapes(spark):
     """Q12/Q21 (round 6) plan pins. Q12: both pushed filters reach the
     lineitem scan and the priority split is ONE conditional aggregate

@@ -132,9 +132,14 @@ def curve_frontier_topk(spark, tmp, sizes):
 def skewed_topk_ab(spark, tmp, n):
     """Salted vs unsalted grouped top-k where 95% of URLs sit on ONE host
     (the rest uniform over n/1000) — the single-giant-queue case (one CDN
-    domain owning the frontier) where a plain window serializes the whole
-    hot partition into one task while every other core idles. Returns
-    both timings and asserts identical results."""
+    domain owning the frontier). MEASURED RESULT (r7): plain wins at
+    every scale tried (16M, 64M) because Spark ≥ 3.5's
+    InsertWindowGroupLimit plants a PARTIAL per-key top-k below the
+    exchange — each map task forwards ≤ k rows of the mega-host, which
+    is the salting trick engine-native, minus the second shuffle the
+    hand-salted variant pays. Plan-asserted in tests/test_plans.py::
+    test_frontier_topk_partial_window_group_limit. Returns both timings
+    and asserts identical results."""
     from incubator_stormcrawler_spark.operators.frontier import (
         frontier_topk,
         frontier_topk_salted,
@@ -465,9 +470,10 @@ def main():
             for p in pts:
                 print(f"   {p}", flush=True)
 
-        results["skewed_topk_ab"] = skewed_topk_ab(
-            spark, tmp, 16_000_000 // d
-        )
+        results["skewed_topk_ab"] = [
+            skewed_topk_ab(spark, tmp, 16_000_000 // d),
+            skewed_topk_ab(spark, tmp, 64_000_000 // d),
+        ]
         print(f"## skewed_topk_ab: {results['skewed_topk_ab']}", flush=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
