@@ -65,6 +65,43 @@ def batch_documents(rows, max_docs: int = 500, max_bytes: int = 5 * 1024 * 1024)
         yield batch
 
 
+def _post_bulk(endpoint: str, payload: str) -> dict:
+    import urllib.request
+
+    req = urllib.request.Request(
+        f"{endpoint.rstrip('/')}/_bulk",
+        data=payload.encode(),
+        headers={"Content-Type": "application/x-ndjson"},
+    )
+    import urllib.error
+
+    with urllib.request.urlopen(req, timeout=30) as resp:
+        return json.loads(resp.read())
+
+
+def _raise_on_item_errors(body: dict, tolerate_conflicts: bool) -> None:
+    """Per-item failure policy, reference-exact: a CREATE that hits an
+    existing doc returns per-item 409 CONFLICT, which the reference acks
+    as success ("already discovered" — opensearch
+    persistence/StatusUpdaterBolt.java:330-337 counts doc_conflicts and
+    does NOT fail the tuple); every other item failure is a real error.
+    Without this, a replayed generation (the crash-retry path) would
+    poison-pill the whole batch on its own earlier success."""
+    if not body.get("errors"):
+        return
+    real = []
+    for item in body.get("items", []):
+        for verb, r in item.items():
+            err = r.get("error")
+            if not err:
+                continue
+            if tolerate_conflicts and r.get("status") == 409:
+                continue
+            real.append({verb: r})
+    if real:
+        raise RuntimeError(f"bulk indexing errors: {real}")
+
+
 def write_opensearch(
     docs,
     endpoint: str,
@@ -75,23 +112,62 @@ def write_opensearch(
 ) -> None:
     """foreachPartition bulk writer. Each task streams its partition as
     size-bounded ``_bulk`` requests — the exact shape of the reference's
-    per-bolt BulkProcessor, with Spark tasks as the parallelism."""
+    per-bolt BulkProcessor, with Spark tasks as the parallelism. Live
+    wire format + replay semantics exercised against an in-process bulk
+    endpoint in tests/test_search_live.py."""
 
     def send_partition(rows):
-        import urllib.request
-
         for batch in batch_documents(rows, max_docs=max_docs_per_batch):
             payload = build_bulk_payload(
                 batch, index, create_only=create_only, routing_field=routing_field
             )
-            req = urllib.request.Request(
-                f"{endpoint.rstrip('/')}/_bulk",
-                data=payload.encode(),
-                headers={"Content-Type": "application/x-ndjson"},
-            )
-            with urllib.request.urlopen(req, timeout=30) as resp:
-                body = json.loads(resp.read())
-                if body.get("errors"):
-                    raise RuntimeError(f"bulk indexing errors: {body}")
+            body = _post_bulk(endpoint, payload)
+            _raise_on_item_errors(body, tolerate_conflicts=create_only)
 
     docs.foreachPartition(send_partition)
+
+
+def build_delete_payload(urls: list[str], index: str) -> str:
+    """NDJSON bulk body of delete actions by sha256(url) id — the
+    deletion stream's sink (opensearch bolt/DeletionBolt.java:55-66:
+    deletes by the same documentID scheme as the indexer; fire-and-forget
+    per URL)."""
+    return "\n".join(
+        json.dumps(
+            {"delete": {"_index": index, "_id": doc_id_for(u)}},
+            sort_keys=True,
+        )
+        for u in urls
+    ) + "\n"
+
+
+def delete_opensearch(
+    urls_df,
+    endpoint: str,
+    index: str,
+    max_docs_per_batch: int = 500,
+) -> None:
+    """foreachPartition deletion writer for the `deletion` stream
+    (status_merge.deletion_stream rows). Deleting a never-indexed doc is
+    a no-op, exactly like the reference ("will also try to delete
+    documents even though they were never indexed" —
+    DeletionBolt.java:55): bulk delete of a missing id reports
+    result=not_found with no error flag, so no item-failure fires."""
+
+    def send_partition(rows):
+        batch: list[str] = []
+        for row in rows:
+            batch.append(row if isinstance(row, str) else row["url"])
+            if len(batch) >= max_docs_per_batch:
+                _raise_on_item_errors(
+                    _post_bulk(endpoint, build_delete_payload(batch, index)),
+                    tolerate_conflicts=False,
+                )
+                batch = []
+        if batch:
+            _raise_on_item_errors(
+                _post_bulk(endpoint, build_delete_payload(batch, index)),
+                tolerate_conflicts=False,
+            )
+
+    urls_df.foreachPartition(send_partition)
