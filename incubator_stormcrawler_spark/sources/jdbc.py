@@ -197,7 +197,42 @@ class JdbcFrontierStore:
             f"DROP TABLE {old}",
         )
 
-    def merge_commit(self, updates: DataFrame, now: str, **merge_kwargs) -> list[int]:
+    # ---- exactly-once batch bookkeeping --------------------------------
+
+    def _ensure_meta(self) -> None:
+        meta = f"{self.table}_meta"
+        if not self._table_exists(meta):
+            self._execute(
+                f"CREATE TABLE {meta} "
+                "(k INT PRIMARY KEY, batch_id VARCHAR(200))",
+                f"INSERT INTO {meta} VALUES (0, NULL)",
+            )
+
+    def last_batch_id(self) -> str | None:
+        """Batch id recorded by the last merge_commit transaction (None
+        before any batch-tagged commit)."""
+        meta = f"{self.table}_meta"
+        if not self._table_exists(meta):
+            return None
+        jvm = self.spark.sparkContext._jvm
+        conn = jvm.java.sql.DriverManager.getConnection(self.jdbc_url)
+        try:
+            st = conn.createStatement()
+            rs = st.executeQuery(f"SELECT batch_id FROM {meta} WHERE k = 0")
+            out = rs.getString(1) if rs.next() else None
+            rs.close()
+            st.close()
+            return out
+        finally:
+            conn.close()
+
+    def merge_commit(
+        self,
+        updates: DataFrame,
+        now: str,
+        batch_id: str | None = None,
+        **merge_kwargs,
+    ) -> list[int]:
         """Pruned incremental MERGE — the SQL twin of
         ``FrontierTable.merge_commit``'s partition-pruned plan (and of what
         a lakehouse ``MERGE INTO`` with source-derived partition predicates
@@ -210,14 +245,33 @@ class JdbcFrontierStore:
              tableCreation.script:37), so untouched bucket slices never
              leave the database (plan-audited in tests/test_jdbc.py);
           3. ``merge_status_updates`` runs on the pruned slice only;
-          4. commit = stage the merged slice, then one DB transaction
-             deletes the touched buckets and inserts the staged rows —
-             readers see the old or the new slice, never half of one.
+          4. commit = stage the merged slice, then ONE DB transaction
+             deletes the touched buckets, inserts the staged rows, and
+             records ``batch_id`` in ``<table>_meta`` — readers see the
+             old or the new slice, never half of one, and the batch mark
+             is atomic WITH the data (Delta's txnAppId/txnVersion idiom
+             in SQL).
 
-        Returns the touched bucket ids.
+        Crash-restart contract (mirrors FrontierTable.merge_commit):
+        a crash before the transaction leaves only a staging table the
+        retry rebuilds; a retry after the transaction (ack lost) is a
+        NO-OP because ``<table>_meta`` already carries this batch_id —
+        error_count cannot escalate twice for one generation. Tested at
+        both crash points in tests/test_jdbc.py.
+
+        Returns the touched bucket ids ([] for a quiet or replayed batch).
         """
         from ..functions.urls import bucket_expr, host_key_expr
         from ..operators.status_merge import merge_status_updates
+
+        if batch_id is not None:
+            import re as _re
+
+            if not _re.fullmatch(r"[A-Za-z0-9._:-]{1,200}", batch_id):
+                raise ValueError(f"invalid batch_id: {batch_id!r}")
+            self._ensure_meta()
+            if self.last_batch_id() == batch_id:
+                return []
 
         # null urls can't key the PRIMARY-KEY store (and would violate the
         # NOT NULL constraint at the staging append) — drop them up front.
@@ -253,11 +307,16 @@ class JdbcFrontierStore:
             self.jdbc_url, staging
         )
         in_list = ",".join(str(b) for b in touched)
-        self._execute(
+        txn = [
             f"DELETE FROM {self.table} WHERE bucket IN ({in_list})",
             f"INSERT INTO {self.table} SELECT * FROM {staging}",
-            transactional=True,
-        )
+        ]
+        if batch_id is not None:
+            txn.append(
+                f"UPDATE {self.table}_meta SET batch_id = '{batch_id}' "
+                "WHERE k = 0"
+            )
+        self._execute(*txn, transactional=True)
         self._execute(f"DROP TABLE {staging}")
         return touched
 

@@ -221,3 +221,71 @@ def test_jdbc_merge_commit_quiet_batch_is_noop(spark):
     empty = spark.createDataFrame([], "url string, status string")
     assert s.merge_commit(empty, NOW) == []
     assert s.count() == before
+
+
+def test_jdbc_merge_commit_crash_restart_idempotent(spark, monkeypatch):
+    """Exactly-once for the SQL backend, both crash points (the JDBC twin
+    of FrontierTable's test): a crash BEFORE the swap transaction leaves
+    only a staging table the retry rebuilds; a retry AFTER the committed
+    transaction (lost ack) is a no-op because <table>_meta carries the
+    batch_id atomically with the data — FETCH_ERROR escalation cannot
+    double-apply."""
+    s = JdbcFrontierStore(
+        spark, "jdbc:derby:memory:crashdb;create=true", table="urls"
+    )
+    from incubator_stormcrawler_spark.functions.urls import bucket_expr
+
+    s.seed(_seed_frontier(spark).withColumn(
+        "bucket", bucket_expr(F.col("key"))
+    ))
+    updates = spark.createDataFrame(
+        [("https://h3.example/p3", "FETCH_ERROR"),
+         ("https://h3.example/new1", "DISCOVERED")],
+        "url string, status string",
+    )
+
+    def snapshot():
+        return sorted(
+            (r.url, r.status, r.error_count) for r in s.read().collect()
+        )
+
+    # crash point 1: staging written, swap transaction dies
+    real_execute = JdbcFrontierStore._execute
+
+    def dying_execute(self, *statements, transactional=False):
+        if transactional:
+            raise RuntimeError("simulated crash before swap txn")
+        return real_execute(self, *statements, transactional=transactional)
+
+    before = snapshot()
+    monkeypatch.setattr(JdbcFrontierStore, "_execute", dying_execute)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        s.merge_commit(updates, NOW, batch_id="gen-1")
+    monkeypatch.setattr(JdbcFrontierStore, "_execute", real_execute)
+    assert snapshot() == before  # table untouched
+    assert s._table_exists("urls_staging")  # the partial leftover
+
+    touched = s.merge_commit(updates, NOW, batch_id="gen-1")  # retry
+    assert touched != []
+    after = snapshot()
+    errs = {u: (st, e) for u, st, e in after}
+    assert errs["https://h3.example/p3"] == ("FETCH_ERROR", 1)
+    assert "https://h3.example/new1" in errs
+
+    # crash point 2: committed but ack lost — same batch_id is a no-op
+    assert s.merge_commit(updates, NOW, batch_id="gen-1") == []
+    assert snapshot() == after
+    assert s.last_batch_id() == "gen-1"
+
+    # a new batch still applies, escalating exactly once more
+    touched = s.merge_commit(
+        updates.where(F.col("status") == "FETCH_ERROR"), NOW,
+        batch_id="gen-2",
+    )
+    assert touched != []
+    errs = {u: (st, e) for u, st, e in snapshot()}
+    assert errs["https://h3.example/p3"] == ("FETCH_ERROR", 2)
+
+    # malformed batch ids are rejected before touching SQL
+    with pytest.raises(ValueError, match="invalid batch_id"):
+        s.merge_commit(updates, NOW, batch_id="x'; DROP TABLE urls--")
