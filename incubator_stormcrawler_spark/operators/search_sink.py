@@ -3,13 +3,17 @@
 ``create``-only flag, ingest pipeline param; routing by politeness key,
 persistence/StatusUpdaterBolt.java:80-98).
 
-Split into a pure, testable payload layer and a gated transport:
+Split into a pure payload layer and a real HTTP transport:
 
-* ``build_bulk_payload`` — docs → NDJSON ``_bulk`` body with create/index
-  actions, sha256 doc ids, optional per-doc routing. Pure function.
-* ``write_opensearch`` — ``foreachPartition`` HTTP POST of per-partition
-  bulk bodies (batched like the reference's BulkProcessor). Needs a live
-  endpoint, so tests cover the payload layer and the batching math only.
+* ``build_bulk_payload`` / ``build_solr_update_payload`` — docs → wire
+  bodies (NDJSON ``_bulk`` with create/index actions + sha256 doc ids +
+  routing; Solr JSON-array adds keyed by raw URL). Pure functions.
+* ``write_opensearch`` / ``delete_opensearch`` / ``write_solr`` /
+  ``delete_solr`` — ``foreachPartition`` HTTP writers (batched like the
+  reference's BulkProcessor / SolrJ update client). The full transport —
+  framing, batching, replay-conflict acks, deletion no-ops — runs live
+  against in-process stub endpoints in tests/test_search_live.py; only a
+  real cluster is absent from the sandbox.
 """
 
 from __future__ import annotations
@@ -169,5 +173,81 @@ def delete_opensearch(
                 _post_bulk(endpoint, build_delete_payload(batch, index)),
                 tolerate_conflicts=False,
             )
+
+    urls_df.foreachPartition(send_partition)
+
+
+# ---- Solr transport --------------------------------------------------------
+
+
+def build_solr_update_payload(docs: list[dict]) -> str:
+    """JSON-array update body — what SolrJ's ``UpdateRequest.add`` sends
+    to ``/update`` (solr bolt/IndexerBolt.java:95-127 builds one
+    SolrInputDocument per tuple; the JSON equivalent is an array of
+    docs). Unlike the OpenSearch sink there is no doc-id hashing: Solr's
+    uniqueKey is the URL field itself."""
+    return json.dumps(docs, sort_keys=True, default=str)
+
+
+def build_solr_delete_payload(urls: list[str]) -> str:
+    """``{"delete": [ids]}`` — SolrJ ``deleteById`` (solr
+    bolt/DeletionBolt.java:75 deletes by the raw URL, NOT a digest)."""
+    return json.dumps({"delete": list(urls)}, sort_keys=True)
+
+
+def _post_solr(endpoint: str, collection: str, payload: str) -> dict:
+    import urllib.request
+
+    req = urllib.request.Request(
+        f"{endpoint.rstrip('/')}/solr/{collection}/update?commitWithin=10000",
+        data=payload.encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=30) as resp:
+        body = json.loads(resp.read())
+    status = body.get("responseHeader", {}).get("status", -1)
+    if status != 0:
+        raise RuntimeError(f"solr update failed: {body}")
+    return body
+
+
+def write_solr(
+    docs,
+    endpoint: str,
+    collection: str,
+    max_docs_per_batch: int = 500,
+) -> None:
+    """foreachPartition Solr update writer — the Solr IndexerBolt's
+    ``connection.getUpdateClient().add(doc)`` path with Spark tasks as
+    the parallelism and the same count/size batching discipline as the
+    OpenSearch sink. Live wire format exercised in
+    tests/test_search_live.py."""
+
+    def send_partition(rows):
+        for batch in batch_documents(rows, max_docs=max_docs_per_batch):
+            _post_solr(endpoint, collection, build_solr_update_payload(batch))
+
+    docs.foreachPartition(send_partition)
+
+
+def delete_solr(
+    urls_df,
+    endpoint: str,
+    collection: str,
+    max_docs_per_batch: int = 500,
+) -> None:
+    """foreachPartition deletion writer for the `deletion` stream —
+    ``deleteById`` by raw URL; deleting an unknown id is a Solr no-op."""
+
+    def send_partition(rows):
+        batch: list[str] = []
+        for row in rows:
+            batch.append(row if isinstance(row, str) else row["url"])
+            if len(batch) >= max_docs_per_batch:
+                _post_solr(endpoint, collection,
+                           build_solr_delete_payload(batch))
+                batch = []
+        if batch:
+            _post_solr(endpoint, collection, build_solr_delete_payload(batch))
 
     urls_df.foreachPartition(send_partition)

@@ -172,3 +172,85 @@ def test_deletion_stream_deletes_and_missing_is_noop(spark, endpoint):
     delete_opensearch(dels, endpoint, "content")
     assert len(STATE.docs) == 3
     assert ("content", doc_id_for("https://h1.example/p1")) not in STATE.docs
+
+
+# ---- Solr live stub --------------------------------------------------------
+
+
+class SolrState:
+    def __init__(self):
+        self.docs: dict = {}  # (collection, url) -> doc
+        self.lock = threading.Lock()
+
+
+SOLR = SolrState()
+
+
+class SolrHandler(BaseHTTPRequestHandler):
+    def log_message(self, *a):
+        pass
+
+    def do_POST(self):
+        # /solr/<collection>/update
+        parts = self.path.split("?")[0].strip("/").split("/")
+        if len(parts) != 3 or parts[0] != "solr" or parts[2] != "update":
+            self.send_response(404)
+            self.end_headers()
+            return
+        collection = parts[1]
+        body = json.loads(
+            self.rfile.read(int(self.headers["Content-Length"])).decode()
+        )
+        with SOLR.lock:
+            if isinstance(body, list):  # add: JSON array of docs
+                for doc in body:
+                    SOLR.docs[(collection, doc["url"])] = doc
+            elif "delete" in body:  # deleteById — unknown id is a no-op
+                for u in body["delete"]:
+                    SOLR.docs.pop((collection, u), None)
+        resp = json.dumps({"responseHeader": {"status": 0, "QTime": 1}})
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.end_headers()
+        self.wfile.write(resp.encode())
+
+
+@pytest.fixture(scope="module")
+def solr_endpoint():
+    httpd = HTTPServer(("127.0.0.1", 0), SolrHandler)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{httpd.server_address[1]}"
+    httpd.shutdown()
+
+
+def test_solr_update_roundtrip_and_delete_by_raw_url(spark, solr_endpoint):
+    """Solr IndexerBolt wire contract: docs land keyed by the RAW url
+    (Solr's uniqueKey — no digest, unlike OpenSearch), re-adding upserts,
+    and the deletion stream deletes by id with unknown ids as no-ops
+    (bolt/DeletionBolt.java:75)."""
+    from pyspark.sql import Row
+
+    from incubator_stormcrawler_spark.operators.search_sink import (
+        delete_solr,
+        write_solr,
+    )
+
+    with SOLR.lock:
+        SOLR.docs.clear()
+    df = _docs_df(spark, 6)
+    write_solr(df, solr_endpoint, "content", max_docs_per_batch=4)
+    assert len(SOLR.docs) == 6
+    assert SOLR.docs[("content", "https://h0.example/p0")]["title"] == "t0"
+
+    # upsert: second add replaces, count unchanged
+    write_solr(df, solr_endpoint, "content")
+    assert len(SOLR.docs) == 6
+
+    dels = spark.createDataFrame([
+        Row(url="https://h0.example/p0"),
+        Row(url="https://never.indexed/x"),
+    ])
+    delete_solr(dels, solr_endpoint, "content")
+    assert len(SOLR.docs) == 5
+    assert ("content", "https://h0.example/p0") not in SOLR.docs
