@@ -310,6 +310,48 @@ def curve_merge_commit_one_bucket(spark, tmp, sizes):
     return out
 
 
+def substring_dedup_skew_ab(spark, n):
+    """Hot-boilerplate A/B for the dup join-back: a uniform corpus vs one
+    where 25% of docs share one identical 64-token boilerplate block (a
+    single gram hash covering ~n/4 occurrences — the hot key the SMJ
+    choice must survive via AQE skew-splitting; a window-over-hash
+    formulation could never split it). PASS = the skewed corpus costs
+    < 3× the uniform one."""
+    from incubator_stormcrawler_spark.operators.dedup import substring_dedup
+
+    uniform = synth_docs(spark, n).selectExpr(
+        "doc_id", "text || ' ' || text as text"  # ~80 tokens, no dups
+    )
+    boiler = (
+        "concat_ws(' ', transform(sequence(0, 63), j -> "
+        "substr(md5('boiler-' || cast(j as string)), 1, 6)))"
+    )
+    words = (
+        "concat_ws(' ', transform(sequence(0, 63), j -> "
+        "substr(md5(cast(id as string) || '~' || cast(j as string)), 1, 6)))"
+    )
+    skewed = spark.range(n).selectExpr(
+        "id as doc_id",
+        f"case when mod(id, 4) = 0 then {boiler} || ' ' || {words} "
+        f"else {words} end as text",
+    )
+    _clean(spark)
+    t_uniform = timed(
+        lambda: substring_dedup(uniform).agg(
+            F.sum("n_removed"), F.count(F.lit(1))).collect(),
+        warmup=True,
+    )
+    _clean(spark)
+    t_skewed = timed(
+        lambda: substring_dedup(skewed).agg(
+            F.sum("n_removed"), F.count(F.lit(1))).collect(),
+        warmup=True,
+    )
+    return {"rows": n, "uniform_sec": round(t_uniform, 2),
+            "skewed_sec": round(t_skewed, 2),
+            "ratio": round(t_skewed / t_uniform, 2)}
+
+
 def curve_minhash(spark, sizes):
     from incubator_stormcrawler_spark.operators.dedup import (
         lsh_candidate_pairs,
@@ -475,6 +517,15 @@ def main():
             skewed_topk_ab(spark, tmp, 64_000_000 // d),
         ]
         print(f"## skewed_topk_ab: {results['skewed_topk_ab']}", flush=True)
+
+        results["substring_dedup_skew_ab"] = substring_dedup_skew_ab(
+            spark, 200_000 // d
+        )
+        print(
+            f"## substring_dedup_skew_ab: "
+            f"{results['substring_dedup_skew_ab']}",
+            flush=True,
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
