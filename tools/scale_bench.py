@@ -8,13 +8,17 @@ scaling (fixed overheads make sub-linear alphas common at these sizes);
 alpha substantially above ~1.3 flags a plan that degrades super-linearly
 and needs a fix before anyone believes the 100 TB story.
 
-Also measures the one A/B SCALE.md argues qualitatively: salted vs
-unsalted grouped top-k on a HEAVILY skewed frontier (90% of URLs on 10
-hosts) — the salted two-phase plan must win at the top scale.
+Also measures two skew A/Bs SCALE.md argues qualitatively: (1) salted vs
+unsalted grouped top-k with 95% of URLs on ONE host — measured result:
+PLAIN wins at 16M and 64M because Spark ≥ 3.5's partial WindowGroupLimit
+is the salting trick engine-native (see frontier.py docstrings); (2)
+substring dedup on a hot-boilerplate corpus (one gram hash in 25% of
+docs) vs uniform — measured ~1× (no hot reducer).
 
-Run:  python tools/scale_bench.py [--quick]
+Run:  python tools/scale_bench.py [--quick] [--deep]
 Writes SCALING.json and prints a markdown table for BASELINE.md.
---quick drops every size by 4× (CI-speed smoke of the same curves).
+--quick drops every size by 4× (CI-speed smoke of the same curves);
+--deep adds a 4th point at 4× each curve's max (64× total span).
 """
 
 from __future__ import annotations
@@ -460,6 +464,7 @@ def curve_crawl_generation(spark, sizes):
 
 def main():
     quick = "--quick" in sys.argv
+    deep = "--deep" in sys.argv
     d = 4 if quick else 1
 
     from incubator_stormcrawler_spark.session import get_spark
@@ -473,37 +478,47 @@ def main():
             ("frontier_topk",
              lambda: curve_frontier_topk(
                  spark, tmp, [1_000_000 // d, 4_000_000 // d,
-                              16_000_000 // d])),
+                              16_000_000 // d]
+                 + ([64_000_000] if deep else []))),
             ("status_merge_full_outer",
              lambda: curve_status_merge(
                  spark, tmp, [1_000_000 // d, 4_000_000 // d,
-                              16_000_000 // d])),
+                              16_000_000 // d]
+                 + ([64_000_000] if deep else []))),
             ("merge_commit_bucket_pruned",
              lambda: curve_merge_commit(
                  spark, tmp, [1_000_000 // d, 4_000_000 // d,
-                              16_000_000 // d])),
+                              16_000_000 // d]
+                 + ([64_000_000] if deep else []))),
             ("merge_commit_one_bucket_touched",
              lambda: curve_merge_commit_one_bucket(
                  spark, tmp, [1_000_000 // d, 4_000_000 // d,
-                              16_000_000 // d])),
+                              16_000_000 // d]
+                 + ([64_000_000] if deep else []))),
             ("minhash_lsh_pairs",
              lambda: curve_minhash(
-                 spark, [100_000 // d, 400_000 // d, 1_600_000 // d])),
+                 spark, [100_000 // d, 400_000 // d, 1_600_000 // d]
+                 + ([6_400_000] if deep else []))),
             ("star_contraction",
              lambda: curve_star_contraction(
-                 spark, [100_000 // d, 400_000 // d, 1_600_000 // d])),
+                 spark, [100_000 // d, 400_000 // d, 1_600_000 // d]
+                 + ([6_400_000] if deep else []))),
             ("substring_dedup",
              lambda: curve_substring_dedup(
-                 spark, [25_000 // d, 100_000 // d, 400_000 // d])),
+                 spark, [25_000 // d, 100_000 // d, 400_000 // d]
+                 + ([1_600_000] if deep else []))),
             ("segment_dedup",
              lambda: curve_segment_dedup(
-                 spark, [50_000 // d, 200_000 // d, 800_000 // d])),
+                 spark, [50_000 // d, 200_000 // d, 800_000 // d]
+                 + ([3_200_000] if deep else []))),
             ("bm25",
              lambda: curve_bm25(
-                 spark, [100_000 // d, 400_000 // d, 1_600_000 // d])),
+                 spark, [100_000 // d, 400_000 // d, 1_600_000 // d]
+                 + ([6_400_000] if deep else []))),
             ("crawl_generation",
              lambda: curve_crawl_generation(
-                 spark, [12_000 // d, 25_000 // d, 100_000 // d])),
+                 spark, [12_000 // d, 25_000 // d, 100_000 // d]
+                 + ([400_000] if deep else []))),
         ]
         for name, fn in curves:
             pts = fn()
@@ -530,6 +545,7 @@ def main():
         shutil.rmtree(tmp, ignore_errors=True)
 
     results["quick"] = quick
+    results["deep"] = deep
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "SCALING.json"), "w") as f:
         json.dump(results, f, indent=2)
