@@ -77,16 +77,23 @@ class FrontierTable:
                 out.append(int(name[1:]))
         return sorted(out)
 
-    def commit(self, df: DataFrame) -> int:
+    def commit(self, df: DataFrame, batch_id: str | None = None) -> int:
         """Materialize ``df`` as the next snapshot and flip the pointer
         atomically. The df may read from the current snapshot (the write
-        targets a different directory, so no self-overwrite)."""
+        targets a different directory, so no self-overwrite). A
+        ``batch_id`` is recorded in the snapshot (readable via
+        ``last_batch_id``) so callers replaying a batch — a streaming
+        foreachBatch epoch, a crashed generation — can detect the commit
+        already landed."""
         v = self.current_version() + 1
         snap = os.path.join(self.path, f"v{v:06d}")
         writer = df.write.mode("overwrite")
         if self.partition_by:
             writer = writer.partitionBy(self.partition_by)
         writer.parquet(snap)
+        if batch_id is not None:
+            with open(os.path.join(snap, "_BATCH"), "w") as f:
+                f.write(batch_id)
         tmp = self._pointer + ".tmp"
         with open(tmp, "w") as f:
             f.write(str(v))

@@ -173,6 +173,29 @@ def stateful_url_dedup(updates: DataFrame, ttl_minutes: int = 60) -> DataFrame:
     )
 
 
+def make_streaming_merger(table, now_fn=None):
+    """The foreachBatch function for continuous frontier maintenance,
+    factored out so tests can drive epoch replay directly. Exactly-once:
+    foreachBatch is at-least-once on failure (a crash between the commit
+    and the checkpoint write REPLAYS the epoch), and FETCH_ERROR
+    escalation is not naturally idempotent — so the epoch id is recorded
+    in the snapshot and a replayed epoch is a no-op (the streaming use of
+    FrontierTable's batch_id contract; Delta's foreachBatch
+    txnAppId/txnVersion idiom)."""
+    from ..operators.status_merge import merge_status_updates
+
+    def merge_batch(batch_df, batch_id: int):
+        bid = f"epoch-{batch_id}"
+        if table.last_batch_id() == bid:
+            return  # replayed epoch: already committed, ack was lost
+        spark = batch_df.sparkSession
+        now = (now_fn or (lambda b: f"2024-01-15 {b % 24:02d}:00:00"))(batch_id)
+        merged = merge_status_updates(table.read(spark), batch_df, now)
+        table.commit(merged, batch_id=bid)
+
+    return merge_batch
+
+
 def stream_status_updates_into_frontier(
     updates_stream: DataFrame,
     frontier_path: str,
@@ -181,21 +204,15 @@ def stream_status_updates_into_frontier(
 ):
     """Continuous frontier maintenance: each micro-batch of (url, status)
     updates MERGEs into the frontier table via foreachBatch — the streaming
-    twin of CrawlLoop's per-generation merge (same operator, so semantics
-    are identical and idempotent under replay)."""
-    from ..operators.status_merge import merge_status_updates
+    twin of CrawlLoop's per-generation merge (same operator, same
+    exactly-once epoch guard; see ``make_streaming_merger``)."""
     from .frontier_table import FrontierTable
 
     table = FrontierTable(frontier_path)
-
-    def merge_batch(batch_df, batch_id: int):
-        spark = batch_df.sparkSession
-        now = (now_fn or (lambda b: f"2024-01-15 {b % 24:02d}:00:00"))(batch_id)
-        merged = merge_status_updates(table.read(spark), batch_df, now)
-        table.commit(merged)
-
     return (
-        updates_stream.writeStream.foreachBatch(merge_batch)
+        updates_stream.writeStream.foreachBatch(
+            make_streaming_merger(table, now_fn)
+        )
         .option("checkpointLocation", checkpoint_path)
         .outputMode("update")
     )

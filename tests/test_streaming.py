@@ -418,3 +418,39 @@ def test_merge_commit_crash_restart_idempotent(spark, tmp_path, monkeypatch):
         ).collect()
     }
     assert errs["https://host2.example/p2"] == 2  # once per distinct batch
+
+
+def test_streaming_epoch_replay_is_exactly_once(spark, tmp_path):
+    """foreachBatch is at-least-once on failure: a crash between the
+    table commit and Spark's checkpoint write REPLAYS the epoch with the
+    same batch_id. FETCH_ERROR escalation is not naturally idempotent,
+    so the merger must detect the recorded epoch and no-op — error_count
+    stays 1, version doesn't advance. A NEW epoch still applies."""
+    from incubator_stormcrawler_spark.streaming.streams import (
+        make_streaming_merger,
+    )
+
+    table = FrontierTable(str(tmp_path / "f"))
+    table.commit(spark.createDataFrame(
+        [("https://a.com/1", "DISCOVERED", None, 0, "a.com", 0)],
+        "url string, status string, next_fetch_date timestamp, "
+        "error_count int, key string, bucket int",
+    ))
+    merge_batch = make_streaming_merger(table)
+    errs = spark.createDataFrame(
+        [("https://a.com/1", "FETCH_ERROR")], "url string, status string"
+    )
+
+    merge_batch(errs, 7)
+    v = table.current_version()
+    row = table.read(spark).collect()[0]
+    assert (row.status, row.error_count) == ("FETCH_ERROR", 1)
+
+    merge_batch(errs, 7)  # replayed epoch (crash before checkpoint write)
+    assert table.current_version() == v
+    row = table.read(spark).collect()[0]
+    assert (row.status, row.error_count) == ("FETCH_ERROR", 1)
+
+    merge_batch(errs, 8)  # genuinely new epoch escalates once more
+    row = table.read(spark).collect()[0]
+    assert (row.status, row.error_count) == ("FETCH_ERROR", 2)
