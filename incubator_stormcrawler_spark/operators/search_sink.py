@@ -39,13 +39,17 @@ def build_bulk_payload(
     ``create_only`` mirrors the DISCOVERED create-vs-index distinction
     (opensearch StatusUpdaterBolt: create for new docs so replays don't
     clobber fresher state); ``routing_field`` mirrors ``%s.routing`` by
-    politeness key."""
+    politeness key; ``pipeline`` mirrors ``%s.pipeline`` — the ingest
+    pipeline set per request (bolt/IndexerBolt.java:238-239), carried as
+    per-action metadata in bulk."""
     lines = []
     verb = "create" if create_only else "index"
     for doc in docs:
         action: dict = {"_index": index, "_id": doc_id_for(doc["url"])}
         if routing_field and doc.get(routing_field):
             action["routing"] = doc[routing_field]
+        if pipeline:
+            action["pipeline"] = pipeline
         lines.append(json.dumps({verb: action}, sort_keys=True))
         lines.append(json.dumps(doc, sort_keys=True, default=str))
     return "\n".join(lines) + "\n"
@@ -112,6 +116,7 @@ def write_opensearch(
     index: str,
     create_only: bool = False,
     routing_field: str | None = None,
+    pipeline: str | None = None,
     max_docs_per_batch: int = 500,
 ) -> None:
     """foreachPartition bulk writer. Each task streams its partition as
@@ -123,7 +128,8 @@ def write_opensearch(
     def send_partition(rows):
         for batch in batch_documents(rows, max_docs=max_docs_per_batch):
             payload = build_bulk_payload(
-                batch, index, create_only=create_only, routing_field=routing_field
+                batch, index, create_only=create_only,
+                routing_field=routing_field, pipeline=pipeline,
             )
             body = _post_bulk(endpoint, payload)
             _raise_on_item_errors(body, tolerate_conflicts=create_only)

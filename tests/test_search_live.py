@@ -29,6 +29,7 @@ class BulkState:
     def __init__(self):
         self.docs: dict = {}
         self.routing: dict = {}
+        self.pipelines: dict = {}
         self.requests: list[str] = []
         self.fail_ids: set[str] = set()
         self.lock = threading.Lock()
@@ -82,6 +83,8 @@ class BulkHandler(BaseHTTPRequestHandler):
                 STATE.docs[key] = source
                 if "routing" in meta:
                     STATE.routing[key] = meta["routing"]
+                if "pipeline" in meta:
+                    STATE.pipelines[key] = meta["pipeline"]
                 items.append({verb: {"_id": meta["_id"], "status": 201}})
         resp = json.dumps({"took": 1, "errors": errors, "items": items})
         self.send_response(200)
@@ -104,6 +107,7 @@ def clean_state():
     with STATE.lock:
         STATE.docs.clear()
         STATE.routing.clear()
+        STATE.pipelines.clear()
         STATE.requests.clear()
         STATE.fail_ids.clear()
     yield
@@ -122,11 +126,12 @@ def _docs_df(spark, n=7):
 def test_bulk_roundtrip_ids_routing_batching(spark, endpoint):
     df = _docs_df(spark, 7).coalesce(1)
     write_opensearch(df, endpoint, "content", routing_field="key",
-                     max_docs_per_batch=3)
+                     pipeline="extract-meta", max_docs_per_batch=3)
     assert len(STATE.docs) == 7
     key = ("content", doc_id_for("https://h1.example/p1"))
     assert STATE.docs[key]["title"] == "t1"
     assert STATE.routing[key] == "h1.example"
+    assert STATE.pipelines[key] == "extract-meta"  # ingest pipeline param
     # 7 docs, 3/request → 3 bulk requests from the single partition
     assert len(STATE.requests) == 3
 
