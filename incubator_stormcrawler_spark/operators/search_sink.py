@@ -73,6 +73,15 @@ def batch_documents(rows, max_docs: int = 500, max_bytes: int = 5 * 1024 * 1024)
         yield batch
 
 
+def _url_batches(rows, max_docs: int):
+    """URL lists for the deletion writers, bounded by count AND bytes via
+    the same batch_documents discipline the write paths use (r7 review
+    fix: the deletes hand-rolled a count-only loop twice)."""
+    docs = ({"url": r} if isinstance(r, str) else r for r in rows)
+    for batch in batch_documents(docs, max_docs=max_docs):
+        yield [d["url"] for d in batch]
+
+
 def _post_bulk(endpoint: str, payload: str) -> dict:
     import urllib.request
 
@@ -81,8 +90,6 @@ def _post_bulk(endpoint: str, payload: str) -> dict:
         data=payload.encode(),
         headers={"Content-Type": "application/x-ndjson"},
     )
-    import urllib.error
-
     with urllib.request.urlopen(req, timeout=30) as resp:
         return json.loads(resp.read())
 
@@ -165,18 +172,9 @@ def delete_opensearch(
     result=not_found with no error flag, so no item-failure fires."""
 
     def send_partition(rows):
-        batch: list[str] = []
-        for row in rows:
-            batch.append(row if isinstance(row, str) else row["url"])
-            if len(batch) >= max_docs_per_batch:
-                _raise_on_item_errors(
-                    _post_bulk(endpoint, build_delete_payload(batch, index)),
-                    tolerate_conflicts=False,
-                )
-                batch = []
-        if batch:
+        for urls in _url_batches(rows, max_docs_per_batch):
             _raise_on_item_errors(
-                _post_bulk(endpoint, build_delete_payload(batch, index)),
+                _post_bulk(endpoint, build_delete_payload(urls, index)),
                 tolerate_conflicts=False,
             )
 
@@ -246,14 +244,7 @@ def delete_solr(
     ``deleteById`` by raw URL; deleting an unknown id is a Solr no-op."""
 
     def send_partition(rows):
-        batch: list[str] = []
-        for row in rows:
-            batch.append(row if isinstance(row, str) else row["url"])
-            if len(batch) >= max_docs_per_batch:
-                _post_solr(endpoint, collection,
-                           build_solr_delete_payload(batch))
-                batch = []
-        if batch:
-            _post_solr(endpoint, collection, build_solr_delete_payload(batch))
+        for urls in _url_batches(rows, max_docs_per_batch):
+            _post_solr(endpoint, collection, build_solr_delete_payload(urls))
 
     urls_df.foreachPartition(send_partition)

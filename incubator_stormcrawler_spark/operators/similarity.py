@@ -68,54 +68,20 @@ def ivf_scan_stats(
 ) -> DataFrame:
     """Per-query CANDIDATE COUNT of the IVF index (how many vectors the
     probe set actually scores) — the cost half of the recall/cost curve.
-    Mirrors ``ivf_cosine_topk``'s centroid sampling, assignment, and
-    probing exactly; returns (query_id, n_candidates, scan_frac)."""
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("double")
-    def cosine(qv: pd.Series, cv: pd.Series) -> pd.Series:
-        a = np.array(list(qv), dtype=np.float64)
-        b = np.array(list(cv), dtype=np.float64)
-        an = np.linalg.norm(a, axis=1)
-        bn = np.linalg.norm(b, axis=1)
-        an[an == 0] = 1.0
-        bn[bn == 0] = 1.0
-        return pd.Series(np.einsum("ij,ij->i", a, b) / (an * bn))
-
+    Built from the SAME candidate pipeline as ``ivf_cosine_topk``
+    (shared ``_ivf_index`` — r7 review fix: a duplicated pipeline would
+    silently drift from the index whose recall is measured); returns
+    (query_id, n_candidates, scan_frac)."""
     e = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
     )
     n_total = e.count()
-    cents = (
-        e.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-        .limit(n_centroids)
-        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
-    )
-    scored = e.crossJoin(F.broadcast(cents)).withColumn(
-        "csim", cosine(F.col("v"), F.col("cv"))
-    )
-    assign = scored.groupBy("vec_id").agg(
-        F.max_by(
-            F.col("cid"), F.struct(F.col("csim"), -F.col("cid"))
-        ).alias("cid")
-    )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    qs = q.crossJoin(F.broadcast(cents)).withColumn(
-        "csim", cosine(F.col("qv"), F.col("cv"))
-    )
-    wq = Window.partitionBy("query_id").orderBy(
-        F.col("csim").desc(), F.col("cid")
-    )
-    probes = (
-        qs.withColumn("rn", F.row_number().over(wq))
-        .where(F.col("rn") <= n_probe)
-        .select("query_id", "cid")
-    )
+    assign, probes = _ivf_index(e, q, n_centroids, n_probe)
     return (
-        assign.join(F.broadcast(probes), "cid")
+        assign.join(F.broadcast(probes.select("query_id", "cid")), "cid")
         .where(F.col("query_id") != F.col("vec_id"))
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("n_candidates"))
@@ -320,6 +286,61 @@ def lsh_cosine_topk(
     )
 
 
+def _arrow_cosine():
+    """Arrow-batched cosine pandas_udf shared by the IVF stages."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cosine(qv: pd.Series, cv: pd.Series) -> pd.Series:
+        a = np.array(list(qv), dtype=np.float64)
+        b = np.array(list(cv), dtype=np.float64)
+        an = np.linalg.norm(a, axis=1)
+        bn = np.linalg.norm(b, axis=1)
+        an[an == 0] = 1.0
+        bn[bn == 0] = 1.0
+        return pd.Series(np.einsum("ij,ij->i", a, b) / (an * bn))
+
+    return cosine
+
+
+def _ivf_index(e, q, n_centroids: int, n_probe: int):
+    """The IVF index pipeline shared by ``ivf_cosine_topk`` (recall) and
+    ``ivf_scan_stats`` (cost) so the two halves of the published curve
+    can never drift apart: deterministic md5-sample centroids, one
+    Arrow-cosine assignment pass collapsed by a partial-aggregable
+    max_by (ties to the lowest cid, matching the oracle's window
+    tiebreak), query-side probe selection of the ``n_probe`` nearest
+    cells. Takes e(vec_id, v) and q(query_id, qv); returns
+    (assign(vec_id, cid), probes(query_id, qv, cid))."""
+    cosine = _arrow_cosine()
+    cents = (
+        e.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(n_centroids)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    )
+    scored = e.crossJoin(F.broadcast(cents)).withColumn(
+        "csim", cosine(F.col("v"), F.col("cv"))
+    )
+    assign = scored.groupBy("vec_id").agg(
+        F.max_by(
+            F.col("cid"), F.struct(F.col("csim"), -F.col("cid"))
+        ).alias("cid")
+    )
+    qs = q.crossJoin(F.broadcast(cents)).withColumn(
+        "csim", cosine(F.col("qv"), F.col("cv"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("csim").desc(), F.col("cid")
+    )
+    probes = (
+        qs.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= n_probe)
+        .select("query_id", "qv", "cid")
+    )
+    return assign, probes
+
+
 def ivf_cosine_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -351,52 +372,15 @@ def ivf_cosine_topk(
     set with an Arrow-batched cosine, collapsed by a partial-aggregable
     max_by groupBy — no window over the corpus, no driver collect.
     """
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("double")
-    def cosine(qv: pd.Series, cv: pd.Series) -> pd.Series:
-        a = np.array(list(qv), dtype=np.float64)
-        b = np.array(list(cv), dtype=np.float64)
-        an = np.linalg.norm(a, axis=1)
-        bn = np.linalg.norm(b, axis=1)
-        an[an == 0] = 1.0
-        bn[bn == 0] = 1.0
-        return pd.Series(np.einsum("ij,ij->i", a, b) / (an * bn))
-
     e = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
     )
-    cents = (
-        e.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-        .limit(n_centroids)
-        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
-    )
-    # nearest centroid per vector: max_by over (sim, -cid) — highest sim,
-    # ties to the lowest cid, matching the oracle's window tiebreak
-    scored = e.crossJoin(F.broadcast(cents)).withColumn(
-        "csim", cosine(F.col("v"), F.col("cv"))
-    )
-    assign = scored.groupBy("vec_id").agg(
-        F.max_by(
-            F.col("cid"), F.struct(F.col("csim"), -F.col("cid"))
-        ).alias("cid")
-    )
-    cells = e.join(assign, "vec_id")
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    qs = q.crossJoin(F.broadcast(cents)).withColumn(
-        "csim", cosine(F.col("qv"), F.col("cv"))
-    )
-    wq = Window.partitionBy("query_id").orderBy(
-        F.col("csim").desc(), F.col("cid")
-    )
-    probes = (
-        qs.withColumn("rn", F.row_number().over(wq))
-        .where(F.col("rn") <= n_probe)
-        .select("query_id", "qv", "cid")
-    )
+    assign, probes = _ivf_index(e, q, n_centroids, n_probe)
+    cosine = _arrow_cosine()
+    cells = e.join(assign, "vec_id")
     cands = (
         cells.join(F.broadcast(probes), "cid")
         .where(F.col("query_id") != F.col("vec_id"))

@@ -75,7 +75,6 @@ class CrawlLoop:
         self.content_cache = content_cache
         self.metrics_path = metrics_path
         self.fetch_threads = fetch_threads
-        self.generation = 0
         # bucket_partitioned=True stores hive-partitioned snapshots and
         # merges incrementally (FrontierTable.merge_commit): only buckets
         # touched by a generation's updates are re-read and rewritten —
@@ -85,6 +84,18 @@ class CrawlLoop:
             frontier_path,
             partition_by="bucket" if bucket_partitioned else None,
         )
+        # Durable generation numbering (r7 review fix): a fresh process
+        # resumes the counter from the table's last committed generation
+        # mark, so batch ids stay unique across restarts — without this,
+        # a restarted deployment's NEW generation 1 would collide with
+        # the previous run's committed "gen-1" and the exactly-once guard
+        # would silently DROP its merge. A crash-RETRIED generation, by
+        # contrast, reproduces the SAME number (the failed merge never
+        # moved the mark), which is exactly when the guard should no-op.
+        self.generation = 0
+        last = self.table.last_batch_id()
+        if last and last.startswith("gen-") and last[4:].isdigit():
+            self.generation = int(last[4:])
         # crawl depth rides as a flat column next to the frontier schema;
         # adaptive mode adds (signature, fetch_interval) for change-driven
         # refetch intervals (AdaptiveScheduler)
@@ -100,9 +111,6 @@ class CrawlLoop:
         if not self.table.exists():
             return self.spark.createDataFrame([], self.table_ddl)
         return self.table.read(self.spark)
-
-    def _write_frontier(self, df: DataFrame) -> None:
-        self.table.commit(df)
 
     def inject_seeds(self, seeds: DataFrame) -> None:
         """Seed URLs → DISCOVERED frontier rows (SURVEY.md §3.2). Idempotent
@@ -134,8 +142,12 @@ class CrawlLoop:
                 self.spark, updates, now, batch_id=batch_id
             )
             return self.read_frontier()
+        # non-bucketed path carries the SAME exactly-once contract (r7
+        # review fix: the batch_id used to be accepted and dropped here)
+        if batch_id is not None and self.table.last_batch_id() == batch_id:
+            return self.read_frontier()
         merged = merge_status_updates(self.read_frontier(), updates, now)
-        self._write_frontier(merged)
+        self.table.commit(merged, batch_id=batch_id)
         return merged
 
     # -- one generation ----------------------------------------------------

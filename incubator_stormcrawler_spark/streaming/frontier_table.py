@@ -84,16 +84,24 @@ class FrontierTable:
         ``batch_id`` is recorded in the snapshot (readable via
         ``last_batch_id``) so callers replaying a batch — a streaming
         foreachBatch epoch, a crashed generation — can detect the commit
-        already landed."""
+        already landed. An UNTAGGED commit carries the previous mark
+        forward (r7 review fix): without that, an intervening plain
+        commit (e.g. seed injection between a crash and its replay)
+        would erase the guard and let the replay double-apply. Scope:
+        the mark is a single slot — correct for this table's one-writer
+        contract (one crawl loop OR one streaming query per table); a
+        multi-writer table needs a per-writer map, which is where a real
+        lakehouse's txnAppId log comes in."""
         v = self.current_version() + 1
         snap = os.path.join(self.path, f"v{v:06d}")
+        effective = batch_id if batch_id is not None else self.last_batch_id()
         writer = df.write.mode("overwrite")
         if self.partition_by:
             writer = writer.partitionBy(self.partition_by)
         writer.parquet(snap)
-        if batch_id is not None:
+        if effective is not None:
             with open(os.path.join(snap, "_BATCH"), "w") as f:
-                f.write(batch_id)
+                f.write(effective)
         tmp = self._pointer + ".tmp"
         with open(tmp, "w") as f:
             f.write(str(v))
@@ -205,9 +213,12 @@ class FrontierTable:
                             os.path.join(dst, fname),
                         )
 
-        if batch_id is not None:
+        # tagged merges write the new mark; untagged ones carry the
+        # previous mark forward (same single-slot contract as commit())
+        effective = batch_id if batch_id is not None else self.last_batch_id()
+        if effective is not None:
             with open(os.path.join(snap_new, "_BATCH"), "w") as f:
-                f.write(batch_id)
+                f.write(effective)
         tmp = self._pointer + ".tmp"
         with open(tmp, "w") as f:
             f.write(str(new_v))

@@ -454,3 +454,52 @@ def test_streaming_epoch_replay_is_exactly_once(spark, tmp_path):
     merge_batch(errs, 8)  # genuinely new epoch escalates once more
     row = table.read(spark).collect()[0]
     assert (row.status, row.error_count) == ("FETCH_ERROR", 2)
+
+
+def test_generation_batch_ids_survive_restart_and_seed_interleave(
+    spark, tmp_path
+):
+    """Two r7 review findings pinned. (1) Restart uniqueness: a NEW
+    CrawlLoop over an existing table resumes generation numbering from
+    the table's last committed mark — without that, the fresh process
+    would reuse "gen-1" and the guard would silently DROP its first
+    merge. (2) Guard persistence: an UNTAGGED commit between a tagged
+    commit and its replay (e.g. seed injection) must carry the mark
+    forward, so the replay still no-ops."""
+    from incubator_stormcrawler_spark.protocol.fetch import MemoryProtocol
+    from incubator_stormcrawler_spark.streaming.crawl_loop import CrawlLoop
+
+    site = {f"https://h{i}.example/p": f"<html><body>x{i}</body></html>"
+            for i in range(3)}
+    path = str(tmp_path / "f")
+
+    loop1 = CrawlLoop(spark, path, lambda: MemoryProtocol(site))
+    loop1.inject_seeds(
+        spark.createDataFrame([(u,) for u in site], ["url"])
+    )
+    loop1.run_generation()
+    assert loop1.table.last_batch_id() == "gen-1"
+
+    # (1) a restarted process resumes numbering — its next generation is
+    # 2, and its merge APPLIES (all pages refetch-scheduled in the
+    # future, so the batch is empty — but the generation mark advances)
+    loop2 = CrawlLoop(spark, path, lambda: MemoryProtocol(site))
+    assert loop2.generation == 1
+    loop2.run_generation()
+    assert loop2.table.last_batch_id() == "gen-2"
+
+    # (2) untagged commits preserve the mark: seed injection between a
+    # commit and a replay must not erase the guard
+    loop2.inject_seeds(
+        spark.createDataFrame([("https://new.example/p",)], ["url"])
+    )
+    assert loop2.table.last_batch_id() == "gen-2"
+    before = sorted(
+        (r.url, r.status) for r in loop2.read_frontier().collect()
+    )
+    # simulated crash-replay of generation 2 (same batch id): no-op
+    loop2.generation = 1
+    loop2.run_generation()
+    assert sorted(
+        (r.url, r.status) for r in loop2.read_frontier().collect()
+    ) == before
