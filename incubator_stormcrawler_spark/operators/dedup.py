@@ -754,3 +754,103 @@ def incremental_lsh_dedup(
         )
         .where(F.col("est_sim") >= min_est_sim)
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered membership: the crawler's "is this outlink already in
+# the frontier?" check at 100 TB. A plain LEFT ANTI join shuffles every
+# candidate AND the whole seen-set on the key; the Bloom bitmap (built in
+# one partial-aggregable pass over the seen-set, a few KB..MB of (word,
+# bits) rows) broadcasts to the candidate side, where k md5 probes answer
+# "definitely unseen" MAP-SIDE with zero shuffle. Only the possible-member
+# residue — |candidates| * (true-member fraction + FPR) — reaches the
+# exact anti join, so the result is EXACT (the bitmap can only produce
+# false POSITIVES, which the residual join then rejects; false negatives
+# are impossible). This is the same semi-join-reduction shape Spark's own
+# runtime bloom filter (spark.sql.optimizer.runtime.bloomFilter.enabled)
+# injects for shuffle joins — expressed here as an explicit operator so
+# the bitmap can be PERSISTED and reused across crawl generations instead
+# of being rebuilt per query. At a 10^9-URL frontier, shard the bitmap by
+# the frontier's host bucket (one m-bit bitmap per bucket) and join
+# candidates through their bucket key — each bitmap stays broadcastable.
+# Reference parity: the purgatory/seen caches of
+# core/.../persistence/AbstractQueryingSpout.java:149-175 play this role
+# per-JVM in the reference; the bitmap is the cluster-wide equivalent.
+# ---------------------------------------------------------------------------
+
+def bloom_bitmap(
+    seen: DataFrame, key_col: str, m_bits: int = 1 << 16, k: int = 3
+) -> DataFrame:
+    """Build the (word_idx, word) Bloom bitmap (m_bits/64 rows max) from
+    the seen-set's keys: k md5-salted probe positions per key, bit_or into
+    64-bit words. Deterministic (md5 arithmetic), so the DuckDB oracle can
+    rebuild it bit-for-bit."""
+    probes = F.array(
+        *[
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"bf{j}|"), F.col(key_col))), 1, 12
+                ),
+                16,
+                10,
+            ).cast("long")
+            % m_bits
+            for j in range(k)
+        ]
+    )
+    return (
+        seen.select(F.explode(probes).alias("pos"))
+        .select(
+            F.expr("pos div 64").alias("word_idx"),
+            F.expr("shiftleft(1L, cast(pos % 64 as int))").alias("w"),
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(w)").alias("word"))
+    )
+
+
+def bloom_unseen(
+    seen: DataFrame,
+    candidates: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 16,
+    k: int = 3,
+) -> DataFrame:
+    """EXACT unseen-set: rows of ``candidates`` whose ``key_col`` is not
+    present in ``seen`` — same result as a plain LEFT ANTI join (the
+    registered oracle IS that plain form), but candidates that miss any of
+    k broadcast-bitmap probes are classified map-side and never enter the
+    anti join; only possible-members (true members + the bitmap's false
+    positives) pay the shuffle."""
+    bitmap = bloom_bitmap(seen, key_col, m_bits=m_bits, k=k)
+    out_cols = list(candidates.columns)
+    probed = candidates
+    present = None
+    for j in range(k):
+        pos = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"bf{j}|"), F.col(key_col))), 1, 12
+                ),
+                16,
+                10,
+            ).cast("long")
+            % m_bits
+        )
+        bm = bitmap.select(
+            F.col("word_idx").alias(f"wi{j}"), F.col("word").alias(f"wd{j}")
+        )
+        probed = probed.withColumn(f"p{j}", pos).join(
+            F.broadcast(bm), F.expr(f"p{j} div 64") == F.col(f"wi{j}"), "left"
+        )
+        hit = F.expr(
+            f"wd{j} is not null and "
+            f"(shiftright(wd{j}, cast(p{j} % 64 as int)) & 1L) = 1L"
+        )
+        present = hit if present is None else (present & hit)
+    definite_new = probed.where(~present).select(*out_cols)
+    possible = probed.where(present).select(*out_cols)
+    exact_new = possible.join(
+        seen.select(F.col(key_col)).distinct(), key_col, "left_anti"
+    )
+    return definite_new.unionByName(exact_new)

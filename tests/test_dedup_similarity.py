@@ -995,3 +995,61 @@ def test_pack_sequences_stream_invariants(spark):
     assert pos == total  # stream length == token total
     # NOTE: docs with text=None pack as 0 tokens ('' splits to 1 token in
     # Spark, None to null — pack_shards coalesces both to 0)
+
+
+def test_bloom_unseen_exact_under_saturation(spark):
+    """bloom_unseen must equal the plain LEFT ANTI join even when the
+    bitmap is tiny enough to saturate (m_bits=64 over 300 seen keys →
+    nearly every probe is a false positive): false positives only push
+    rows into the exact residual join; false negatives are impossible.
+    Also checked: a large bitmap (no saturation) and candidates fully
+    disjoint from / fully contained in the seen-set."""
+    from pyspark.sql import Row
+
+    from incubator_stormcrawler_spark.operators.dedup import bloom_unseen
+
+    seen = spark.createDataFrame([Row(key=f"k{i}") for i in range(300)])
+    cands = spark.createDataFrame(
+        [Row(key=f"k{i}", payload=i) for i in range(150, 450)]
+    )
+    expected = sorted(
+        r.key for r in cands.join(seen, "key", "left_anti").collect()
+    )
+    for m_bits in (64, 1 << 16):
+        got = sorted(
+            r.key for r in bloom_unseen(seen, cands, "key",
+                                        m_bits=m_bits).collect()
+        )
+        assert got == expected, f"m_bits={m_bits}"
+    # fully disjoint: everything is definite-new
+    disj = spark.createDataFrame([Row(key=f"x{i}", payload=i)
+                                  for i in range(50)])
+    assert bloom_unseen(seen, disj, "key").count() == 50
+    # fully contained: nothing survives
+    cont = spark.createDataFrame([Row(key=f"k{i}", payload=i)
+                                  for i in range(50)])
+    assert bloom_unseen(seen, cont, "key").count() == 0
+
+
+def test_bloom_unseen_plan_is_mapside_prefilter(spark):
+    """The scale contract: the bitmap enters the candidate side as
+    BROADCAST joins only (k=3 probes → 3 BroadcastHashJoins), the exact
+    membership check is ONE LeftAnti, and no SortMergeJoin appears — the
+    definite-new branch never shuffles."""
+    from pyspark.sql import Row
+
+    from incubator_stormcrawler_spark.operators.dedup import bloom_unseen
+
+    seen = spark.createDataFrame([Row(key=f"k{i}") for i in range(100)])
+    cands = spark.createDataFrame(
+        [Row(key=f"k{i}", payload=i) for i in range(50, 200)]
+    )
+    plan = bloom_unseen(seen, cands, "key")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("LeftAnti") == 1
+    # the ONLY shuffle join allowed is the exact LeftAnti residue; every
+    # probe join must be broadcast
+    for line in plan.splitlines():
+        if "SortMergeJoin" in line or "ShuffledHashJoin" in line:
+            assert "LeftAnti" in line

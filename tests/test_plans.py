@@ -484,3 +484,42 @@ def test_bucketed_frontier_merge_never_shuffles_frontier(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bk_frontier")
+
+
+def test_round7_partsupp_tpch_plan_shapes(spark):
+    """Q2/Q11/Q16/Q20 (round 7, derived partsupp) plan pins.
+
+    Q2/Q11/Q16 are CATALOG-ONLY: the derived partsupp comes from the part
+    scan, so no fact table is touched at all; dimension joins broadcast
+    and the only BNLJs are vs one-row broadcast aggregates (the supplier
+    count / nation total). Q20 touches lineitem twice BY DESIGN (the
+    pair-distinct for observed_partsupp and the 1997 half-sum) — the pin
+    is that BOTH passes are semi-reduced by the broadcast red-part keys
+    BELOW their aggregates (PushDownLeftSemiAntiJoin through the
+    distinct), and the 1997 range reaches the scan as a pushed filter.
+    """
+    for fn in (rel.min_cost_supplier, rel.important_stock,
+               rel.supplier_part_counts):
+        p = plan_of(fn(spark, SF))
+        assert "lineitem.parquet" not in p
+        assert "SortMergeJoin" not in p
+        assert "CartesianProduct" not in p
+        assert "Expand" not in p
+
+    p = plan_of(rel.supplier_part_counts(spark, SF))
+    pushed = p.split("PushedFilters: [")[1]
+    assert "Not(EqualTo(p_brand,Brand#2))" in pushed
+    assert "LeftAnti" in p  # negative-acctbal supplier exclusion
+
+    p = plan_of(rel.excess_inventory_suppliers(spark, SF))
+    assert p.count("lineitem.parquet") == 2
+    assert p.count("LeftSemi") >= 3  # 2x red-part reduction + supplier
+    assert "GreaterThanOrEqual(l_shipdate,1997-01-01" in p
+    assert "SortMergeJoin" not in p
+    # the red-part semi sits BELOW each pair aggregate: every lineitem
+    # FileScan line is preceded (within a few lines) by a LeftSemi join
+    lines = p.splitlines()
+    for i, line in enumerate(lines):
+        if "FileScan parquet" in line and "lineitem" in line:
+            window = "\n".join(lines[max(0, i - 4):i])
+            assert "LeftSemi" in window
