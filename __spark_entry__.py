@@ -19,6 +19,7 @@ from incubator_stormcrawler_spark.functions.text import (
     langid_scores,
     quality_metrics,
 )
+from incubator_stormcrawler_spark.operators import corpus
 from incubator_stormcrawler_spark.operators import dedup as dd
 from incubator_stormcrawler_spark.operators import relational as rel
 from incubator_stormcrawler_spark.operators import similarity as sim
@@ -947,6 +948,70 @@ def q_dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", fp.alias("fingerprint")
     )
     return dd.bloom_unseen(seen, batch, "fingerprint").orderBy("doc_id")
+
+
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts / local clustering signal
+    (linkrank.triangle_counts) over a 2000-node graph derived from
+    orders (order-page -> customer-page edges, same derivation idiom as
+    link_rank). The Spark side runs the DEGREE-ORDERED orientation
+    (hub-proof: out-degree bounded ~sqrt(2|E|), every triangle counted
+    once); the oracle keeps the textbook canonical x<y<z triple
+    self-join — a green row proves the orientation rewrite."""
+    from incubator_stormcrawler_spark.operators.linkrank import (
+        triangle_counts,
+    )
+
+    edges = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        # pin the graph size: keys are dense 0..N-1, so this pushed range
+        # keeps |E| (and the bench cost) CONSTANT at every sf >= 0.01 —
+        # without it the fixed 1000-node space densifies as sf grows and
+        # the wedge count explodes quadratically
+        .where(F.col("o_orderkey") < 15000)
+        .selectExpr(
+            "cast(o_orderkey % 1000 as bigint) as src",
+            "cast(o_custkey % 1000 as bigint) as dst",
+        )
+    )
+    return triangle_counts(edges).orderBy(F.desc("triangles"), "node")
+
+
+def q_sketch_hll_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog (corpus.hll_registers/hll_estimate):
+    per-source distinct-bigram estimates next to the exact counts. md5
+    hashing + integer CASE-chain rho make the registers AND the raw-HLL
+    estimate reproducible bit-for-bit in DuckDB — the mergeable-sketch
+    pipeline itself is what the oracle checks (unlike the black-box
+    approx_count_distinct). Registers: ONE partial-aggregable pass;
+    shard sketches merge by max per (group, bucket) without re-scan."""
+    from incubator_stormcrawler_spark.operators.corpus import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    big = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .selectExpr("source", "split(text, ' ') as toks")
+        .selectExpr(
+            "source",
+            "case when size(toks) < 2 then array() "
+            "else transform(sequence(1, size(toks) - 1), "
+            "i -> concat(toks[i - 1], ' ', toks[i])) end as bgs",
+        )
+        .select("source", F.explode("bgs").alias("bg"))
+    )
+    est = hll_estimate(hll_registers(big, "source", "bg", m=64), m=64)
+    exact = big.groupBy("source").agg(
+        F.count_distinct("bg").alias("exact_distinct")
+    ).withColumnRenamed("source", "xsource")
+    return (
+        est.join(exact, F.col("grp") == F.col("xsource"))
+        .select(
+            F.col("grp").alias("source"), "est_distinct", "exact_distinct"
+        )
+        .orderBy("source")
+    )
 
 
 def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3647,6 +3712,69 @@ WHERE fingerprint NOT IN (SELECT fingerprint FROM idx)
 ORDER BY doc_id
 """
 
+# textbook canonical x<y<z triple self-join (und is canonical a<b, so
+# each triangle appears exactly once as (x,y),(y,z),(x,z)) — the Spark
+# side's degree-ordered orientation must reproduce it exactly
+_ORACLES["graph_triangles"] = """
+WITH raw AS (
+  SELECT least(s, d) AS a, greatest(s, d) AS b
+  FROM (SELECT CAST(o_orderkey % 1000 AS BIGINT) AS s,
+               CAST(o_custkey % 1000 AS BIGINT) AS d
+        FROM orders WHERE o_orderkey < 15000)
+  WHERE s <> d
+),
+und AS (SELECT DISTINCT a, b FROM raw),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree
+  FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+  GROUP BY node
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+per_node AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS triangles
+  FROM (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri)
+  GROUP BY node
+)
+SELECT deg.node, degree, coalesce(triangles, 0) AS triangles
+FROM deg LEFT JOIN per_node ON deg.node = per_node.node
+ORDER BY triangles DESC, deg.node
+"""
+
+# identical md5 48-bit hash, bucket split, CASE-chain rho, and dyadic
+# 2^-M sum — the estimate is reproduced bit-for-bit, then rounded once
+_ORACLES["sketch_hll_bigrams"] = f"""
+WITH big AS (
+  SELECT source, toks[i] || ' ' || toks[i + 1] AS bg
+  FROM (SELECT source, string_split(text, ' ') AS toks FROM documents) d,
+       unnest(generate_series(1, len(toks) - 1)) AS t(i)
+),
+h AS (
+  SELECT source, ('0x' || substr(md5(bg), 1, 12))::BIGINT AS hv FROM big
+),
+regs AS (
+  SELECT source, hv % 64 AS bucket,
+         max({corpus.hll_rho_sql("(hv // 64)")}) AS M
+  FROM h GROUP BY source, hv % 64
+),
+est AS (
+  SELECT source,
+         round(0.709 * 4096.0 /
+               (sum(power(2.0, -M)) + (64 - count(*))), 4) AS est_distinct
+  FROM regs GROUP BY source
+)
+SELECT e.source, e.est_distinct, x.exact_distinct
+FROM est e
+JOIN (SELECT source, CAST(count(DISTINCT bg) AS BIGINT) AS exact_distinct
+      FROM big GROUP BY source) x USING (source)
+ORDER BY source
+"""
+
 # WARC round-trip: the Spark side writes real gzip-member WARC files and
 # reads them back; the oracle recomputes the expected payload inventory
 # directly from part (byte lengths of the synthesized pages).
@@ -3870,6 +3998,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # definite-new classification; exact anti join only for the
         # possible-member residue — oracle is the plain NOT IN) ---------
         "dedup_bloom_prefilter": q_dedup_bloom_prefilter,
+        # NEW round-7: degree-ordered triangle counting (oracle keeps the
+        # textbook canonical triple join) and the deterministic HLL
+        # sketch (oracle rebuilds registers + estimate bit-for-bit) -----
+        "graph_triangles": q_graph_triangles,
+        "sketch_hll_bigrams": q_sketch_hll_bigrams,
         # re-cast HUGEINT oracles (r04's only hash-fails) -------------
         "corpus_bpe_merges": q_corpus_bpe_merges,
         "corpus_substring_dedup": q_corpus_substring_dedup,

@@ -1253,3 +1253,67 @@ def pack_sequences(
         .otherwise(F.lit(0)).cast("bigint").alias("n_seqs"),
         (start - first_seq * seq_len).cast("bigint").alias("offset_in_seq"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog cardinality sketch — DETERMINISTIC variant (md5 hashing +
+# an integer CASE-chain rho), so unlike approx_count_distinct the DuckDB
+# oracle can rebuild the registers AND the estimate bit-for-bit. The
+# point at 100 TB is mergeability: registers are a (group, bucket, max
+# rho) table built in ONE partial-aggregable pass — shards sketch
+# independently, merge = max per register, and the union's cardinality
+# estimate needs no re-scan (the same reason Spark's own
+# approx_count_distinct is an HLL++ under the hood; this one trades its
+# bias corrections for cross-engine exactness of the pipeline).
+# ---------------------------------------------------------------------------
+
+def hll_rho_sql(col: str, max_rho: int = 24) -> str:
+    """Integer rho(w): index of the lowest set bit + 1 (capped), as a CASE
+    chain both engines evaluate identically — no float log2, whose
+    cross-engine rounding could differ."""
+    cases = " ".join(
+        f"WHEN {col} % {2 ** (i + 1)} = {2 ** i} THEN {i + 1}"
+        for i in range(max_rho)
+    )
+    return f"(CASE WHEN {col} % {2 ** max_rho} = 0 THEN {max_rho + 1} {cases} END)"
+
+
+def hll_registers(
+    df: DataFrame, group_col: str, value_expr: str, m: int = 64
+) -> DataFrame:
+    """(group, bucket, M) register table: bucket = low bits of the 48-bit
+    md5 hash, M = max rho of the remaining bits. Partial-aggregable;
+    merge two sketches with groupBy(group, bucket).max(M)."""
+    h = f"cast(conv(substring(md5({value_expr}), 1, 12), 16, 10) as bigint)"
+    return (
+        df.selectExpr(
+            f"{group_col} as grp",
+            f"({h}) % {m} as bucket",
+            hll_rho_sql(f"({h}) div {m}") + " as rho",
+        )
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho").alias("M"))
+    )
+
+
+def hll_estimate(registers: DataFrame, m: int = 64) -> DataFrame:
+    """(grp, est_distinct) from a register table. Raw HLL estimator
+    alpha_m * m^2 / sum(2^-M_j) with absent registers counting 2^0 = 1;
+    every 2^-M term is a dyadic rational, so the sum is EXACT in double
+    and the single rounded division is cross-engine stable."""
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    return (
+        registers.groupBy("grp")
+        .agg(
+            (
+                F.sum(F.pow(F.lit(2.0), -F.col("M")))
+                + (F.lit(m) - F.count(F.lit(1)))
+            ).alias("inv_sum")
+        )
+        .select(
+            "grp",
+            F.round(
+                F.lit(alpha) * F.lit(float(m * m)) / F.col("inv_sum"), 4
+            ).alias("est_distinct"),
+        )
+    )

@@ -207,3 +207,95 @@ SELECT a{iterations}.node, a{iterations}.a AS authority,
 FROM a{iterations} JOIN h{iterations} USING (node)
 """
     )
+
+
+def triangle_counts(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts over the undirected simple graph of
+    ``edges`` — the local-clustering signal (link-farm detection on a
+    crawl's host graph; the reference has no graph analytics at all, so
+    this is beyond-reference surface like link_rank).
+
+    Scale: the naive 3-way edge self-join explodes on high-degree nodes
+    (a degree-d hub contributes d² wedges). Degree-ordered orientation is
+    the standard fix (Cohen 2009 / Suri-Vassilvitskii 2011 MapReduce
+    triangle counting): orient every undirected edge from the
+    lexicographically smaller (degree, node) endpoint to the larger, so
+    every node's OUT-degree is bounded by ~sqrt(2|E|) regardless of its
+    real degree — the hub's d² wedge bill collapses to the wedges of its
+    (low-degree) neighbors. Each triangle {x,y,z} then materializes
+    exactly once as the oriented wedge u→v, u→w closed by v→w. Three
+    shuffles total (wedge join on u, closure join on (v,w), final count
+    groupBy); no step is quadratic in degree.
+
+    Returns (node, degree, triangles), every node of the graph included
+    (triangles = 0 for triangle-free nodes).
+    """
+    und = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("dega"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("degb"))
+    lt = (F.col("dega") < F.col("degb")) | (
+        (F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b"))
+    )
+    # carry v's (degree, node) rank so wedge endpoints can be ordered by
+    # the SAME total order the orientation uses — then the closing edge
+    # is exactly v1→v2 in oriented form and the closure join is a plain
+    # equi-join (an either-direction OR condition would deny Catalyst its
+    # equi keys and fall to a nested-loop join)
+    oriented = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lt, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lt, F.col("b")).otherwise(F.col("a")).alias("v"),
+            F.when(lt, F.col("degb")).otherwise(F.col("dega")).alias("degv"),
+        )
+    )
+    e1 = oriented.select(F.col("u"), F.col("v").alias("v1"), F.col("degv").alias("degv1"))
+    e2 = oriented.select(F.col("u").alias("u2"), F.col("v").alias("v2"), F.col("degv").alias("degv2"))
+    v_order = (F.col("degv1") < F.col("degv2")) | (
+        (F.col("degv1") == F.col("degv2")) & (F.col("v1") < F.col("v2"))
+    )
+    wedges = (
+        e1.join(e2, F.col("u") == F.col("u2"))
+        .where(v_order)
+        .select("u", "v1", "v2")
+    )
+    closing = oriented.select(
+        F.col("u").alias("cu"), F.col("v").alias("cv")
+    )
+    tris = wedges.join(
+        closing,
+        (F.col("v1") == F.col("cu")) & (F.col("v2") == F.col("cv")),
+    ).select("u", "v1", "v2")
+    per_node = (
+        tris.select(F.col("u").alias("node"))
+        .unionAll(tris.select(F.col("v1").alias("node")))
+        .unionAll(tris.select(F.col("v2").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias(
+                "triangles"
+            ),
+        )
+    )

@@ -510,3 +510,83 @@ def test_hits_hand_checked_scores(spark):
         "c": (5, 0),
         "d": (3, 0),
     }
+
+
+def test_triangle_counts_known_graphs(spark):
+    """K4 (every node in C(3,2)=3 triangles), a star (hub graph, zero
+    triangles — the case degree-ordering exists for), a triangle with a
+    pendant, and duplicate/reversed/self-loop edge noise (must not
+    change counts)."""
+    from pyspark.sql import Row
+
+    from incubator_stormcrawler_spark.operators.linkrank import (
+        triangle_counts,
+    )
+
+    def counts(pairs):
+        df = spark.createDataFrame([Row(src=a, dst=b) for a, b in pairs])
+        return {
+            r.node: (r.degree, r.triangles)
+            for r in triangle_counts(df).collect()
+        }
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    assert counts(k4) == {i: (3, 3) for i in range(4)}
+    star = [(0, i) for i in range(1, 8)]
+    got = counts(star)
+    assert got[0] == (7, 0) and all(got[i] == (1, 0) for i in range(1, 8))
+    # triangle 0-1-2 plus pendant 3; noise: dup, reversed, self-loop
+    tri = [(0, 1), (1, 2), (0, 2), (2, 3), (1, 0), (0, 1), (3, 3)]
+    assert counts(tri) == {0: (2, 1), 1: (2, 1), 2: (3, 1), 3: (1, 0)}
+
+
+def test_triangle_counts_closure_join_is_equi(spark):
+    """The closure join must expose equi keys (v1,v2)=(cu,cv) — an
+    either-direction OR condition would fall to a nested-loop join and
+    explode at scale."""
+    from pyspark.sql import Row
+
+    from incubator_stormcrawler_spark.operators.linkrank import (
+        triangle_counts,
+    )
+
+    df = spark.createDataFrame(
+        [Row(src=i % 37, dst=(i * 7 + 1) % 37) for i in range(200)]
+    )
+    plan = triangle_counts(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hll_registers_merge_equals_whole(spark):
+    """The mergeability contract: sketch two shards independently, merge
+    with max per (grp, bucket) — registers and therefore the estimate
+    must equal the whole-corpus sketch."""
+    from pyspark.sql import Row
+
+    from incubator_stormcrawler_spark.operators.corpus import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    rows = [Row(g="a", v=f"item{i}") for i in range(3000)] + [
+        Row(g="b", v=f"item{i}") for i in range(0, 6000, 2)
+    ]
+    df = spark.createDataFrame(rows)
+    whole = hll_registers(df, "g", "v")
+    s1 = hll_registers(df.where("v like '%0' or v like '%1'"), "g", "v")
+    s2 = hll_registers(
+        df.where("not (v like '%0' or v like '%1')"), "g", "v"
+    )
+    from pyspark.sql import functions as F
+
+    merged = (
+        s1.unionByName(s2).groupBy("grp", "bucket").agg(F.max("M").alias("M"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+    est = {r.grp: r.est_distinct for r in hll_estimate(whole).collect()}
+    # raw HLL on m=64: stderr ~1.04/8 = 13%; allow 3 sigma
+    assert abs(est["a"] - 3000) / 3000 < 0.4
+    assert abs(est["b"] - 3000) / 3000 < 0.4
