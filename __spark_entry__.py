@@ -1014,6 +1014,22 @@ def q_sketch_hll_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_binned_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable histogram quantiles (timeseries.binned_quantiles): the
+    one-pass (group, bin, count) sketch with window read-out — the scale
+    twin of the exact `events_quantiles` (which sorts per group). The
+    oracle rebuilds the identical histogram and interpolation, so the
+    ESTIMATOR itself is what the driver checks."""
+    from incubator_stormcrawler_spark.operators.relational import load_events
+    from incubator_stormcrawler_spark.operators.timeseries import (
+        binned_quantiles,
+    )
+
+    return binned_quantiles(
+        load_events(spark, sf_dir), "event_type", "value", 10.0
+    ).orderBy("grp")
+
+
 def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/timeseries.py): each purchase event picks up
     the user's most recent view at-or-before it — one window pass over a
@@ -3712,6 +3728,35 @@ WHERE fingerprint NOT IN (SELECT fingerprint FROM idx)
 ORDER BY doc_id
 """
 
+# identical fixed-width histogram + cumulative-window interpolation —
+# the deterministic quantile sketch is reproduced exactly
+_ORACLES["events_binned_quantiles"] = """
+WITH bins AS (
+  SELECT event_type AS grp, CAST(floor(value / 10.0) AS BIGINT) AS bin,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+cum AS (
+  SELECT grp, bin, cnt,
+         CAST(sum(cnt) OVER (PARTITION BY grp ORDER BY bin) AS BIGINT)
+           AS cum,
+         CAST(sum(cnt) OVER (PARTITION BY grp) AS BIGINT) AS total
+  FROM bins
+)
+SELECT grp, max(total) AS n,
+  round(max(CASE WHEN cum >= 0.5 * total AND (cum - cnt) < 0.5 * total
+    THEN bin * 10.0 + (0.5 * total - (cum - cnt)) / cnt * 10.0 END), 4)
+    AS est_p50,
+  round(max(CASE WHEN cum >= 0.95 * total AND (cum - cnt) < 0.95 * total
+    THEN bin * 10.0 + (0.95 * total - (cum - cnt)) / cnt * 10.0 END), 4)
+    AS est_p95,
+  round(max(CASE WHEN cum >= 0.99 * total AND (cum - cnt) < 0.99 * total
+    THEN bin * 10.0 + (0.99 * total - (cum - cnt)) / cnt * 10.0 END), 4)
+    AS est_p99
+FROM cum GROUP BY grp
+ORDER BY grp
+"""
+
 # textbook canonical x<y<z triple self-join (und is canonical a<b, so
 # each triangle appears exactly once as (x,y),(y,z),(x,z)) — the Spark
 # side's degree-ordered orientation must reproduce it exactly
@@ -4003,6 +4048,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sketch (oracle rebuilds registers + estimate bit-for-bit) -----
         "graph_triangles": q_graph_triangles,
         "sketch_hll_bigrams": q_sketch_hll_bigrams,
+        # NEW round-7: mergeable histogram quantile sketch (the one-pass
+        # scale twin of the exact events_quantiles sort) ----------------
+        "events_binned_quantiles": q_events_binned_quantiles,
         # re-cast HUGEINT oracles (r04's only hash-fails) -------------
         "corpus_bpe_merges": q_corpus_bpe_merges,
         "corpus_substring_dedup": q_corpus_substring_dedup,

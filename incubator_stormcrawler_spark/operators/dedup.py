@@ -815,14 +815,22 @@ def bloom_unseen(
     key_col: str,
     m_bits: int = 1 << 16,
     k: int = 3,
+    bitmap: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT unseen-set: rows of ``candidates`` whose ``key_col`` is not
     present in ``seen`` — same result as a plain LEFT ANTI join (the
     registered oracle IS that plain form), but candidates that miss any of
     k broadcast-bitmap probes are classified map-side and never enter the
     anti join; only possible-members (true members + the bitmap's false
-    positives) pay the shuffle."""
-    bitmap = bloom_bitmap(seen, key_col, m_bits=m_bits, k=k)
+    positives) pay the shuffle.
+
+    Pass a cached ``bitmap`` (from :func:`bloom_bitmap` with the SAME
+    m_bits/k) to amortize the build across crawl generations — the seen
+    set changes slowly, and a stale bitmap only costs extra residue, never
+    correctness (removals aren't supported by Bloom bits, so rebuild on
+    compaction)."""
+    if bitmap is None:
+        bitmap = bloom_bitmap(seen, key_col, m_bits=m_bits, k=k)
     out_cols = list(candidates.columns)
     probed = candidates
     present = None

@@ -276,3 +276,57 @@ def rollup_time_grain(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum(value_col), 2).alias("total_value"),
     )
+
+
+def binned_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    bin_width: float,
+    qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+) -> DataFrame:
+    """Mergeable one-pass quantile ESTIMATES from a fixed-width histogram
+    — the 100 TB path when ``events_quantiles``-style exact percentiles
+    (a per-group sort) are too expensive: the corpus collapses to
+    (group, bin, count) in ONE partial-aggregable pass, shards merge by
+    summing counts, and the quantile read-out (cumulative window + linear
+    interpolation inside the target bin) runs on the tiny bin table.
+    Unlike percentile_approx's GK sketch, the histogram is DETERMINISTIC
+    — integer bins and dyadic-free but reproducible double interpolation
+    — so the DuckDB oracle rebuilds the estimate exactly.
+
+    Error bound: one bin_width. Estimate for quantile q is
+    ``edge + (q*n - cum_below) / bin_count * width`` in the first bin
+    whose cumulative count reaches q*n.
+    """
+    bins = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.floor(F.col(value_col) / F.lit(bin_width)).alias("bin"),
+        )
+        .groupBy("grp", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = bins.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "total", F.sum("cnt").over(Window.partitionBy("grp"))
+    )
+    aggs = [F.max(F.col("total")).alias("n")]
+    for q in qs:
+        r = F.lit(q) * F.col("total")
+        hit = (F.col("cum") >= r) & ((F.col("cum") - F.col("cnt")) < r)
+        est = (
+            F.col("bin") * F.lit(bin_width)
+            + (r - (F.col("cum") - F.col("cnt")))
+            / F.col("cnt")
+            * F.lit(bin_width)
+        )
+        name = f"p{int(round(q * 100))}"
+        aggs.append(
+            F.round(F.max(F.when(hit, est)), 4).alias(f"est_{name}")
+        )
+    return cum.groupBy("grp").agg(*aggs)

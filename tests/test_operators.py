@@ -590,3 +590,62 @@ def test_hll_registers_merge_equals_whole(spark):
     # raw HLL on m=64: stderr ~1.04/8 = 13%; allow 3 sigma
     assert abs(est["a"] - 3000) / 3000 < 0.4
     assert abs(est["b"] - 3000) / 3000 < 0.4
+
+
+def test_binned_quantiles_bounded_error_and_mergeable(spark):
+    """The estimate must land within one bin_width of the exact
+    percentile for every group and quantile, and the sketch must merge:
+    histograms of two shards sum to the whole-corpus histogram (counts
+    are plain sums), so sharded estimates equal whole-corpus estimates."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from incubator_stormcrawler_spark.operators.timeseries import (
+        binned_quantiles,
+    )
+
+    rows = [
+        Row(g=f"g{i % 3}", v=float(((i * 37) % 1000)) / 2.0)
+        for i in range(3000)
+    ]
+    df = spark.createDataFrame(rows)
+    width = 25.0
+    est = {
+        r.grp: r for r in binned_quantiles(df, "g", "v", width).collect()
+    }
+    exact = {
+        r.g: r
+        for r in df.groupBy("g")
+        .agg(
+            F.expr("percentile(v, 0.5)").alias("p50"),
+            F.expr("percentile(v, 0.95)").alias("p95"),
+            F.expr("percentile(v, 0.99)").alias("p99"),
+        )
+        .collect()
+    }
+    for g in ("g0", "g1", "g2"):
+        assert est[g].n == 1000
+        for q in ("p50", "p95", "p99"):
+            assert abs(est[g][f"est_{q}"] - exact[g][q]) <= width, (g, q)
+    # merge: sharded estimates == whole-corpus estimates
+    whole = sorted(map(tuple, binned_quantiles(df, "g", "v", width).collect()))
+    s1 = df.where("v < 250"); s2 = df.where("v >= 250")
+    merged_hist = (
+        s1.select("g", F.floor(F.col("v") / width).alias("bin"))
+        .groupBy("g", "bin").count()
+        .unionByName(
+            s2.select("g", F.floor(F.col("v") / width).alias("bin"))
+            .groupBy("g", "bin").count()
+        )
+        .groupBy("g", "bin").agg(F.sum("count").alias("cnt"))
+    )
+    whole_hist = (
+        df.select("g", F.floor(F.col("v") / width).alias("bin"))
+        .groupBy("g", "bin").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    assert sorted(map(tuple, merged_hist.collect())) == sorted(
+        map(tuple, whole_hist.collect())
+    )
+    assert whole == sorted(
+        map(tuple, binned_quantiles(df, "g", "v", width).collect())
+    )
