@@ -952,9 +952,9 @@ def q_dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts / local clustering signal
-    (linkrank.triangle_counts) over a 2000-node graph derived from
-    orders (order-page -> customer-page edges, same derivation idiom as
-    link_rank). The Spark side runs the DEGREE-ORDERED orientation
+    (linkrank.triangle_counts) over a 1000-node graph derived from
+    orders (both endpoints taken mod 1000; order-page -> customer-page
+    edges, same derivation idiom as link_rank). The Spark side runs the DEGREE-ORDERED orientation
     (hub-proof: out-degree bounded ~sqrt(2|E|), every triangle counted
     once); the oracle keeps the textbook canonical x<y<z triple
     self-join — a green row proves the orientation rewrite."""

@@ -16,8 +16,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+LOAD_GATE = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "4.0"))
+
+
 def _wait_for_quiet_box(
-    threshold: float = 4.0, max_wait_sec: float = 600.0
+    threshold: float = LOAD_GATE, max_wait_sec: float = 600.0
 ) -> float:
     """Wait (bounded) for the 1-minute loadavg to fall under ``threshold``
     before timing anything. The r6 driver bench regressed a uniform
@@ -39,6 +42,18 @@ def _wait_for_quiet_box(
     return load
 
 
+def _time_query(fn, spark, sf_dir: str, runs: int) -> float:
+    """Hot best-of-N wall time for one registered query (page cache + JIT
+    warm across the N runs)."""
+    best = None
+    for _ in range(runs):
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return best
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     start_load = _wait_for_quiet_box()
@@ -53,20 +68,47 @@ def main() -> None:
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
+    loads: dict[str, float] = {}
     import gc
 
+    # Per-query load gating (r7 fix): the r6 AND r7 driver artifacts were
+    # both load-tainted — the start gate passed, then the box got busy
+    # MID-RUN and inflated the tail queries (r7: start 3.94, end 11.27).
+    # Now every query samples the 1-minute loadavg immediately before and
+    # after its timing runs; a query whose max sample exceeds the gate is
+    # quiet-waited and re-run ONCE, and the retry's timing replaces the
+    # hot one only if it is cleaner (lower max load) — so one external
+    # load spike costs one bounded wait, not a tainted artifact. The
+    # summary line carries max_load_1m over all per-query samples; the
+    # detail file carries the per-query loads, so a reviewer can see
+    # exactly which rows (if any) ran hot. Note the 1-minute loadavg
+    # includes the bench's OWN Spark activity — the documented clean full
+    # run peaks ~3.7 under the 4.0 gate (BASELINE.md), so a persistent
+    # reading above it indicates external load, not self-load.
     for name, fn in e.queries().items():
-        best = None
         try:
-            for _ in range(runs):  # hot best-of-N: page cache + JIT warm
-                t0 = time.time()
-                fn(spark, sf_dir).count()
-                dt = time.time() - t0
-                best = dt if best is None else min(best, dt)
-            timings[name] = round(best, 3)
+            q_load = None
+            for attempt in range(2):
+                load0 = os.getloadavg()[0]
+                if load0 > LOAD_GATE:
+                    load0 = _wait_for_quiet_box(max_wait_sec=120.0)
+                best = _time_query(fn, spark, sf_dir, runs)
+                load1 = os.getloadavg()[0]
+                sample = max(load0, load1)
+                if q_load is None or sample < q_load:
+                    q_load, timings[name] = sample, round(best, 3)
+                if sample <= LOAD_GATE:
+                    break
+                print(
+                    f"bench: {name} ran at 1m load {sample:.1f} > "
+                    f"{LOAD_GATE} — {'re-running once' if attempt == 0 else 'keeping cleaner attempt'}",
+                    file=sys.stderr,
+                )
+            loads[name] = round(q_load, 2)
         except Exception as ex:  # a failing query gets a sentinel, not a crash
             print(f"bench error in {name}: {ex}", file=sys.stderr)
             timings[name] = -1.0
+            loads[name] = round(os.getloadavg()[0], 2)
         # Release per-query executor state: some operators cache() or
         # localCheckpoint() intermediates (edge lists, signatures,
         # centroids) that only the query's own lineage references. Left
@@ -106,9 +148,13 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "query_loads_1m": loads,
         "sf": sf_val,
         "load_1m_at_start": round(start_load, 2),
         "load_1m_at_end": round(os.getloadavg()[0], 2),
+        "max_load_1m": max(loads.values()) if loads else round(start_load, 2),
+        "load_gate": LOAD_GATE,
+        "n_hot_queries": sum(1 for v in loads.values() if v > LOAD_GATE),
     }
     if baselines:
         print("baselines: " + json.dumps(baselines, separators=(",", ":")),
@@ -134,6 +180,8 @@ def main() -> None:
                 "n_queries": len(timings),
                 "n_errors": n_err,
                 "load_1m_at_start": round(start_load, 2),
+                "max_load_1m": detail["max_load_1m"],
+                "n_hot_queries": detail["n_hot_queries"],
                 "detail_file": "BENCH_DETAIL_latest.json",
             },
             separators=(",", ":"),

@@ -26,6 +26,8 @@ identical computation.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -770,9 +772,12 @@ def incremental_lsh_dedup(
 # runtime bloom filter (spark.sql.optimizer.runtime.bloomFilter.enabled)
 # injects for shuffle joins — expressed here as an explicit operator so
 # the bitmap can be PERSISTED and reused across crawl generations instead
-# of being rebuilt per query. At a 10^9-URL frontier, shard the bitmap by
-# the frontier's host bucket (one m-bit bitmap per bucket) and join
-# candidates through their bucket key — each bitmap stays broadcastable.
+# of being rebuilt per query. At a 10^9-URL frontier a single bitmap at
+# 10 bits/key is ~1.2 GB — over the practical broadcast ceiling — so
+# bloom_unseen_sharded splits the key space by pmod(xxhash64(key),
+# n_shards): one independent m-bit bitmap per shard, each candidate
+# probing exactly the one shard its key hashes to, each shard's bitmap
+# broadcast separately and well under the ceiling.
 # Reference parity: the purgatory/seen caches of
 # core/.../persistence/AbstractQueryingSpout.java:149-175 play this role
 # per-JVM in the reference; the bitmap is the cluster-wide equivalent.
@@ -831,7 +836,29 @@ def bloom_unseen(
     compaction)."""
     if bitmap is None:
         bitmap = bloom_bitmap(seen, key_col, m_bits=m_bits, k=k)
+    probed, present = _bloom_probe(candidates, bitmap, key_col, m_bits, k)
     out_cols = list(candidates.columns)
+    definite_new = probed.where(~present).select(*out_cols)
+    possible = probed.where(present).select(*out_cols)
+    exact_new = possible.join(
+        seen.select(F.col(key_col)).distinct(), key_col, "left_anti"
+    )
+    return definite_new.unionByName(exact_new)
+
+
+def _bloom_probe(candidates, bitmap, key_col, m_bits, k):
+    """Attach the k broadcast-bitmap probes to ``candidates``; return the
+    augmented frame and the all-probes-hit predicate. Working columns use
+    a reserved ``__bf_`` prefix — plain names like ``p0`` would let
+    ``withColumn`` silently REPLACE a caller column of the same name and
+    corrupt the final projection, so a caller column in the reserved
+    namespace is rejected loudly instead."""
+    clash = [c for c in candidates.columns if c.startswith("__bf_")]
+    if clash:
+        raise ValueError(
+            f"candidates columns collide with bloom_unseen's reserved "
+            f"__bf_ namespace: {clash}"
+        )
     probed = candidates
     present = None
     for j in range(k):
@@ -846,18 +873,115 @@ def bloom_unseen(
             % m_bits
         )
         bm = bitmap.select(
-            F.col("word_idx").alias(f"wi{j}"), F.col("word").alias(f"wd{j}")
+            F.col("word_idx").alias(f"__bf_wi{j}"),
+            F.col("word").alias(f"__bf_wd{j}"),
         )
-        probed = probed.withColumn(f"p{j}", pos).join(
-            F.broadcast(bm), F.expr(f"p{j} div 64") == F.col(f"wi{j}"), "left"
+        probed = probed.withColumn(f"__bf_p{j}", pos).join(
+            F.broadcast(bm),
+            F.expr(f"__bf_p{j} div 64") == F.col(f"__bf_wi{j}"),
+            "left",
         )
         hit = F.expr(
-            f"wd{j} is not null and "
-            f"(shiftright(wd{j}, cast(p{j} % 64 as int)) & 1L) = 1L"
+            f"__bf_wd{j} is not null and "
+            f"(shiftright(__bf_wd{j}, cast(__bf_p{j} % 64 as int)) & 1L) = 1L"
         )
         present = hit if present is None else (present & hit)
-    definite_new = probed.where(~present).select(*out_cols)
-    possible = probed.where(present).select(*out_cols)
+    return probed, present
+
+
+def _shard_expr(key_col: str, n_shards: int):
+    """Shard id of a key: pmod(xxhash64(key), n_shards) — deterministic,
+    uniform, and cheap enough to recompute on both the build and probe
+    sides (no column needs to travel)."""
+    return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards)).cast("int")
+
+
+def bloom_bitmap_sharded(
+    seen: DataFrame,
+    key_col: str,
+    n_shards: int,
+    m_bits: int = 1 << 16,
+    k: int = 3,
+) -> DataFrame:
+    """One independent Bloom bitmap per key shard: rows of
+    ``(shard, word_idx, word)``, where ``shard = pmod(xxhash64(key),
+    n_shards)`` and each shard's bitmap spans its own ``m_bits`` positions
+    (probe positions are computed exactly as in :func:`bloom_bitmap`, so a
+    1-shard sharded bitmap IS the plain bitmap). Built in one
+    partial-aggregable pass — the groupBy on (shard, word_idx) map-side
+    combines to at most ``n_shards * m_bits/64`` rows."""
+    probes = F.array(
+        *[
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"bf{j}|"), F.col(key_col))), 1, 12
+                ),
+                16,
+                10,
+            ).cast("long")
+            % m_bits
+            for j in range(k)
+        ]
+    )
+    return (
+        seen.select(
+            _shard_expr(key_col, n_shards).alias("shard"),
+            F.explode(probes).alias("pos"),
+        )
+        .select(
+            "shard",
+            F.expr("pos div 64").alias("word_idx"),
+            F.expr("shiftleft(1L, cast(pos % 64 as int))").alias("w"),
+        )
+        .groupBy("shard", "word_idx")
+        .agg(F.expr("bit_or(w)").alias("word"))
+    )
+
+
+def bloom_unseen_sharded(
+    seen: DataFrame,
+    candidates: DataFrame,
+    key_col: str,
+    n_shards: int = 8,
+    m_bits: int = 1 << 16,
+    k: int = 3,
+    bitmap: DataFrame | None = None,
+) -> DataFrame:
+    """EXACT unseen-set via a bucket-SHARDED Bloom prefilter — same result
+    as :func:`bloom_unseen` and as the plain LEFT ANTI join, but no single
+    broadcast ever carries the whole bitmap. The key space is split by
+    ``pmod(xxhash64(key), n_shards)``; each candidate hashes to EXACTLY one
+    shard (the split predicates are disjoint and total), each shard branch
+    broadcasts only its own ``m_bits``-bit bitmap, and the branch unions
+    feed ONE exact anti join for the possible-member residue. Sizing: at
+    10^9 seen URLs and 10 bits/key, n_shards=64 puts each broadcast at
+    ~20 MB — comfortably under Spark's broadcast ceiling, where the
+    unsharded bitmap (~1.2 GB) is not shippable.
+
+    The per-shard bitmaps live in one ``(shard, word_idx, word)`` frame
+    (pass ``bitmap`` from :func:`bloom_bitmap_sharded` to reuse a
+    persisted one across crawl generations); each branch broadcasts only
+    its shard's slice. Reference parity: the per-JVM seen caches of
+    core/.../persistence/AbstractQueryingSpout.java:149-175, sharded the
+    way the reference shards its frontier by bucket."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    if bitmap is None:
+        bitmap = bloom_bitmap_sharded(
+            seen, key_col, n_shards, m_bits=m_bits, k=k
+        )
+    out_cols = list(candidates.columns)
+    shard_of = _shard_expr(key_col, n_shards)
+    definite_parts: list[DataFrame] = []
+    possible_parts: list[DataFrame] = []
+    for s in range(n_shards):
+        cand_s = candidates.where(shard_of == s)
+        bm_s = bitmap.where(F.col("shard") == s).select("word_idx", "word")
+        probed, present = _bloom_probe(cand_s, bm_s, key_col, m_bits, k)
+        definite_parts.append(probed.where(~present).select(*out_cols))
+        possible_parts.append(probed.where(present).select(*out_cols))
+    definite_new = reduce(DataFrame.unionByName, definite_parts)
+    possible = reduce(DataFrame.unionByName, possible_parts)
     exact_new = possible.join(
         seen.select(F.col(key_col)).distinct(), key_col, "left_anti"
     )

@@ -98,9 +98,18 @@ class JdbcFrontierStore:
 
     # ---- DDL through the JVM ------------------------------------------
 
-    def _execute(self, *statements: str, transactional: bool = False) -> None:
+    def _connect(self):
+        """One JVM-side connection path for every non-Spark statement:
+        ``Class.forName(self.driver)`` first (DriverManager's service
+        loader misses drivers that don't self-register — Derby happens to,
+        but the DataFrame read/write paths already pass ``driver``
+        explicitly and the raw paths must match), then getConnection."""
         jvm = self.spark.sparkContext._jvm
-        conn = jvm.java.sql.DriverManager.getConnection(self.jdbc_url)
+        jvm.java.lang.Class.forName(self.driver)
+        return jvm.java.sql.DriverManager.getConnection(self.jdbc_url)
+
+    def _execute(self, *statements: str, transactional: bool = False) -> None:
+        conn = self._connect()
         try:
             if transactional:
                 conn.setAutoCommit(False)
@@ -124,8 +133,7 @@ class JdbcFrontierStore:
             conn.close()
 
     def _table_exists(self, name: str) -> bool:
-        jvm = self.spark.sparkContext._jvm
-        conn = jvm.java.sql.DriverManager.getConnection(self.jdbc_url)
+        conn = self._connect()
         try:
             rs = conn.getMetaData().getTables(None, None, name.upper(), None)
             found = rs.next()
@@ -210,12 +218,19 @@ class JdbcFrontierStore:
 
     def last_batch_id(self) -> str | None:
         """Batch id recorded by the last merge_commit transaction (None
-        before any batch-tagged commit)."""
+        before any batch-tagged commit).
+
+        Single-slot scope (same one-writer sequential contract as
+        ``FrontierTable.commit``): the mark holds only the MOST RECENT
+        batch, so a replay of any batch other than the latest re-applies.
+        That is exactly the crawl loop's shape — one status-updater writer
+        per table, batches committed in order, only the in-flight batch
+        can be replayed after a crash (Delta's txnAppId/txnVersion keeps
+        the same per-writer latest-version slot)."""
         meta = f"{self.table}_meta"
         if not self._table_exists(meta):
             return None
-        jvm = self.spark.sparkContext._jvm
-        conn = jvm.java.sql.DriverManager.getConnection(self.jdbc_url)
+        conn = self._connect()
         try:
             st = conn.createStatement()
             rs = st.executeQuery(f"SELECT batch_id FROM {meta} WHERE k = 0")
