@@ -10,13 +10,15 @@ This is the training-data-pipeline surface the reference doesn't have but a
 * Every transform is ``mapInPandas`` over batches — one Arrow hop, no
   per-row Python, safe at TB scale; row-multiplying ops (frame sampling)
   yield multiple output rows per input inside the same batch.
-* **Codec decode is STUBBED**: real image/audio libs (PIL/ffmpeg) are not
-  in this container. ``decode_image``/``decode_audio`` try to import them
-  and otherwise fall back to a DETERMINISTIC FAKE decode that interprets
-  the raw bytes against the declared metadata (documented below). All
+* **Codecs**: two REAL, stdlib-only parsers ship in-repo — 24-bit BMP
+  (struct) and RIFF/WAVE PCM-16 (the wave module) — selected by content
+  magic, so resize/feature stages run on genuine pixel/sample data
+  (driver-oracle-checked via the formula corpora below). Other formats:
+  ``decode_image``/``decode_audio`` try PIL/ffmpeg-style libs (not in
+  this container) and otherwise fall back to a DETERMINISTIC FAKE decode
+  that interprets the raw bytes against the declared metadata. All
   Spark-side plumbing — schemas, batch shapes, explodes, partitioning —
-  is real and tested; swap the decode internals for PIL/ffmpeg in
-  production and nothing else changes.
+  is real and tested either way.
 """
 
 from __future__ import annotations
@@ -68,12 +70,90 @@ def synthesize_media(spark: SparkSession, n: int = 64) -> DataFrame:
     )
 
 
-# -- decode stubs -----------------------------------------------------------
+# -- codecs -----------------------------------------------------------------
+# One REAL, dependency-free codec per modality (r8): 24-bit uncompressed
+# BMP for images and RIFF/WAVE PCM-16 for audio, both parsed with stdlib
+# only (struct / the wave module). Content sniffing picks the path per
+# row — 'BM' / 'RIFF....WAVE' magic runs the real parser on genuine
+# pixel/sample data; anything else keeps the deterministic raw stub so
+# the established hex-arithmetic oracles stay valid. PIL/ffmpeg formats
+# beyond these remain out of scope for this container (import-gated).
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """Serialize a grayscale uint8 array as a 24-bit BI_RGB BMP
+    (r = g = b = pixel): 54-byte header, bottom-up rows, each row padded
+    to a 4-byte boundary — the padding is what makes BMP a real parsing
+    exercise rather than a reshape."""
+    import struct
+
+    h, w = img.shape
+    row_bytes = (w * 3 + 3) & ~3
+    data = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = bytearray()
+        for x in range(w):
+            v = int(img[y, x])
+            row += bytes((v, v, v))  # BGR
+        row += b"\x00" * (row_bytes - len(row))
+        data += row
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(data), 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
+    )
+    return bytes(header) + bytes(data)
+
+
+def decode_bmp(content: bytes) -> np.ndarray:
+    """Parse a 24-bit uncompressed BMP to grayscale uint8 (integer mean of
+    BGR — exact for the r=g=b images ``encode_bmp`` writes). Handles
+    bottom-up AND top-down (negative height) row order and per-row
+    padding. Raises on compressed or non-24-bit files."""
+    import struct
+
+    if content[:2] != b"BM":
+        raise ValueError("not a BMP stream")
+    data_off = struct.unpack_from("<I", content, 10)[0]
+    (hdr_size, w, h, _planes, bpp, comp) = struct.unpack_from(
+        "<IiiHHI", content, 14
+    )
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
+    top_down = h < 0
+    h = abs(h)
+    row_bytes = (w * 3 + 3) & ~3
+    rows = np.frombuffer(
+        content, dtype=np.uint8, count=row_bytes * h, offset=data_off
+    ).reshape(h, row_bytes)
+    bgr = rows[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        bgr = bgr[::-1]
+    return (bgr.astype(np.uint16).sum(axis=2) // 3).astype(np.uint8)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """Serialize mono int16 samples as a RIFF/WAVE PCM-16 stream via the
+    stdlib ``wave`` module."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(sample_rate)
+        wv.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
 
 def decode_image(content: bytes, meta) -> np.ndarray:
-    """Image decode. Real path uses PIL when importable; the STUB path
-    (this container) interprets ``content`` as raw grayscale bytes of the
+    """Image decode. A real BMP stream ('BM' magic) takes the stdlib
+    parser above; PIL handles other formats when importable; otherwise
+    the STUB path interprets ``content`` as raw grayscale bytes of the
     declared (height, width) — deterministic, shape-correct, codec-free."""
+    if content[:2] == b"BM":
+        return decode_bmp(content)
     try:  # pragma: no cover - PIL not in container
         import io
 
@@ -89,8 +169,20 @@ def decode_image(content: bytes, meta) -> np.ndarray:
 
 
 def decode_audio(content: bytes, meta) -> np.ndarray:
-    """Audio decode stub: int16 PCM little-endian (real path: soundfile/
-    ffmpeg)."""
+    """Audio decode: a real RIFF/WAVE stream takes the stdlib ``wave``
+    parser (PCM-16, channel 0 of interleaved frames); anything else is
+    the raw int16-PCM little-endian stub (real path for other formats:
+    soundfile/ffmpeg)."""
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(bytes(content)), "rb") as wv:
+            nch = wv.getnchannels()
+            if wv.getsampwidth() != 2:
+                raise ValueError("only PCM-16 WAV supported")
+            raw = wv.readframes(wv.getnframes())
+        return np.frombuffer(raw, dtype="<i2")[::nch]
     return np.frombuffer(content[: (len(content) // 2) * 2], dtype="<i2")
 
 
@@ -324,4 +416,138 @@ def image_near_dup_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
             F.col("doc2").alias("media2"),
             hamming.cast("int").alias("hamming"),
         )
+    )
+
+
+# -- real-codec roundtrip fixtures & stats (r8) -------------------------------
+# The corpora below hold GENUINE BMP/WAV streams whose pixel/sample values
+# come from a closed-form formula, so a SQL oracle can recompute the exact
+# integral statistics WITHOUT parsing bytes — a green driver row then
+# proves the real encode → decode → stats path end to end (format headers,
+# row padding, bottom-up order, RIFF framing), not just the plumbing.
+
+def synthesize_bmp_corpus(spark: SparkSession, n: int = 20) -> DataFrame:
+    """n real 24-bit BMP images; pixel(x, y) = (7x + 13y + 31*id) % 256,
+    width 5 + id%4 (hits every 4-byte row-padding case), height 4 + id%3."""
+    rows = []
+    for i in range(n):
+        w, h = 5 + i % 4, 4 + i % 3
+        ys, xs = np.mgrid[0:h, 0:w]
+        img = ((7 * xs + 13 * ys + 31 * i) % 256).astype(np.uint8)
+        rows.append(
+            (i, "image", bytearray(encode_bmp(img)), (w, h, None, None, "bmp"))
+        )
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 2), MEDIA_SCHEMA_DDL
+    )
+
+
+def synthesize_wav_corpus(spark: SparkSession, n: int = 20) -> DataFrame:
+    """n real RIFF/WAVE PCM-16 clips; sample(t) = (t*(3+id)) % 2048 − 1024,
+    256 + 16*(id%5) samples at 8 kHz."""
+    rows = []
+    for i in range(n):
+        cnt = 256 + 16 * (i % 5)
+        t = np.arange(cnt)
+        samples = ((t * (3 + i)) % 2048 - 1024).astype("<i2")
+        rows.append(
+            (
+                i,
+                "audio",
+                bytearray(encode_wav(samples)),
+                (None, None, 8000, None, "wav"),
+            )
+        )
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 2), MEDIA_SCHEMA_DDL
+    )
+
+
+IMAGE_STATS_DDL = (
+    "media_id bigint, width int, height int, n_pixels bigint, "
+    "pixel_sum bigint, weighted_sum bigint"
+)
+
+
+def image_stats(media: DataFrame) -> DataFrame:
+    """Exact integral image statistics after decode: pixel count/sum and
+    the position-weighted checksum sum(v * (x + w*y)) — one changed pixel
+    ANYWHERE changes it, so it certifies decode fidelity bit-for-bit."""
+    import pandas as pd
+
+    imgs = media.where(F.col("kind") == "image")
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                img = decode_image(bytes(row.content), row.media_meta).astype(
+                    np.int64
+                )
+                h, w = img.shape
+                ys, xs = np.mgrid[0:h, 0:w]
+                out.append(
+                    {
+                        "media_id": row.media_id,
+                        "width": w,
+                        "height": h,
+                        "n_pixels": int(img.size),
+                        "pixel_sum": int(img.sum()),
+                        "weighted_sum": int((img * (xs + w * ys)).sum()),
+                    }
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "width", "height", "n_pixels",
+                    "pixel_sum", "weighted_sum",
+                ],
+            )
+
+    return imgs.select("media_id", "content", "media_meta").mapInPandas(
+        run, schema=IMAGE_STATS_DDL
+    )
+
+
+AUDIO_STATS_DDL = (
+    "media_id bigint, n_samples bigint, sample_sum bigint, "
+    "abs_sum bigint, weighted_sum bigint"
+)
+
+
+def audio_stats(media: DataFrame) -> DataFrame:
+    """Exact integral audio statistics after decode (integer twins of
+    ``audio_features``'s float RMS/ZCR): sum, |sum|, and the
+    position-weighted checksum sum(s * t)."""
+    import pandas as pd
+
+    auds = media.where(F.col("kind") == "audio")
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                s = decode_audio(bytes(row.content), row.media_meta).astype(
+                    np.int64
+                )
+                t = np.arange(s.size)
+                out.append(
+                    {
+                        "media_id": row.media_id,
+                        "n_samples": int(s.size),
+                        "sample_sum": int(s.sum()),
+                        "abs_sum": int(np.abs(s).sum()),
+                        "weighted_sum": int((s * t).sum()),
+                    }
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "n_samples", "sample_sum",
+                    "abs_sum", "weighted_sum",
+                ],
+            )
+
+    return auds.select("media_id", "content", "media_meta").mapInPandas(
+        run, schema=AUDIO_STATS_DDL
     )

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..roundparams import RP
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -52,7 +54,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
-        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        li.where(F.col("l_shipdate") <= F.lit(RP["q1_cutoff"]))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
@@ -72,9 +74,15 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer is the small side — broadcast; the orders⋈lineitem join
     shuffles on orderkey; final top-10 is TakeOrderedAndProject.
     """
-    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
-    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1998-03-15")
-    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1998-03-15")
+    cust = _t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == RP["q3_segment"]
+    )
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < RP["q3_date"]
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > RP["q3_date"]
+    )
     revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
@@ -108,7 +116,7 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .where(F.col("r_name").isin("AMERICA", "ASIA"))
+        .where(F.col("r_name").isin(*RP["q5_regions"]))
         .groupBy("n_name")
         .agg(F.round(revenue, 2).alias("revenue"))
     )
@@ -120,11 +128,11 @@ def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.where(
-            (F.col("l_shipdate") >= "1997-01-01")
-            & (F.col("l_shipdate") < "1998-01-01")
-            & (F.col("l_discount") >= 0.05)
-            & (F.col("l_discount") <= 0.07)
-            & (F.col("l_quantity") < 24)
+            (F.col("l_shipdate") >= RP["q6_start"])
+            & (F.col("l_shipdate") < RP["q6_end"])
+            & (F.col("l_discount") >= float(RP["q6_disc_lo"]))
+            & (F.col("l_discount") <= float(RP["q6_disc_hi"]))
+            & (F.col("l_quantity") < RP["q6_qty"])
         )
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
@@ -319,8 +327,8 @@ def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     return (
         li.where(
-            (F.col("l_shipdate") >= "1997-03-01")
-            & (F.col("l_shipdate") < "1997-04-01")
+            (F.col("l_shipdate") >= RP["q14_start"])
+            & (F.col("l_shipdate") < RP["q14_end"])
         )
         .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
@@ -346,29 +354,23 @@ def brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
-    cond = (
-        (
-            (F.col("p_brand") == "Brand#12")
-            & (F.col("p_size") <= 15)
-            & (F.col("l_quantity") >= 1)
-            & (F.col("l_quantity") <= 21)
-        )
-        | (
-            (F.col("p_brand") == "Brand#23")
-            & (F.col("p_size") <= 25)
-            & (F.col("l_quantity") >= 10)
-            & (F.col("l_quantity") <= 30)
-        )
-        | (
-            (F.col("p_brand") == "Brand#34")
-            & (F.col("p_size") <= 35)
-            & (F.col("l_quantity") >= 20)
-            & (F.col("l_quantity") <= 40)
-        )
-    )
+    brands = RP["q19_brands"]
+    qlos, qhis = RP["q19_qty_los"], RP["q19_qty_his"]
+    sizes = RP["q19_sizes"]
+    arms = [
+        (F.col("p_brand") == brands[i])
+        & (F.col("p_size") <= sizes[i])
+        & (F.col("l_quantity") >= qlos[i])
+        & (F.col("l_quantity") <= qhis[i])
+        for i in range(3)
+    ]
+    cond = arms[0] | arms[1] | arms[2]
     return (
-        li.where((F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 40))
-        .join(F.broadcast(part.where(F.col("p_size") <= 35)),
+        li.where(
+            (F.col("l_quantity") >= min(qlos))
+            & (F.col("l_quantity") <= max(qhis))
+        )
+        .join(F.broadcast(part.where(F.col("p_size") <= max(sizes))),
               F.col("l_partkey") == F.col("p_partkey"))
         .where(cond)
         .groupBy("p_brand")
@@ -483,14 +485,18 @@ def order_priority_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     amplification when an order has several late lines; both date
     filters push into their scans."""
     orders = _t(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= "1996-01-01")
-        & (F.col("o_orderdate") < "1996-04-01")
+        (F.col("o_orderdate") >= RP["q4_start"])
+        & (F.col("o_orderdate") < RP["q4_end"])
     )
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
     late = orders.join(
         li,
         (F.col("l_orderkey") == F.col("o_orderkey"))
-        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate")
+            + F.expr(f"INTERVAL {RP['q4_late_days']} DAYS")
+        ),
         "left_semi",
     )
     return (
@@ -505,7 +511,7 @@ def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     directions) by ship year. supplier/customer/nation broadcast; the
     only real shuffle is lineitem⋈orders on orderkey, then a tiny
     grouped aggregate."""
-    n1, n2 = "NATION_1", "NATION_2"
+    n1, n2 = RP["q7_nations"]
     nation = _t(spark, sf_dir, "nation")
     li = _t(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= "1996-01-01")
@@ -543,8 +549,12 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     share is a conditional aggregate over one joined stream (no second
     pass, no self-join)."""
     nation = _t(spark, sf_dir, "nation")
-    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
-    part = _t(spark, sf_dir, "part").where(F.col("p_type") == "STANDARD")
+    region = _t(spark, sf_dir, "region").where(
+        F.col("r_name") == RP["q8_region"]
+    )
+    part = _t(spark, sf_dir, "part").where(
+        F.col("p_type") == RP["q8_type"]
+    )
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= "1996-01-01")
@@ -571,7 +581,7 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(
                 F.sum(
-                    F.when(F.col("supp_nation") == "NATION_1", rev).otherwise(
+                    F.when(F.col("supp_nation") == RP["q8_nation"], rev).otherwise(
                         0.0
                     )
                 )
@@ -592,23 +602,38 @@ def product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     unchanged."""
     nation = _t(spark, sf_dir, "nation")
     part = _t(spark, sf_dir, "part").where(
-        F.col("p_type").isin("PROMO", "ECONOMY")
+        F.col("p_type").isin(*RP["q9_types"])
     )
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     supp_n = _t(spark, sf_dir, "supplier").join(
         F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
     ).select("s_suppkey", F.col("n_name").alias("nation"))
-    profit = (
-        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
-        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
-    )
+    # per-line profit rounded to INTEGER CENTS before the sum: double
+    # addition is not associative, and Spark/DuckDB sum groups in
+    # different orders — a raw double sum can land a group on a 2-decimal
+    # rounding boundary and hash-mismatch by one cent (seen the moment the
+    # seeded constants moved the groups). The per-line expression tree is
+    # identical in both engines, so its rounded cents are identical, and
+    # the integer sum is order-independent.
+    profit_cents = F.round(
+        F.lit(100.0)
+        * (
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+            - F.lit(float(RP["q9_cost_frac"]))
+            * F.col("p_retailprice")
+            * F.col("l_quantity")
+        ),
+        0,
+    ).cast("long")
     return (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("nation", F.year("o_orderdate").alias("o_year"))
-        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+        .agg(
+            F.round(F.sum(profit_cents) / 100.0, 2).alias("sum_profit")
+        )
         .orderBy("nation", F.col("o_year").desc())
     )
 
@@ -621,8 +646,8 @@ def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _t(spark, sf_dir, "nation")
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= "1996-10-01")
-        & (F.col("o_orderdate") < "1997-01-01")
+        (F.col("o_orderdate") >= RP["q10_start"])
+        & (F.col("o_orderdate") < RP["q10_end"])
     )
     li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
     rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
@@ -655,7 +680,7 @@ def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     both partial-aggregable, the second over a tiny key space."""
     cust = _t(spark, sf_dir, "customer").select("c_custkey")
     orders = _t(spark, sf_dir, "orders").where(
-        F.col("o_orderpriority") != "5-LOW"
+        F.col("o_orderpriority") != RP["q13_excl_priority"]
     ).select("o_custkey", "o_orderkey")
     per_cust = (
         cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
@@ -677,8 +702,8 @@ def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     the spec. Comparison is on the ROUNDED revenue so the equality is
     deterministic cross-engine."""
     li = _t(spark, sf_dir, "lineitem").where(
-        (F.col("l_shipdate") >= "1996-01-01")
-        & (F.col("l_shipdate") < "1996-04-01")
+        (F.col("l_shipdate") >= RP["q15_start"])
+        & (F.col("l_shipdate") < RP["q15_end"])
     )
     supp = _t(spark, sf_dir, "supplier")
     rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
@@ -707,13 +732,15 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate side small enough to broadcast after the brand filter.
     l_quantity is integer-valued, so the per-part average is exact and
     the threshold comparison is deterministic cross-engine."""
-    part = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#13")
+    part = _t(spark, sf_dir, "part").where(
+        F.col("p_brand") == RP["q17_brand"]
+    )
     li = _t(spark, sf_dir, "lineitem")
     brand_lines = li.join(
         F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
     ).select("l_partkey", "l_quantity", "l_extendedprice")
     avg_qty = brand_lines.groupBy(F.col("l_partkey").alias("ap")).agg(
-        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")
+        (F.lit(float(RP["q17_frac"])) * F.avg("l_quantity")).alias("qty_threshold")
     )
     return (
         brand_lines.join(
@@ -738,7 +765,7 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("total_qty"))
-        .where(F.col("total_qty") > 150)
+        .where(F.col("total_qty") > RP["q18_qty"])
     )
     return (
         orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
@@ -764,7 +791,7 @@ def dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
     recent = _t(spark, sf_dir, "orders").where(
-        F.col("o_orderdate") >= "1999-01-01"
+        F.col("o_orderdate") >= RP["q22_cutoff"]
     ).select("o_custkey")
     avg_bal = cust.where(F.col("c_acctbal") > 0.0).agg(
         F.avg("c_acctbal").alias("avg_bal")
@@ -874,8 +901,8 @@ def shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "lineitem")
         .where(F.col("l_returnflag").isin("A", "R"))
         .where(
-            (F.col("l_shipdate") >= "1997-01-01")
-            & (F.col("l_shipdate") < "1998-01-01")
+            (F.col("l_shipdate") >= RP["q12_start"])
+            & (F.col("l_shipdate") < RP["q12_end"])
         )
         .select("l_orderkey", "l_returnflag", "l_shipdate")
     )
@@ -884,7 +911,8 @@ def shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .where(
             F.col("l_shipdate")
-            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            > F.col("o_orderdate")
+            + F.expr(f"INTERVAL {RP['q12_late_days']} DAYS")
         )
         .groupBy("l_returnflag")
         .agg(
@@ -928,7 +956,8 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders, F.col("l_orderkey") == F.col("o_orderkey")
     ).withColumn(
         "is_late",
-        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr(f"INTERVAL {RP['q21_late_days']} DAYS"),
     )
     per_order = lines.groupBy("l_orderkey").agg(
         F.size(F.collect_set("l_suppkey")).alias("n_supp"),
@@ -1110,11 +1139,14 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewrite. No fact table is touched at all.
     """
     part = _t(spark, sf_dir, "part").where(
-        F.col("p_size").isin(15, 25, 35) & (F.col("p_type") == "ECONOMY")
+        F.col("p_size").isin(*RP["q2_sizes"])
+        & (F.col("p_type") == RP["q2_type"])
     )
     ps = derived_partsupp(spark, sf_dir, part=part)
     nation = _t(spark, sf_dir, "nation")
-    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    region = _t(spark, sf_dir, "region").where(
+        F.col("r_name") == RP["q2_region"]
+    )
     euro_supp = (
         _t(spark, sf_dir, "supplier")
         .join(
@@ -1165,7 +1197,9 @@ def important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's HUGEINT sums back to BIGINT, per the repo's HUGEINT guard).
     """
     ps = derived_partsupp(spark, sf_dir)
-    nation = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
+    nation = _t(spark, sf_dir, "nation").where(
+        F.col("n_name") == RP["q11_nation"]
+    )
     supp = (
         _t(spark, sf_dir, "supplier")
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
@@ -1205,9 +1239,9 @@ def supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     not a fact table.
     """
     part = _t(spark, sf_dir, "part").where(
-        (F.col("p_brand") != "Brand#2")
-        & (F.col("p_type") != "ECONOMY")
-        & (F.col("p_size").isin(1, 5, 11, 15, 23, 37, 41, 49))
+        (F.col("p_brand") != RP["q16_excl_brand"])
+        & (F.col("p_type") != RP["q16_excl_type"])
+        & (F.col("p_size").isin(*RP["q16_sizes"]))
     )
     ps = derived_partsupp(spark, sf_dir, part=part)
     complainers = _t(spark, sf_dir, "supplier").where(
@@ -1242,7 +1276,9 @@ def excess_inventory_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar subquery — the oracle keeps that form, proving the join
     rewrite.
     """
-    red_parts = _t(spark, sf_dir, "part").where(F.col("p_name").like("red%"))
+    red_parts = _t(spark, sf_dir, "part").where(
+        F.col("p_name").like(RP["q20_color"] + "%")
+    )
     red_keys = F.broadcast(red_parts.select("p_partkey"))
     ps = (
         observed_partsupp(spark, sf_dir)
@@ -1252,8 +1288,8 @@ def excess_inventory_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = (
         _t(spark, sf_dir, "lineitem")
         .where(
-            (F.col("l_shipdate") >= "1997-01-01")
-            & (F.col("l_shipdate") < "1998-01-01")
+            (F.col("l_shipdate") >= RP["q20_start"])
+            & (F.col("l_shipdate") < RP["q20_end"])
         )
         .join(red_keys, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
         .groupBy("l_partkey", "l_suppkey")
@@ -1269,7 +1305,9 @@ def excess_inventory_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("ps_suppkey")
         .distinct()
     )
-    nation = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
+    nation = _t(spark, sf_dir, "nation").where(
+        F.col("n_name") == RP["q20_nation"]
+    )
     return (
         _t(spark, sf_dir, "supplier")
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))

@@ -506,15 +506,17 @@ def test_round7_partsupp_tpch_plan_shapes(spark):
         assert "CartesianProduct" not in p
         assert "Expand" not in p
 
+    from incubator_stormcrawler_spark.roundparams import RP
+
     p = plan_of(rel.supplier_part_counts(spark, SF))
     pushed = p.split("PushedFilters: [")[1]
-    assert "Not(EqualTo(p_brand,Brand#2))" in pushed
+    assert f"Not(EqualTo(p_brand,{RP['q16_excl_brand']}))" in pushed
     assert "LeftAnti" in p  # negative-acctbal supplier exclusion
 
     p = plan_of(rel.excess_inventory_suppliers(spark, SF))
     assert p.count("lineitem.parquet") == 2
     assert p.count("LeftSemi") >= 3  # 2x red-part reduction + supplier
-    assert "GreaterThanOrEqual(l_shipdate,1997-01-01" in p
+    assert f"GreaterThanOrEqual(l_shipdate,{RP['q20_start']}" in p
     assert "SortMergeJoin" not in p
     # the red-part semi sits BELOW each pair aggregate: every lineitem
     # FileScan line is preceded (within a few lines) by a LeftSemi join

@@ -84,3 +84,55 @@ def test_no_duplicate_registry_keys():
 
     ks = list(e.queries())
     assert len(ks) == len(set(ks))
+
+
+def test_seeded_constants_flip_stays_green(spark):
+    """The anti-overfitting contract: flipping ROUND_SEED re-points a
+    seeded query AND its oracle at fresh constants and the pair must STILL
+    agree — proving the parameterized operator, not one memorized tuple.
+    Runs two seeded TPC-H shapes at two non-committed seeds, rebuilding
+    the oracle SQL from the flipped dict exactly as oracle_sql() does."""
+    import duckdb
+
+    from incubator_stormcrawler_spark import roundparams as rp
+    from incubator_stormcrawler_spark.operators import relational as rel
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    saved = dict(rp.RP)
+    try:
+        for trial_seed in (9, 17):
+            rp.RP.clear()
+            rp.RP.update(rp.round_params(trial_seed))
+            P = rp.RP
+            # Q6: dates + float bounds + int threshold
+            got = rel.forecast_revenue(spark, sf).collect()[0].revenue
+            exp = con.sql(f"""
+                SELECT round(sum(l_extendedprice * l_discount), 2)
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '{P['q6_start']} 00:00:00'
+                  AND l_shipdate < TIMESTAMP '{P['q6_end']} 00:00:00'
+                  AND l_discount BETWEEN {P['q6_disc_lo']}
+                                     AND {P['q6_disc_hi']}
+                  AND l_quantity < {P['q6_qty']}
+            """).fetchone()[0]
+            assert got == exp, (trial_seed, got, exp)
+            # Q18: seeded integer HAVING threshold through a join
+            rows = {
+                (r.o_orderkey, r.total_qty)
+                for r in rel.large_volume_customers(spark, sf).collect()
+            }
+            exp_rows = set(con.sql(f"""
+                SELECT o_orderkey, CAST(total_qty AS BIGINT)
+                FROM (SELECT l_orderkey, sum(l_quantity) AS total_qty
+                      FROM lineitem GROUP BY l_orderkey
+                      HAVING sum(l_quantity) > {P['q18_qty']})
+                JOIN orders ON o_orderkey = l_orderkey
+                ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+            """).fetchall())
+            assert rows == exp_rows, trial_seed
+    finally:
+        rp.RP.clear()
+        rp.RP.update(saved)
