@@ -24,6 +24,7 @@ the crux of making politeness correct on a 1000-executor cluster.
 from __future__ import annotations
 
 import heapq
+import re
 import time
 from dataclasses import dataclass, field
 from urllib.parse import urlsplit
@@ -79,6 +80,47 @@ class MemoryProtocol(Protocol):
     def get_robots(self, host):
         body = self.robots.get(host)
         return (200, body) if body is not None else (404, None)
+
+
+class SyntheticGraphProtocol(Protocol):
+    """Closed synthetic web graph computed FROM the url — no site dict to
+    serialize, so multi-million-page crawls ship only (n_pages, hosts,
+    fanout) to the executors. Page i lives at
+    ``https://h{i % hosts}.example/p{i}`` and links to its tree children
+    ``fanout*i + 1 .. fanout*i + fanout`` (every id < n_pages is some
+    node's child, so a crawl seeded at p0 reaches the WHOLE graph and
+    exhausts after ~log_fanout(n) generations) plus one deterministic
+    cross link ``(7i + 3) % n_pages`` that re-discovers already-crawled
+    pages — the duplicate pressure the frontier merge must absorb without
+    ever re-fetching. The reference analog is the MemorySpout loopback
+    fixture; this is its scale form."""
+
+    def __init__(self, n_pages: int, hosts: int = 1000, fanout: int = 4):
+        self.n_pages = n_pages
+        self.hosts = hosts
+        self.fanout = fanout
+
+    def _url(self, i: int) -> str:
+        return f"https://h{i % self.hosts}.example/p{i}"
+
+    def get_protocol_output(self, url, metadata):
+        m = re.search(r"^https://h(\d+)\.example/p(\d+)$", url)
+        if not m:
+            return ProtocolResponse(None, 404)
+        i = int(m.group(2))
+        if not (0 <= i < self.n_pages) or url != self._url(i):
+            return ProtocolResponse(None, 404)
+        targets = [
+            self.fanout * i + j
+            for j in range(1, self.fanout + 1)
+            if self.fanout * i + j < self.n_pages
+        ] + [(7 * i + 3) % self.n_pages]
+        links = "".join(f'<a href="{self._url(c)}">c{c}</a>' for c in targets)
+        html = (
+            f"<html><head><title>t{i}</title></head>"
+            f"<body>{links}<p>body text {i}</p></body></html>"
+        )
+        return ProtocolResponse(html.encode(), 200)
 
 
 class FileProtocol(Protocol):

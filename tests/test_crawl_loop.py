@@ -350,3 +350,28 @@ def test_bucket_partitioned_loop_matches_default(spark, tmp_path):
     partitioned = run("f_bucketed", bucket_partitioned=True)
     assert partitioned == default
     assert len(default) == len(site)  # closed graph fully discovered
+
+
+@pytest.mark.slow
+def test_recursive_crawl_50k_exactly_once_at_scale(spark):
+    """The full topology cycle (crawler.flux:94-137 — seeds → frontier
+    query → polite fetch → parse → filter → merge → re-query) run to
+    FRONTIER EXHAUSTION on a 50k-page closed synthetic graph with the
+    politeness machinery on, adaptive scheduling, dedup-on-merge and the
+    bucket-partitioned (pruned-merge) frontier.
+
+    The exactly-once assertions are the point: the graph's cross links
+    re-discover already-crawled pages every generation, yet the sum of
+    fetches across all generations must equal n_pages EXACTLY, and the
+    final frontier must hold exactly n_pages rows, all FETCHED. The
+    1M-page figure lives in SCALING.json (tools/scale_bench.py
+    --recursive-crawl); this is its pytest-gated regression twin."""
+    from tools.baseline_bench import bench_recursive_crawl
+
+    r = bench_recursive_crawl(spark, n_pages=50_000, hosts=500, fanout=8)
+    assert r["exactly_once"], r
+    assert r["total_fetched"] == 50_000
+    assert r["frontier_rows"] == 50_000
+    assert r["frontier_fetched"] == 50_000
+    # fanout-8 tree over 50k ids exhausts in ~7 content generations
+    assert r["generations"] <= 10, r["generations"]

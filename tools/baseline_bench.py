@@ -278,6 +278,116 @@ def bench_crawl_pipeline(spark, n_pages: int = 10_000, hosts: int = 100) -> dict
         _shutil.rmtree(tmp, ignore_errors=True)
 
 
+def bench_recursive_crawl(
+    spark,
+    n_pages: int = 1_000_000,
+    hosts: int = 1000,
+    fanout: int = 4,
+    adaptive: bool = True,
+) -> dict:
+    """FULL recursive crawl to frontier exhaustion over a CLOSED synthetic
+    graph (SyntheticGraphProtocol: a fanout-ary tree covering every page
+    plus one cross link per page for duplicate-discovery pressure) — the
+    reference's whole topology cycle (crawler.flux:94-137 seeds → spout →
+    fetch → parse → status → spout ...) run as ~log_fanout(n) generations
+    with the politeness machinery on, adaptive scheduling, dedup-on-merge
+    and the bucket-partitioned frontier (pruned merge_commit).
+
+    Exactly-once evidence returned alongside throughput: the sum of
+    fetched pages across generations must equal n_pages (each page fetched
+    EXACTLY once even though cross links re-discover crawled pages every
+    generation), and the final frontier must hold exactly n_pages rows,
+    all FETCHED.
+    """
+    import shutil as _shutil
+    import tempfile as _tempfile
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from incubator_stormcrawler_spark.protocol.fetch import (
+        SyntheticGraphProtocol,
+    )
+    from incubator_stormcrawler_spark.streaming.crawl_loop import CrawlLoop
+
+    tmp = _tempfile.mkdtemp(prefix="crawl_recursive_")
+    try:
+        loop = CrawlLoop(
+            spark,
+            frontier_path=os.path.join(tmp, "frontier"),
+            protocol_factory=lambda: SyntheticGraphProtocol(
+                n_pages, hosts=hosts, fanout=fanout
+            ),
+            # MINUTE-granular clock: a DISCOVERED row (scheduled at merge
+            # time) is due one tick later, while a FETCHED row's refetch
+            # date (≥1 day out, adaptive or default) stays beyond any
+            # realistic generation count — so the crawl can only exhaust,
+            # and any re-fetch would surface as total_fetched > n_pages.
+            # (Day-granular ticks re-fetch everything: 2 days > the 1-day
+            # refetch interval — measured, not hypothetical.)
+            now_fn=lambda gen: (
+                datetime(2024, 1, 15) + timedelta(minutes=gen)
+            ).strftime("%Y-%m-%d %H:%M:%S"),
+            server_delay=0.0,
+            max_per_bucket=n_pages,
+            max_results=n_pages,
+            adaptive=adaptive,
+            bucket_partitioned=True,
+        )
+        seeds = spark.createDataFrame(
+            [(f"https://h0.example/p0",)], ["url"]
+        )
+        loop.inject_seeds(seeds)
+        t0 = time.time()
+        gens = []
+        total_fetched = 0
+        while True:
+            g0 = time.time()
+            stats = loop.run_generation()
+            stats["sec"] = round(time.time() - g0, 2)
+            stats["pages_per_sec"] = (
+                int(stats["fetched_ok"] / stats["sec"])
+                if stats["sec"] > 0 and stats["fetched_ok"]
+                else 0
+            )
+            gens.append(stats)
+            total_fetched += stats["fetched_ok"]
+            if stats["batch"] == 0:  # frontier exhausted: converged
+                break
+            assert len(gens) < 80, "crawl failed to converge"
+        wall = time.time() - t0
+        frontier = loop.read_frontier()
+        n_rows = frontier.count()
+        n_fetched_state = frontier.where(
+            F.col("status") == "FETCHED"
+        ).count()
+        return {
+            "n_pages": n_pages,
+            "hosts": hosts,
+            "fanout": fanout,
+            "generations": len(gens) - 1,  # last one is the empty probe
+            "total_fetched": total_fetched,
+            "frontier_rows": n_rows,
+            "frontier_fetched": n_fetched_state,
+            "exactly_once": (
+                total_fetched == n_pages
+                and n_rows == n_pages
+                and n_fetched_state == n_pages
+            ),
+            "wall_sec": round(wall, 2),
+            "pages_per_sec": int(n_pages / wall),
+            "per_generation": [
+                {k: g[k] for k in (
+                    "generation", "batch", "fetched_ok", "discovered",
+                    "sec", "pages_per_sec",
+                )}
+                for g in gens
+            ],
+        }
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+
+
 def bench_minhash_dedup(spark, n_docs: int = 100_000) -> dict:
     """MinHash-LSH near-dup detection at scale: synthetic 100k-doc corpus
     with a known 2% near-dup rate. The throughput number for the

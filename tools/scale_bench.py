@@ -462,7 +462,44 @@ def curve_crawl_generation(spark, sizes):
     return out
 
 
+def recursive_crawl_main():
+    """`--recursive-crawl`: run the FULL multi-generation crawl (seeds →
+    exhaustion) at 100k and 1M pages and merge a `recursive_crawl` entry
+    into the existing SCALING.json (the curve run is hours; this mode
+    leaves its results untouched)."""
+    from tools.baseline_bench import bench_recursive_crawl
+
+    from incubator_stormcrawler_spark.session import get_spark
+
+    spark = get_spark("scale-bench-crawl")
+    spark.sparkContext.setLogLevel("ERROR")
+    bench_recursive_crawl(spark, n_pages=5_000, hosts=100)  # warm pool/JIT
+    points = []
+    for n in (100_000, 1_000_000):
+        r = bench_recursive_crawl(spark, n_pages=n, hosts=1000, fanout=8)
+        assert r["exactly_once"], r
+        print(f"## recursive_crawl n={n}: {r['generations']} generations, "
+              f"{r['wall_sec']}s, {r['pages_per_sec']} pages/s, "
+              f"exactly_once={r['exactly_once']}", flush=True)
+        for g in r["per_generation"]:
+            print(f"   {g}", flush=True)
+        points.append(r)
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "SCALING.json")
+    results = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            results = json.load(f)
+    results["recursive_crawl"] = {"points": points}
+    with open(path, "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"merged recursive_crawl into {path}")
+
+
 def main():
+    if "--recursive-crawl" in sys.argv:
+        recursive_crawl_main()
+        return
     quick = "--quick" in sys.argv
     deep = "--deep" in sys.argv
     d = 4 if quick else 1
