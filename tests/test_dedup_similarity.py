@@ -1162,3 +1162,66 @@ def test_bloom_reserved_namespace_collision_raises(spark):
     cands = spark.createDataFrame([Row(key="b", __bf_p0=1)])
     with pytest.raises(ValueError, match="__bf_"):
         bloom_unseen(seen, cands, "key")
+
+
+def test_bloom_unseen_broadcast_equals_not_in(spark):
+    """bloom_unseen_broadcast == plain LEFT ANTI (incl. under bitmap
+    saturation), and it accepts a prebuilt bitmap_array interchangeable
+    with bloom_bitmap's rows (same md5 positions)."""
+    from pyspark.sql import Row
+
+    from incubator_stormcrawler_spark.operators.dedup import (
+        bloom_bitmap_array,
+        bloom_unseen_broadcast,
+    )
+
+    seen = spark.createDataFrame([Row(key=f"k{i}") for i in range(300)])
+    cands = spark.createDataFrame(
+        [Row(key=f"k{i}", payload=i) for i in range(150, 450)]
+    )
+    expected = sorted(
+        r.key for r in cands.join(seen, "key", "left_anti").collect()
+    )
+    for m_bits in (64, 1 << 12):
+        got = sorted(
+            r.key
+            for r in bloom_unseen_broadcast(
+                seen, cands, "key", m_bits=m_bits
+            ).collect()
+        )
+        assert got == expected, f"m_bits={m_bits}"
+    arr = bloom_bitmap_array(seen, "key", m_bits=1 << 12)
+    got = sorted(
+        r.key
+        for r in bloom_unseen_broadcast(
+            seen, cands, "key", m_bits=1 << 12, bitmap_array=arr
+        ).collect()
+    )
+    assert got == expected
+
+
+def test_bloom_broadcast_residue_never_shuffles_seen(spark):
+    """broadcast_residue=True: equality with LEFT ANTI holds AND the plan
+    contains no SortMergeJoin — the seen set is only SCANNED (map-side
+    LeftSemi against the broadcast residue keys), never shuffled; the
+    only exchanges left are the small residue-key distincts."""
+    from pyspark.sql import Row
+
+    from incubator_stormcrawler_spark.operators.dedup import (
+        bloom_unseen_broadcast,
+    )
+
+    seen = spark.createDataFrame([Row(key=f"k{i}") for i in range(300)])
+    cands = spark.createDataFrame(
+        [Row(key=f"k{i}", payload=i) for i in range(150, 450)]
+    )
+    expected = sorted(
+        r.key for r in cands.join(seen, "key", "left_anti").collect()
+    )
+    res = bloom_unseen_broadcast(
+        seen, cands, "key", m_bits=1 << 12, broadcast_residue=True
+    )
+    assert sorted(r.key for r in res.collect()) == expected
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan

@@ -462,6 +462,63 @@ def curve_crawl_generation(spark, sizes):
     return out
 
 
+def bloom_sharded_ab(spark, n: int) -> dict:
+    """A/B/C the three membership plans in the CRAWL shape the operator is
+    for: a large seen set (n keys) probed per generation by a much smaller
+    candidate batch (n/16, half true members), with the Bloom bitmaps
+    PREBUILT AND PERSISTED (untimed) — the bitmap is the asset a crawl
+    amortizes across generations while the seen set changes slowly.
+    Timed per generation: plain LEFT ANTI (re-shuffles the whole seen set
+    every generation), the single-broadcast Bloom prefilter, and the
+    bucket-sharded form (n_shards=8 — the shape that stays under the
+    broadcast ceiling at 10^9 keys). Bitmaps sized ~10 bits/key. All
+    three must return the same count (the rewrites are exact)."""
+    from incubator_stormcrawler_spark.operators.dedup import (
+        bloom_bitmap,
+        bloom_bitmap_array,
+        bloom_bitmap_sharded,
+        bloom_unseen,
+        bloom_unseen_broadcast,
+        bloom_unseen_sharded,
+    )
+
+    n_shards = 8
+    m_bits = 1 << max(16, (10 * n - 1).bit_length())
+    seen = spark.range(n).selectExpr("md5(cast(id as string)) AS key")
+    nb = n // 16
+    cands = spark.range(n - nb // 2, n + nb // 2).selectExpr(
+        "md5(cast(id as string)) AS key", "id AS payload"
+    )
+    expected = nb // 2
+    bm = bloom_bitmap(seen, "key", m_bits=m_bits).persist()
+    bm_sh = bloom_bitmap_sharded(
+        seen, "key", n_shards, m_bits=m_bits // n_shards
+    ).persist()
+    bm.count(), bm_sh.count()  # build once, untimed
+    bm_arr = bloom_bitmap_array(seen, "key", m_bits=m_bits)
+    out: dict[str, object] = {
+        "seen": n, "batch": nb, "m_bits": m_bits, "n_shards": n_shards,
+    }
+    anti = lambda: cands.join(seen, "key", "left_anti").count()
+    single = lambda: bloom_unseen(
+        seen, cands, "key", m_bits=m_bits, bitmap=bm
+    ).count()
+    shard = lambda: bloom_unseen_sharded(
+        seen, cands, "key", n_shards=n_shards, m_bits=m_bits // n_shards,
+        bitmap=bm_sh,
+    ).count()
+    bc = lambda: bloom_unseen_broadcast(
+        seen, cands, "key", m_bits=m_bits, bitmap_array=bm_arr
+    ).count()
+    for name, fn in (("left_anti", anti), ("bloom_single", single),
+                     ("bloom_sharded8", shard), ("bloom_broadcast", bc)):
+        cnt = fn()  # warm + correctness
+        assert cnt == expected, (name, cnt, expected)
+        out[name + "_sec"] = round(timed(fn, warmup=False), 2)
+    bm.unpersist(), bm_sh.unpersist()
+    return out
+
+
 def recursive_crawl_main():
     """`--recursive-crawl`: run the FULL multi-generation crawl (seeds →
     exhaustion) at 100k and 1M pages and merge a `recursive_crawl` entry
