@@ -132,6 +132,113 @@ def decode_bmp(content: bytes) -> np.ndarray:
     return (bgr.astype(np.uint16).sum(axis=2) // 3).astype(np.uint8)
 
 
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Serialize a grayscale uint8 array as an 8-bit grayscale PNG
+    (stdlib zlib/struct only): IHDR + one zlib IDAT of filter-0 rows +
+    IEND, each chunk CRC32-tagged."""
+    import struct
+    import zlib
+
+    h, w = img.shape
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(typ + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + typ + data + struct.pack(
+            ">I", crc
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + img[y].astype(np.uint8).tobytes() for y in range(h)
+    )
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(content: bytes) -> np.ndarray:
+    """Parse an 8-bit non-interlaced grayscale (color type 0) or
+    truecolor (type 2) PNG to grayscale uint8: chunk walk, zlib inflate
+    of the concatenated IDATs, then per-row UNFILTERING — None/Sub/Up/
+    Average/Paeth (the part that makes PNG a real codec, not a reshape);
+    RGB collapses by integer mean. Raises on other depths/types or
+    interlace."""
+    import struct
+    import zlib
+
+    if content[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG stream")
+    pos, idat, meta = 8, b"", None
+    while pos + 8 <= len(content):
+        (ln,) = struct.unpack_from(">I", content, pos)
+        typ = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if typ == b"IHDR":
+            meta = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if meta is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ctype, _comp, _filt, interlace = meta
+    if depth != 8 or ctype not in (0, 2) or interlace:
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, type={ctype}, "
+            f"interlace={interlace})"
+        )
+    bpp = 1 if ctype == 0 else 3
+    stride = w * bpp
+    raw = zlib.decompress(idat)
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        row_off = y * (stride + 1)
+        ftype = raw[row_off]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=row_off + 1
+        ).astype(np.int32)
+        cur = np.zeros(stride, dtype=np.int32)
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) % 256
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth need left-scan
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0  # left
+                b = int(prev[x])  # up
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:
+                    c = int(prev[x - bpp]) if x >= bpp else 0  # up-left
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (
+                        b if pb <= pc else c
+                    )
+                cur[x] = (line[x] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = out[y]
+    if ctype == 2:
+        return (
+            out.reshape(h, w, 3).astype(np.uint16).sum(axis=2) // 3
+        ).astype(np.uint8)
+    return out
+
+
 def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
     """Serialize mono int16 samples as a RIFF/WAVE PCM-16 stream via the
     stdlib ``wave`` module."""
@@ -148,12 +255,15 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
 
 
 def decode_image(content: bytes, meta) -> np.ndarray:
-    """Image decode. A real BMP stream ('BM' magic) takes the stdlib
-    parser above; PIL handles other formats when importable; otherwise
-    the STUB path interprets ``content`` as raw grayscale bytes of the
-    declared (height, width) — deterministic, shape-correct, codec-free."""
+    """Image decode. Real BMP ('BM' magic) and PNG (8-byte signature)
+    streams take the stdlib parsers above; PIL handles other formats when
+    importable; otherwise the STUB path interprets ``content`` as raw
+    grayscale bytes of the declared (height, width) — deterministic,
+    shape-correct, codec-free."""
     if content[:2] == b"BM":
         return decode_bmp(content)
+    if content[:8] == PNG_MAGIC:
+        return decode_png(content)
     try:  # pragma: no cover - PIL not in container
         import io
 

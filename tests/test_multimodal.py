@@ -236,3 +236,118 @@ def test_audio_features_on_real_wav(spark):
     assert row.zero_crossings == int(
         np.sum(np.signbit(x[1:]) != np.signbit(x[:-1]))
     )
+
+
+def test_png_roundtrip_and_all_filters():
+    """encode_png -> decode_png is the identity, and the decoder
+    unfilters every PNG row-filter type correctly: a hand-built IDAT
+    applies None/Sub/Up/Average/Paeth to known rows and decode must
+    recover the original pixels (checked against an independent forward
+    filtering of the same data)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from incubator_stormcrawler_spark.operators.multimodal import (
+        PNG_MAGIC,
+        decode_png,
+        encode_png,
+    )
+
+    img = ((np.arange(40).reshape(5, 8) * 23 + 7) % 256).astype(np.uint8)
+    assert np.array_equal(decode_png(encode_png(img)), img)
+
+    # forward-filter img with one filter type per row (grayscale bpp=1)
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    h, w = img.shape
+    raw = bytearray()
+    filters = [0, 1, 2, 3, 4]
+    for y in range(h):
+        f = filters[y]
+        raw.append(f)
+        for x in range(w):
+            v = int(img[y, x])
+            a = int(img[y, x - 1]) if x else 0
+            b = int(img[y - 1, x]) if y else 0
+            c = int(img[y - 1, x - 1]) if x and y else 0
+            pred = {0: 0, 1: a, 2: b, 3: (a + b) // 2, 4: paeth(a, b, c)}[f]
+            raw.append((v - pred) % 256)
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    png = (PNG_MAGIC
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(bytes(raw)))
+           + chunk(b"IEND", b""))
+    assert np.array_equal(decode_png(png), img)
+
+
+def test_png_truecolor_decodes_to_gray_mean():
+    """An 8-bit RGB (color type 2) PNG decodes to the integer mean of the
+    channels — filters span channel boundaries with bpp=3, which this
+    exercises via the Sub filter."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from incubator_stormcrawler_spark.operators.multimodal import (
+        PNG_MAGIC,
+        decode_png,
+    )
+
+    h, w = 3, 4
+    rgb = ((np.arange(h * w * 3).reshape(h, w, 3) * 19 + 5) % 256).astype(
+        np.uint8
+    )
+    raw = bytearray()
+    for y in range(h):
+        raw.append(1)  # Sub filter, left neighbor is 3 bytes back
+        row = rgb[y].reshape(-1)
+        for x in range(len(row)):
+            a = int(row[x - 3]) if x >= 3 else 0
+            raw.append((int(row[x]) - a) % 256)
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    png = (PNG_MAGIC
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(bytes(raw)))
+           + chunk(b"IEND", b""))
+    expect = (rgb.astype(np.uint16).sum(axis=2) // 3).astype(np.uint8)
+    assert np.array_equal(decode_png(png), expect)
+
+
+def test_image_stages_on_real_png(spark):
+    """resize_images and image_stats fed REAL PNG bytes parse via the
+    stdlib PNG path (magic dispatch) and match the numpy reference."""
+    import numpy as np
+
+    from incubator_stormcrawler_spark.operators.multimodal import (
+        MEDIA_SCHEMA_DDL,
+        encode_png,
+        image_stats,
+        resize_images,
+        resize_nearest,
+    )
+
+    img = ((np.arange(16 * 12).reshape(12, 16) * 31) % 256).astype(np.uint8)
+    media = spark.createDataFrame(
+        [(0, "image", bytearray(encode_png(img)), (16, 12, None, None, "png"))],
+        MEDIA_SCHEMA_DDL,
+    )
+    row = resize_images(media, out_w=8, out_h=8).collect()[0]
+    got = np.frombuffer(bytes(row.content), dtype=np.uint8).reshape(8, 8)
+    assert np.array_equal(got, resize_nearest(img, 8, 8))
+    st = image_stats(media).collect()[0]
+    assert (st.width, st.height) == (16, 12)
+    assert st.pixel_sum == int(img.sum())
