@@ -57,6 +57,8 @@ class CrawlLoop:
         metrics_path: str | None = None,
         fetch_threads: int = 1,
         bucket_partitioned: bool = False,
+        bloom_prefilter: bool = False,
+        bloom_m_bits: int = 1 << 20,
     ):
         self.spark = spark
         self.frontier_path = frontier_path
@@ -80,6 +82,18 @@ class CrawlLoop:
         # touched by a generation's updates are re-read and rewritten —
         # the Delta MERGE INTO plan shape, mandatory at 100 TB
         self.bucket_partitioned = bucket_partitioned
+        # bloom_prefilter=True drops already-known urls from the
+        # DISCOVERED stream BEFORE the merge via the zero-seen-shuffle
+        # Bloom membership (dedup.bloom_unseen_broadcast with
+        # broadcast_residue): a DISCOVERED row for an existing url is a
+        # merge no-op (insert-if-absent), so the final frontier is
+        # IDENTICAL (equivalence-tested) — but the merge input shrinks to
+        # genuinely-new urls, which shrinks the touched-bucket set the
+        # pruned merge_commit must rewrite. Size bloom_m_bits ~10 bits
+        # per frontier url (the reference's per-JVM seen caches play this
+        # role: AbstractQueryingSpout.java:149-175).
+        self.bloom_prefilter = bloom_prefilter
+        self.bloom_m_bits = bloom_m_bits
         self.table = FrontierTable(
             frontier_path,
             partition_by="bucket" if bucket_partitioned else None,
@@ -303,8 +317,25 @@ class CrawlLoop:
                 (F.coalesce(F.col("src_depth"), F.lit(0)) + 1).alias("depth"),
             )
             .withColumn("status", F.lit("DISCOVERED"))
-            .cache()
         )
+        if self.bloom_prefilter and self.table.exists():
+            from ..operators.dedup import bloom_unseen_broadcast
+
+            # keep min depth per url first: the prefilter is exact on
+            # MEMBERSHIP, and the merge's own min-depth pick only sees
+            # rows that survive, so collapse duplicates before probing
+            discovered = discovered.groupBy("url").agg(
+                F.min("depth").alias("depth"),
+                F.first("status").alias("status"),
+            )
+            discovered = bloom_unseen_broadcast(
+                frontier.select("url"),
+                discovered,
+                "url",
+                m_bits=self.bloom_m_bits,
+                broadcast_residue=True,
+            )
+        discovered = discovered.cache()
 
         # fetch-level statuses for everything that was attempted
         fetch_status = fetched.select(

@@ -375,3 +375,37 @@ def test_recursive_crawl_50k_exactly_once_at_scale(spark):
     assert r["frontier_fetched"] == 50_000
     # fanout-8 tree over 50k ids exhausts in ~7 content generations
     assert r["generations"] <= 10, r["generations"]
+
+
+def test_bloom_prefilter_crawl_equivalence(spark, tmp_path):
+    """bloom_prefilter=True must leave the crawl's OBSERVABLE state
+    identical — the prefilter only removes DISCOVERED rows the merge
+    would no-op anyway (insert-if-absent), while shrinking the merge
+    input to genuinely-new urls. Run the same closed-graph crawl with
+    the prefilter off and on (tiny m_bits=256 to force false positives
+    through the exact residue path) and compare full frontiers."""
+    site = build_site(3, 5)
+
+    def run(name, **kw):
+        loop = CrawlLoop(
+            spark,
+            frontier_path=str(tmp_path / name),
+            protocol_factory=lambda: MemoryProtocol(site),
+            server_delay=0.0,
+            max_per_bucket=50,
+            max_results=200,
+            bucket_partitioned=True,
+            **kw,
+        )
+        seeds = spark.createDataFrame([("https://h0.example/p0",)], ["url"])
+        loop.inject_seeds(seeds)
+        loop.run(4)
+        return {
+            (r.url, r.status, r.depth)
+            for r in loop.read_frontier().collect()
+        }
+
+    base = run("f_plain")
+    pre = run("f_bloom", bloom_prefilter=True, bloom_m_bits=256)
+    assert pre == base
+    assert len({u for u, _, _ in base}) == len(site)

@@ -249,3 +249,48 @@ def test_langid_round4_breadth(spark):
     got = {r.doc_id: r.lang_pred for r in langid_scores(docs).collect()}
     want = dict(enumerate(snippets))
     assert got == want
+
+
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=10),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=30, deadline=None)
+def test_bmp_png_roundtrip_property(w, h, seed):
+    """encode→decode is the identity for BOTH real image codecs on
+    arbitrary image shapes (every BMP row-padding case, 1-pixel edges)
+    and arbitrary pixel content."""
+    import numpy as np
+
+    from incubator_stormcrawler_spark.operators.multimodal import (
+        decode_bmp,
+        decode_png,
+        encode_bmp,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+    assert np.array_equal(decode_png(encode_png(img)), img)
+
+
+@given(
+    st.integers(min_value=1, max_value=2000),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=30, deadline=None)
+def test_wav_roundtrip_property(n, seed):
+    """encode_wav→decode_audio is the identity for arbitrary mono int16
+    sample streams of any length."""
+    import numpy as np
+
+    from incubator_stormcrawler_spark.operators.multimodal import (
+        decode_audio,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(seed)
+    s = rng.integers(-32768, 32768, size=n).astype("<i2")
+    assert np.array_equal(decode_audio(encode_wav(s), None), s)
