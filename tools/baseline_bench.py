@@ -284,6 +284,7 @@ def bench_recursive_crawl(
     hosts: int = 1000,
     fanout: int = 4,
     adaptive: bool = True,
+    bloom_prefilter: bool = False,
 ) -> dict:
     """FULL recursive crawl to frontier exhaustion over a CLOSED synthetic
     graph (SyntheticGraphProtocol: a fanout-ary tree covering every page
@@ -333,6 +334,9 @@ def bench_recursive_crawl(
             max_results=n_pages,
             adaptive=adaptive,
             bucket_partitioned=True,
+            bloom_prefilter=bloom_prefilter,
+            # ~10 bits per eventual frontier url
+            bloom_m_bits=1 << max(16, (10 * n_pages - 1).bit_length()),
         )
         seeds = spark.createDataFrame(
             [(f"https://h0.example/p0",)], ["url"]
@@ -365,6 +369,7 @@ def bench_recursive_crawl(
             "n_pages": n_pages,
             "hosts": hosts,
             "fanout": fanout,
+            "bloom_prefilter": bloom_prefilter,
             "generations": len(gens) - 1,  # last one is the empty probe
             "total_fetched": total_fetched,
             "frontier_rows": n_rows,
