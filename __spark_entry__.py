@@ -1028,6 +1028,23 @@ def q_multimodal_bmp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-codec PNG path (multimodal.encode_png/decode_png/image_stats):
+    20 genuine zlib-compressed PNG streams whose pixels follow
+    (5x + 11y + 29*id) % 256; the Spark side walks chunks, inflates the
+    IDAT and unfilters rows with the stdlib decoder, then reduces to
+    exact integral stats; the oracle recomputes them from the FORMULA —
+    a green row proves the PNG encode → decode roundtrip pixel-exactly."""
+    from incubator_stormcrawler_spark.operators.multimodal import (
+        image_stats,
+        synthesize_png_corpus,
+    )
+
+    return image_stats(synthesize_png_corpus(spark, n=20)).orderBy(
+        "media_id"
+    )
+
+
 def q_multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL-codec audio path (multimodal.encode_wav/decode_audio/
     audio_stats): 20 genuine RIFF/WAVE PCM-16 clips with samples
@@ -3804,6 +3821,25 @@ FROM px GROUP BY i, w, h
 ORDER BY media_id
 """
 
+_ORACLES["multimodal_png_roundtrip"] = """
+WITH g AS (
+  SELECT i, 6 + i % 5 AS w, 5 + i % 2 AS h
+  FROM generate_series(0, 19) t(i)
+),
+px AS (
+  SELECT i, w, h, x, y, (5 * x + 11 * y + 29 * i) % 256 AS v
+  FROM g,
+       unnest(generate_series(0, w - 1)) tx(x),
+       unnest(generate_series(0, h - 1)) ty(y)
+)
+SELECT i AS media_id, w AS width, h AS height,
+       CAST(count(*) AS BIGINT) AS n_pixels,
+       CAST(sum(v) AS BIGINT) AS pixel_sum,
+       CAST(sum(v * (x + w * y)) AS BIGINT) AS weighted_sum
+FROM px GROUP BY i, w, h
+ORDER BY media_id
+"""
+
 _ORACLES["multimodal_wav_roundtrip"] = """
 WITH g AS (
   SELECT i, 256 + 16 * (i % 5) AS n FROM generate_series(0, 19) t(i)
@@ -4161,9 +4197,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round 8's window rotates toward the STALEST tail: all 22 seeded TPC-H
     shapes and the 10 seeded dedup entries (changed behavior ⇒ must be
-    re-certified), the two NEW real-codec roundtrips (genuine BMP/WAV
-    byte parsing vs formula-replay oracles), the three fresh r7 additions
-    (triangles/HLL/binned quantiles), and 13 of the oldest-green
+    re-certified), the three NEW real-codec roundtrips (genuine
+    BMP/PNG/WAV byte parsing — zlib inflate + row unfiltering on the PNG
+    path — vs formula-replay oracles), the three fresh r7 additions
+    (triangles/HLL/binned quantiles), and 12 of the oldest-green
     flagships (warc/frontier/status-merge/parse/link/xpath/multimodal —
     last driver-certified r03/r04). Every entry past position 50 is GREEN
     in some committed CORRECTNESS_r*.json AND unchanged since
@@ -4219,6 +4256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW r8: REAL stdlib codecs — Spark parses genuine BMP row
         # padding / RIFF framing; oracles replay the generating formula --
         "multimodal_bmp_roundtrip": q_multimodal_bmp_roundtrip,
+        "multimodal_png_roundtrip": q_multimodal_png_roundtrip,
         "multimodal_wav_roundtrip": q_multimodal_wav_roundtrip,
         # fresh r7 additions, kept in-window ---------------------------
         "graph_triangles": q_graph_triangles,
@@ -4237,7 +4275,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xpath_html": q_xpath_html,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
-        "dedup_exact": q_dedup_exact,
         # ---- past the 50-entry driver window: ALL green in a committed
         # CORRECTNESS_r*.json and unchanged since (r7-certified first,
         # then the r03/r04 tail that rotates into r9+) ------------------
@@ -4318,6 +4355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "parse_word_doc": q_parse_word_doc,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "dedup_exact": q_dedup_exact,
     }
 
 

@@ -552,6 +552,23 @@ def synthesize_bmp_corpus(spark: SparkSession, n: int = 20) -> DataFrame:
     )
 
 
+def synthesize_png_corpus(spark: SparkSession, n: int = 20) -> DataFrame:
+    """n real 8-bit grayscale PNGs; pixel(x, y) = (5x + 11y + 29*id) % 256,
+    width 6 + id%5, height 5 + id%2 — the zlib/unfilter twin of the BMP
+    corpus."""
+    rows = []
+    for i in range(n):
+        w, h = 6 + i % 5, 5 + i % 2
+        ys, xs = np.mgrid[0:h, 0:w]
+        img = ((5 * xs + 11 * ys + 29 * i) % 256).astype(np.uint8)
+        rows.append(
+            (i, "image", bytearray(encode_png(img)), (w, h, None, None, "png"))
+        )
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 2), MEDIA_SCHEMA_DDL
+    )
+
+
 def synthesize_wav_corpus(spark: SparkSession, n: int = 20) -> DataFrame:
     """n real RIFF/WAVE PCM-16 clips; sample(t) = (t*(3+id)) % 2048 − 1024,
     256 + 16*(id%5) samples at 8 kHz."""
