@@ -798,10 +798,11 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta-ingest NEAR-dup dedup (operators/dedup.py:
-    incremental_lsh_dedup): yesterday's corpus (doc_id < 250) contributes
-    only its STORED MinHash signatures — the index a 100 TB pipeline
-    maintains instead of re-shingling daily; today's batch (doc_id >= 250
-    of the augmented corpus) shingles, bands against the index, and
+    incremental_lsh_dedup): yesterday's corpus (doc_id below the seeded
+    split RP['dedup_split']) contributes only its STORED MinHash
+    signatures — the index a 100 TB pipeline maintains instead of
+    re-shingling daily; today's batch (the rest of the augmented corpus)
+    shingles, bands against the index, and
     reranks. Pairs whose newer side is a batch doc, est_sim at the
     seeded threshold; the index/batch split point is seeded too."""
     aug = _docs_augmented(spark, sf_dir)
@@ -943,9 +944,10 @@ def q_corpus_clean_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta-ingest dedup (operators/dedup.py:incremental_exact_dedup):
-    yesterday's corpus (doc_id < 250) is the fingerprint index; today's
-    batch (doc_id >= 250 of the augmented corpus, which contains exact
-    copies of indexed docs, within-batch copies, and genuinely new text)
+    yesterday's corpus (doc_id below the seeded split RP['dedup_split'])
+    is the fingerprint index; today's batch (the rest of the augmented
+    corpus, which contains exact copies of indexed docs, within-batch
+    copies, and genuinely new text)
     splits into fresh keepers vs duplicates — the daily shape a 100 TB
     pipeline runs, deduping the delta against the index instead of
     re-clustering the corpus."""

@@ -783,6 +783,35 @@ def incremental_lsh_dedup(
 # per-JVM in the reference; the bitmap is the cluster-wide equivalent.
 # ---------------------------------------------------------------------------
 
+def _probe_pos_expr(key_col: str, j: int, m_bits: int):
+    """Probe j's bit position for a key: md5("bf{j}|" || key) first 12 hex
+    digits as an integer, mod m_bits. THE single definition — the bitmap
+    builders and all three probe forms must use it so their bitmaps stay
+    bit-for-bit interchangeable (and so the DuckDB oracles can replay it
+    with the same arithmetic)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"bf{j}|"), F.col(key_col))), 1, 12
+            ),
+            16,
+            10,
+        ).cast("long")
+        % m_bits
+    )
+
+
+def _check_bf_namespace(cols) -> None:
+    """Reject caller columns inside the reserved ``__bf_`` namespace —
+    withColumn would silently REPLACE them with probe positions."""
+    clash = [c for c in cols if c.startswith("__bf_")]
+    if clash:
+        raise ValueError(
+            f"candidates columns collide with bloom_unseen's reserved "
+            f"__bf_ namespace: {clash}"
+        )
+
+
 def bloom_bitmap(
     seen: DataFrame, key_col: str, m_bits: int = 1 << 16, k: int = 3
 ) -> DataFrame:
@@ -791,17 +820,7 @@ def bloom_bitmap(
     64-bit words. Deterministic (md5 arithmetic), so the DuckDB oracle can
     rebuild it bit-for-bit."""
     probes = F.array(
-        *[
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"bf{j}|"), F.col(key_col))), 1, 12
-                ),
-                16,
-                10,
-            ).cast("long")
-            % m_bits
-            for j in range(k)
-        ]
+        *[_probe_pos_expr(key_col, j, m_bits) for j in range(k)]
     )
     return (
         seen.select(F.explode(probes).alias("pos"))
@@ -830,10 +849,14 @@ def bloom_unseen(
     positives) pay the shuffle.
 
     Pass a cached ``bitmap`` (from :func:`bloom_bitmap` with the SAME
-    m_bits/k) to amortize the build across crawl generations — the seen
-    set changes slowly, and a stale bitmap only costs extra residue, never
-    correctness (removals aren't supported by Bloom bits, so rebuild on
-    compaction)."""
+    m_bits/k) to amortize the build across crawl generations — with the
+    STALENESS CAVEAT spelled out on :func:`bloom_unseen_broadcast`: keys
+    ADDED to ``seen`` after the bitmap build are misclassified as
+    definitely-unseen (no-false-negative only holds for fed-in keys), so
+    amortize only under an idempotent downstream consumer; removals from
+    ``seen`` merely cost residue. Caller-provided bitmaps also carry the
+    persistence lifecycle (the in-operator build persists and leaves the
+    release to Spark's cache eviction / catalog clearCache)."""
     if bitmap is None:
         # persist: each of the k probe joins broadcasts the bitmap frame,
         # and WITHOUT a persist each broadcast RE-RUNS the whole
@@ -863,25 +886,11 @@ def _bloom_probe(candidates, bitmap, key_col, m_bits, k):
     ``withColumn`` silently REPLACE a caller column of the same name and
     corrupt the final projection, so a caller column in the reserved
     namespace is rejected loudly instead."""
-    clash = [c for c in candidates.columns if c.startswith("__bf_")]
-    if clash:
-        raise ValueError(
-            f"candidates columns collide with bloom_unseen's reserved "
-            f"__bf_ namespace: {clash}"
-        )
+    _check_bf_namespace(candidates.columns)
     probed = candidates
     present = None
     for j in range(k):
-        pos = (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"bf{j}|"), F.col(key_col))), 1, 12
-                ),
-                16,
-                10,
-            ).cast("long")
-            % m_bits
-        )
+        pos = _probe_pos_expr(key_col, j, m_bits)
         bm = bitmap.select(
             F.col("word_idx").alias(f"__bf_wi{j}"),
             F.col("word").alias(f"__bf_wd{j}"),
@@ -921,17 +930,7 @@ def bloom_bitmap_sharded(
     partial-aggregable pass — the groupBy on (shard, word_idx) map-side
     combines to at most ``n_shards * m_bits/64`` rows."""
     probes = F.array(
-        *[
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"bf{j}|"), F.col(key_col))), 1, 12
-                ),
-                16,
-                10,
-            ).cast("long")
-            % m_bits
-            for j in range(k)
-        ]
+        *[_probe_pos_expr(key_col, j, m_bits) for j in range(k)]
     )
     return (
         seen.select(
@@ -1039,8 +1038,16 @@ def bloom_unseen_broadcast(
     anti-join residue, same as the join form.
 
     Pass ``bitmap_array`` (from :func:`bloom_bitmap_array`, SAME
-    m_bits/k) to amortize the build across crawl generations; staleness
-    costs residue, never correctness.
+    m_bits/k — a numpy array, or an existing ``SparkContext.broadcast``
+    of one to reuse a single broadcast across calls) to amortize the
+    build across crawl generations. STALENESS CAVEAT (applies to every
+    cached-bitmap form here): a bitmap missing keys ADDED to ``seen``
+    after the build misclassifies those keys as definitely-unseen —
+    Bloom bits only guarantee no-false-negative for keys that were fed
+    in. A stale bitmap is therefore safe only where a downstream
+    idempotent consumer absorbs the extras (the crawl loop's
+    insert-if-absent merge), or where ``seen`` only shrinks (removals
+    just cost residue). Rebuild on additions otherwise.
 
     ``broadcast_residue=True`` replaces the residue LEFT ANTI (which
     SHUFFLES the whole seen set every call) with two broadcast joins:
@@ -1053,31 +1060,23 @@ def bloom_unseen_broadcast(
     import numpy as np
     import pandas as pd
 
+    from pyspark import Broadcast
+
     if bitmap_array is None:
         bitmap_array = bloom_bitmap_array(seen, key_col, m_bits=m_bits, k=k)
-    sc = candidates.sparkSession.sparkContext
-    bcast = sc.broadcast(bitmap_array)
+    if isinstance(bitmap_array, Broadcast):
+        bcast = bitmap_array  # caller-managed lifecycle (destroy() theirs)
+    else:
+        sc = candidates.sparkSession.sparkContext
+        bcast = sc.broadcast(bitmap_array)
     out_cols = list(candidates.columns)
-    clash = [c for c in out_cols if c.startswith("__bf_")]
-    if clash:
-        raise ValueError(
-            f"candidates columns collide with bloom_unseen's reserved "
-            f"__bf_ namespace: {clash}"
-        )
+    _check_bf_namespace(out_cols)
     probed = candidates
     pos_cols = []
     for j in range(k):
-        pos = (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"bf{j}|"), F.col(key_col))), 1, 12
-                ),
-                16,
-                10,
-            ).cast("long")
-            % m_bits
+        probed = probed.withColumn(
+            f"__bf_p{j}", _probe_pos_expr(key_col, j, m_bits)
         )
-        probed = probed.withColumn(f"__bf_p{j}", pos)
         pos_cols.append(f"__bf_p{j}")
 
     schema = ", ".join(

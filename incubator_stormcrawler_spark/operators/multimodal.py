@@ -259,11 +259,26 @@ def decode_image(content: bytes, meta) -> np.ndarray:
     streams take the stdlib parsers above; PIL handles other formats when
     importable; otherwise the STUB path interprets ``content`` as raw
     grayscale bytes of the declared (height, width) — deterministic,
-    shape-correct, codec-free."""
+    shape-correct, codec-free.
+
+    Magic-sniff guard: raw stub bytes can START with a codec magic by
+    chance (the 2-byte 'BM' prefix hits ~1/65k random streams), so a
+    parse failure on magic-matched content falls back to the stub UNLESS
+    the metadata explicitly declares the format — then the content is a
+    genuinely corrupt file and the error must surface."""
+    fmt = (meta.get("format") or "") if meta is not None else ""
     if content[:2] == b"BM":
-        return decode_bmp(content)
+        try:
+            return decode_bmp(content)
+        except Exception:
+            if fmt == "bmp":
+                raise
     if content[:8] == PNG_MAGIC:
-        return decode_png(content)
+        try:
+            return decode_png(content)
+        except Exception:
+            if fmt == "png":
+                raise
     try:  # pragma: no cover - PIL not in container
         import io
 
@@ -287,12 +302,19 @@ def decode_audio(content: bytes, meta) -> np.ndarray:
         import io
         import wave
 
-        with wave.open(io.BytesIO(bytes(content)), "rb") as wv:
-            nch = wv.getnchannels()
-            if wv.getsampwidth() != 2:
-                raise ValueError("only PCM-16 WAV supported")
-            raw = wv.readframes(wv.getnframes())
-        return np.frombuffer(raw, dtype="<i2")[::nch]
+        try:
+            with wave.open(io.BytesIO(bytes(content)), "rb") as wv:
+                nch = wv.getnchannels()
+                if wv.getsampwidth() != 2:
+                    raise ValueError("only PCM-16 WAV supported")
+                raw = wv.readframes(wv.getnframes())
+            return np.frombuffer(raw, dtype="<i2")[::nch]
+        except Exception:
+            # same sniff guard as decode_image: magic-matched stub bytes
+            # fall back; declared-wav content surfaces the real error
+            fmt = (meta.get("format") or "") if meta is not None else ""
+            if fmt == "wav":
+                raise
     return np.frombuffer(content[: (len(content) // 2) * 2], dtype="<i2")
 
 

@@ -166,7 +166,11 @@ def round_params(seed: int | None = None) -> dict[str, object]:
             "jaccard_threshold", ["0.5", "0.55", "0.6", "0.65", "0.7"], s
         ),
         "jaccard_max_df": seeded_int("jaccard_max_df", 15, 30, s),
-        # est_sim has granularity 1/8 — pick thresholds between rungs
+        # est_sim has granularity 1/8 and these thresholds sit exactly ON
+        # rungs (3/8, 4/8, 5/8) — safe only because k/8 is dyadic-exact in
+        # doubles and both engines compare identical values; if num_hashes
+        # ever changes from 8, re-pick thresholds strictly between the new
+        # rungs to keep the >= comparison off attainable values
         "minhash_min_sim": seeded_choice(
             "minhash_min_sim", ["0.375", "0.5", "0.625"], s
         ),

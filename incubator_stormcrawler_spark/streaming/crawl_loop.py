@@ -59,6 +59,7 @@ class CrawlLoop:
         bucket_partitioned: bool = False,
         bloom_prefilter: bool = False,
         bloom_m_bits: int = 1 << 20,
+        bloom_refresh_every: int = 1,
     ):
         self.spark = spark
         self.frontier_path = frontier_path
@@ -94,6 +95,15 @@ class CrawlLoop:
         # role: AbstractQueryingSpout.java:149-175).
         self.bloom_prefilter = bloom_prefilter
         self.bloom_m_bits = bloom_m_bits
+        # bloom_refresh_every > 1 amortizes the bitmap build across
+        # generations. SAFE here despite Bloom's addition-staleness (a
+        # bitmap missing urls inserted since its build classifies them
+        # definitely-unseen): those rows just re-enter the merge, whose
+        # insert-if-absent semantics no-op them — exactly the duplicates
+        # the prefilter exists to shed, traded against the rebuild cost.
+        self.bloom_refresh_every = bloom_refresh_every
+        self._bloom_bcast = None
+        self._bloom_built_gen = -(10**9)
         self.table = FrontierTable(
             frontier_path,
             partition_by="bucket" if bucket_partitioned else None,
@@ -319,7 +329,10 @@ class CrawlLoop:
             .withColumn("status", F.lit("DISCOVERED"))
         )
         if self.bloom_prefilter and self.table.exists():
-            from ..operators.dedup import bloom_unseen_broadcast
+            from ..operators.dedup import (
+                bloom_bitmap_array,
+                bloom_unseen_broadcast,
+            )
 
             # keep min depth per url first: the prefilter is exact on
             # MEMBERSHIP, and the merge's own min-depth pick only sees
@@ -328,11 +341,24 @@ class CrawlLoop:
                 F.min("depth").alias("depth"),
                 F.first("status").alias("status"),
             )
+            if (
+                self._bloom_bcast is None
+                or self.generation - self._bloom_built_gen
+                >= self.bloom_refresh_every
+            ):
+                if self._bloom_bcast is not None:
+                    self._bloom_bcast.destroy()
+                arr = bloom_bitmap_array(
+                    frontier.select("url"), "url", m_bits=self.bloom_m_bits
+                )
+                self._bloom_bcast = self.spark.sparkContext.broadcast(arr)
+                self._bloom_built_gen = self.generation
             discovered = bloom_unseen_broadcast(
                 frontier.select("url"),
                 discovered,
                 "url",
                 m_bits=self.bloom_m_bits,
+                bitmap_array=self._bloom_bcast,
                 broadcast_residue=True,
             )
         discovered = discovered.cache()

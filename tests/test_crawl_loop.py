@@ -408,4 +408,14 @@ def test_bloom_prefilter_crawl_equivalence(spark, tmp_path):
     base = run("f_plain")
     pre = run("f_bloom", bloom_prefilter=True, bloom_m_bits=256)
     assert pre == base
+    # amortized bitmap (refresh every 3 generations): the STALE bitmap
+    # misclassifies newly-inserted urls as unseen, and the merge's
+    # insert-if-absent must absorb them — state still identical
+    stale = run(
+        "f_bloom_stale",
+        bloom_prefilter=True,
+        bloom_m_bits=256,
+        bloom_refresh_every=3,
+    )
+    assert stale == base
     assert len({u for u, _, _ in base}) == len(site)
