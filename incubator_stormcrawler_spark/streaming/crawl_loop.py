@@ -60,6 +60,7 @@ class CrawlLoop:
         bloom_prefilter: bool = False,
         bloom_m_bits: int = 1 << 20,
         bloom_refresh_every: int = 1,
+        warc_dir: str | None = None,
     ):
         self.spark = spark
         self.frontier_path = frontier_path
@@ -104,6 +105,12 @@ class CrawlLoop:
         self.bloom_refresh_every = bloom_refresh_every
         self._bloom_bcast = None
         self._bloom_built_gen = -(10**9)
+        # warc_dir archives every generation's successful fetches as
+        # rotating .warc.gz files (the reference's WARCHdfsBolt sitting on
+        # the fetcher's output stream: external/warc/.../WARCHdfsBolt);
+        # per-generation file prefixes play the role of its time-based
+        # rotation, size rotation is write_warc's own
+        self.warc_dir = warc_dir
         self.table = FrontierTable(
             frontier_path,
             partition_by="bucket" if bucket_partitioned else None,
@@ -231,6 +238,17 @@ class CrawlLoop:
         pages = fetched.where(F.col("status") == "FETCHED").select(
             "url", "content"
         )
+        if self.warc_dir:
+            from ..sources.warc import write_warc
+
+            # one extra pass over the CACHED fetch output — streams each
+            # partition straight to its own gzip member file, no shuffle
+            write_warc(
+                pages.where(F.col("content").isNotNull()),
+                self.warc_dir,
+                date=now.replace(" ", "T") + "Z",
+                prefix=f"gen-{self.generation:05d}",
+            )
         # parse cascade (SiteMapParserBolt → FeedParserBolt → JSoupParserBolt,
         # §3.1 step 4): sniff-route each page, then union the branches'
         # discovered links. Sitemap entries/sub-sitemaps and feed entries

@@ -419,3 +419,40 @@ def test_bloom_prefilter_crawl_equivalence(spark, tmp_path):
     )
     assert stale == base
     assert len({u for u, _, _ in base}) == len(site)
+
+
+def test_crawl_archives_warc_per_generation(spark, tmp_path):
+    """warc_dir archives each generation's successful fetches as
+    .warc.gz (WARCHdfsBolt parity): after a 3-generation crawl, reading
+    the archive back yields exactly the crawled site's payloads, and the
+    per-generation prefixes partition the files."""
+    import glob
+
+    from incubator_stormcrawler_spark.sources.warc import read_warc
+
+    site = build_site(2, 4)
+    warc_dir = str(tmp_path / "warcs")
+    loop = CrawlLoop(
+        spark,
+        frontier_path=str(tmp_path / "frontier"),
+        protocol_factory=lambda: MemoryProtocol(site),
+        server_delay=0.0,
+        max_per_bucket=50,
+        max_results=100,
+        warc_dir=warc_dir,
+    )
+    seeds = spark.createDataFrame([("https://h0.example/p0",)], ["url"])
+    loop.inject_seeds(seeds)
+    loop.run(3)
+
+    files = glob.glob(warc_dir + "/gen-*.warc.gz")
+    assert files, "no warc files written"
+    gens = {f.split("/")[-1].split("-")[1] for f in files}
+    assert len(gens) >= 2  # several generations fetched something
+
+    recs = read_warc(spark, warc_dir + "/*.warc.gz")
+    archived = {
+        (r.url, bytes(r.content).decode())
+        for r in recs.select("url", "content").collect()
+    }
+    assert archived == {(u, body) for u, body in site.items()}
