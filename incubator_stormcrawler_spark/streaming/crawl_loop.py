@@ -61,6 +61,7 @@ class CrawlLoop:
         bloom_m_bits: int = 1 << 20,
         bloom_refresh_every: int = 1,
         warc_dir: str | None = None,
+        index=None,
     ):
         self.spark = spark
         self.frontier_path = frontier_path
@@ -111,6 +112,13 @@ class CrawlLoop:
         # per-generation file prefixes play the role of its time-based
         # rotation, size rotation is write_warc's own
         self.warc_dir = warc_dir
+        # index: an operators.indexing.IndexTable — completes the
+        # reference topology's terminal bolt pair: parsed docs UPSERT
+        # into the index each generation (IndexerBolt) and urls that
+        # just went terminal-ERROR are DELETED from it (the `deletion`
+        # stream into DeletionBolt,
+        # opensearch/.../bolt/DeletionBolt.java:53-58)
+        self.index = index
         self.table = FrontierTable(
             frontier_path,
             partition_by="bucket" if bucket_partitioned else None,
@@ -413,9 +421,23 @@ class CrawlLoop:
         # outlink and filter plans up to 3× each — the 537 p/s regression).
         fetched_ok = pages.count()
         n_docs = docs.count()
+        n_deleted = 0
+        if self.index is not None:
+            self.index.upsert(docs)
+        if self.index is not None:
+            # frontier still holds the PREVIOUS state here; compare after
+            # the merge below to find this generation's new ERRORs
+            prev_frontier = frontier
         merged = self._merge_and_write(
             updates, now, batch_id=f"gen-{self.generation}"
         )
+        if self.index is not None:
+            from ..operators.status_merge import deletion_stream
+
+            deletions = deletion_stream(merged, prev_frontier)
+            n_deleted = deletions.count()
+            if n_deleted:
+                self.index.delete(deletions)
         counts = {
             "generation": self.generation,
             "batch": batch.count(),
@@ -424,6 +446,7 @@ class CrawlLoop:
             "outlinks": outlinks.count(),
             "discovered": discovered.count(),
             "cache_hits": cache_hits,
+            "index_deleted": n_deleted,
         }
         if self.metrics_path:
             # per-generation metrics table (StatusMetricsBolt cadence)

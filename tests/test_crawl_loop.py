@@ -456,3 +456,40 @@ def test_crawl_archives_warc_per_generation(spark, tmp_path):
         for r in recs.select("url", "content").collect()
     }
     assert archived == {(u, body) for u, body in site.items()}
+
+
+def test_crawl_indexes_docs_and_applies_deletions(spark, tmp_path):
+    """The topology's terminal bolt pair, wired: parsed docs UPSERT into
+    the IndexTable every generation (IndexerBolt), and a url that
+    escalates to terminal ERROR is DELETED from the index via the
+    deletion stream (DeletionBolt) — seeded here with a stale index doc
+    for the url that will die."""
+    from incubator_stormcrawler_spark.operators.indexing import IndexTable
+
+    site = {
+        "https://h0.example/p0":
+            '<html><head><title>zero</title></head>'
+            '<body><a href="https://h0.example/missing">x</a>ok</body></html>'
+    }
+    index = IndexTable(str(tmp_path / "index"))
+    # stale doc for the soon-to-die url, as if indexed by an earlier crawl
+    index.upsert(
+        spark.createDataFrame(
+            [("https://h0.example/missing", "old", "stale text")],
+            ["url", "title", "text"],
+        )
+    )
+    loop = CrawlLoop(
+        spark,
+        frontier_path=str(tmp_path / "frontier"),
+        protocol_factory=lambda: MemoryProtocol(site),
+        server_delay=0.0,
+        index=index,
+    )
+    loop.inject_seeds(spark.createDataFrame([("https://h0.example/p0",)], ["url"]))
+    stats = loop.run(6)
+    frontier = {r.url: r.status for r in loop.read_frontier().collect()}
+    assert frontier["https://h0.example/missing"] == "ERROR"
+    docs = {r.url: r.title for r in index.read(spark).collect()}
+    assert docs == {"https://h0.example/p0": "zero"}  # indexed + deleted
+    assert sum(s["index_deleted"] for s in stats) == 1
