@@ -1127,6 +1127,65 @@ def q_sketch_hll_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sketch_countmin_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch (corpus.countmin_table/
+    countmin_estimate): the point-query twin of the HLL — estimated
+    occurrence counts for the corpus's top terms next to the exact
+    counts. Seeded width (RP['cm_width']) sits BELOW the distinct-term
+    count, so collisions are real and est >= exact strictly for some
+    rows; the md5 + integer bucket arithmetic lets the oracle rebuild
+    the depth*width grid and every min-probe bit-for-bit. Grid: ONE
+    partial-aggregable pass, mergeable by cell-sum (property-tested)."""
+    from incubator_stormcrawler_spark.operators.corpus import (
+        countmin_estimate,
+        countmin_table,
+    )
+
+    width, top = RP["cm_width"], RP["cm_top"]
+    terms = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.explode(F.split("text", " ")).alias("term"))
+        .where(F.col("term") != "")
+    )
+    grid = countmin_table(terms, "term", depth=3, width=width)
+    exact = terms.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_count")
+    )
+    hh = exact.orderBy(F.desc("exact_count"), "term").limit(top)
+    est = countmin_estimate(grid, hh, "term", depth=3, width=width)
+    return (
+        hh.join(est, "term")
+        .select("term", "est_count", "exact_count")
+        .orderBy(F.desc("exact_count"), "term")
+    )
+
+
+def q_corpus_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (corpus.dsir_resample, Xie et al.
+    2023): select the RP['dsir_top_n'] documents whose hashed-bigram
+    profile best matches the seeded target language — the
+    domain-matching data-selection step of an LLM pretraining pipeline.
+    Bucket log-ratios are integer log2-quantized (CASE-chain bit length,
+    same trick as the HLL rho) so the per-doc accumulation is exact
+    BIGINT arithmetic in both engines; the oracle replays feature
+    hashing, smoothing, quantization, and the deterministic
+    (score DESC, doc_id) selection."""
+    from incubator_stormcrawler_spark.operators.corpus import dsir_resample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    picked = dsir_resample(
+        docs,
+        f"lang = '{RP['dsir_target_lang']}'",
+        n_buckets=RP["dsir_buckets"],
+        top_n=RP["dsir_top_n"],
+    )
+    return picked.join(
+        docs.select("doc_id", "lang"), "doc_id"
+    ).select("doc_id", "lang", "n_feats", "weight", "score").orderBy(
+        F.desc("score"), "doc_id"
+    )
+
+
 def q_events_binned_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable histogram quantiles (timeseries.binned_quantiles): the
     one-pass (group, bin, count) sketch with window read-out — the scale
@@ -3995,6 +4054,79 @@ JOIN (SELECT source, CAST(count(DISTINCT bg) AS BIGINT) AS exact_distinct
 ORDER BY source
 """
 
+_ORACLES["sketch_countmin_terms"] = f"""
+WITH t AS (
+  SELECT term FROM (
+    SELECT unnest(string_split(text, ' ')) AS term FROM documents
+  ) WHERE term <> ''
+),
+probes AS (
+  SELECT d,
+         ('0x' || substr(md5('cm' || CAST(d AS VARCHAR) || ':' || term),
+                         1, 12))::BIGINT % {RP["cm_width"]} AS bucket
+  FROM t, unnest([0, 1, 2]) AS dd(d)
+),
+grid AS (
+  SELECT d, bucket, CAST(count(*) AS BIGINT) AS c FROM probes GROUP BY 1, 2
+),
+exact AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS exact_count FROM t GROUP BY term
+),
+hh AS (
+  SELECT term, exact_count FROM exact
+  ORDER BY exact_count DESC, term LIMIT {RP["cm_top"]}
+),
+est AS (
+  SELECT h.term, CAST(min(coalesce(g.c, 0)) AS BIGINT) AS est_count
+  FROM (SELECT term, d,
+               ('0x' || substr(md5('cm' || CAST(d AS VARCHAR) || ':' || term),
+                               1, 12))::BIGINT % {RP["cm_width"]} AS bucket
+        FROM hh, unnest([0, 1, 2]) AS dd(d)) h
+  LEFT JOIN grid g USING (d, bucket)
+  GROUP BY h.term
+)
+SELECT term, est_count, exact_count FROM hh JOIN est USING (term)
+ORDER BY exact_count DESC, term
+"""
+
+_ORACLES["corpus_dsir_sample"] = f"""
+WITH base AS (
+  SELECT doc_id, CAST(lang = '{RP["dsir_target_lang"]}' AS INT) AS is_tgt,
+         string_split(text, ' ') AS toks
+  FROM documents WHERE len(string_split(text, ' ')) >= 2
+),
+feats AS (
+  SELECT doc_id, is_tgt,
+         ('0x' || substr(md5('ds:' || toks[i] || ' ' || toks[i + 1]),
+                         1, 12))::BIGINT % {RP["dsir_buckets"]} AS bucket
+  FROM base, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+),
+per_doc AS (
+  SELECT doc_id, bucket, count(*) AS cf FROM feats GROUP BY 1, 2
+),
+buckets AS (
+  SELECT bucket, count(*) AS cr, sum(is_tgt) AS ct FROM feats GROUP BY 1
+),
+ratio AS (
+  SELECT bucket,
+         ({corpus.bitlen_sql("(ct + 1)")} -
+          {corpus.bitlen_sql("(cr + 1)")}) AS r
+  FROM buckets
+),
+scored AS (
+  SELECT doc_id, CAST(sum(cf) AS BIGINT) AS n_feats,
+         CAST(sum(cf * r) AS BIGINT) AS weight
+  FROM per_doc JOIN ratio USING (bucket) GROUP BY doc_id
+),
+picked AS (
+  SELECT doc_id, n_feats, weight, round(weight / n_feats, 4) AS score
+  FROM scored ORDER BY score DESC, doc_id LIMIT {RP["dsir_top_n"]}
+)
+SELECT p.doc_id, d.lang, p.n_feats, p.weight, p.score
+FROM picked p JOIN documents d USING (doc_id)
+ORDER BY p.score DESC, p.doc_id
+"""
+
 # WARC round-trip: the Spark side writes real gzip-member WARC files and
 # reads them back; the oracle recomputes the expected payload inventory
 # directly from part (byte lengths of the synthesized pages).
@@ -4201,8 +4333,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     shapes and the 10 seeded dedup entries (changed behavior ⇒ must be
     re-certified), the three NEW real-codec roundtrips (genuine
     BMP/PNG/WAV byte parsing — zlib inflate + row unfiltering on the PNG
-    path — vs formula-replay oracles), the three fresh r7 additions
-    (triangles/HLL/binned quantiles), and 12 of the oldest-green
+    path — vs formula-replay oracles), the two NEW r8 sketches
+    (seeded Count-Min point queries, DSIR importance resampling),
+    binned quantiles from r7 (triangles/HLL moved to the tail on their
+    r07-green rows), and 12 of the oldest-green
     flagships (warc/frontier/status-merge/parse/link/xpath/multimodal —
     last driver-certified r03/r04). Every entry past position 50 is GREEN
     in some committed CORRECTNESS_r*.json AND unchanged since
@@ -4260,9 +4394,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_bmp_roundtrip": q_multimodal_bmp_roundtrip,
         "multimodal_png_roundtrip": q_multimodal_png_roundtrip,
         "multimodal_wav_roundtrip": q_multimodal_wav_roundtrip,
-        # fresh r7 additions, kept in-window ---------------------------
-        "graph_triangles": q_graph_triangles,
-        "sketch_hll_bigrams": q_sketch_hll_bigrams,
+        # NEW r8 (late window): Count-Min point-query sketch and DSIR
+        # importance resampling — seeded width/buckets/target-lang; the
+        # two r7 sketches they displace (graph_triangles,
+        # sketch_hll_bigrams) are r07-green and unchanged, so they move
+        # to the tail under the union-green invariant -------------------
+        "sketch_countmin_terms": q_sketch_countmin_terms,
+        "corpus_dsir_sample": q_corpus_dsir_sample,
         "events_binned_quantiles": q_events_binned_quantiles,
         # stalest-tail rotation (last driver row r03/r04) ---------------
         "warc_roundtrip": q_warc_roundtrip,
@@ -4358,6 +4496,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_word_doc": q_parse_word_doc,
         "ann_cosine_topk": q_ann_cosine_topk,
         "dedup_exact": q_dedup_exact,
+        "graph_triangles": q_graph_triangles,
+        "sketch_hll_bigrams": q_sketch_hll_bigrams,
     }
 
 

@@ -1317,3 +1317,180 @@ def hll_estimate(registers: DataFrame, m: int = 64) -> DataFrame:
             ).alias("est_distinct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min frequency sketch — the point-query twin of the HLL above.
+# Same deterministic-hash contract (md5 + integer bucket arithmetic) so
+# the DuckDB oracle rebuilds the grid AND the estimates bit-for-bit, and
+# the same 100 TB property: the grid is a (d, bucket, count) table built
+# in ONE partial-aggregable pass, depth*width rows TOTAL regardless of
+# corpus size — shards sketch independently, merge = SUM per cell, and a
+# frequency estimate for any value needs only the broadcast grid, never a
+# re-scan. est(v) = min_d grid[d][h_d(v)] >= true count always (hash
+# collisions only ever inflate a cell). Storm-side analog: the metrics
+# aggregations the reference pushes to its backends; sketch literature:
+# Cormode & Muthukrishnan 2005.
+# ---------------------------------------------------------------------------
+
+def _cm_bucket_sql(value: str, d: str, width: int) -> str:
+    """The shared probe: md5('cm'||d||':'||v) folded to 48 bits, mod
+    width — identical text semantics in Spark (conv) and DuckDB (0x
+    cast), both verified by the registered oracle."""
+    return (
+        f"cast(conv(substring(md5(concat('cm', {d}, ':', {value})), 1, 12),"
+        f" 16, 10) as bigint) % {width}"
+    )
+
+
+def countmin_table(
+    df: DataFrame, value_expr: str, depth: int = 3, width: int = 128
+) -> DataFrame:
+    """(d, bucket, c) Count-Min grid over every OCCURRENCE of
+    ``value_expr``. One explode of the depth range (depth is 3-5; the
+    map-side combine collapses to depth*width rows per partition before
+    the single tiny shuffle). Merge two grids: union + sum per (d,
+    bucket)."""
+    rows = df.selectExpr(f"({value_expr}) as __v").where(
+        F.col("__v").isNotNull()
+    )
+    probes = rows.select(
+        F.col("__v"),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"),
+    ).selectExpr("d", _cm_bucket_sql("__v", "d", width) + " as bucket")
+    return probes.groupBy("d", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+
+
+def countmin_estimate(
+    grid: DataFrame,
+    values: DataFrame,
+    value_col: str,
+    depth: int = 3,
+    width: int = 128,
+) -> DataFrame:
+    """Point queries against a Count-Min grid: (value, est_count) with
+    est_count = min over the depth probe rows. The grid is depth*width
+    rows — ALWAYS broadcast; absent cells count 0 (value never sketched).
+    """
+    probes = values.select(F.col(value_col)).distinct().select(
+        F.col(value_col),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"),
+    ).selectExpr(
+        value_col, "d", _cm_bucket_sql(value_col, "d", width) + " as bucket"
+    )
+    return (
+        probes.join(F.broadcast(grid), ["d", "bucket"], "left")
+        .na.fill({"c": 0})
+        .groupBy(value_col)
+        .agg(F.min("c").cast("bigint").alias("est_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling"): pick raw-corpus documents
+# whose hashed-ngram profile looks like a TARGET domain. Features are
+# hashed word-bigram buckets; a doc's importance weight is the
+# log-likelihood ratio log p_target(x)/p_raw(x) = sum over the doc's
+# feature occurrences of log(ct_b')/log(cr_b') (add-one smoothed bucket
+# counts; the corpus-wide normalizers shift every doc equally).
+#
+# Cross-engine exactness: the per-bucket log ratio is QUANTIZED to
+# integer log2 magnitudes via a CASE-chain bit-length (same trick as
+# hll_rho_sql — no float log whose last-ulp could differ between the JVM
+# and DuckDB), so the per-doc accumulation is pure BIGINT arithmetic and
+# order-independent; the only float op is one final division (score =
+# weight / n_feats), rounded once. Production would use double logs —
+# the PLAN is identical, only the ratio literal changes.
+#
+# 100 TB posture: one bigram explode (linear in tokens), two
+# partial-aggregable groupBys ((doc,bucket) and (bucket)), the ratio
+# table is n_buckets rows — broadcast — and the winner selection is a
+# TakeOrderedAndProject, never a global sort.
+# ---------------------------------------------------------------------------
+
+def bitlen_sql(col: str, max_bits: int = 40) -> str:
+    """Integer bit-length of a POSITIVE value (floor(log2)+1) as a CASE
+    chain both engines evaluate identically — the integer log2 quantizer
+    shared by dsir_resample and its oracle."""
+    cases = " ".join(
+        f"WHEN {col} >= {2 ** (i - 1)} THEN {i}"
+        for i in range(max_bits, 1, -1)
+    )
+    return f"(CASE {cases} ELSE 1 END)"
+
+
+def dsir_resample(
+    docs: DataFrame,
+    target_pred: str,
+    n_buckets: int = 512,
+    top_n: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``top_n`` raw docs by quantized DSIR importance weight toward
+    the subset selected by SQL predicate ``target_pred`` (e.g.
+    "lang = 'en'"). Returns (doc_id, n_feats, weight, score) with
+    score = weight / n_feats rounded to 4 — ranking is (score DESC,
+    doc_id) so the selection is wholly deterministic."""
+    toks = F.split(F.col(text_col), " ")
+    base = docs.select(
+        F.col(id_col),
+        F.expr(target_pred).cast("int").alias("__is_tgt"),
+        toks.alias("__toks"),
+    ).where(F.size("__toks") >= 2)
+    feats = (
+        base.select(
+            F.col(id_col),
+            "__is_tgt",
+            F.explode(
+                F.sequence(F.lit(1), F.size("__toks") - 1)
+            ).alias("__i"),
+            F.col("__toks"),
+        )
+        .select(
+            F.col(id_col),
+            "__is_tgt",
+            F.concat(
+                F.element_at("__toks", F.col("__i")),
+                F.lit(" "),
+                F.element_at("__toks", F.col("__i") + 1),
+            ).alias("__bg"),
+        )
+        .selectExpr(
+            id_col,
+            "__is_tgt",
+            "cast(conv(substring(md5(concat('ds:', __bg)), 1, 12), 16, 10)"
+            f" as bigint) % {n_buckets} as bucket",
+        )
+    )
+    per_doc = feats.groupBy(id_col, "bucket").agg(
+        F.count(F.lit(1)).alias("cf")
+    )
+    # bucket stats in ONE pass: raw occurrence count + target occurrence
+    # count (target is a subset of raw, so both come from the same scan)
+    buckets = feats.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum("__is_tgt").alias("ct"),
+    )
+    ratio = buckets.selectExpr(
+        "bucket",
+        f"({bitlen_sql('(ct + 1)')} - {bitlen_sql('(cr + 1)')}) as r",
+    )
+    scored = (
+        per_doc.join(F.broadcast(ratio), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cf").cast("bigint").alias("n_feats"),
+            F.sum(F.col("cf") * F.col("r")).cast("bigint").alias("weight"),
+        )
+        .select(
+            id_col,
+            "n_feats",
+            "weight",
+            F.round(F.col("weight") / F.col("n_feats"), 4).alias("score"),
+        )
+    )
+    return scored.orderBy(F.desc("score"), id_col).limit(top_n)

@@ -181,6 +181,16 @@ def round_params(seed: int | None = None) -> dict[str, object]:
         "dedup_split": seeded_int("dedup_split", 200, 300, s),
         "bloom_m_bits": 1 << seeded_int("bloom_m_bits", 14, 16, s),
         "bloom_n_shards": seeded_int("bloom_n_shards", 3, 6, s),
+        # --- corpus sketches / selection (r8 additions) -------------
+        # width deliberately below the distinct-term count so collisions
+        # are real and the min-over-depth actually earns its keep
+        "cm_width": seeded_int("cm_width", 96, 192, s),
+        "cm_top": seeded_int("cm_top", 20, 40, s),
+        "dsir_target_lang": seeded_choice(
+            "dsir_target_lang", ["en", "de", "es", "fr", "zh"], s
+        ),
+        "dsir_buckets": 1 << seeded_int("dsir_buckets", 8, 10, s),
+        "dsir_top_n": seeded_int("dsir_top_n", 40, 80, s),
     }
 
 

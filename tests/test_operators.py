@@ -649,3 +649,124 @@ def test_binned_quantiles_bounded_error_and_mergeable(spark):
     assert whole == sorted(
         map(tuple, binned_quantiles(df, "g", "v", width).collect())
     )
+
+
+def test_countmin_overestimates_and_merges(spark):
+    """Count-Min contract: (1) est >= exact for EVERY value (collisions
+    only inflate); (2) grids merge by cell-sum — two shards summed equal
+    the whole-corpus grid, so sharded estimates equal whole-corpus
+    estimates; (3) at a width far above the distinct count the estimate
+    is exact for every value."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from incubator_stormcrawler_spark.operators.corpus import (
+        countmin_estimate,
+        countmin_table,
+    )
+
+    rows = [Row(v=f"t{i % 97}") for i in range(5000)]
+    df = spark.createDataFrame(rows)
+    exact = {r.v: r.c for r in df.groupBy("v").agg(
+        F.count(F.lit(1)).alias("c")).collect()}
+    vals = df.select(F.col("v").alias("term")).distinct()
+
+    # tight width -> collisions certain; est must still dominate exact
+    grid = countmin_table(df, "v", depth=3, width=31)
+    est = {r.term: r.est_count for r in countmin_estimate(
+        grid, vals, "term", depth=3, width=31).collect()}
+    assert set(est) == set(exact)
+    assert all(est[t] >= exact[t] for t in exact)
+
+    # mergeability: shard grids sum to the whole grid
+    s1 = countmin_table(df.where("v like '%1' or v like '%2'"), "v",
+                        depth=3, width=31)
+    s2 = countmin_table(df.where("not (v like '%1' or v like '%2')"), "v",
+                        depth=3, width=31)
+    merged = (s1.unionByName(s2).groupBy("d", "bucket")
+              .agg(F.sum("c").cast("bigint").alias("c")))
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, grid.collect()))
+
+    # wide grid -> exact everywhere (97 distinct values, 4096 cells/row)
+    wide = countmin_table(df, "v", depth=3, width=4096)
+    est_w = {r.term: r.est_count for r in countmin_estimate(
+        wide, vals, "term", depth=3, width=4096).collect()}
+    assert est_w == exact
+
+
+def test_countmin_grid_is_broadcast(spark):
+    """The probe join against the depth*width grid must be broadcast —
+    a shuffled join here would move the corpus for a KB-sized build
+    side."""
+    from pyspark.sql import Row
+
+    from incubator_stormcrawler_spark.operators.corpus import (
+        countmin_estimate,
+        countmin_table,
+    )
+
+    df = spark.createDataFrame([Row(v=f"t{i % 50}") for i in range(500)])
+    grid = countmin_table(df, "v", depth=3, width=64)
+    est = countmin_estimate(grid, df.select("v"), "v", depth=3, width=64)
+    plan = est._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bitlen_sql_matches_python(spark):
+    """The CASE-chain quantizer must equal int.bit_length for every
+    magnitude it can meet (1 .. 2^39)."""
+    from incubator_stormcrawler_spark.operators.corpus import bitlen_sql
+
+    vals = [1, 2, 3, 4, 7, 8, 1023, 1024, 12345, 2**20, 2**39 - 1, 2**39]
+    df = spark.createDataFrame([(v,) for v in vals], ["x"])
+    got = {r.x: r.b for r in df.selectExpr(
+        "x", bitlen_sql("x") + " as b").collect()}
+    assert got == {v: v.bit_length() for v in vals}
+
+
+def test_dsir_resample_enriches_target_lang(spark):
+    """On a corpus whose languages use disjoint vocabularies, the DSIR
+    top-k must be overwhelmingly target-language — the whole point of
+    importance resampling — and the selection must be deterministic."""
+    from pyspark.sql import Row
+
+    from incubator_stormcrawler_spark.operators.corpus import dsir_resample
+
+    def doc(i, lang, words):
+        text = " ".join(words[(i + j) % len(words)] for j in range(30))
+        return Row(doc_id=i, lang=lang, text=text)
+
+    en = [f"envocab{k}" for k in range(40)]
+    de = [f"devocab{k}" for k in range(40)]
+    rows = [doc(i, "en", en) for i in range(0, 60)] + [
+        doc(i, "de", de) for i in range(60, 120)
+    ]
+    docs = spark.createDataFrame(rows)
+    picked = dsir_resample(docs, "lang = 'en'", n_buckets=256, top_n=20)
+    chosen = [r.doc_id for r in picked.collect()]
+    langs = {r.doc_id: r.lang for r in docs.collect()}
+    frac_en = sum(langs[i] == "en" for i in chosen) / len(chosen)
+    assert frac_en >= 0.9, (frac_en, chosen)
+    # deterministic: second run picks identical docs in identical order
+    again = [r.doc_id for r in dsir_resample(
+        docs, "lang = 'en'", n_buckets=256, top_n=20).collect()]
+    assert again == chosen
+
+
+def test_dsir_ratio_table_is_broadcast(spark):
+    """The n_buckets-row log-ratio table must broadcast into the per-doc
+    join; shuffling the doc-feature stream onto bucket keys would be a
+    full extra exchange of the corpus at scale."""
+    from pyspark.sql import Row
+
+    from incubator_stormcrawler_spark.operators.corpus import dsir_resample
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, lang="en" if i % 2 else "de",
+             text=" ".join(f"w{(i * 7 + j) % 50}" for j in range(20)))
+         for i in range(100)]
+    )
+    out = dsir_resample(docs, "lang = 'en'", n_buckets=128, top_n=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
