@@ -1466,9 +1466,6 @@ def dsir_resample(
             f" as bigint) % {n_buckets} as bucket",
         )
     )
-    per_doc = feats.groupBy(id_col, "bucket").agg(
-        F.count(F.lit(1)).alias("cf")
-    )
     # bucket stats in ONE pass: raw occurrence count + target occurrence
     # count (target is a subset of raw, so both come from the same scan)
     buckets = feats.groupBy("bucket").agg(
@@ -1479,12 +1476,20 @@ def dsir_resample(
         "bucket",
         f"({bitlen_sql('(ct + 1)')} - {bitlen_sql('(cr + 1)')}) as r",
     )
+    # r depends only on the bucket, so the weight sum distributes over
+    # feature OCCURRENCES: broadcast the n_buckets-row ratio straight
+    # onto the exploded stream and aggregate by doc in one pass. The
+    # map-side partial agg collapses the ~tokens-per-doc occurrence rows
+    # to one row per doc BEFORE the only full-width shuffle — an earlier
+    # groupBy(doc, bucket) intermediate shuffled the entire exploded
+    # stream nearly unreduced (mostly-distinct keys) and measured
+    # superlinear past 400k docs.
     scored = (
-        per_doc.join(F.broadcast(ratio), "bucket")
+        feats.join(F.broadcast(ratio), "bucket")
         .groupBy(id_col)
         .agg(
-            F.sum("cf").cast("bigint").alias("n_feats"),
-            F.sum(F.col("cf") * F.col("r")).cast("bigint").alias("weight"),
+            F.count(F.lit(1)).cast("bigint").alias("n_feats"),
+            F.sum("r").cast("bigint").alias("weight"),
         )
         .select(
             id_col,

@@ -553,9 +553,102 @@ def recursive_crawl_main():
     print(f"merged recursive_crawl into {path}")
 
 
+def curve_countmin(spark, sizes):
+    """Grid build + top-100 point queries per size. The grid is
+    depth*width rows no matter the corpus, so the curve should track the
+    single explode+groupBy scan — alpha ~1 linear, high rows/s."""
+    from incubator_stormcrawler_spark.operators.corpus import (
+        countmin_estimate,
+        countmin_table,
+    )
+
+    out = []
+    for n in sizes:
+        terms = spark.range(n).selectExpr(
+            # zipf-ish: low ids recur constantly, tail is near-unique
+            "concat('t', cast(id % greatest(1000, id div 50) as string))"
+            " as term"
+        )
+        vals = terms.limit(100).distinct()
+        _clean(spark)
+
+        def run():
+            grid = countmin_table(terms, "term", depth=3, width=4096)
+            countmin_estimate(grid, vals, "term", depth=3,
+                              width=4096).count()
+
+        sec = timed(run, warmup=(n == sizes[0]))
+        out.append({"rows": n, "sec": round(sec, 2),
+                    "rows_per_sec": int(n / sec)})
+    return out
+
+
+def curve_dsir(spark, sizes):
+    """DSIR selection over synthetic two-domain docs (half the corpus
+    'target-flavored' vocabulary). Work is one bigram explode + two
+    partial aggs + a broadcast ratio join — alpha should stay ~linear in
+    tokens."""
+    from incubator_stormcrawler_spark.operators.corpus import dsir_resample
+
+    out = []
+    for n in sizes:
+        docs = spark.range(n).selectExpr(
+            "id as doc_id",
+            "case when id % 2 = 0 then 'en' else 'xx' end as lang",
+            "concat_ws(' ', transform(sequence(0, 39), j -> concat("
+            "case when id % 2 = 0 then 'e' else 'x' end, "
+            "cast((id * 7 + j) % 5000 as string)))) as text",
+        )
+        _clean(spark)
+        sec = timed(
+            lambda: dsir_resample(
+                docs, "lang = 'en'", n_buckets=1024, top_n=100
+            ).count(),
+            warmup=(n == sizes[0]),
+        )
+        out.append({"rows": n, "sec": round(sec, 2),
+                    "rows_per_sec": int(n / sec)})
+    return out
+
+
+def sketches_main():
+    """`--sketches`: measure the r8 sketch/selection additions
+    (Count-Min, DSIR) at 3 sizes spanning 16x and merge `countmin` /
+    `dsir_resample` entries into the existing SCALING.json."""
+    from incubator_stormcrawler_spark.session import get_spark
+
+    spark = get_spark("scale-bench-sketches")
+    spark.sparkContext.setLogLevel("ERROR")
+    results = {}
+    for name, fn in (
+        ("countmin",
+         lambda: curve_countmin(spark, [400_000, 1_600_000, 6_400_000])),
+        ("dsir_resample",
+         lambda: curve_dsir(spark, [100_000, 400_000, 1_600_000])),
+    ):
+        pts = fn()
+        results[name] = {"points": pts, "alpha": alpha(pts)}
+        print(f"## {name}: alpha={results[name]['alpha']}", flush=True)
+        for p in pts:
+            print(f"   {p}", flush=True)
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "SCALING.json")
+    merged = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            merged = json.load(f)
+    merged.update(results)
+    with open(path, "w") as f:
+        json.dump(merged, f, indent=2)
+    print(f"merged countmin/dsir_resample into {path}")
+
+
 def main():
     if "--recursive-crawl" in sys.argv:
         recursive_crawl_main()
+        return
+    if "--sketches" in sys.argv:
+        sketches_main()
         return
     quick = "--quick" in sys.argv
     deep = "--deep" in sys.argv
