@@ -770,3 +770,13 @@ def test_dsir_ratio_table_is_broadcast(spark):
     out = dsir_resample(docs, "lang = 'en'", n_buckets=128, top_n=10)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+    # The exploded bigram stream must never be shuffled: the only
+    # exchanges allowed are the n_buckets-row ratio aggregation and the
+    # post-partial-agg groupBy(doc_id) — a groupBy(doc, bucket)
+    # intermediate ahead of the join re-introduces a full-width shuffle
+    # on mostly-distinct keys (measured 2.2x at 1.6M docs).
+    import re
+
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    for clause in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+        assert not ("doc_id" in clause and "bucket" in clause), clause
