@@ -1090,6 +1090,54 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(edges).orderBy(F.desc("triangles"), "node")
 
 
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (linkrank.kcore) over the same pinned
+    1000-node orders graph as graph_triangles: iterative peel to the
+    maximal subgraph of min-degree ≥ k, k seeded per round
+    (roundparams.seeded_int("kcore_k", 18, 21) — capped at 21 because
+    this graph's k-core percolation threshold sits at 22: k=21 keeps
+    909 of 1000 nodes, k=22 cascades to an EMPTY core, and an
+    empty-vs-empty green row would prove nothing; every k in [18,21]
+    converges within 5 peel rounds at sf0.01). The Spark side peels
+    with an early exit at the fixpoint (one metadata-sized edge-count
+    scalar per round); the oracle unrolls ALL rounds as chained CTEs
+    (linkrank.unrolled_kcore_sql) — identities past the fixpoint — so a
+    green row proves the peel AND that the early exit is sound."""
+    from incubator_stormcrawler_spark.operators.linkrank import kcore
+    from incubator_stormcrawler_spark.roundparams import seeded_int
+
+    k = seeded_int("kcore_k", 18, 21)
+    edges = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        # same constant-size pin as graph_triangles: dense 0..N-1 keys,
+        # pushed range keeps |E| flat across sf
+        .where(F.col("o_orderkey") < 15000)
+        .selectExpr(
+            "cast(o_orderkey % 1000 as bigint) as src",
+            "cast(o_custkey % 1000 as bigint) as dst",
+        )
+    )
+    return kcore(edges, k=k).orderBy("node")
+
+
+def q_corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential Poisson / priority sampling (corpus.weighted_sample):
+    exact-k weighted sampling WITHOUT replacement, inclusion ≈ proportional
+    to document length — the quality-weighted corpus-subset primitive that
+    Bernoulli hash_sample (no exact k) and stratified_sample (no weights)
+    don't cover. k is seeded per round (seeded_int("wsample_k", 200, 400)).
+    The only float op is ONE IEEE-754 division of a 52-bit md5 uniform by
+    the integer weight — exactly rounded on both engines, so DuckDB
+    reproduces bit-identical priorities and the identical sample. Plan:
+    scan + TakeOrderedAndProject (per-partition top-k heap), no shuffle."""
+    from incubator_stormcrawler_spark.operators.corpus import weighted_sample
+    from incubator_stormcrawler_spark.roundparams import seeded_int
+
+    k = seeded_int("wsample_k", 200, 400)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return weighted_sample(docs, k=k)
+
+
 def q_sketch_hll_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic HyperLogLog (corpus.hll_registers/hll_estimate):
     per-source distinct-bigram estimates next to the exact counts. md5
@@ -4025,6 +4073,38 @@ FROM deg LEFT JOIN per_node ON deg.node = per_node.node
 ORDER BY triangles DESC, deg.node
 """
 
+from incubator_stormcrawler_spark.operators.linkrank import unrolled_kcore_sql
+from incubator_stormcrawler_spark.roundparams import seeded_int as _seeded_int
+
+# same pinned orders graph as graph_triangles; the oracle unrolls the
+# full 12 peel rounds (identities past the fixpoint the Spark side
+# early-exits at), so a green row proves peel + early-exit soundness
+_ORACLES["graph_kcore"] = unrolled_kcore_sql(
+    "edges AS (SELECT CAST(o_orderkey % 1000 AS BIGINT) AS src,"
+    " CAST(o_custkey % 1000 AS BIGINT) AS dst"
+    " FROM orders WHERE o_orderkey < 15000)",
+    k=_seeded_int("kcore_k", 18, 21),
+    max_rounds=12,
+) + "\nORDER BY node"
+
+# bit-identical priorities: u is the first 13 md5 hex digits (52 bits,
+# exact in a double), weight an integer, and the ONLY float op is one
+# IEEE-754 division — exactly rounded in both engines by spec
+_ORACLES["corpus_weighted_sample"] = f"""
+WITH pri AS (
+  SELECT doc_id,
+         CAST(greatest(length(text), 1) AS BIGINT) AS weight,
+         CAST(('0x' || substr(md5('wsample|' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT AS DOUBLE)
+           / CAST(greatest(length(text), 1) AS DOUBLE) AS p
+  FROM documents
+)
+SELECT doc_id, weight,
+       CAST(row_number() OVER (ORDER BY p, doc_id) AS BIGINT) AS sample_rank
+FROM pri
+ORDER BY p, doc_id
+LIMIT {_seeded_int("wsample_k", 200, 400)}
+"""
+
 # identical md5 48-bit hash, bucket split, CASE-chain rho, and dyadic
 # 2^-M sum — the estimate is reproduced bit-for-bit, then rounded once
 _ORACLES["sketch_hll_bigrams"] = f"""
@@ -4402,6 +4482,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_countmin_terms": q_sketch_countmin_terms,
         "corpus_dsir_sample": q_corpus_dsir_sample,
         "events_binned_quantiles": q_events_binned_quantiles,
+        # NEW r8 (this window): k-core peel with an unrolled-CTE oracle,
+        # and exact-k weighted sampling (Sequential Poisson) whose
+        # single-IEEE-division priorities DuckDB reproduces bit-for-bit;
+        # they displace multimodal_resize/frames (r03-green, unchanged)
+        # to the tail under the union-green invariant ------------------
+        "graph_kcore": q_graph_kcore,
+        "corpus_weighted_sample": q_corpus_weighted_sample,
         # stalest-tail rotation (last driver row r03/r04) ---------------
         "warc_roundtrip": q_warc_roundtrip,
         "frontier_topk": q_frontier_topk,
@@ -4413,11 +4500,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_hits": q_link_hits,
         "text_quality": q_text_quality,
         "xpath_html": q_xpath_html,
-        "multimodal_resize": q_multimodal_resize,
-        "multimodal_frames": q_multimodal_frames,
         # ---- past the 50-entry driver window: ALL green in a committed
         # CORRECTNESS_r*.json and unchanged since (r7-certified first,
         # then the r03/r04 tail that rotates into r9+) ------------------
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_frames": q_multimodal_frames,
         "corpus_bpe_merges": q_corpus_bpe_merges,
         "corpus_substring_dedup": q_corpus_substring_dedup,
         "corpus_postings": q_corpus_postings,

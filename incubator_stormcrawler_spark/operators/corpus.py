@@ -237,6 +237,71 @@ def stratified_sample(
     )
 
 
+def weighted_sample(
+    docs: DataFrame,
+    k: int,
+    weight: Column | None = None,
+    salt: str = "wsample",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One-pass weighted sampling WITHOUT replacement via Sequential
+    Poisson / priority sampling (Ohlsson 1998; Duffield-Lund-Thorup 2007):
+    each row draws a uniform u and the k smallest ``u / weight`` win, so
+    inclusion odds are ≈ proportional to weight — the corpus-assembly
+    primitive for quality-weighted subset selection, where Bernoulli
+    ``hash_sample`` can't hit an exact k and per-stratum quotas ignore
+    weights.
+
+    Determinism & engine portability: u is the first 13 md5 hex digits of
+    (salt|id) — 52 bits, exactly representable in a double — and weight is
+    an integer, so the ONLY floating-point operation is a single IEEE-754
+    division, which is exactly rounded on every engine. DuckDB therefore
+    reproduces bit-identical priorities and the identical sample; the
+    priority order is additionally tie-broken by id so even a colliding
+    division result can't make the cut nondeterministic.
+
+    Plan: pure per-row projection + global top-k — Spark compiles
+    ``orderBy(...).limit(k)`` to TakeOrderedAndProject (per-partition heap
+    of k, driver merges k·P candidates). No shuffle, no full sort; at
+    100 TB the cost is one scan.
+
+    Returns (id, weight, sample_rank) for the k winners, rank 1 = first
+    picked. ``weight`` defaults to the document's character length
+    (≥ 1) — the usual proxy when sampling token budgets.
+    """
+    from pyspark.sql import Window
+
+    if weight is None:
+        weight = F.greatest(F.length(F.col("text")), F.lit(1))
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))),
+            1, 13,
+        ),
+        16, 10,
+    ).cast("bigint")
+    pri = u.cast("double") / weight.cast("double")
+    return (
+        docs.select(
+            F.col(id_col),
+            weight.cast("bigint").alias("weight"),
+            pri.alias("__priority"),
+        )
+        .orderBy(F.col("__priority").asc(), F.col(id_col).asc())
+        .limit(k)
+        .select(
+            id_col,
+            "weight",
+            F.row_number()
+            .over(
+                Window.orderBy(F.col("__priority").asc(), F.col(id_col).asc())
+            )
+            .cast("bigint")
+            .alias("sample_rank"),
+        )
+    )
+
+
 def vocab_topk(
     docs: DataFrame,
     k: int = 100,

@@ -299,3 +299,107 @@ def triangle_counts(
             ),
         )
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    max_rounds: int = 12,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """The k-core of the undirected simple graph of ``edges``: the maximal
+    subgraph in which every node keeps degree ≥ k, found by the standard
+    peel — repeatedly drop sub-k nodes and their edges until a fixpoint.
+    Crawl-graph use: the dense core separates genuinely interlinked hosts
+    from the pendant/chain periphery (link-farm and seed-set analysis),
+    complementing triangle_counts' local view with a global cohesion cut.
+
+    Scale: each round is one partial-aggregable degree count plus two
+    LEFT SEMI joins of the live edge set against the (strictly shrinking)
+    survivor set — no step is quadratic in degree, and rounds are bounded
+    by the peel depth (≤ graph degeneracy, small for web-like graphs).
+    The live edge set is cached per round with a lazy localCheckpoint to
+    cut lineage (the link_rank pattern); the only driver-side value per
+    round is the single edge-count scalar used for the fixpoint test —
+    metadata-sized by construction. Post-fixpoint rounds are identities,
+    so the early exit cannot change the result — the unrolled oracle
+    (``unrolled_kcore_sql``) just runs the full ``max_rounds`` instead.
+
+    Returns (node, core_degree) for k-core members: the node's remaining
+    degree inside the core (≥ k by definition).
+    """
+    live = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+        .cache()
+    )
+    n_edges = live.count()
+    for _ in range(max_rounds):
+        deg = (
+            live.select(F.col("a").alias("node"))
+            .unionAll(live.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+        keep = deg.where(F.col("degree") >= k).select("node")
+        nxt = (
+            live.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=False)
+            .cache()
+        )
+        n_next = nxt.count()
+        live.unpersist()
+        live = nxt
+        if n_next == n_edges:
+            break
+        n_edges = n_next
+    return (
+        live.select(F.col("a").alias("node"))
+        .unionAll(live.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+    )
+
+
+def unrolled_kcore_sql(edges_cte: str, k: int, max_rounds: int = 12) -> str:
+    """The DuckDB oracle: the same peel unrolled as chained CTEs over an
+    ``edges(src, dst)`` CTE supplied by the caller. Runs ALL ``max_rounds``
+    (no early exit) — rounds past the fixpoint are identities, so this
+    matches ``kcore`` exactly whenever the peel converges within
+    ``max_rounds`` (the registered graph converges in far fewer; the
+    equivalence property test peels chain graphs that need many rounds).
+
+    The round CTEs are MATERIALIZED: each round references its
+    predecessor three times (twice through the degree table, once as the
+    FROM), so DuckDB's default CTE inlining would expand the unroll into
+    a 3^rounds-node plan tree — the planner itself blows up long before
+    execution. Materialization makes the chain linear."""
+    parts = [
+        f"{edges_cte}",
+        "e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,"
+        " greatest(src, dst) AS b FROM edges WHERE src <> dst)",
+    ]
+    for r in range(max_rounds):
+        parts.append(
+            f"d{r} AS MATERIALIZED (SELECT node, count(*) AS degree FROM ("
+            f"SELECT a AS node FROM e{r} UNION ALL SELECT b FROM e{r}"
+            f") GROUP BY node)"
+        )
+        parts.append(
+            f"e{r + 1} AS MATERIALIZED (SELECT a, b FROM e{r}"
+            f" WHERE a IN (SELECT node FROM d{r} WHERE degree >= {k})"
+            f" AND b IN (SELECT node FROM d{r} WHERE degree >= {k}))"
+        )
+    n = max_rounds
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT node, count(*)::BIGINT AS core_degree FROM ("
+        f"SELECT a AS node FROM e{n} UNION ALL SELECT b FROM e{n}"
+        f") GROUP BY node"
+    )

@@ -15,6 +15,15 @@ def spark():
     yield s
 
 
+@pytest.fixture(scope="session")
+def duck():
+    import duckdb
+
+    con = duckdb.connect()
+    yield con
+    con.close()
+
+
 SF_DIR = "/root/testdata/sf0.001"
 
 

@@ -780,3 +780,99 @@ def test_dsir_ratio_table_is_broadcast(spark):
     assert plan.count("Exchange hashpartitioning") <= 2, plan
     for clause in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
         assert not ("doc_id" in clause and "bucket" in clause), clause
+
+
+def test_kcore_known_graphs(spark):
+    """K5 is its own 4-core (every node keeps degree 4); gluing a chain
+    onto K5 must peel the WHOLE chain even at k=2 wherever peel order
+    propagates — a long chain exercises many rounds, the case the
+    unrolled oracle's fixed max_rounds has to survive."""
+    from pyspark.sql import Row
+
+    from incubator_stormcrawler_spark.operators.linkrank import kcore
+
+    k5 = [(a, b) for a in range(5) for b in range(5) if a < b]
+    chain = [(4 + i, 5 + i) for i in range(4)]  # 4-5-6-7-8 pendant path
+    df = spark.createDataFrame(
+        [Row(src=a, dst=b) for a, b in k5 + chain]
+    )
+    # k=2: the chain is degree-2 internally but peels from its free end,
+    # one node per round — 4 rounds of real work inside max_rounds=12
+    core2 = {r.node: r.core_degree for r in kcore(df, k=2).collect()}
+    assert core2 == {n: 4 for n in range(5)}
+    # k above the max degree: empty core, not an error
+    assert kcore(df, k=5).count() == 0
+
+
+def test_kcore_matches_unrolled_oracle_on_chain(spark, duck):
+    """The Spark early-exit peel and the full-unroll DuckDB oracle must
+    agree on a graph that needs MANY rounds (chain peeling is the
+    worst case: one node per round from each end)."""
+    from pyspark.sql import Row
+
+    from incubator_stormcrawler_spark.operators.linkrank import (
+        kcore,
+        unrolled_kcore_sql,
+    )
+
+    edges = [(i, i + 1) for i in range(8)] + [
+        (0, 2), (1, 3), (2, 4), (0, 3),
+    ]
+    df = spark.createDataFrame([Row(src=a, dst=b) for a, b in edges])
+    got = {
+        (r.node, r.core_degree)
+        for r in kcore(df, k=2, max_rounds=12).collect()
+    }
+    vals = ", ".join(f"({a}, {b})" for a, b in edges)
+    sql = unrolled_kcore_sql(
+        f"edges AS (SELECT * FROM (VALUES {vals}) AS t(src, dst))",
+        k=2,
+        max_rounds=12,
+    )
+    want = {(int(a), int(b)) for a, b in duck.execute(sql).fetchall()}
+    assert got == want and got
+
+
+def test_weighted_sample_is_priority_order_and_deterministic(spark):
+    """The k winners must be exactly the k smallest u/weight priorities
+    (recomputed independently in Python from the same md5 formula), in
+    rank order; re-running yields the identical sample (hash-derived, no
+    RNG state)."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from incubator_stormcrawler_spark.operators.corpus import weighted_sample
+
+    rows = [
+        Row(doc_id=i, text="x" * (1 + (i * 37) % 400)) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows)
+
+    def pri(i):
+        u = int(hashlib.md5(f"wsample|{i}".encode()).hexdigest()[:13], 16)
+        return float(u) / float(max(1, 1 + (i * 37) % 400))
+
+    want = sorted(range(300), key=lambda i: (pri(i), i))[:25]
+    got = weighted_sample(df, k=25).orderBy("sample_rank").collect()
+    assert [r.doc_id for r in got] == want
+    assert [r.sample_rank for r in got] == list(range(1, 26))
+    assert [r.weight for r in got] == [1 + (i * 37) % 400 for i in want]
+    again = weighted_sample(df, k=25).orderBy("sample_rank").collect()
+    assert [r.doc_id for r in again] == want
+
+
+def test_weighted_sample_plan_is_takeordered(spark):
+    """The global top-k must compile to TakeOrderedAndProject (per-
+    partition heap of k, driver merge) — a full sort-then-limit would
+    shuffle the whole corpus at 100 TB."""
+    from pyspark.sql import Row
+
+    from incubator_stormcrawler_spark.operators.corpus import weighted_sample
+
+    df = spark.createDataFrame([Row(doc_id=i, text="abc") for i in range(50)])
+    plan = (
+        weighted_sample(df, k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
