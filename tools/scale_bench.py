@@ -643,12 +643,48 @@ def sketches_main():
     print(f"merged countmin/dsir_resample into {path}")
 
 
+def frontier_256m_main():
+    """`--frontier-256m`: extend the frontier_topk curve one octave past
+    the r7 ceiling — a single 256M-row point (256x the curve's base,
+    ~2.5x the sf100-equivalent frontier) merged into the existing
+    SCALING.json entry. Separate mode because the 256M build writes
+    ~15 GB of parquet and shouldn't run inside the default sweep."""
+    from incubator_stormcrawler_spark.session import get_spark
+
+    spark = get_spark("scale-bench-frontier256")
+    spark.sparkContext.setLogLevel("ERROR")
+    tmp = tempfile.mkdtemp(prefix="scale_bench_256m_")
+    try:
+        pts = curve_frontier_topk(spark, tmp, [256_000_000])
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "SCALING.json")
+    merged = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            merged = json.load(f)
+    entry = merged.get("frontier_topk", {"points": []})
+    entry["points"] = [
+        p for p in entry["points"] if p["rows"] != 256_000_000
+    ] + pts
+    entry["alpha"] = alpha(entry["points"])
+    merged["frontier_topk"] = entry
+    with open(path, "w") as f:
+        json.dump(merged, f, indent=2)
+    print(f"frontier_topk @256M: {pts[0]} -> merged into {path} "
+          f"(alpha now {entry['alpha']})")
+
+
 def main():
     if "--recursive-crawl" in sys.argv:
         recursive_crawl_main()
         return
     if "--sketches" in sys.argv:
         sketches_main()
+        return
+    if "--frontier-256m" in sys.argv:
+        frontier_256m_main()
         return
     quick = "--quick" in sys.argv
     deep = "--deep" in sys.argv
