@@ -643,6 +643,54 @@ def sketches_main():
     print(f"merged countmin/dsir_resample into {path}")
 
 
+def curve_kcore(spark, sizes):
+    """k-core peel on an Erdos-Renyi-ish random graph, mean degree ~16,
+    k=8 — converges in a handful of peel rounds (each round: one
+    partial-aggregable degree count + two left-semi joins on the
+    shrinking survivor set). Times the FULL peel to fixpoint."""
+    from incubator_stormcrawler_spark.operators.linkrank import kcore
+
+    out = []
+    for n in sizes:
+        m = max(n // 8, 1000)
+        edges = spark.range(n).selectExpr(
+            f"cast(pmod(xxhash64(id), {m}) as bigint) as src",
+            f"cast(pmod(xxhash64(id + {n}), {m}) as bigint) as dst",
+        )
+        _clean(spark)
+        sec = timed(
+            lambda: kcore(edges, k=8, max_rounds=12).count(),
+            warmup=(n == sizes[0]),
+        )
+        out.append({"rows": n, "sec": round(sec, 2),
+                    "rows_per_sec": int(n / sec)})
+    return out
+
+
+def kcore_main():
+    """`--kcore`: measure the r8 k-core peel at 4 sizes spanning 64x and
+    merge a `kcore_peel` entry into the existing SCALING.json."""
+    from incubator_stormcrawler_spark.session import get_spark
+
+    spark = get_spark("scale-bench-kcore")
+    spark.sparkContext.setLogLevel("ERROR")
+    pts = curve_kcore(spark, [1_000_000, 4_000_000, 16_000_000, 64_000_000])
+    entry = {"points": pts, "alpha": alpha(pts)}
+    print(f"## kcore_peel: alpha={entry['alpha']}", flush=True)
+    for p in pts:
+        print(f"   {p}", flush=True)
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "SCALING.json")
+    merged = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            merged = json.load(f)
+    merged["kcore_peel"] = entry
+    with open(path, "w") as f:
+        json.dump(merged, f, indent=2)
+    print(f"merged kcore_peel into {path}")
+
+
 def frontier_256m_main():
     """`--frontier-256m`: extend the frontier_topk curve one octave past
     the r7 ceiling — a single 256M-row point (256x the curve's base,
@@ -685,6 +733,9 @@ def main():
         return
     if "--frontier-256m" in sys.argv:
         frontier_256m_main()
+        return
+    if "--kcore" in sys.argv:
+        kcore_main()
         return
     quick = "--quick" in sys.argv
     deep = "--deep" in sys.argv
