@@ -227,6 +227,66 @@ def q_link_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits(edges, iterations=2)
 
 
+def q_link_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank (Gyöngyi et al. 2004) over the same link graph as
+    link_rank, personalized to a SEEDED 30-node trusted set (the curated
+    whitelist → spam-demotion signal; linkrank.trustrank). Teleport mass
+    lands only on seeds, so rank decays with link distance from them —
+    non-seeds unreachable from the set settle at exactly 0. Seed window
+    start derives from ROUND_SEED (seeded_int("trust_lo", 0, 460)); the
+    oracle unrolls the identical 5 iterations from the identical seeds
+    CTE, so a green row certifies the parameterized operator."""
+    from incubator_stormcrawler_spark.operators.linkrank import trustrank
+    from incubator_stormcrawler_spark.roundparams import seeded_int
+
+    lo = seeded_int("trust_lo", 0, 460)
+    edges = spark.read.parquet(f"{sf_dir}/lineitem.parquet").selectExpr(
+        "'o' || cast(mod(l_orderkey, 500) as string) as src",
+        "'p' || cast(mod(l_partkey, 300) as string) as dst",
+    )
+    seeds = spark.range(lo, lo + 30).selectExpr(
+        "'o' || cast(id as string) as node"
+    )
+    return trustrank(edges, seeds, iterations=5)
+
+
+def q_embedding_random_projection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection (similarity.
+    random_projection): 64-dim float embeddings → seeded ±1 Rademacher
+    matrix → out_dim doubles (Achlioptas 2003). Matrix AND output width
+    derive from ROUND_SEED (the oracle interpolates the IDENTICAL literal
+    matrix and replays the same index-order fold), so the pair certifies
+    the parameterized projection. Pure per-row JVM fold: no shuffle, no
+    UDF — the cheap dimensionality cut in front of LSH/k-means/dedup."""
+    from incubator_stormcrawler_spark.operators.similarity import (
+        random_projection,
+    )
+    from incubator_stormcrawler_spark.roundparams import ROUND_SEED, seeded_int
+
+    out_dim = seeded_int("jl_dim", 6, 10)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return random_projection(emb, out_dim=out_dim, seed=ROUND_SEED)
+
+
+def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k search (similarity.pq_adc_topk —
+    Jégou et al. 2011 §IV): queries stay full vectors, the corpus is its
+    8-byte PQ code, distance = m LUT lookups per candidate. The search
+    half of the IVF-PQ index whose storage half is embedding_pq; query
+    ids and k are seeded per round. Oracle replays codebook seeding,
+    assignment, LUT, and the ADC sum with the same rounded-distance +
+    id tiebreak."""
+    from incubator_stormcrawler_spark.operators.similarity import pq_adc_topk
+    from incubator_stormcrawler_spark.roundparams import seeded_distinct, seeded_int
+
+    qids = seeded_distinct("adc_q", list(range(200)), 3)
+    topk = seeded_int("adc_topk", 4, 8)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return pq_adc_topk(emb, qids, m=8, k=16, topk=topk)
+
+
 def q_events_rate_10s(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PerSecondReducer analog (util/PerSecondReducer.java; FetcherBolt
     fetched_perSec metric): per-10s-bucket event rates."""
@@ -1815,6 +1875,40 @@ _ORACLES["link_rank"] = unrolled_pagerank_sql(
     "edges AS (SELECT 'o' || cast(mod(l_orderkey, 500) as varchar) AS src,"
     " 'p' || cast(mod(l_partkey, 300) as varchar) AS dst FROM lineitem)",
     iterations=5,
+)
+
+from incubator_stormcrawler_spark.operators.linkrank import (  # noqa: E402
+    unrolled_trustrank_sql,
+)
+from incubator_stormcrawler_spark.roundparams import (  # noqa: E402
+    seeded_distinct as _rp_seeded_distinct,
+)
+from incubator_stormcrawler_spark.roundparams import (  # noqa: E402
+    seeded_int as _rp_seeded_int,
+)
+
+_TRUST_LO = _rp_seeded_int("trust_lo", 0, 460)
+_ORACLES["link_trustrank"] = unrolled_trustrank_sql(
+    "edges AS (SELECT 'o' || cast(mod(l_orderkey, 500) as varchar) AS src,"
+    " 'p' || cast(mod(l_partkey, 300) as varchar) AS dst FROM lineitem)",
+    f"seeds AS (SELECT 'o' || cast(x AS VARCHAR) AS node FROM"
+    f" unnest(generate_series({_TRUST_LO}, {_TRUST_LO + 29})) t(x))",
+    iterations=5,
+)
+
+from incubator_stormcrawler_spark.operators.similarity import (  # noqa: E402
+    pq_adc_topk_sql,
+    random_projection_sql,
+)
+
+_ORACLES["embedding_random_projection"] = random_projection_sql(
+    out_dim=_rp_seeded_int("jl_dim", 6, 10), seed=ROUND_SEED
+)
+_ORACLES["ann_pq_adc"] = pq_adc_topk_sql(
+    _rp_seeded_distinct("adc_q", list(range(200)), 3),
+    m=8,
+    k=16,
+    topk=_rp_seeded_int("adc_topk", 4, 8),
 )
 
 _ORACLES["frontier_topk_bucket_ordered"] = f"""
@@ -4481,7 +4575,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # to the tail under the union-green invariant -------------------
         "sketch_countmin_terms": q_sketch_countmin_terms,
         "corpus_dsir_sample": q_corpus_dsir_sample,
-        "events_binned_quantiles": q_events_binned_quantiles,
         # NEW r8 (this window): k-core peel with an unrolled-CTE oracle,
         # and exact-k weighted sampling (Sequential Poisson) whose
         # single-IEEE-division priorities DuckDB reproduces bit-for-bit;
@@ -4489,6 +4582,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # to the tail under the union-green invariant ------------------
         "graph_kcore": q_graph_kcore,
         "corpus_weighted_sample": q_corpus_weighted_sample,
+        # NEW r8 (this window): TrustRank (seed-personalized PageRank),
+        # JL random projection (seeded Rademacher matrix), and PQ-ADC
+        # top-k search (the query half of the IVF-PQ index); they
+        # displace events_binned_quantiles (r07-green) and text_quality /
+        # xpath_html (r03/r04-green) to the tail under the union-green
+        # invariant ----------------------------------------------------
+        "link_trustrank": q_link_trustrank,
+        "embedding_random_projection": q_embedding_random_projection,
+        "ann_pq_adc": q_ann_pq_adc,
         # stalest-tail rotation (last driver row r03/r04) ---------------
         "warc_roundtrip": q_warc_roundtrip,
         "frontier_topk": q_frontier_topk,
@@ -4498,11 +4600,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seeds_parse": q_seeds_parse,
         "link_rank": q_link_rank,
         "link_hits": q_link_hits,
-        "text_quality": q_text_quality,
-        "xpath_html": q_xpath_html,
         # ---- past the 50-entry driver window: ALL green in a committed
         # CORRECTNESS_r*.json and unchanged since (r7-certified first,
         # then the r03/r04 tail that rotates into r9+) ------------------
+        "text_quality": q_text_quality,
+        "xpath_html": q_xpath_html,
+        "events_binned_quantiles": q_events_binned_quantiles,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
         "corpus_bpe_merges": q_corpus_bpe_merges,

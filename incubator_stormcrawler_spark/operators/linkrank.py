@@ -417,3 +417,120 @@ def unrolled_kcore_sql(edges_cte: str, k: int, max_rounds: int = 12) -> str:
         f"SELECT a AS node FROM e{n} UNION ALL SELECT b FROM e{n}"
         f") GROUP BY node"
     )
+
+
+def trustrank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 5,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "node",
+) -> DataFrame:
+    """TrustRank (Gyöngyi et al. 2004): PageRank personalized to a small
+    trusted seed set — teleport mass lands ONLY on seeds, so trust decays
+    with link distance from them. Crawl use: spam demotion / frontier
+    prioritization from a curated whitelist of hosts, the personalized
+    complement to ``link_rank``'s global signal (the reference leaves
+    prioritization to ``nextFetchDate``; this is a beyond-reference op).
+
+    ``r_{k+1}(v) = (1-d)·t(v) + d·Σ_{u→v} r_k(u)/outdeg(u)`` with
+    ``t(v) = 1`` for seeds, else 0, and ``r_0 = t`` — unnormalized, same
+    oracle-friendly formulation as ``link_rank``. Non-seeds reachable only
+    from nowhere settle at exactly 0.
+
+    Scale shape: identical to ``link_rank`` — per iteration ONE shuffle
+    (edge⋈rank join + partial-aggregable sum); the trust vector is a
+    broadcast-joined seed table materialized ONCE and reused every
+    iteration (a whitelist is small by construction — if yours isn't,
+    pass a pre-partitioned seeds frame and drop the broadcast hint).
+    Ranks localCheckpoint per iteration to cut lineage.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .cache()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    trust = (
+        nodes.join(
+            F.broadcast(
+                seeds.select(F.col(seed_col).alias("node")).distinct()
+            ).withColumn("__s", F.lit(1.0)),
+            "node",
+            "left",
+        )
+        .select("node", F.coalesce(F.col("__s"), F.lit(0.0)).alias("t"))
+        .cache()
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    e = e.join(outdeg, "src").cache()
+    ranks = trust.select("node", F.col("t").alias("rank"))
+    for _ in range(iterations):
+        contribs = (
+            e.join(ranks, e.src == ranks.node)
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("outdeg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = (
+            trust.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping) * F.col("t")
+                    + F.lit(damping)
+                    * F.coalesce(F.col("contrib"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select("node", F.round(F.col("rank"), 6).alias("rank"))
+
+
+def unrolled_trustrank_sql(
+    edges_cte: str,
+    seeds_cte: str,
+    iterations: int = 5,
+    damping: float = 0.85,
+) -> str:
+    """The identical fixed-iteration TrustRank unrolled as chained CTEs.
+    Caller supplies ``edges(src, dst)`` and ``seeds(node)`` CTE bodies."""
+    d = damping
+    parts = [
+        f"{edges_cte}",
+        f"{seeds_cte}",
+        "e AS (SELECT DISTINCT src, dst FROM edges)",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "outdeg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src)",
+        "t AS (SELECT nodes.node,"
+        " CASE WHEN seeds.node IS NOT NULL THEN 1.0 ELSE 0.0 END AS t"
+        " FROM nodes LEFT JOIN (SELECT DISTINCT node FROM seeds) seeds"
+        " ON nodes.node = seeds.node)",
+        "r0 AS (SELECT node, t AS rank FROM t)",
+    ]
+    for k in range(iterations):
+        parts.append(
+            f"c{k} AS (SELECT e.dst AS node,"
+            f" sum(r{k}.rank / outdeg.outdeg) AS contrib"
+            f" FROM e JOIN r{k} ON e.src = r{k}.node"
+            f" JOIN outdeg ON e.src = outdeg.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"r{k + 1} AS (SELECT t.node,"
+            f" {1.0 - d} * t.t + {d} * coalesce(c{k}.contrib, 0.0) AS rank"
+            f" FROM t LEFT JOIN c{k} ON t.node = c{k}.node)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT node, round(rank, 6) AS rank FROM r{iterations}"
+    )

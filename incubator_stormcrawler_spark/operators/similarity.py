@@ -451,6 +451,78 @@ def quantize_embeddings(
     )
 
 
+def _pq_codebook(e: DataFrame, k: int) -> DataFrame:
+    """Deterministic k-entry codebook: smallest-md5(id) seed sample (same
+    reproducible rule as ``ivf_cosine_topk`` / ``kmeans_embeddings``)."""
+    return (
+        e.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(k)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    )
+
+
+def _pq_subspaces(
+    df: DataFrame, id_name: str, vec_name: str, m: int, out: str,
+    guard: str | None = None,
+) -> DataFrame:
+    """Explode (id, vec) into m rows of (id, s, subvector). With ``guard``
+    set, adds an ``__chk`` column asserting dim % m == 0 (a non-divisible
+    dim would silently drop trailing dimensions — fail loudly instead;
+    consumers fold ``__chk`` into d2 so column pruning can't drop it)."""
+    d = (F.size(vec_name) / m).cast("int")
+    cols = [
+        F.col(id_name),
+        F.col("s"),
+        F.slice(vec_name, F.col("s") * d + 1, d).alias(out),
+    ]
+    if guard:
+        cols.append(
+            F.assert_true(
+                F.size(vec_name) % m == 0,
+                F.lit(f"{guard}: vector length not divisible by m"),
+            ).alias("__chk")
+        )
+    return df.select(
+        id_name,
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"),
+        vec_name,
+    ).select(*cols)
+
+
+def _sq_l2(a, b):
+    """Squared L2 distance between two float arrays — a strict
+    index-order JVM fold, so every engine accumulates identically."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, z: acc + z,
+    )
+
+
+def _pq_assignments(
+    e: DataFrame, m: int, k: int, guard: str
+) -> DataFrame:
+    """Per-(vector, subspace) nearest codeword: (vec_id, s, b(cid, d2),
+    subdim). The codebook broadcasts; the corpus explodes ×m, scores
+    against k codewords (partial-aggregable argmin via ``min_by``)."""
+    csub = _pq_subspaces(_pq_codebook(e, k), "cid", "cv", m, "csv")
+    sub = _pq_subspaces(e, "vec_id", "v", m, "sv", guard=guard)
+    scored = sub.join(F.broadcast(csub), "s").withColumn(
+        "d2",
+        _sq_l2(F.col("sv"), F.col("csv"))
+        + F.coalesce(F.col("__chk").cast("double"), F.lit(0.0)),
+    )
+    return scored.groupBy("vec_id", "s").agg(
+        F.min_by(F.struct("cid", "d2"), F.struct("d2", "cid")).alias("b"),
+        F.first(F.size("sv")).alias("subdim"),
+    )
+
+
 def pq_encode(
     embeddings: DataFrame,
     m: int = 8,
@@ -475,55 +547,7 @@ def pq_encode(
     e = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
     )
-    seeds = (
-        e.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-        .limit(k)
-        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
-    )
-    d = (F.size("v") / m).cast("int")
-    sub = e.select(
-        "vec_id",
-        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"),
-        "v",
-    ).select(
-        "vec_id",
-        "s",
-        F.slice("v", F.col("s") * d + 1, d).alias("sv"),
-        # runtime guard: a dim not divisible by m would silently drop the
-        # trailing dimensions from both codes and rmse — fail loudly
-        # instead. Consumed in d2 below so column pruning can't drop it.
-        F.assert_true(
-            F.size("v") % m == 0,
-            F.lit("pq_encode: vector length not divisible by m"),
-        ).alias("__chk"),
-    )
-    dc = (F.size("cv") / m).cast("int")
-    csub = seeds.select(
-        "cid",
-        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"),
-        "cv",
-    ).select(
-        "cid",
-        "s",
-        F.slice("cv", F.col("s") * dc + 1, dc).alias("csv"),
-    )
-    diff2 = F.aggregate(
-        F.zip_with(
-            F.col("sv"),
-            F.col("csv"),
-            lambda x, y: (x.cast("double") - y.cast("double"))
-            * (x.cast("double") - y.cast("double")),
-        ),
-        F.lit(0.0),
-        lambda acc, z: acc + z,
-    )
-    scored = sub.join(F.broadcast(csub), "s").withColumn(
-        "d2", diff2 + F.coalesce(F.col("__chk").cast("double"), F.lit(0.0))
-    )
-    best = scored.groupBy("vec_id", "s").agg(
-        F.min_by(F.struct("cid", "d2"), F.struct("d2", "cid")).alias("b"),
-        F.first(F.size("sv")).alias("subdim"),
-    )
+    best = _pq_assignments(e, m, k, guard="pq_encode")
     return best.groupBy("vec_id").agg(
         F.concat_ws(
             "-",
@@ -783,3 +807,205 @@ def semdedup(
         F.col("dup_of").isNull().alias("kept"),
         "dup_of",
     )
+
+
+def rademacher_matrix(
+    in_dim: int, out_dim: int, seed: int = 42
+) -> list[list[int]]:
+    """Deterministic ±1 (Rademacher) projection matrix, ``out_dim`` rows of
+    ``in_dim`` signs, derived from md5 parity (Achlioptas 2003: ±1 entries
+    satisfy the Johnson–Lindenstrauss lemma with the same distortion bound
+    as Gaussians). hashlib-only — platform-independent, no RNG state — so
+    BOTH engines can be handed the identical literal matrix."""
+    import hashlib
+
+    return [
+        [
+            1
+            if hashlib.md5(f"jl|{seed}|{j}|{i}".encode()).digest()[0] & 1
+            else -1
+            for i in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def random_projection(
+    embeddings: DataFrame,
+    out_dim: int = 8,
+    seed: int = 42,
+    in_dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection: reduce ``in_dim`` float
+    vectors to ``out_dim`` doubles via a seeded ±1 matrix scaled by
+    1/√out_dim — the cheap dimensionality cut in front of ANN / clustering
+    / dedup stages (project once, then run LSH or k-means in the small
+    space; pairwise distances are preserved within (1±ε) w.h.p.).
+
+    Scale shape: a PURE per-row projection — the matrix is a literal
+    broadcast into the plan (out_dim sequential ``aggregate`` folds over
+    ``zip_with``, all JVM-side), no shuffle, no UDF, no collect; the scan
+    prunes to (id, vec). Each output component folds products in strict
+    index order and divides by the SAME IEEE double √out_dim on every
+    engine, so results are bit-reproducible (rounded to 6 for the oracle
+    hash).
+    """
+    mat = rademacher_matrix(in_dim, out_dim, seed)
+    scale = float(out_dim) ** 0.5
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+    ).withColumn(
+        "__chk",
+        F.assert_true(
+            F.size("v") == in_dim,
+            F.lit("random_projection: vector length != in_dim"),
+        ),
+    )
+    comps = [
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("v"),
+                    F.array(*[F.lit(s) for s in row]).cast("array<double>"),
+                    lambda x, s: x.cast("double") * s,
+                ),
+                F.lit(0.0),
+                lambda acc, z: acc + z,
+            )
+            / F.lit(scale)
+            + F.coalesce(F.col("__chk").cast("double"), F.lit(0.0)),
+            6,
+        )
+        for row in mat
+    ]
+    return e.select("vec_id", F.array(*comps).alias("proj"))
+
+
+def random_projection_sql(
+    out_dim: int = 8, seed: int = 42, in_dim: int = 64
+) -> str:
+    """DuckDB oracle: the IDENTICAL literal matrix (same hashlib
+    derivation) applied with the same sequential fold order —
+    ``list_sum(list_transform(range ...))`` multiplies and accumulates in
+    index order exactly like the Spark ``aggregate`` fold."""
+    mat = rademacher_matrix(in_dim, out_dim, seed)
+    comps = []
+    for row in mat:
+        lit = "[" + ",".join(f"{s}.0" for s in row) + "]"
+        comps.append(
+            f"round(list_sum(list_transform(range(1, {in_dim + 1}),"
+            f" i -> v[i] * ({lit})[i])) / sqrt({out_dim}), 6)"
+        )
+    arr = "[" + ", ".join(comps) + "]"
+    return (
+        "SELECT vec_id, "
+        + arr
+        + " AS proj FROM (SELECT vec_id, embedding::DOUBLE[] AS v"
+        " FROM embeddings)"
+    )
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    m: int = 8,
+    k: int = 16,
+    topk: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k search (Jégou et al. 2011 §IV):
+    the query stays a FULL float vector while the corpus is its m-byte PQ
+    code, and distance is looked up, not computed — ``adc(q, x) = Σ_s
+    lut[q][s][code(x, s)]`` where the LUT holds the query-subvector →
+    codeword squared distances. This is the search half of an IVF-PQ
+    index: ``pq_encode`` is the storage layout, this is how queries read
+    it without decompressing the corpus.
+
+    Scale shape: corpus vectors are touched EXACTLY ONCE (the same
+    ``_pq_assignments`` pass that encodes them — at serving time those
+    codes are precomputed and this stage is a scan of m-byte codes); the
+    LUT is nq·m·k rows built from a broadcast codebook and broadcast into
+    the distance join, so the per-candidate cost is m lookups + an add —
+    no per-pair O(dim) fold, which is the whole point of ADC. One shuffle
+    groups (query, candidate) partial sums; per-query top-k is a window
+    over rounded distance with id tiebreak (deterministic cross-engine).
+    """
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+    )
+    codes = _pq_assignments(e, m, k, guard="pq_adc_topk").select(
+        "vec_id", "s", F.col("b.cid").alias("cid")
+    )
+    qsub = _pq_subspaces(
+        e.where(F.col("vec_id").isin(query_ids))
+        .select(F.col("vec_id").alias("qid"), "v"),
+        "qid", "v", m, "qsv",
+    )
+    csub = _pq_subspaces(_pq_codebook(e, k), "cid", "cv", m, "csv")
+    lut = qsub.join(F.broadcast(csub), "s").select(
+        "qid", "s", "cid", _sq_l2(F.col("qsv"), F.col("csv")).alias("qd2")
+    )
+    dist = (
+        codes.join(F.broadcast(lut), ["s", "cid"])
+        .groupBy("qid", "vec_id")
+        .agg(F.round(F.sum("qd2"), 6).alias("adc_dist"))
+    )
+    w = Window.partitionBy("qid").orderBy("adc_dist", "vec_id")
+    return (
+        dist.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+        .select("qid", "vec_id", "adc_dist", "rank")
+    )
+
+
+def pq_adc_topk_sql(
+    query_ids: list[int],
+    m: int = 8,
+    k: int = 16,
+    topk: int = 5,
+    subdim: int = 8,
+) -> str:
+    """DuckDB oracle: replays codebook seeding, per-subspace assignment,
+    the query LUT, and the ADC sum — same rounded-distance + id tiebreak."""
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), seeds AS (
+  SELECT vec_id AS cid, v AS cv FROM e
+  ORDER BY md5(cast(vec_id AS VARCHAR)), vec_id LIMIT {k}
+), pairs AS (
+  SELECT e.vec_id, t.s, c.cid,
+         list_sum(list_transform(range(1, {subdim + 1}),
+           i -> (e.v[t.s * {subdim} + i] - c.cv[t.s * {subdim} + i])
+              * (e.v[t.s * {subdim} + i] - c.cv[t.s * {subdim} + i]))) AS d2
+  FROM e, unnest(generate_series(0, {m - 1})) t(s) CROSS JOIN seeds c
+), codes AS (
+  SELECT vec_id, s, cid FROM (
+    SELECT vec_id, s, cid,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS rn
+    FROM pairs
+  ) WHERE rn = 1
+), lut AS (
+  SELECT q.vec_id AS qid, t.s, c.cid,
+         list_sum(list_transform(range(1, {subdim + 1}),
+           i -> (q.v[t.s * {subdim} + i] - c.cv[t.s * {subdim} + i])
+              * (q.v[t.s * {subdim} + i] - c.cv[t.s * {subdim} + i]))) AS qd2
+  FROM e q, unnest(generate_series(0, {m - 1})) t(s) CROSS JOIN seeds c
+  WHERE q.vec_id IN ({ids})
+), dist AS (
+  SELECT lut.qid, codes.vec_id, round(sum(lut.qd2), 6) AS adc_dist
+  FROM codes JOIN lut ON codes.s = lut.s AND codes.cid = lut.cid
+  GROUP BY lut.qid, codes.vec_id
+)
+SELECT qid, vec_id, adc_dist, rank FROM (
+  SELECT qid, vec_id, adc_dist,
+         row_number() OVER (
+           PARTITION BY qid ORDER BY adc_dist, vec_id
+         )::INT AS rank
+  FROM dist
+) WHERE rank <= {topk}
+"""

@@ -876,3 +876,140 @@ def test_weighted_sample_plan_is_takeordered(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_trustrank_hand_checked_and_decay(spark):
+    """Chain s -> a -> b with seed {s}: trust flows DOWN the chain and
+    decays by d per hop; a node with no path from the seed set stays at
+    exactly 0. Hand-computed at d=0.85, 2 iterations:
+    r0 = (1, 0, 0); r1 = (0.15·1, 0.85·1, 0); r2 = (0.15, 0.85·0.15,
+    0.85·0.85) = (0.15, 0.1275, 0.7225); isolated edge x->y stays 0."""
+    from pyspark.sql import Row
+
+    from incubator_stormcrawler_spark.operators.linkrank import trustrank
+
+    edges = spark.createDataFrame(
+        [Row(src="s", dst="a"), Row(src="a", dst="b"), Row(src="x", dst="y")]
+    )
+    seeds = spark.createDataFrame([Row(node="s")])
+    got = {
+        r.node: r.rank for r in trustrank(edges, seeds, iterations=2).collect()
+    }
+    assert got == {
+        "s": 0.15,
+        "a": 0.1275,
+        "b": 0.7225,
+        "x": 0.0,
+        "y": 0.0,
+    }
+
+
+def test_trustrank_matches_unrolled_oracle(spark, duck):
+    """Cross-engine equivalence on a graph with cycles and a dangling
+    node (same derivation idiom as the link_rank oracle test)."""
+    from incubator_stormcrawler_spark.operators.linkrank import (
+        trustrank,
+        unrolled_trustrank_sql,
+    )
+
+    edges = spark.range(60).selectExpr(
+        "cast(id % 12 as string) as src",
+        "cast((id * 7 + 3) % 13 as string) as dst",
+    )
+    seeds = spark.range(3).selectExpr("cast(id as string) as node")
+    got = sorted(
+        (r.node, r.rank)
+        for r in trustrank(edges, seeds, iterations=4).collect()
+    )
+    sql = unrolled_trustrank_sql(
+        "edges AS (SELECT cast(x % 12 AS VARCHAR) AS src,"
+        " cast((x * 7 + 3) % 13 AS VARCHAR) AS dst"
+        " FROM unnest(generate_series(0, 59)) t(x))",
+        "seeds AS (SELECT cast(x AS VARCHAR) AS node"
+        " FROM unnest(generate_series(0, 2)) t(x))",
+        iterations=4,
+    )
+    exp = sorted((n, float(v)) for n, v in duck.sql(sql).fetchall())
+    assert got == exp
+
+
+def test_random_projection_matches_numpy_and_guards_dim(spark):
+    """The projection equals the literal-matrix dot product (numpy
+    replay to 6 dp), and a vector whose length != in_dim fails loudly
+    instead of silently truncating."""
+    import numpy as np
+    import pytest
+    from pyspark.sql import Row
+
+    from incubator_stormcrawler_spark.operators.similarity import (
+        rademacher_matrix,
+        random_projection,
+    )
+
+    vec = [float(i % 7) - 3.0 for i in range(16)]
+    df = spark.createDataFrame([Row(vec_id=1, embedding=vec)])
+    got = random_projection(
+        df, out_dim=4, seed=99, in_dim=16
+    ).collect()[0].proj
+    mat = np.array(rademacher_matrix(16, 4, seed=99), dtype=float)
+    exp = (mat @ np.array(vec)) / np.sqrt(4.0)
+    assert got == [round(x, 6) for x in exp.tolist()]
+
+    bad = spark.createDataFrame([Row(vec_id=2, embedding=vec[:10])])
+    with pytest.raises(Exception, match="vector length != in_dim"):
+        random_projection(bad, out_dim=4, seed=99, in_dim=16).collect()
+
+
+def test_random_projection_plan_no_shuffle_no_udf(spark):
+    """The 100 TB contract of a per-row projection: zero Exchange, zero
+    Python stages — the matrix rides the plan as literals and the scan
+    prunes to (vec_id, embedding)."""
+    from incubator_stormcrawler_spark.operators.similarity import (
+        random_projection,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = (
+        random_projection(emb, out_dim=8, seed=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "label" not in read
+
+
+def test_pq_adc_exact_on_codebook_vectors(spark):
+    """Vectors that ARE codewords quantize to themselves, so their ADC
+    self-distance is exactly 0 and each query's rank-1 hit is itself.
+    With only k distinct vectors every vector is a codeword (seeds =
+    smallest-md5 LIMIT k over k rows = all of them)."""
+    from pyspark.sql import Row
+
+    from incubator_stormcrawler_spark.operators.similarity import pq_adc_topk
+
+    rows = [
+        Row(vec_id=i, embedding=[float((i * 5 + j) % 11) for j in range(8)])
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(rows)
+    out = pq_adc_topk(df, [0, 3], m=4, k=6, topk=1).collect()
+    by_q = {r.qid: r for r in out}
+    assert by_q[0].vec_id == 0 and by_q[0].adc_dist == 0.0
+    assert by_q[3].vec_id == 3 and by_q[3].adc_dist == 0.0
+
+
+def test_pq_adc_plan_broadcasts_lut_single_corpus_pass(spark):
+    """ADC's scale contract: the corpus is joined against BROADCAST
+    sides only (codebook into the assignment join, LUT into the distance
+    join) — no shuffle join anywhere, no cartesian."""
+    from incubator_stormcrawler_spark.operators.similarity import pq_adc_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = (
+        pq_adc_topk(emb, [3, 57], m=8, k=16, topk=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
