@@ -287,6 +287,33 @@ def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(emb, qids, m=8, k=16, topk=topk)
 
 
+def q_graph_seed_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distance from a seeded 20-node seed set
+    (linkrank.seed_distance) over the same pinned 1000-node orders graph
+    as graph_triangles/graph_kcore — the graph-scale twin of the crawl's
+    depth metadata (MaxDepthFilter, filtering/depth/MaxDepthFilter.java:
+    35) and the distance TrustRank's decay tracks. Pure integer
+    arithmetic → bit-exact cross-engine; the Spark side early-exits when
+    the reached count stops growing, the oracle unrolls ALL max_hops
+    rounds (identities past the fixpoint), so a green row proves the
+    early exit sound. Seed window start derives from ROUND_SEED
+    (seeded_int("bfs_lo", 0, 980))."""
+    from incubator_stormcrawler_spark.operators.linkrank import seed_distance
+    from incubator_stormcrawler_spark.roundparams import seeded_int
+
+    lo = seeded_int("bfs_lo", 0, 980)
+    edges = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .where(F.col("o_orderkey") < 15000)
+        .selectExpr(
+            "cast(o_orderkey % 1000 as bigint) as src",
+            "cast(o_custkey % 1000 as bigint) as dst",
+        )
+    )
+    seeds = spark.range(lo, lo + 20).selectExpr("id as node")
+    return seed_distance(edges, seeds, max_hops=6)
+
+
 def q_events_rate_10s(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PerSecondReducer analog (util/PerSecondReducer.java; FetcherBolt
     fetched_perSec metric): per-10s-bucket event rates."""
@@ -1909,6 +1936,20 @@ _ORACLES["ann_pq_adc"] = pq_adc_topk_sql(
     m=8,
     k=16,
     topk=_rp_seeded_int("adc_topk", 4, 8),
+)
+
+from incubator_stormcrawler_spark.operators.linkrank import (  # noqa: E402
+    unrolled_seed_distance_sql,
+)
+
+_BFS_LO = _rp_seeded_int("bfs_lo", 0, 980)
+_ORACLES["graph_seed_distance"] = unrolled_seed_distance_sql(
+    "edges AS (SELECT CAST(o_orderkey % 1000 AS BIGINT) AS src,"
+    " CAST(o_custkey % 1000 AS BIGINT) AS dst"
+    " FROM orders WHERE o_orderkey < 15000)",
+    f"seeds AS (SELECT CAST(x AS BIGINT) AS node FROM"
+    f" unnest(generate_series({_BFS_LO}, {_BFS_LO + 19})) t(x))",
+    max_hops=6,
 )
 
 _ORACLES["frontier_topk_bucket_ordered"] = f"""
@@ -4591,6 +4632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_trustrank": q_link_trustrank,
         "embedding_random_projection": q_embedding_random_projection,
         "ann_pq_adc": q_ann_pq_adc,
+        "graph_seed_distance": q_graph_seed_distance,
         # stalest-tail rotation (last driver row r03/r04) ---------------
         "warc_roundtrip": q_warc_roundtrip,
         "frontier_topk": q_frontier_topk,
@@ -4599,10 +4641,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_richdoc": q_parse_richdoc,
         "seeds_parse": q_seeds_parse,
         "link_rank": q_link_rank,
-        "link_hits": q_link_hits,
         # ---- past the 50-entry driver window: ALL green in a committed
         # CORRECTNESS_r*.json and unchanged since (r7-certified first,
         # then the r03/r04 tail that rotates into r9+) ------------------
+        "link_hits": q_link_hits,
         "text_quality": q_text_quality,
         "xpath_html": q_xpath_html,
         "events_binned_quantiles": q_events_binned_quantiles,

@@ -534,3 +534,107 @@ def unrolled_trustrank_sql(
         + ",\n".join(parts)
         + f"\nSELECT node, round(rank, 6) AS rank FROM r{iterations}"
     )
+
+
+def seed_distance(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "node",
+) -> DataFrame:
+    """Multi-source BFS: minimum hop distance from a seed set along
+    directed edges — the graph-scale twin of the crawl's ``depth``
+    metadata (MaxDepthFilter semantics, ``filtering/depth/
+    MaxDepthFilter.java:35``, measure link distance per URL instead of
+    per discovery path; also the distance TrustRank's decay is tracking).
+    Returns every graph node with ``hops`` ∈ [0, max_hops], or -1 if
+    unreachable within the budget.
+
+    Scale shape: per round ONE shuffle — the reached set joins edges on
+    src (partial-aggregable ``min``), unions into the running minimum,
+    and localCheckpoints to cut lineage. BFS rounds are layered: a node
+    first reached in round k has final distance k, so when the reached
+    COUNT stops growing the distances are a fixpoint and the loop exits
+    early on that one metadata-sized scalar per round (same early-exit
+    contract as ``kcore`` — the oracle unrolls ALL rounds, identities
+    past the fixpoint, so a green row proves the exit sound).
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .cache()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .cache()
+    )
+    dist = (
+        nodes.join(
+            F.broadcast(
+                seeds.select(F.col(seed_col).alias("node")).distinct()
+            ),
+            "node",
+            "left_semi",
+        )
+        .withColumn("hops", F.lit(0).cast("bigint"))
+        .localCheckpoint()
+    )
+    n_reached = dist.count()
+    for _ in range(max_hops):
+        cands = (
+            e.join(dist, e.src == dist.node)
+            .select(F.col("dst").alias("node"), (F.col("hops") + 1).alias("hops"))
+        )
+        dist = (
+            dist.unionByName(cands)
+            .groupBy("node")
+            .agg(F.min("hops").alias("hops"))
+            .localCheckpoint()
+        )
+        now_reached = dist.count()
+        if now_reached == n_reached:
+            break
+        n_reached = now_reached
+    return nodes.join(dist, "node", "left").select(
+        "node", F.coalesce(F.col("hops"), F.lit(-1)).cast("bigint").alias("hops")
+    )
+
+
+def unrolled_seed_distance_sql(
+    edges_cte: str, seeds_cte: str, max_hops: int = 8
+) -> str:
+    """The identical layered BFS unrolled as chained CTEs (MATERIALIZED —
+    default inlining would expand the unroll exponentially, the same trap
+    ``unrolled_kcore_sql`` hit). Rounds past the fixpoint are identities."""
+    parts = [
+        f"{edges_cte}",
+        f"{seeds_cte}",
+        "e AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges)",
+        "nodes AS MATERIALIZED"
+        " (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "d0 AS MATERIALIZED (SELECT DISTINCT s.node, 0 AS hops FROM"
+        " (SELECT DISTINCT node FROM seeds) s"
+        " JOIN nodes ON s.node = nodes.node)",
+    ]
+    for k in range(max_hops):
+        parts.append(
+            f"c{k} AS MATERIALIZED (SELECT e.dst AS node,"
+            f" min(d{k}.hops + 1) AS hops"
+            f" FROM e JOIN d{k} ON e.src = d{k}.node GROUP BY e.dst)"
+        )
+        parts.append(
+            f"d{k + 1} AS MATERIALIZED (SELECT node, min(hops) AS hops FROM"
+            f" (SELECT * FROM d{k} UNION ALL SELECT * FROM c{k})"
+            f" GROUP BY node)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT nodes.node,"
+        f" coalesce(d{max_hops}.hops, -1)::BIGINT AS hops"
+        f" FROM nodes LEFT JOIN d{max_hops} ON nodes.node = d{max_hops}.node"
+    )

@@ -1013,3 +1013,59 @@ def test_pq_adc_plan_broadcasts_lut_single_corpus_pass(spark):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_seed_distance_hand_checked(spark):
+    """Chain s->a->b->c plus a cycle back (c->s) and an unreachable
+    island x->y; two seeds where one is strictly closer."""
+    from pyspark.sql import Row
+
+    from incubator_stormcrawler_spark.operators.linkrank import seed_distance
+
+    edges = spark.createDataFrame(
+        [Row(src="s", dst="a"), Row(src="a", dst="b"), Row(src="b", dst="c"),
+         Row(src="c", dst="s"), Row(src="x", dst="y")]
+    )
+    seeds = spark.createDataFrame([Row(node="s"), Row(node="b")])
+    got = {
+        r.node: r.hops
+        for r in seed_distance(edges, seeds, max_hops=8).collect()
+    }
+    assert got == {"s": 0, "a": 1, "b": 0, "c": 1, "x": -1, "y": -1}
+    # hop budget: with max_hops=1 node c (2 hops from s, 1 from b) still
+    # reaches via b, but a seed set of just {s} leaves c unreached
+    only_s = spark.createDataFrame([Row(node="s")])
+    got1 = {
+        r.node: r.hops
+        for r in seed_distance(edges, only_s, max_hops=1).collect()
+    }
+    assert got1["a"] == 1 and got1["b"] == -1 and got1["c"] == -1
+
+
+def test_seed_distance_matches_unrolled_oracle(spark, duck):
+    """Cross-engine equivalence incl. the early exit: Spark stops when
+    the reached set stabilizes, the oracle unrolls all rounds."""
+    from incubator_stormcrawler_spark.operators.linkrank import (
+        seed_distance,
+        unrolled_seed_distance_sql,
+    )
+
+    edges = spark.range(80).selectExpr(
+        "cast(id % 17 as bigint) as src",
+        "cast((id * 5 + 2) % 19 as bigint) as dst",
+    )
+    seeds = spark.range(2).selectExpr("id as node")
+    got = sorted(
+        (r.node, r.hops)
+        for r in seed_distance(edges, seeds, max_hops=7).collect()
+    )
+    sql = unrolled_seed_distance_sql(
+        "edges AS (SELECT CAST(x % 17 AS BIGINT) AS src,"
+        " CAST((x * 5 + 2) % 19 AS BIGINT) AS dst"
+        " FROM unnest(generate_series(0, 79)) t(x))",
+        "seeds AS (SELECT CAST(x AS BIGINT) AS node"
+        " FROM unnest(generate_series(0, 1)) t(x))",
+        max_hops=7,
+    )
+    exp = sorted((int(n), int(h)) for n, h in duck.sql(sql).fetchall())
+    assert got == exp
