@@ -482,6 +482,20 @@ def q_dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact Jaccard (AllPairs/PPJoin, dedup.
+    jaccard_prefix_pairs): byte-identical result to dedup_ngram_jaccard
+    from a plan that self-joins only each doc's rare-shingle PREFIX —
+    the oracle is the plain full-self-join SQL, so a green row proves
+    the prefix-filter rewrite EXACT at the seeded threshold (same
+    contract as dedup_bloom_sharded's NOT-IN oracle)."""
+    return dd.jaccard_prefix_pairs(
+        _docs_augmented(spark, sf_dir),
+        n=3,
+        threshold=str(RP["jaccard_threshold"]),
+    )
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidates (8 hashes, 4 bands × 2 rows) with est_sim at
     the seeded threshold (RP['minhash_min_sim'])."""
@@ -2067,6 +2081,25 @@ FROM docs_aug GROUP BY 1 HAVING count(*) > 1
 """
 
 _ORACLES["dedup_ngram_jaccard"] = f"""
+WITH {_DOCS_AUG_CTE.strip()}, {_SHINGLE_CTE.strip()},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT doc1, doc2,
+       round(n_common / (s1.n_sh + s2.n_sh - n_common), 4) AS jaccard
+FROM common
+JOIN sizes s1 ON s1.doc_id = doc1
+JOIN sizes s2 ON s2.doc_id = doc2
+WHERE round(n_common / (s1.n_sh + s2.n_sh - n_common), 4) >= {RP['jaccard_threshold']}
+"""
+
+# the prefix-filtered variant must reproduce the FULL self-join's answer
+# byte-for-byte — same oracle text as dedup_ngram_jaccard, so the green
+# row certifies the AllPairs/PPJoin rewrite, not a parallel formulation
+_ORACLES["dedup_jaccard_prefix"] = f"""
 WITH {_DOCS_AUG_CTE.strip()}, {_SHINGLE_CTE.strip()},
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 common AS (
@@ -4602,6 +4635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_ngram_jaccard_capped": q_dedup_ngram_jaccard_capped,
+        "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
         "dedup_clusters": q_dedup_clusters,
         "dedup_clusters_star": q_dedup_clusters_star,
         # NEW r8: REAL stdlib codecs — Spark parses genuine BMP row
@@ -4640,10 +4674,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "status_merge": q_status_merge,
         "parse_richdoc": q_parse_richdoc,
         "seeds_parse": q_seeds_parse,
-        "link_rank": q_link_rank,
         # ---- past the 50-entry driver window: ALL green in a committed
         # CORRECTNESS_r*.json and unchanged since (r7-certified first,
         # then the r03/r04 tail that rotates into r9+) ------------------
+        "link_rank": q_link_rank,
         "link_hits": q_link_hits,
         "text_quality": q_text_quality,
         "xpath_html": q_xpath_html,

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 TOKEN_SPLIT = " "
@@ -165,6 +165,100 @@ def ngram_jaccard_pairs(
         .agg(F.count(F.lit(1)).alias("n_common"))
         .withColumn("jaccard", F.round(jac, 4))
         .where(F.col("jaccard") >= threshold)
+        .select("doc1", "doc2", "jaccard")
+    )
+
+
+def jaccard_prefix_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: str = "0.6",
+    text_col: str = "text",
+) -> DataFrame:
+    """Prefix-filtered exact Jaccard pairs (AllPairs/PPJoin — Bayardo et
+    al. WWW'07, Xiao et al. WWW'08): byte-identical output to
+    ``ngram_jaccard_pairs`` from a plan whose self-join touches only each
+    document's PREFIX instead of its whole shingle set.
+
+    Order all shingles by global rarity (df asc, then shingle). A doc of
+    set size s indexes only its first ``s - ceil(t·s) + 1`` shingles: if
+    J(A,B) ≥ t then |A∩B| ≥ t·max(|A|,|B|), and the globally-smallest
+    common shingle sits within both prefixes (its position in A is at
+    most |A| − (|A∩B| − 1)), so every qualifying pair collides on ≥ 1
+    prefix shingle — candidates are COMPLETE, then an exact verify join
+    computes the true Jaccard. This is the third point on the exactness/
+    cost curve: full self-join (exact, quadratic on hot shingles) →
+    stop-shingle cap (exact over remaining sets) → prefix filter (exact,
+    rare-token join only). Boilerplate shingles land deep in every doc's
+    suffix and never join — the skew the full self-join suffers from is
+    structurally excluded.
+
+    ``threshold`` is a DECIMAL STRING (e.g. "0.55"): prefix lengths use
+    exact integer ceil via the fraction num/den — float ceil(0.6·5) =
+    ceil(3.0000000000000004) = 4 would silently SHORTEN prefixes and drop
+    true pairs. Candidate generation runs at t − 1/5000 so pairs whose
+    rounded-to-4 Jaccard ties the threshold (kept by the final rounded
+    filter, same as ngram_jaccard_pairs) are still complete.
+
+    Scale shape: one shingle-keyed window (df), one doc-keyed window
+    (positions + sizes, same exchange), the prefix self-join (rare keys
+    by construction), and a candidate-bounded verify join — no stage
+    touches the full shingle×shingle fan-out.
+    """
+    from fractions import Fraction
+
+    t = Fraction(str(threshold))
+    tc = t - Fraction(1, 5000)
+    num, den = tc.numerator, tc.denominator
+    sh = with_shingles(docs, n, text_col).localCheckpoint(eager=False)
+    w_df = Window.partitionBy("shingle")
+    w_doc = Window.partitionBy("doc_id")
+    w_pos = w_doc.orderBy("df", "shingle")
+    ranked = (
+        sh.withColumn("df", F.count(F.lit(1)).over(w_df))
+        .withColumn("n_sh", F.count(F.lit(1)).over(w_doc))
+        .withColumn("pos", F.row_number().over(w_pos))
+    )
+    # ceil(tc·s) = floor((num·s + den − 1) / den) — exact in int space
+    ceil_ts = F.floor(
+        (F.lit(num) * F.col("n_sh") + F.lit(den - 1)) / F.lit(den)
+    )
+    prefix = ranked.where(
+        F.col("pos") <= F.col("n_sh") - ceil_ts + 1
+    ).select("doc_id", "shingle", "n_sh")
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cand = (
+        a.join(b, "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        # length filter: J ≥ t ⟹ min/max ≥ t (integer cross-multiply)
+        .where(
+            F.least(F.col("a.n_sh"), F.col("b.n_sh")) * den
+            >= F.greatest(F.col("a.n_sh"), F.col("b.n_sh")) * num
+        )
+        .select(
+            F.col("a.doc_id").alias("doc1"),
+            F.col("b.doc_id").alias("doc2"),
+            F.col("a.n_sh").alias("n1"),
+            F.col("b.n_sh").alias("n2"),
+        )
+        .distinct()
+    )
+    common = (
+        cand.join(sh.withColumnRenamed("doc_id", "doc1"), "doc1")
+        .join(
+            sh.select(
+                F.col("doc_id").alias("doc2"), "shingle"
+            ),
+            ["doc2", "shingle"],
+        )
+        .groupBy("doc1", "doc2", "n1", "n2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common"))
+    return (
+        common.withColumn("jaccard", F.round(jac, 4))
+        .where(F.col("jaccard") >= float(t))
         .select("doc1", "doc2", "jaccard")
     )
 

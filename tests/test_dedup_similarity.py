@@ -1225,3 +1225,80 @@ def test_bloom_broadcast_residue_never_shuffles_seen(spark):
     plan = res._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
     assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_jaccard_prefix_equals_full_self_join(spark):
+    """The AllPairs/PPJoin prefix rewrite must be EXACT: identical result
+    set to ngram_jaccard_pairs across thresholds on a corpus with planted
+    overlaps of varying strength (J ≈ 0.43 / 0.65 / 0.85)."""
+    from incubator_stormcrawler_spark.operators.dedup import (
+        jaccard_prefix_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.range(600).selectExpr(
+        "id as doc_id",
+        "concat_ws(' ', transform(sequence(0, 39), j -> "
+        "substr(md5(cast(case when mod(id, 7) = 0 and j < 25 then id - 1 "
+        "when mod(id, 11) = 0 and j < 32 then id - 2 "
+        "when mod(id, 13) = 0 and j < 36 then id - 3 "
+        "else id end as string) || '-' || cast(j as string)), 1, 6))) "
+        "as text",
+    )
+    for thr in ("0.5", "0.55", "0.7"):
+        exact = set(
+            map(tuple, ngram_jaccard_pairs(docs, n=3, threshold=float(thr)).collect())
+        )
+        pref = set(
+            map(tuple, jaccard_prefix_pairs(docs, n=3, threshold=thr).collect())
+        )
+        assert pref == exact, f"threshold {thr}"
+    assert exact  # the corpus must actually plant pairs
+
+
+def test_jaccard_prefix_threshold_boundary(spark):
+    """Hand-built boundary: two 10-shingle docs sharing exactly 7 →
+    J = 7/13 ≈ 0.5385. Included at t=0.5, excluded at t=0.55 — and the
+    integer-ceil prefix math keeps the t=0.5385-adjacent pair complete
+    (a float ceil would shorten the prefix and drop it)."""
+    from pyspark.sql import Row
+
+    from incubator_stormcrawler_spark.operators.dedup import (
+        jaccard_prefix_pairs,
+    )
+
+    base = [f"w{i}" for i in range(12)]          # 12 tokens → 10 shingles
+    other = base[:9] + ["x1", "x2", "x3"]        # shares 7 of 10 shingles
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=" ".join(base)), Row(doc_id=2, text=" ".join(other))]
+    )
+    lo = jaccard_prefix_pairs(docs, n=3, threshold="0.5").collect()
+    assert len(lo) == 1 and lo[0].jaccard == round(7 / 13, 4)
+    hi = jaccard_prefix_pairs(docs, n=3, threshold="0.55").collect()
+    assert hi == []
+
+
+def test_jaccard_prefix_indexes_fewer_shingles(spark):
+    """The point of the rewrite: the self-joined prefix relation must be
+    strictly smaller than the full shingle relation (at t=0.7 each doc
+    indexes ≈ 30% of its shingles + 1)."""
+    from incubator_stormcrawler_spark.operators.dedup import (
+        jaccard_prefix_pairs,
+        with_shingles,
+    )
+
+    docs = spark.range(300).selectExpr(
+        "id as doc_id",
+        "concat_ws(' ', transform(sequence(0, 39), j -> "
+        "substr(md5(cast(id as string) || '-' || cast(j as string)), 1, 6)))"
+        " as text",
+    )
+    total = with_shingles(docs, 3).count()
+    out = jaccard_prefix_pairs(docs, n=3, threshold="0.7")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    out.count()
+    # prefix length for s=38, t=0.7-1/5000: 38 - ceil(26.5924) + 1 = 12
+    # → 12/38 ≈ 32% of the full relation feeds the self-join
+    prefix_rows = 300 * 12
+    assert prefix_rows < total * 0.35

@@ -643,6 +643,158 @@ def sketches_main():
     print(f"merged countmin/dsir_resample into {path}")
 
 
+def curve_trustrank(spark, sizes):
+    """5-iteration TrustRank on the same Erdos-Renyi-ish graph as the
+    kcore curve (mean degree ~8), seeds = 1000 node ids — per iteration
+    one shuffle (edge⋈rank + partial-aggregable sum), trust vector
+    broadcast-joined once."""
+    from incubator_stormcrawler_spark.operators.linkrank import trustrank
+
+    out = []
+    for n in sizes:
+        m = max(n // 8, 1000)
+        edges = spark.range(n).selectExpr(
+            f"cast(pmod(xxhash64(id), {m}) as bigint) as src",
+            f"cast(pmod(xxhash64(id + {n}), {m}) as bigint) as dst",
+        )
+        seeds = spark.range(1000).selectExpr("id as node")
+        _clean(spark)
+        sec = timed(
+            lambda: trustrank(edges, seeds, iterations=5).count(),
+            warmup=(n == sizes[0]),
+        )
+        out.append({"rows": n, "sec": round(sec, 2),
+                    "rows_per_sec": int(n / sec)})
+    return out
+
+
+def curve_seed_distance(spark, sizes):
+    """Multi-source BFS from 1000 seeds on the same random graph — per
+    round one shuffle on the reached set; a mean-degree-8 graph reaches
+    everything in a handful of rounds, then the early exit fires."""
+    from incubator_stormcrawler_spark.operators.linkrank import seed_distance
+
+    out = []
+    for n in sizes:
+        m = max(n // 8, 1000)
+        edges = spark.range(n).selectExpr(
+            f"cast(pmod(xxhash64(id), {m}) as bigint) as src",
+            f"cast(pmod(xxhash64(id + {n}), {m}) as bigint) as dst",
+        )
+        seeds = spark.range(1000).selectExpr("id as node")
+        _clean(spark)
+        sec = timed(
+            lambda: seed_distance(edges, seeds, max_hops=10).count(),
+            warmup=(n == sizes[0]),
+        )
+        out.append({"rows": n, "sec": round(sec, 2),
+                    "rows_per_sec": int(n / sec)})
+    return out
+
+
+def _synth_vectors(spark, n: int, dim: int = 64):
+    """Cheap deterministic 64-dim float vectors (integer-arithmetic
+    elements — generation must not dominate the op being measured)."""
+    elems = ", ".join(
+        f"cast((id * {3 + j} + {j * j}) % 997 as double) / 997"
+        for j in range(dim)
+    )
+    return spark.range(n).selectExpr(
+        "id as vec_id", f"array({elems}) as embedding"
+    )
+
+
+def curve_random_projection(spark, sizes):
+    """JL projection 64→8 dims: a pure per-row fold (no shuffle, no
+    Python) — the curve should track the scan, alpha ≈ 1."""
+    from incubator_stormcrawler_spark.operators.similarity import (
+        random_projection,
+    )
+
+    out = []
+    for n in sizes:
+        vecs = _synth_vectors(spark, n)
+        _clean(spark)
+        # .count() alone would let Catalyst PRUNE the projection out of
+        # the plan entirely (it needs no columns), and summing a single
+        # element simplifies array(c0..c7)[i] to just that component —
+        # fold the WHOLE array so all out_dim folds execute
+        sec = timed(
+            lambda: random_projection(vecs, out_dim=8, seed=8)
+            .agg(
+                F.sum(
+                    F.aggregate(
+                        "proj", F.lit(0.0), lambda a, x: a + x
+                    )
+                )
+            )
+            .collect(),
+            warmup=(n == sizes[0]),
+        )
+        out.append({"rows": n, "sec": round(sec, 2),
+                    "rows_per_sec": int(n / sec)})
+    return out
+
+
+def curve_pq_adc(spark, sizes):
+    """PQ-ADC top-5 for 8 queries: dominated by the one-pass corpus
+    assignment (O(n·m·k) folds); the LUT join is broadcast — alpha ≈ 1,
+    no quadratic term in corpus size."""
+    from incubator_stormcrawler_spark.operators.similarity import pq_adc_topk
+
+    out = []
+    for n in sizes:
+        vecs = _synth_vectors(spark, n)
+        qids = list(range(0, 8))
+        _clean(spark)
+        sec = timed(
+            lambda: pq_adc_topk(vecs, qids, m=8, k=16, topk=5).count(),
+            warmup=(n == sizes[0]),
+        )
+        out.append({"rows": n, "sec": round(sec, 2),
+                    "rows_per_sec": int(n / sec)})
+    return out
+
+
+def r8ops_main():
+    """`--r8ops`: curves for the round-8 additions (TrustRank, BFS seed
+    distance, JL projection, PQ-ADC search), merged into SCALING.json."""
+    from incubator_stormcrawler_spark.session import get_spark
+
+    spark = get_spark("scale-bench-r8ops")
+    spark.sparkContext.setLogLevel("ERROR")
+    results = {}
+    for name, fn in (
+        ("trustrank",
+         lambda: curve_trustrank(
+             spark, [1_000_000, 4_000_000, 16_000_000, 64_000_000])),
+        ("seed_distance_bfs",
+         lambda: curve_seed_distance(
+             spark, [1_000_000, 4_000_000, 16_000_000, 64_000_000])),
+        ("random_projection",
+         lambda: curve_random_projection(
+             spark, [250_000, 1_000_000, 4_000_000, 16_000_000])),
+        ("pq_adc_search",
+         lambda: curve_pq_adc(
+             spark, [100_000, 400_000, 1_600_000, 6_400_000])),
+    ):
+        pts = fn()
+        results[name] = {"points": pts, "alpha": alpha(pts)}
+        print(f"## {name}: alpha={results[name]['alpha']}", flush=True)
+        for p in pts:
+            print(f"   {p}", flush=True)
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "SCALING.json")
+    merged = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            merged = json.load(f)
+    merged.update(results)
+    with open(path, "w") as f:
+        json.dump(merged, f, indent=2)
+    print(f"merged r8ops curves into {path}")
+
+
 def curve_kcore(spark, sizes):
     """k-core peel on an Erdos-Renyi-ish random graph, mean degree ~16,
     k=8 — converges in a handful of peel rounds (each round: one
@@ -736,6 +888,9 @@ def main():
         return
     if "--kcore" in sys.argv:
         kcore_main()
+        return
+    if "--r8ops" in sys.argv:
+        r8ops_main()
         return
     quick = "--quick" in sys.argv
     deep = "--deep" in sys.argv
