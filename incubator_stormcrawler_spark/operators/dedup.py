@@ -1077,11 +1077,21 @@ def bloom_unseen_sharded(
             seen, key_col, n_shards, m_bits=m_bits, k=k
         ).persist()
     out_cols = list(candidates.columns)
+    _check_bf_namespace(candidates.columns)
+    # Materialize (candidates + shard key) ONCE: every shard branch —
+    # and the definite/possible split inside each — re-evaluates its
+    # input subtree, so without this the candidates' upstream (typically
+    # a fingerprint/normalization scan) recomputes 2·n_shards times
+    # (measured 2.4× the whole operator at n_shards=4). The checkpoint
+    # sits BELOW the probe joins, so plan audits still see them.
     shard_of = _shard_expr(key_col, n_shards)
+    cand = candidates.withColumn("__bf_shard", shard_of).localCheckpoint(
+        eager=False
+    )
     definite_parts: list[DataFrame] = []
     possible_parts: list[DataFrame] = []
     for s in range(n_shards):
-        cand_s = candidates.where(shard_of == s)
+        cand_s = cand.where(F.col("__bf_shard") == s).drop("__bf_shard")
         bm_s = bitmap.where(F.col("shard") == s).select("word_idx", "word")
         probed, present = _bloom_probe(cand_s, bm_s, key_col, m_bits, k)
         definite_parts.append(probed.where(~present).select(*out_cols))
