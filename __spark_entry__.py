@@ -835,6 +835,49 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_frame(exact, ivf)
 
 
+def q_ann_jl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the JL-projection two-stage path (similarity.
+    jl_cosine_topk: shortlist by L2 in the seeded projected space, exact
+    cosine rerank of the shortlist) against exact cosine — the third ANN
+    family's quality number next to ann_recall (sign-LSH) and
+    ann_ivf_recall (cell probe). The shortlist cuts per-pair scoring by
+    in_dim/out_dim and the rerank touches only shortlist·|Q| full
+    vectors; the projection matrix is the SAME seeded Rademacher matrix
+    embedding_random_projection certifies bit-identical cross-engine."""
+    from incubator_stormcrawler_spark.roundparams import ROUND_SEED, seeded_int
+
+    out_dim = seeded_int("jl_dim", 6, 10)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 20)
+    exact = sim.cosine_topk(emb, queries, k=5).select("query_id", "vec_id")
+    jl = sim.jl_cosine_topk(
+        emb, queries, k=5, out_dim=out_dim, seed=ROUND_SEED, shortlist=50
+    ).select("query_id", "vec_id")
+    return _ann_recall_frame(exact, jl)
+
+
+def q_ann_jl_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the JL two-stage path on the CLUSTERED fixture —
+    the honest counterpart to ann_jl_recall's worst-case number, same
+    two-curve contract as the IVF pair: on random 64-dim vectors a
+    16→6..10-dim projection shortlisting 10% of the corpus holds recall
+    ≈ 0.35 (3.5× the random-shortlist baseline — JL distortion ε ~
+    √(ln n / d) is large at these dims and uniform geometry), while on
+    clustered data (the geometry real embeddings have) the SAME operator
+    at 16→6 dims reaches recall@5 = 1.00 shortlisting 2.5% (50 of
+    2000). sf_dir unused (synthetic fixture)."""
+    from incubator_stormcrawler_spark.roundparams import ROUND_SEED
+
+    emb = sim.clustered_embeddings(spark)
+    queries = emb.where(F.col("vec_id") < 20)
+    exact = sim.cosine_topk(emb, queries, k=5).select("query_id", "vec_id")
+    jl = sim.jl_cosine_topk(
+        emb, queries, k=5, out_dim=6, seed=ROUND_SEED, shortlist=50,
+        in_dim=16,
+    ).select("query_id", "vec_id")
+    return _ann_recall_frame(exact, jl)
+
+
 def q_ann_ivf_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of the IVF path on CLUSTERED embeddings — the geometry
     real text/image embeddings have (64 tight md5-derived clusters) and
@@ -2442,6 +2485,45 @@ FROM (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY query_id) ex
 LEFT JOIN hits USING (query_id)
 """
 
+from incubator_stormcrawler_spark.operators.similarity import (  # noqa: E402
+    jl_cand_sql,
+)
+
+_ORACLES["ann_jl_recall"] = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20
+), exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY list_cosine_similarity(qv, v) DESC,
+                                       vec_id) AS rank
+    FROM q, e WHERE vec_id <> query_id
+  ) WHERE rank <= 5
+), {jl_cand_sql(out_dim=_rp_seeded_int("jl_dim", 6, 10), seed=ROUND_SEED,
+                shortlist=50)}, jl AS (
+  SELECT query_id, vec_id FROM (
+    SELECT c.query_id, c.vec_id,
+           row_number() OVER (PARTITION BY c.query_id
+                              ORDER BY list_cosine_similarity(q.qv, e.v)
+                                       DESC, c.vec_id) AS rank
+    FROM cand c
+    JOIN q ON q.query_id = c.query_id
+    JOIN e ON e.vec_id = c.vec_id
+  ) WHERE rank <= 5
+), hits AS (
+  SELECT exact.query_id, count(*) AS n_hit
+  FROM exact JOIN jl USING (query_id, vec_id)
+  GROUP BY exact.query_id
+)
+SELECT ex.query_id, ex.n_exact, coalesce(hits.n_hit, 0) AS n_hit,
+       round(coalesce(hits.n_hit, 0) / ex.n_exact, 4) AS recall
+FROM (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY query_id) ex
+LEFT JOIN hits USING (query_id)
+"""
+
 # IVF config mirrors similarity.ivf_cosine_topk's defaults; measured
 # recall/cost curve in BASELINE.md (random vectors are IVF's worst case —
 # recall tracks the scanned fraction when cells have no cluster structure).
@@ -2582,6 +2664,40 @@ WITH e AS (
 ), hits AS (
   SELECT exact.query_id, count(*) AS n_hit
   FROM exact JOIN ivf USING (query_id, vec_id)
+  GROUP BY exact.query_id
+)
+SELECT ex.query_id, ex.n_exact, coalesce(hits.n_hit, 0) AS n_hit,
+       round(coalesce(hits.n_hit, 0) / ex.n_exact, 4) AS recall
+FROM (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY query_id) ex
+LEFT JOIN hits USING (query_id)
+"""
+
+_ORACLES["ann_jl_recall_clustered"] = f"""
+WITH e AS (
+  {_clustered_fixture_sql()}
+), exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.vec_id AS query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY list_cosine_similarity(q.v, e.v)
+                                       DESC, e.vec_id) AS rank
+    FROM (SELECT * FROM e WHERE vec_id < 20) q
+    JOIN e ON e.vec_id <> q.vec_id
+  ) WHERE rank <= 5
+), {jl_cand_sql(out_dim=6, seed=ROUND_SEED, shortlist=50, in_dim=16)},
+jl AS (
+  SELECT query_id, vec_id FROM (
+    SELECT c.query_id, c.vec_id,
+           row_number() OVER (PARTITION BY c.query_id
+                              ORDER BY list_cosine_similarity(q.v, e.v)
+                                       DESC, c.vec_id) AS rank
+    FROM cand c
+    JOIN e q ON q.vec_id = c.query_id
+    JOIN e ON e.vec_id = c.vec_id
+  ) WHERE rank <= 5
+), hits AS (
+  SELECT exact.query_id, count(*) AS n_hit
+  FROM exact JOIN jl USING (query_id, vec_id)
   GROUP BY exact.query_id
 )
 SELECT ex.query_id, ex.n_exact, coalesce(hits.n_hit, 0) AS n_hit,
@@ -4667,16 +4783,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_random_projection": q_embedding_random_projection,
         "ann_pq_adc": q_ann_pq_adc,
         "graph_seed_distance": q_graph_seed_distance,
+        "ann_jl_recall": q_ann_jl_recall,
+        "ann_jl_recall_clustered": q_ann_jl_recall_clustered,
         # stalest-tail rotation (last driver row r03/r04) ---------------
         "warc_roundtrip": q_warc_roundtrip,
         "frontier_topk": q_frontier_topk,
         "frontier_next_generation": q_frontier_next_generation,
         "status_merge": q_status_merge,
-        "parse_richdoc": q_parse_richdoc,
-        "seeds_parse": q_seeds_parse,
         # ---- past the 50-entry driver window: ALL green in a committed
         # CORRECTNESS_r*.json and unchanged since (r7-certified first,
         # then the r03/r04 tail that rotates into r9+) ------------------
+        "parse_richdoc": q_parse_richdoc,
+        "seeds_parse": q_seeds_parse,
         "link_rank": q_link_rank,
         "link_hits": q_link_hits,
         "text_quality": q_text_quality,

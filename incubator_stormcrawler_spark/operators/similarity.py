@@ -1024,3 +1024,111 @@ SELECT qid, vec_id, adc_dist, rank FROM (
   FROM dist
 ) WHERE rank <= {topk}
 """
+
+
+def jl_cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    out_dim: int = 8,
+    seed: int = 8,
+    shortlist: int = 50,
+    in_dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage ANN through the JL projection: shortlist the top
+    ``shortlist`` candidates per query by squared L2 distance in the
+    ``out_dim``-dim PROJECTED space (distances preserved within (1±ε)
+    w.h.p.), then exact-cosine rerank only the shortlist in the original
+    space. The third index family next to sign-LSH (bucket collision)
+    and IVF (cell probe): no index structure at all — the projection cuts
+    the per-pair scoring cost by in_dim/out_dim (8× at 64→8) and the
+    rerank touches shortlist·|Q| full vectors instead of |corpus|·|Q|.
+
+    Scale shape: corpus projected in ONE fold pass (no shuffle); the
+    query-side projections broadcast; shortlist selection is a window
+    top-C per query (partial per-partition heads); the rerank joins the
+    C·|Q| candidate ids back to full vectors — broadcast-sized by
+    construction. Deterministic cross-engine: projections are the
+    bit-reproducible rounded JL outputs, distances fold identically, ties
+    break by vec_id.
+    """
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+    )
+    p = random_projection(
+        embeddings, out_dim=out_dim, seed=seed, in_dim=in_dim,
+        id_col=id_col, vec_col=vec_col,
+    )
+    pq = random_projection(
+        queries, out_dim=out_dim, seed=seed, in_dim=in_dim,
+        id_col=id_col, vec_col=vec_col,
+    ).select(F.col("vec_id").alias("query_id"), F.col("proj").alias("qproj"))
+    wshort = Window.partitionBy("query_id").orderBy("pd2", "vec_id")
+    short = (
+        p.crossJoin(F.broadcast(pq))
+        .where(F.col("query_id") != F.col("vec_id"))
+        .withColumn("pd2", _sq_l2(F.col("proj"), F.col("qproj")))
+        .withColumn("rn", F.row_number().over(wshort))
+        .where(F.col("rn") <= shortlist)
+        .select("query_id", "vec_id")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    sim = _dot(F.col("qv"), F.col("cv")) / (
+        _norm(F.col("qv")) * _norm(F.col("cv"))
+    )
+    wrank = Window.partitionBy("query_id").orderBy(
+        F.col("sim_raw").desc(), F.col("vec_id")
+    )
+    return (
+        short.join(e.select("vec_id", F.col("v").alias("cv")), "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("sim_raw", sim)
+        .withColumn("rank", F.row_number().over(wrank))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(F.col("sim_raw"), 4).alias("sim"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+def jl_cand_sql(
+    out_dim: int = 8, seed: int = 8, shortlist: int = 50, in_dim: int = 64,
+    n_queries: int = 20,
+) -> str:
+    """The JL shortlist pipeline as a CTE block over ``e(vec_id, v)``:
+    the IDENTICAL literal matrix (shared hashlib derivation with
+    ``random_projection``), the same rounded projections, the same
+    sequential L2 fold and (distance, id) ordering."""
+    mat = rademacher_matrix(in_dim, out_dim, seed)
+    comps = []
+    for row in mat:
+        lit = "[" + ",".join(f"{s}.0" for s in row) + "]"
+        comps.append(
+            f"round(list_sum(list_transform(range(1, {in_dim + 1}),"
+            f" i -> v[i] * ({lit})[i])) / sqrt({out_dim}), 6)"
+        )
+    arr = "[" + ", ".join(comps) + "]"
+    return f"""p AS (
+  SELECT vec_id, {arr} AS proj FROM e
+), pq AS (
+  SELECT vec_id AS query_id, proj AS qproj FROM p
+  WHERE vec_id < {n_queries}
+), cand AS (
+  SELECT query_id, vec_id FROM (
+    SELECT pq.query_id, p.vec_id,
+           row_number() OVER (
+             PARTITION BY pq.query_id
+             ORDER BY list_sum(list_transform(range(1, {out_dim + 1}),
+               i -> (p.proj[i] - pq.qproj[i]) * (p.proj[i] - pq.qproj[i]))),
+               p.vec_id
+           ) AS rn
+    FROM p, pq WHERE p.vec_id <> pq.query_id
+  ) WHERE rn <= {shortlist}
+)"""

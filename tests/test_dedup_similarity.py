@@ -1302,3 +1302,49 @@ def test_jaccard_prefix_indexes_fewer_shingles(spark):
     # → 12/38 ≈ 32% of the full relation feeds the self-join
     prefix_rows = 300 * 12
     assert prefix_rows < total * 0.35
+
+
+def test_jl_clustered_high_recall_at_low_scan(spark):
+    """The JL two-stage path's quality claim: on clustered embeddings a
+    16→6 projection shortlisting 50 of 2000 (2.5% of the corpus) must
+    reach recall@5 ≥ 0.9 (measured 1.00) — the third ANN family's
+    clustered-geometry half, next to its honest random-vector worst case
+    (~0.35 at 10% shortlist, see ann_jl_recall)."""
+    emb = sim.clustered_embeddings(spark)
+    queries = emb.where(F.col("vec_id") < 20)
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in sim.cosine_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in sim.jl_cosine_topk(
+            emb, queries, k=5, out_dim=6, seed=8, shortlist=50, in_dim=16
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"clustered JL recall too low: {recall}"
+
+
+def test_jl_topk_beats_random_shortlist_and_plan(spark):
+    """On the random embeddings table the JL shortlist must beat the
+    random-shortlist baseline by ≥ 2× (shortlist/corpus expected recall),
+    and the plan must broadcast the query projections (no shuffle join
+    on the corpus-side shortlist stage, no cartesian against a
+    non-broadcast side)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 20)
+    n = emb.count()
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in sim.cosine_topk(emb, queries, k=5).collect()
+    }
+    jl = sim.jl_cosine_topk(emb, queries, k=5, out_dim=8, seed=8,
+                            shortlist=50)
+    approx = {(r.query_id, r.vec_id) for r in jl.collect()}
+    recall = len(exact & approx) / len(exact)
+    baseline = 50 / (n - 1)
+    assert recall >= 2 * baseline, (recall, baseline)
+    plan = jl._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # corpus × broadcast queries
