@@ -287,6 +287,41 @@ def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(emb, qids, m=8, k=16, topk=topk)
 
 
+def q_frontier_rank_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-evidence-prioritized frontier (frontier.
+    frontier_topk_rank_ordered): TrustRank over the 100-host link graph
+    (seeded 10-host trusted set, 3 iterations) picks the 10
+    highest-ranked due hosts, then the grouped top-k fetches their URLs
+    — the OPIC-style composition of the link-analysis and frontier
+    families (AggregationSpout bucket-sort field + PriorityURLBuffer
+    analogs). Rank ordering uses trustrank's ROUNDED scores, so the
+    bucket choice is cross-engine stable; the oracle unrolls the same
+    iterations and replays the same choice."""
+    from incubator_stormcrawler_spark.operators.frontier import (
+        frontier_topk_rank_ordered,
+    )
+    from incubator_stormcrawler_spark.operators.linkrank import trustrank
+    from incubator_stormcrawler_spark.roundparams import seeded_int
+
+    lo = seeded_int("blend_lo", 0, 90)
+    hosts = spark.read.parquet(f"{sf_dir}/orders.parquet").selectExpr(
+        "'host' || cast(mod(o_orderkey, 100) as string) || '.example' as src",
+        "'host' || cast(mod(o_custkey, 100) as string) || '.example' as dst",
+    )
+    seeds = spark.range(lo, lo + 10).selectExpr(
+        "'host' || cast(id as string) || '.example' as node"
+    )
+    ranks = trustrank(hosts, seeds, iterations=3)
+    frontier = syn.synthetic_frontier(spark, sf_dir)
+    out = frontier_topk_rank_ordered(
+        frontier, ranks, NOW, max_buckets=10, max_per_bucket=5
+    )
+    return out.select(
+        "url", "status", "next_fetch_date", "key",
+        "key_rank", F.col("rn").cast("bigint").alias("rn"),
+    )
+
+
 def q_graph_seed_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source BFS hop distance from a seeded 20-node seed set
     (linkrank.seed_distance) over the same pinned 1000-node orders graph
@@ -1998,6 +2033,45 @@ _ORACLES["ann_pq_adc"] = pq_adc_topk_sql(
 from incubator_stormcrawler_spark.operators.linkrank import (  # noqa: E402
     unrolled_seed_distance_sql,
 )
+
+_BLEND_LO = _rp_seeded_int("blend_lo", 0, 90)
+_HOST_EDGES_CTE = (
+    "edges AS (SELECT 'host' || cast(mod(o_orderkey, 100) as varchar) ||"
+    " '.example' AS src, 'host' || cast(mod(o_custkey, 100) as varchar) ||"
+    " '.example' AS dst FROM orders)"
+)
+_HOST_SEEDS_CTE = (
+    f"seeds AS (SELECT 'host' || cast(x AS VARCHAR) || '.example' AS node"
+    f" FROM unnest(generate_series({_BLEND_LO}, {_BLEND_LO + 9})) t(x))"
+)
+# compose: trustrank CTE chain (rounded ranks) + frontier + rank-ordered
+# bucket choice + grouped top-k. The trustrank SQL is itself a full query;
+# wrap it as a CTE by splicing its WITH-chain in and aliasing its SELECT.
+_TRUST_BLEND_INNER = unrolled_trustrank_sql(
+    _HOST_EDGES_CTE, _HOST_SEEDS_CTE, iterations=3
+)
+
+_ORACLES["frontier_rank_blend"] = f"""
+{_DUCK_PRELUDE},
+ranks AS ({_TRUST_BLEND_INNER}),
+due AS (
+  SELECT * FROM frontier WHERE next_fetch_date <= TIMESTAMP '{syn.NOW}'
+),
+chosen AS (
+  SELECT k.key, coalesce(r.rank, 0.0) AS key_rank
+  FROM (SELECT DISTINCT key FROM due) k
+  LEFT JOIN ranks r ON r.node = k.key
+  ORDER BY key_rank DESC, k.key ASC LIMIT 10
+)
+SELECT url, status, next_fetch_date, key, round(key_rank, 6) AS key_rank,
+       rn FROM (
+  SELECT d.url, d.status, d.next_fetch_date, d.key, c.key_rank,
+         row_number() OVER (
+           PARTITION BY d.key ORDER BY d.next_fetch_date ASC, d.url ASC
+         )::BIGINT AS rn
+  FROM due d JOIN chosen c ON c.key = d.key
+) WHERE rn <= 5
+"""
 
 _BFS_LO = _rp_seeded_int("bfs_lo", 0, 980)
 _ORACLES["graph_seed_distance"] = unrolled_seed_distance_sql(
@@ -4785,14 +4859,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_seed_distance": q_graph_seed_distance,
         "ann_jl_recall": q_ann_jl_recall,
         "ann_jl_recall_clustered": q_ann_jl_recall_clustered,
+        "frontier_rank_blend": q_frontier_rank_blend,
         # stalest-tail rotation (last driver row r03/r04) ---------------
         "warc_roundtrip": q_warc_roundtrip,
         "frontier_topk": q_frontier_topk,
         "frontier_next_generation": q_frontier_next_generation,
-        "status_merge": q_status_merge,
         # ---- past the 50-entry driver window: ALL green in a committed
         # CORRECTNESS_r*.json and unchanged since (r7-certified first,
         # then the r03/r04 tail that rotates into r9+) ------------------
+        "status_merge": q_status_merge,
         "parse_richdoc": q_parse_richdoc,
         "seeds_parse": q_seeds_parse,
         "link_rank": q_link_rank,

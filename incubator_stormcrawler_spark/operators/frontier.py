@@ -229,3 +229,60 @@ def next_fetch_histogram(frontier: DataFrame, bucket_minutes: int = 60) -> DataF
         )
         .agg(F.count(F.lit(1)).alias("num_urls"))
     )
+
+
+def frontier_topk_rank_ordered(
+    frontier: DataFrame,
+    ranks: DataFrame,
+    now: datetime | str,
+    max_buckets: int = 10,
+    max_per_bucket: int = 5,
+    key_col: str = "key",
+    rank_col: str = "rank",
+    node_col: str = "node",
+) -> DataFrame:
+    """Link-evidence-prioritized frontier: choose the ``max_buckets``
+    politeness keys with the HIGHEST rank score (PageRank / TrustRank /
+    OPIC over the host graph), then the grouped top-k within those keys —
+    the link-analysis twin of ``frontier_topk_bucket_ordered``'s urgency
+    ordering. Reference analog: the AggregationSpout's configurable
+    bucket-sort field (AggregationSpout.java:140-154) and
+    PriorityURLBuffer's re-prioritized key release (urlbuffer/
+    PriorityURLBuffer.java:40) — theirs reorders by observed acks, ours
+    by computed link evidence, which is how OPIC-style crawlers focus
+    fetch capacity on high-value hosts.
+
+    Keys absent from ``ranks`` score 0 (discovered-but-unranked hosts
+    still crawl, last). Scale shape: per-key min is NOT needed — the
+    bucket choice is one broadcast-sized join of the key set against the
+    rank table (#hosts rows, partial-aggregable distinct), then the
+    windowed top-k runs only over the chosen keys; the frontier itself
+    is never shuffled for the bucket choice.
+    """
+    due = frontier.where(F.col("next_fetch_date") <= F.lit(now))
+    keys = due.select(key_col).distinct()
+    scored = (
+        keys.join(
+            ranks.select(
+                F.col(node_col).alias(key_col),
+                F.col(rank_col).alias("__key_rank"),
+            ),
+            key_col,
+            "left",
+        )
+        .select(
+            key_col,
+            F.coalesce(F.col("__key_rank"), F.lit(0.0)).alias("key_rank"),
+        )
+        .orderBy(F.col("key_rank").desc(), F.col(key_col).asc())
+        .limit(max_buckets)
+    )
+    w = Window.partitionBy(key_col).orderBy(
+        F.col("next_fetch_date").asc(), F.col("url").asc()
+    )
+    return (
+        due.join(F.broadcast(scored), key_col)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= F.lit(max_per_bucket))
+        .withColumn("key_rank", F.round(F.col("key_rank"), 6))
+    )

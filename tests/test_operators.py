@@ -1069,3 +1069,44 @@ def test_seed_distance_matches_unrolled_oracle(spark, duck):
     )
     exp = sorted((int(n), int(h)) for n, h in duck.sql(sql).fetchall())
     assert got == exp
+
+
+def test_frontier_topk_rank_ordered(spark):
+    """Rank-prioritized bucket choice: the two highest-ranked hosts win,
+    an unranked-but-due host scores 0 and is cut by max_buckets, and the
+    per-key cap + date order still apply within chosen hosts."""
+    from pyspark.sql import Row
+
+    from incubator_stormcrawler_spark.operators.frontier import (
+        frontier_topk_rank_ordered,
+    )
+
+    f = make_frontier(
+        spark,
+        [
+            ("https://a.com/1", "DISCOVERED", "2024-01-14 00:00:00", 0, "a.com"),
+            ("https://a.com/2", "DISCOVERED", "2024-01-13 00:00:00", 0, "a.com"),
+            ("https://a.com/3", "DISCOVERED", "2024-01-12 00:00:00", 0, "a.com"),
+            ("https://b.com/1", "DISCOVERED", "2024-01-14 00:00:00", 0, "b.com"),
+            ("https://c.com/1", "DISCOVERED", "2024-01-14 00:00:00", 0, "c.com"),
+            # due but unranked → key_rank 0, loses the bucket cut
+            ("https://d.com/1", "DISCOVERED", "2024-01-14 00:00:00", 0, "d.com"),
+            # not due — must not make its host eligible
+            ("https://e.com/1", "DISCOVERED", "2024-01-16 00:00:00", 0, "e.com"),
+        ],
+    )
+    ranks = spark.createDataFrame(
+        [Row(node="a.com", rank=0.9), Row(node="c.com", rank=0.5),
+         Row(node="b.com", rank=0.2), Row(node="e.com", rank=1.0)]
+    )
+    got = frontier_topk_rank_ordered(
+        f, ranks, NOW, max_buckets=2, max_per_bucket=2
+    )
+    rows = sorted((r.url, r.key_rank, r.rn) for r in got.collect())
+    assert rows == [
+        ("https://a.com/2", 0.9, 2),   # oldest-first within a.com
+        ("https://a.com/3", 0.9, 1),
+        ("https://c.com/1", 0.5, 1),   # c outranks b; d unranked; e not due
+    ]
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan
