@@ -349,6 +349,20 @@ def q_graph_seed_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seed_distance(edges, seeds, max_hops=6)
 
 
+def q_events_decayed_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-decayed hourly rates (metrics.decayed_rates): the
+    dashboard smoothing on top of PerSecondReducer's raw buckets —
+    decayed(t) = Σ_d value(t−d)·2^−d truncated at 32 lags. Bit-exact by
+    construction: bucket values fixed-point to integer cents, each lag
+    contributes cents << (31−d) (exact BIGINT, order-independent sum),
+    scale-back is one power-of-two division — no float recurrence, so
+    the oracle replays it without accumulation-order drift."""
+    from incubator_stormcrawler_spark.operators.metrics import decayed_rates
+
+    ev = rel.load_events(spark, sf_dir)
+    return decayed_rates(ev)
+
+
 def q_events_rate_10s(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PerSecondReducer analog (util/PerSecondReducer.java; FetcherBolt
     fetched_perSec metric): per-10s-bucket event rates."""
@@ -2071,6 +2085,21 @@ SELECT url, status, next_fetch_date, key, round(key_rank, 6) AS key_rank,
          )::BIGINT AS rn
   FROM due d JOIN chosen c ON c.key = d.key
 ) WHERE rn <= 5
+"""
+
+_ORACLES["events_decayed_rate"] = """
+WITH hourly AS (
+  SELECT event_type AS grp, date_trunc('hour', ts) AS bucket,
+         CAST(round(sum(value) * 100, 0) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+), contrib AS (
+  SELECT grp, bucket + d * INTERVAL 1 HOUR AS tbucket,
+         cents << (31 - d) AS w
+  FROM hourly, unnest(generate_series(0, 31)) t(d)
+)
+SELECT grp AS event_type, tbucket AS bucket,
+       round(sum(w) / 2147483648.0, 6) AS decayed
+FROM contrib GROUP BY 1, 2
 """
 
 _BFS_LO = _rp_seeded_int("bfs_lo", 0, 980)
@@ -4767,25 +4796,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     flip (away from the constants that stood through r7) and all rows
     stayed green.
 
-    Round 8's window rotates toward the STALEST tail: all 22 seeded TPC-H
-    shapes and the 10 seeded dedup entries (changed behavior ⇒ must be
-    re-certified), the three NEW real-codec roundtrips (genuine
-    BMP/PNG/WAV byte parsing — zlib inflate + row unfiltering on the PNG
-    path — vs formula-replay oracles), the two NEW r8 sketches
-    (seeded Count-Min point queries, DSIR importance resampling),
-    binned quantiles from r7 (triangles/HLL moved to the tail on their
-    r07-green rows), and 12 of the oldest-green
-    flagships (warc/frontier/status-merge/parse/link/xpath/multimodal —
-    last driver-certified r03/r04). Every entry past position 50 is GREEN
-    in some committed CORRECTNESS_r*.json AND unchanged since
-    (tests/test_registry.py asserts the green-tail invariant mechanically
-    over the union of all committed rounds); the remaining r03/r04-green
-    tail rotates into the r9+ windows. ALL registered queries are benched
-    by the driver every round, and the full local sweep artifact for THIS
-    round is VERIFY_ALL_r08.json (tools/verify_local.py at HEAD, written
-    as the round's final act — the committed r7 artifact predates its
-    last 8 queries, whose green rows live in CORRECTNESS_r07.json
-    instead)."""
+    Round 8's window: all seeded TPC-H shapes and seeded dedup entries
+    (changed behavior ⇒ must be re-certified), plus every operator NEW in
+    round 8 — the three real-codec roundtrips (genuine BMP/PNG/WAV byte
+    parsing vs formula-replay oracles), the sketches (Count-Min, DSIR),
+    the graph family (k-core, TrustRank, multi-source BFS), exact-k
+    weighted sampling, prefix-filtered Jaccard, the JL projection + its
+    two ANN recall harnesses, PQ-ADC search, the rank-blended frontier,
+    and the bit-exact decayed-rate metric — and a residue of the
+    oldest-green flagships (warc/frontier/link — last driver-certified
+    r03/r04; the rest of that stale tail rotates into the r9+ windows,
+    deferred this round because every NEW operator needs its first
+    driver row). Every entry past position 50 is GREEN in some committed
+    CORRECTNESS_r*.json AND unchanged since (tests/test_registry.py
+    asserts the green-tail invariant mechanically over the union of all
+    committed rounds). ALL registered queries are benched by the driver
+    every round, and the full local sweep artifact for THIS round is
+    VERIFY_ALL_r08.json (tools/verify_local.py at HEAD, written as the
+    round's final act — the committed r7 artifact predates its last 8
+    queries, whose green rows live in CORRECTNESS_r07.json instead)."""
     return {
         # ---- driver correctness window (first 50) -------------------
         # Seeded TPC-H (22) — constants derive from ROUND_SEED in both
@@ -4860,13 +4889,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_jl_recall": q_ann_jl_recall,
         "ann_jl_recall_clustered": q_ann_jl_recall_clustered,
         "frontier_rank_blend": q_frontier_rank_blend,
+        "events_decayed_rate": q_events_decayed_rate,
         # stalest-tail rotation (last driver row r03/r04) ---------------
         "warc_roundtrip": q_warc_roundtrip,
         "frontier_topk": q_frontier_topk,
-        "frontier_next_generation": q_frontier_next_generation,
         # ---- past the 50-entry driver window: ALL green in a committed
         # CORRECTNESS_r*.json and unchanged since (r7-certified first,
         # then the r03/r04 tail that rotates into r9+) ------------------
+        "frontier_next_generation": q_frontier_next_generation,
         "status_merge": q_status_merge,
         "parse_richdoc": q_parse_richdoc,
         "seeds_parse": q_seeds_parse,

@@ -837,6 +837,7 @@ def random_projection(
     in_dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    unroll: bool = False,
 ) -> DataFrame:
     """Johnson–Lindenstrauss random projection: reduce ``in_dim`` float
     vectors to ``out_dim`` doubles via a seeded ±1 matrix scaled by
@@ -846,15 +847,16 @@ def random_projection(
 
     Scale shape: a PURE per-row projection — the matrix rides the plan as
     literals, no shuffle, no UDF, no collect; the scan prunes to (id,
-    vec). Each dot product is UNROLLED into a flat codegen'd add chain
-    (``0.0 + v[1]·s₁ + v[2]·s₂ + …``) instead of an ``aggregate`` fold:
-    higher-order-function lambdas evaluate interpreted, outside
-    whole-stage codegen, and the unroll measured 2.2× faster at 4 M
-    vectors while producing BIT-IDENTICAL doubles (same IEEE op order —
-    the leading 0.0 preserves the fold's -0.0 normalization). Past
-    ~4096 matrix entries the expression tree gets unwieldy, so larger
-    shapes fall back to the fold form (same values). Division is by the
-    SAME IEEE √out_dim on every engine; rounded to 6 for the oracle hash.
+    vec). Two physical forms producing BIT-IDENTICAL doubles (same IEEE
+    op order — the leading 0.0 preserves the fold's -0.0 normalization):
+    the default ``aggregate`` fold, and ``unroll=True`` which flattens
+    each dot product into a codegen'd add chain (``0.0 + v[1]·s₁ + …``).
+    The unroll trades a FIXED janino-compilation cliff (~2.5 s for the
+    64×8 matrix, paid per fresh plan) for 2.2× faster per-row execution
+    (HOF lambdas evaluate interpreted): it amortizes above ~1 M vectors
+    — the 100 TB default — while the fold wins on small/interactive
+    plans, so the caller picks. Division is by the SAME IEEE √out_dim on
+    every engine; rounded to 6 for the oracle hash.
     """
     mat = rademacher_matrix(in_dim, out_dim, seed)
     scale = float(out_dim) ** 0.5
@@ -867,7 +869,6 @@ def random_projection(
             F.lit("random_projection: vector length != in_dim"),
         ),
     )
-    unroll = in_dim * out_dim <= 4096
 
     def dot_row(row):
         if not unroll:
@@ -1057,14 +1058,27 @@ def jl_cosine_topk(
     e = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
     )
+    # localCheckpoint the projections: the unrolled literal-matrix
+    # expression is ~in_dim·out_dim nodes, and without the cut it is
+    # CLONED into every downstream stage (both window sides, the rerank
+    # probe) — at 64×8 the repeated codegen compilation alone measured
+    # ~5 s on a 2000-row corpus. The checkpoint materializes the small
+    # (id, out_dim) frame once and keeps the giant expression out of
+    # every later plan.
     p = random_projection(
         embeddings, out_dim=out_dim, seed=seed, in_dim=in_dim,
         id_col=id_col, vec_col=vec_col,
+    ).localCheckpoint(eager=False)
+    pq = (
+        random_projection(
+            queries, out_dim=out_dim, seed=seed, in_dim=in_dim,
+            id_col=id_col, vec_col=vec_col,
+        )
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("proj").alias("qproj")
+        )
+        .localCheckpoint(eager=False)
     )
-    pq = random_projection(
-        queries, out_dim=out_dim, seed=seed, in_dim=in_dim,
-        id_col=id_col, vec_col=vec_col,
-    ).select(F.col("vec_id").alias("query_id"), F.col("proj").alias("qproj"))
     wshort = Window.partitionBy("query_id").orderBy("pd2", "vec_id")
     short = (
         p.crossJoin(F.broadcast(pq))

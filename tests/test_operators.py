@@ -1110,3 +1110,52 @@ def test_frontier_topk_rank_ordered(spark):
     ]
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan
+
+
+def test_decayed_rates_hand_checked(spark):
+    """decayed(t) = Σ_d v(t−d)·2^−d over hourly buckets: two filled
+    hours v=2.0 then v=3.0 → 2.0, 3+1=4.0, then the pure decay tail
+    2.0, 1.0, … including EMPTY buckets (no event at h2, value flows
+    through); window truncation bounds the tail at 32 lags."""
+    from pyspark.sql import Row
+
+    from incubator_stormcrawler_spark.operators.metrics import decayed_rates
+
+    ev = spark.createDataFrame(
+        [
+            Row(ts="2024-01-01 10:05:00", event_type="a", value=1.5),
+            Row(ts="2024-01-01 10:55:00", event_type="a", value=0.5),
+            Row(ts="2024-01-01 11:30:00", event_type="a", value=3.0),
+        ]
+    ).selectExpr("cast(ts as timestamp) ts", "event_type", "value")
+    got = {
+        (r.event_type, str(r.bucket)): r.decayed
+        for r in decayed_rates(ev).collect()
+    }
+    assert got[("a", "2024-01-01 10:00:00")] == 2.0
+    assert got[("a", "2024-01-01 11:00:00")] == 4.0       # 3 + 2/2
+    assert got[("a", "2024-01-01 12:00:00")] == 2.0       # 3/2 + 2/4
+    assert got[("a", "2024-01-01 13:00:00")] == 1.0
+    # truncation: h10's last contribution lands at h10+31
+    assert ("a", "2024-01-02 17:00:00") in got
+    assert ("a", "2024-01-02 19:00:00") not in got
+    assert len(got) == 33  # h10 .. h11+31
+
+
+def test_random_projection_unroll_bit_identical(spark):
+    """The two physical forms (interpreted fold vs codegen'd unrolled
+    chain) must produce bit-identical doubles — same IEEE op order, the
+    leading 0.0 preserving -0.0 normalization. The unroll is the scale
+    path (2.2× per-row, ~2.5 s compile cliff); the fold is the
+    small-plan default; the oracle must match BOTH."""
+    from incubator_stormcrawler_spark.operators.similarity import (
+        random_projection,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = random_projection(emb, out_dim=8, seed=8).orderBy("vec_id").collect()
+    b = random_projection(
+        emb, out_dim=8, seed=8, unroll=True
+    ).orderBy("vec_id").collect()
+    assert all(x.proj == y.proj for x, y in zip(a, b))
+    assert len(a) == len(b) == emb.count()

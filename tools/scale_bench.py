@@ -705,8 +705,9 @@ def _synth_vectors(spark, n: int, dim: int = 64):
 
 
 def curve_random_projection(spark, sizes):
-    """JL projection 64→8 dims: a pure per-row fold (no shuffle, no
-    Python) — the curve should track the scan, alpha ≈ 1."""
+    """JL projection 64→8 dims, unroll=True (the scale-path form: the
+    ~2.5 s janino compile amortizes above ~1M vectors and per-row
+    execution is 2.2× the interpreted fold) — no shuffle, no Python."""
     from incubator_stormcrawler_spark.operators.similarity import (
         random_projection,
     )
@@ -720,7 +721,7 @@ def curve_random_projection(spark, sizes):
         # element simplifies array(c0..c7)[i] to just that component —
         # fold the WHOLE array so all out_dim folds execute
         sec = timed(
-            lambda: random_projection(vecs, out_dim=8, seed=8)
+            lambda: random_projection(vecs, out_dim=8, seed=8, unroll=True)
             .agg(
                 F.sum(
                     F.aggregate(
