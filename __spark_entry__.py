@@ -2090,7 +2090,7 @@ SELECT url, status, next_fetch_date, key, round(key_rank, 6) AS key_rank,
 _ORACLES["events_decayed_rate"] = """
 WITH hourly AS (
   SELECT event_type AS grp, date_trunc('hour', ts) AS bucket,
-         CAST(round(sum(value) * 100, 0) AS BIGINT) AS cents
+         sum(CAST(round(value * 100, 0) AS BIGINT)) AS cents
   FROM events GROUP BY 1, 2
 ), contrib AS (
   SELECT grp, bucket + d * INTERVAL 1 HOUR AS tbucket,
@@ -2098,7 +2098,7 @@ WITH hourly AS (
   FROM hourly, unnest(generate_series(0, 31)) t(d)
 )
 SELECT grp AS event_type, tbucket AS bucket,
-       round(sum(w) / 2147483648.0, 6) AS decayed
+       sum(w) / 214748364800.0 AS decayed
 FROM contrib GROUP BY 1, 2
 """
 

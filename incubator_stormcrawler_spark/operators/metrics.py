@@ -81,14 +81,20 @@ def decayed_rates(
     receive contributions from their filled predecessors.)
     """
     bucket = F.date_trunc(grain, F.col(ts_col))
-    # round(x*100, 0) FIRST, then cast: the rounded double is exactly
-    # integral so the cast is exact in both engines — casting
-    # round(x,2)*100 would truncate 126.999… to 126 on Spark while
-    # DuckDB's cast rounds it to 127 (the known double→int trap)
+    # Fixed-point PER ROW, then integer-sum: each row's round(v·100, 0)
+    # is deterministic (same input double → same cents on every engine;
+    # rounding BEFORE the cast also dodges the Spark-truncates/
+    # DuckDB-rounds double→int trap), and the BIGINT bucket sum is
+    # order-independent. Summing doubles first and rounding the total
+    # once looked equivalent — and failed on exactly one sf0.01 bucket
+    # whose float sum straddled a half-cent under the engines' different
+    # accumulation orders.
     hourly = events.groupBy(
         F.col(group_col).alias("grp"), bucket.alias("bucket")
     ).agg(
-        F.round(F.sum(value_col) * 100, 0).cast("bigint").alias("cents")
+        F.sum(
+            F.round(F.col(value_col) * 100, 0).cast("bigint")
+        ).alias("cents")
     )
     contrib = hourly.select(
         "grp",
@@ -97,16 +103,23 @@ def decayed_rates(
         F.explode(F.sequence(F.lit(0), F.lit(window - 1))).alias("d"),
     ).select(
         "grp",
-        F.timestampadd(grain, F.col("d"), F.col("bucket")).alias("tbucket"),
-        F.shiftleft(F.col("cents"), window - 1 - F.col("d")).alias("w"),
+        F.expr(f"timestampadd({grain}, d, bucket)").alias("tbucket"),
+        F.expr(f"shiftleft(cents, {window - 1} - d)").alias("w"),
     )
-    scale = float(1 << (window - 1))
+    # scale-back: 2^(window−1) undoes the shifts, 100 undoes the cents
+    # fixed-point. int64→double then ONE correctly-rounded IEEE division
+    # by the same literal — bit-identical on every engine, so the value
+    # ships UNROUNDED: a round(…, 6) here would re-introduce
+    # nondeterminism, because the power-of-two denominator makes exact
+    # .5 ties at the 6th decimal representable and engines break those
+    # ties differently (measured: one sf0.01 bucket, 266.8846875).
+    scale = float((1 << (window - 1)) * 100)
     return (
         contrib.groupBy("grp", "tbucket")
         .agg(F.sum("w").alias("s"))
         .select(
             F.col("grp").alias(group_col),
             F.col("tbucket").alias("bucket"),
-            F.round(F.col("s") / F.lit(scale), 6).alias("decayed"),
+            (F.col("s") / F.lit(scale)).alias("decayed"),
         )
     )
