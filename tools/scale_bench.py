@@ -757,6 +757,80 @@ def curve_pq_adc(spark, sizes):
     return out
 
 
+def synth_boiler_docs(spark, n: int, boiler_every: int = 4):
+    """Corpus with BOILERPLATE: every ``boiler_every``-th doc starts with
+    the same 12-token header (site chrome, licence banners) — each header
+    shingle lands in n/boiler_every documents, the hot-shingle case that
+    makes the full Jaccard self-join quadratic."""
+    words = (
+        "concat_ws(' ', transform(sequence(0, 27), j -> "
+        "substr(md5(cast(id as string) || '-' || cast(j as string)), 1, 6)))"
+    )
+    header = "'the quick brown fox jumps over the lazy dog again and again'"
+    return spark.range(n).selectExpr(
+        "id as doc_id",
+        f"case when mod(id, {boiler_every}) = 0 then "
+        f"concat({header}, ' ', {words}) else {words} end as text",
+    )
+
+
+def jaccard_prefix_ab(spark, n: int, threshold: str = "0.6"):
+    """Full self-join vs prefix filter on the boilerplate corpus, same
+    EXACT result (asserted). The full join pays |hot_df|² per hot
+    shingle; prefix filtering excludes boilerplate structurally (hot
+    shingles are globally common → they sort to every doc's suffix and
+    never enter the index)."""
+    from incubator_stormcrawler_spark.operators.dedup import (
+        jaccard_prefix_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = synth_boiler_docs(spark, n)
+    _clean(spark)
+    t_prefix = timed(
+        lambda: jaccard_prefix_pairs(docs, n=3, threshold=threshold).count(),
+        warmup=True,
+    )
+    _clean(spark)
+    t_full = timed(
+        lambda: ngram_jaccard_pairs(
+            docs, n=3, threshold=float(threshold)
+        ).count(),
+        warmup=True,
+    )
+    a = {(r.doc1, r.doc2) for r in
+         jaccard_prefix_pairs(docs, n=3, threshold=threshold).collect()}
+    b = {(r.doc1, r.doc2) for r in
+         ngram_jaccard_pairs(docs, n=3, threshold=float(threshold)).collect()}
+    assert a == b, "prefix filter diverged from full self-join"
+    return {"rows": n, "full_sec": round(t_full, 2),
+            "prefix_sec": round(t_prefix, 2),
+            "speedup": round(t_full / t_prefix, 2)}
+
+
+def jaccard_prefix_ab_main():
+    """`--jaccard-ab`: the measurement that earns jaccard_prefix_pairs'
+    claim — on a hot-boilerplate corpus the prefix filter must beat the
+    full self-join, widening with scale; merged into SCALING.json."""
+    from incubator_stormcrawler_spark.session import get_spark
+
+    spark = get_spark("scale-bench-jacab")
+    spark.sparkContext.setLogLevel("ERROR")
+    pts = [jaccard_prefix_ab(spark, n) for n in (25_000, 100_000)]
+    for p in pts:
+        print(f"   {p}", flush=True)
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "SCALING.json")
+    merged = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            merged = json.load(f)
+    merged["jaccard_prefix_boilerplate_ab"] = {"points": pts}
+    with open(path, "w") as f:
+        json.dump(merged, f, indent=2)
+    print(f"merged jaccard_prefix_boilerplate_ab into {path}")
+
+
 def r8ops_main():
     """`--r8ops`: curves for the round-8 additions (TrustRank, BFS seed
     distance, JL projection, PQ-ADC search), merged into SCALING.json."""
@@ -892,6 +966,9 @@ def main():
         return
     if "--r8ops" in sys.argv:
         r8ops_main()
+        return
+    if "--jaccard-ab" in sys.argv:
+        jaccard_prefix_ab_main()
         return
     quick = "--quick" in sys.argv
     deep = "--deep" in sys.argv
