@@ -545,6 +545,23 @@ def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup at the seeded containment threshold
+    (dedup.containment_pairs): C(A→B) = |A∩B|/|A| — quote/subset
+    detection that Jaccard structurally misses (a paragraph quoted in a
+    100× page has J ≈ 0.01, C ≈ 1.0). The augmented corpus's planted
+    supersets ('… zz extra tail') produce exactly these directional
+    pairs. Oracle replays the shingle-set containment directly."""
+    from incubator_stormcrawler_spark.roundparams import seeded_choice
+
+    thr = seeded_choice(
+        "containment_threshold", ["0.6", "0.65", "0.7", "0.75"]
+    )
+    return dd.containment_pairs(
+        _docs_augmented(spark, sf_dir), n=3, threshold=thr
+    )
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidates (8 hashes, 4 bands × 2 rows) with est_sim at
     the seeded threshold (RP['minhash_min_sim'])."""
@@ -2240,6 +2257,30 @@ FROM common
 JOIN sizes s1 ON s1.doc_id = doc1
 JOIN sizes s2 ON s2.doc_id = doc2
 WHERE round(n_common / (s1.n_sh + s2.n_sh - n_common), 4) >= {RP['jaccard_threshold']}
+"""
+
+from incubator_stormcrawler_spark.roundparams import (  # noqa: E402
+    seeded_choice as _rp_seeded_choice,
+)
+
+_CONT_THR = _rp_seeded_choice(
+    "containment_threshold", ["0.6", "0.65", "0.7", "0.75"]
+)
+_ORACLES["dedup_containment"] = f"""
+WITH {_DOCS_AUG_CTE.strip()}, {_SHINGLE_CTE.strip()},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS contained, b.doc_id AS container, count(*) AS n_common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id <> b.doc_id GROUP BY 1, 2
+)
+SELECT contained, container,
+       s1.n_sh AS n_contained, s2.n_sh AS n_container,
+       round(n_common / s1.n_sh, 4) AS containment
+FROM common
+JOIN sizes s1 ON s1.doc_id = contained
+JOIN sizes s2 ON s2.doc_id = container
+WHERE round(n_common / s1.n_sh, 4) >= {_CONT_THR}
 """
 
 # the prefix-filtered variant must reproduce the FULL self-join's answer
@@ -4855,6 +4896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_ngram_jaccard_capped": q_dedup_ngram_jaccard_capped,
         "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
+        "dedup_containment": q_dedup_containment,
         "dedup_clusters": q_dedup_clusters,
         "dedup_clusters_star": q_dedup_clusters_star,
         # NEW r8: REAL stdlib codecs — Spark parses genuine BMP row
@@ -4891,11 +4933,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_rank_blend": q_frontier_rank_blend,
         "events_decayed_rate": q_events_decayed_rate,
         # stalest-tail rotation (last driver row r03/r04) ---------------
-        "warc_roundtrip": q_warc_roundtrip,
         "frontier_topk": q_frontier_topk,
         # ---- past the 50-entry driver window: ALL green in a committed
         # CORRECTNESS_r*.json and unchanged since (r7-certified first,
         # then the r03/r04 tail that rotates into r9+) ------------------
+        "warc_roundtrip": q_warc_roundtrip,
         "frontier_next_generation": q_frontier_next_generation,
         "status_merge": q_status_merge,
         "parse_richdoc": q_parse_richdoc,

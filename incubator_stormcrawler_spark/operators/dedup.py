@@ -263,6 +263,74 @@ def jaccard_prefix_pairs(
     )
 
 
+def containment_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: str = "0.7",
+    max_shingle_df: int | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """ASYMMETRIC near-dup: pairs where containment C(A→B) =
+    |A∩B| / |A| ≥ t — "A is mostly inside B" (Broder 1997's second
+    resemblance measure). Jaccard misses these: a paragraph quoted
+    inside a 100× larger page has J ≈ |A|/|B| ≈ 0.01 but C ≈ 1.0. The
+    LLM-corpus use is quote/subset detection — drop the contained COPY,
+    keep the superset document.
+
+    Directional by construction: emitted rows are (contained, container)
+    with doc ids in either order, plus both sizes so the consumer can
+    pick a keep policy. The threshold is exact-rational (decimal string
+    → num/den integer cross-multiply), so no float-ceil edge can drop a
+    boundary pair; the reported ``containment`` is rounded to 4 and
+    filtered on the ROUNDED value like the Jaccard family.
+
+    Scale shape: same bounded self-join as ``ngram_jaccard_pairs`` —
+    the shingle join fans out quadratically on hot shingles, so at
+    corpus scale set ``max_shingle_df`` (stop-shingle cap; containment
+    stays exact over the REMAINING sets — same construction as the
+    capped Jaccard) or run it as the verify stage behind LSH/bloom
+    candidates. Unlike Jaccard, prefix filtering does NOT apply (the
+    contained side's rare shingles need not be rare in the container),
+    which is why the cap is the honest scale knob here.
+    """
+    from fractions import Fraction
+
+    t = Fraction(str(threshold))
+    num, den = t.numerator, t.denominator
+    sh = with_shingles(docs, n, text_col).localCheckpoint(eager=False)
+    if max_shingle_df is not None:
+        w = Window.partitionBy("shingle")
+        sh = (
+            sh.withColumn("df", F.count(F.lit(1)).over(w))
+            .where(F.col("df") <= max_shingle_df)
+            .drop("df")
+        )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    shs = sh.join(sizes, "doc_id")
+    a = shs.alias("a")
+    b = shs.alias("b")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("a.doc_id") != F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("contained"),
+            F.col("b.doc_id").alias("container"),
+            F.col("a.n_sh").alias("n_contained"),
+            F.col("b.n_sh").alias("n_container"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    cont = F.col("n_common") / F.col("n_contained")
+    return (
+        common.withColumn("containment", F.round(cont, 4))
+        .where(F.col("containment") >= F.lit(num) / F.lit(den))
+        .select(
+            "contained", "container", "n_contained", "n_container",
+            "containment",
+        )
+    )
+
+
 def minhash_signatures(
     docs: DataFrame, num_hashes: int = 8, n: int = 3
 ) -> DataFrame:

@@ -1348,3 +1348,55 @@ def test_jl_topk_beats_random_shortlist_and_plan(spark):
     plan = jl._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # corpus × broadcast queries
+
+
+def test_containment_pairs_asymmetric(spark):
+    """The case Jaccard structurally misses: doc A (12 tokens) quoted
+    verbatim inside doc B (60 tokens). J ≈ 10/56 ≈ 0.18, but C(A→B) =
+    1.0 — only the (A contained-in B) direction fires, with exact sizes;
+    two unrelated docs produce nothing."""
+    from pyspark.sql import Row
+
+    from incubator_stormcrawler_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = " ".join(f"q{i}" for i in range(12))
+    page = quote + " " + " ".join(f"p{i}" for i in range(48))
+    other = " ".join(f"z{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=quote), Row(doc_id=2, text=page),
+         Row(doc_id=3, text=other)]
+    )
+    rows = containment_pairs(docs, n=3, threshold="0.7").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.contained, r.container) == (1, 2)
+    assert r.containment == 1.0
+    assert r.n_contained == 10 and r.n_container == 58
+    # and Jaccard at the same threshold sees nothing
+    assert ngram_jaccard_pairs(docs, n=3, threshold=0.7).collect() == []
+
+
+def test_containment_threshold_boundary_and_cap(spark):
+    """Exact-rational threshold: 7 of 10 shingles contained → C = 0.7
+    kept at t=0.7, dropped at t=0.75; the stop-shingle cap keeps the
+    result exact over remaining sets (planted pair survives)."""
+    from pyspark.sql import Row
+
+    from incubator_stormcrawler_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    a = [f"w{i}" for i in range(12)]              # 10 shingles
+    b = a[:9] + [f"x{i}" for i in range(20)]      # contains 7 of them
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=" ".join(a)), Row(doc_id=2, text=" ".join(b))]
+    )
+    lo = containment_pairs(docs, n=3, threshold="0.7").collect()
+    assert [(r.contained, r.container, r.containment) for r in lo] == [
+        (1, 2, 0.7)
+    ]
+    hi = containment_pairs(docs, n=3, threshold="0.75").collect()
+    assert hi == []
