@@ -62,6 +62,9 @@ class CrawlLoop:
         bloom_refresh_every: int = 1,
         warc_dir: str | None = None,
         index=None,
+        rank_priority: bool = False,
+        rank_max_buckets: int = 10,
+        rank_iterations: int = 3,
     ):
         self.spark = spark
         self.frontier_path = frontier_path
@@ -106,6 +109,19 @@ class CrawlLoop:
         self.bloom_refresh_every = bloom_refresh_every
         self._bloom_bcast = None
         self._bloom_built_gen = -(10**9)
+        # rank_priority=True is OPIC-style focused crawling: each
+        # generation appends the observed host→host link edges to a side
+        # store, ranks hosts by PageRank over the graph SO FAR, and the
+        # frontier's bucket choice takes the rank_max_buckets
+        # HIGHEST-RANKED due hosts (frontier_topk_rank_ordered) instead
+        # of every due host — fetch capacity concentrates on link-endorsed
+        # hosts. Reference analogs: the AggregationSpout's configurable
+        # bucket-sort field + PriorityURLBuffer's re-prioritized release
+        # (urlbuffer/PriorityURLBuffer.java:40). Generation 1 (no edges
+        # yet) falls back to the plain urgency-ordered top-k.
+        self.rank_priority = rank_priority
+        self.rank_max_buckets = rank_max_buckets
+        self.rank_iterations = rank_iterations
         # warc_dir archives every generation's successful fetches as
         # rotating .warc.gz files (the reference's WARCHdfsBolt sitting on
         # the fetcher's output stream: external/warc/.../WARCHdfsBolt);
@@ -150,6 +166,24 @@ class CrawlLoop:
         if not self.table.exists():
             return self.spark.createDataFrame([], self.table_ddl)
         return self.table.read(self.spark)
+
+    def _host_edges_path(self) -> str:
+        return self.frontier_path + "_host_edges"
+
+    def _host_ranks(self) -> DataFrame | None:
+        """PageRank over the host graph observed so far (None before any
+        edges exist — generation 1 crawls urgency-ordered). The graph is
+        host-cardinality, orders of magnitude below the frontier; the
+        rank table feeds the bucket choice as a broadcast."""
+        import os
+
+        from ..operators.linkrank import link_rank
+
+        path = self._host_edges_path()
+        if not os.path.exists(path):
+            return None
+        edges = self.spark.read.parquet(path)
+        return link_rank(edges, iterations=self.rank_iterations)
 
     def inject_seeds(self, seeds: DataFrame) -> None:
         """Seed URLs → DISCOVERED frontier rows (SURVEY.md §3.2). Idempotent
@@ -199,10 +233,21 @@ class CrawlLoop:
         # outlink-depth broadcast AND the batch counter — uncached, the
         # frontier scan + grouped-top-k window re-executes for each
         # (measured ~3× per generation in round 3's 537 p/s regression)
-        batch = frontier_topk(
-            frontier, now,
-            max_per_bucket=self.max_per_bucket, max_results=self.max_results,
-        ).select("url", "key", "depth").cache()
+        ranks = self._host_ranks() if self.rank_priority else None
+        if ranks is not None:
+            from ..operators.frontier import frontier_topk_rank_ordered
+
+            batch = frontier_topk_rank_ordered(
+                frontier, ranks, now,
+                max_buckets=self.rank_max_buckets,
+                max_per_bucket=self.max_per_bucket,
+            ).select("url", "key", "depth").cache()
+        else:
+            batch = frontier_topk(
+                frontier, now,
+                max_per_bucket=self.max_per_bucket,
+                max_results=self.max_results,
+            ).select("url", "key", "depth").cache()
 
         cache_hits = 0
         if self.content_cache is not None:
@@ -308,6 +353,26 @@ class CrawlLoop:
             .union(feed_links)
             .union(redirect_links)
         ).cache()
+        if self.rank_priority:
+            # append this generation's observed host→host edges to the
+            # side store the next generation's ranking reads — a
+            # partial-aggregable distinct per generation, host-cardinality
+            # rows, never the raw outlink stream
+            from ..functions.urls import host_key_expr
+
+            (
+                outlinks.select(
+                    host_key_expr(F.col("source_url")).alias("src"),
+                    host_key_expr(F.col("target_url")).alias("dst"),
+                )
+                .where(
+                    (F.col("src") != "") & (F.col("dst") != "")
+                    & (F.col("src") != F.col("dst"))
+                )
+                .distinct()
+                .write.mode("append")
+                .parquet(self._host_edges_path())
+            )
         # xml/other pages report FETCHED (pass-through bolts ack to status)
         xml_status = classified.where(F.col("kind") != "html").select(
             "url", F.lit("FETCHED").alias("status")

@@ -493,3 +493,62 @@ def test_crawl_indexes_docs_and_applies_deletions(spark, tmp_path):
     docs = {r.url: r.title for r in index.read(spark).collect()}
     assert docs == {"https://h0.example/p0": "zero"}  # indexed + deleted
     assert sum(s["index_deleted"] for s in stats) == 1
+
+
+def test_rank_prioritized_crawl_focuses_on_endorsed_host(spark, tmp_path):
+    """OPIC-style focused crawl (rank_priority=True): every host's pages
+    link to hub.example, so once generation 1 observes the link graph,
+    PageRank puts the hub first and the bucket budget (rank_max_buckets=1)
+    spends generation 2 ENTIRELY on the hub — the low-rank leaf hosts'
+    due pages wait. The full closed graph still converges eventually."""
+    hosts = [f"leaf{i}.example" for i in range(4)]
+    site = {}
+    # seed page links to every leaf's p0 and the hub root
+    seed_links = [f"https://{h}/p0" for h in hosts] + ["https://hub.example/p0"]
+    site["https://seed.example/p0"] = (
+        "<html><body>"
+        + "".join(f'<a href="{u}">x</a>' for u in seed_links)
+        + "</body></html>"
+    )
+    # every leaf p0 endorses the hub and one local page
+    for h in hosts:
+        site[f"https://{h}/p0"] = (
+            f'<html><body><a href="https://hub.example/p0">hub</a>'
+            f'<a href="https://{h}/p1">next</a></body></html>'
+        )
+        site[f"https://{h}/p1"] = "<html><body>leaf leaf</body></html>"
+    site["https://hub.example/p0"] = (
+        '<html><body><a href="https://hub.example/p1">h1</a></body></html>'
+    )
+    site["https://hub.example/p1"] = "<html><body>hub hub</body></html>"
+
+    loop = CrawlLoop(
+        spark,
+        frontier_path=str(tmp_path / "frontier"),
+        protocol_factory=lambda: MemoryProtocol(site),
+        server_delay=0.0,
+        max_per_bucket=10,
+        max_results=100,
+        rank_priority=True,
+        rank_max_buckets=1,
+    )
+    seeds = spark.createDataFrame([("https://seed.example/p0",)], ["url"])
+    loop.inject_seeds(seeds)
+
+    loop.run_generation()   # gen 1: plain top-k (no edges yet), fetch seed
+    loop.run_generation()   # gen 2: ranked — one bucket only
+    f2 = {
+        r.url: r.status for r in loop.read_frontier().collect()
+        if r.status == "FETCHED"
+    }
+    gen2_hosts = {u.split("/")[2] for u in f2} - {"seed.example"}
+    # the single ranked bucket went to the hub (every observed edge
+    # endorses it); no leaf page has been fetched yet
+    assert gen2_hosts == {"hub.example"}, f2
+    # and the crawl still completes: leaves catch up in later generations
+    # (one ranked bucket per generation: 4 leaf p0s + 4 leaf p1s + hub p1,
+    # interleaved by rank/tie-break — give it room)
+    loop.run(12)
+    frontier = {r.url: r.status for r in loop.read_frontier().collect()}
+    assert set(frontier) == set(site)
+    assert all(st == "FETCHED" for st in frontier.values())
