@@ -285,6 +285,7 @@ def bench_recursive_crawl(
     fanout: int = 4,
     adaptive: bool = True,
     bloom_prefilter: bool = False,
+    rank_priority: bool = False,
 ) -> dict:
     """FULL recursive crawl to frontier exhaustion over a CLOSED synthetic
     graph (SyntheticGraphProtocol: a fanout-ary tree covering every page
@@ -335,6 +336,12 @@ def bench_recursive_crawl(
             adaptive=adaptive,
             bucket_partitioned=True,
             bloom_prefilter=bloom_prefilter,
+            # rank_priority with max_buckets=hosts keeps coverage
+            # identical (every due host still crawls) while exercising
+            # the per-generation host-PageRank + rank-ordered bucket
+            # choice at scale — the measurement is its overhead
+            rank_priority=rank_priority,
+            rank_max_buckets=hosts,
             # ~10 bits per eventual frontier url
             bloom_m_bits=1 << max(16, (10 * n_pages - 1).bit_length()),
         )
