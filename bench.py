@@ -69,22 +69,26 @@ def main() -> None:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     loads: dict[str, float] = {}
+    loads_after: dict[str, float] = {}
     import gc
 
-    # Per-query load gating (r7 fix): the r6 AND r7 driver artifacts were
-    # both load-tainted — the start gate passed, then the box got busy
-    # MID-RUN and inflated the tail queries (r7: start 3.94, end 11.27).
-    # Now every query samples the 1-minute loadavg immediately before and
-    # after its timing runs; a query whose max sample exceeds the gate is
-    # quiet-waited and re-run ONCE, and the retry's timing replaces the
-    # hot one only if it is cleaner (lower max load) — so one external
-    # load spike costs one bounded wait, not a tainted artifact. The
-    # summary line carries max_load_1m over all per-query samples; the
-    # detail file carries the per-query loads, so a reviewer can see
-    # exactly which rows (if any) ran hot. Note the 1-minute loadavg
-    # includes the bench's OWN Spark activity — the documented clean full
-    # run peaks ~3.7 under the 4.0 gate (BASELINE.md), so a persistent
-    # reading above it indicates external load, not self-load.
+    # Per-query load gating (r7 fix, refined r8): the r6 AND r7 driver
+    # artifacts were both load-tainted — the start gate passed, then the
+    # box got busy MID-RUN and inflated the tail queries (r7: start 3.94,
+    # end 11.27). Every query samples the 1-minute loadavg immediately
+    # BEFORE its timing runs; a query whose pre-sample exceeds the gate
+    # is quiet-waited and re-run ONCE, the retry kept only if cleaner —
+    # one external load spike costs one bounded wait, not a tainted
+    # artifact. The PRE-sample is the contamination signal: queries run
+    # back-to-back, so sustained external load (the r6/r7 failure mode)
+    # shows in the next pre-sample within a minute. The POST-sample is
+    # recorded for diagnostics but deliberately NOT gated on — a
+    # 32-thread iterative stage (PageRank, k-core) legitimately drives
+    # its OWN 1m loadavg past any reasonable gate (measured 5.4 on
+    # link_trustrank with a 0.07-idle box), and re-running self-load is
+    # a no-op that only doubles bench time. Summary carries max_load_1m
+    # over pre-samples (the cleanliness claim) and max_load_1m_incl_self
+    # over all samples; the detail file has both per query.
     for name, fn in e.queries().items():
         try:
             q_load = None
@@ -94,13 +98,13 @@ def main() -> None:
                     load0 = _wait_for_quiet_box(max_wait_sec=120.0)
                 best = _time_query(fn, spark, sf_dir, runs)
                 load1 = os.getloadavg()[0]
-                sample = max(load0, load1)
-                if q_load is None or sample < q_load:
-                    q_load, timings[name] = sample, round(best, 3)
-                if sample <= LOAD_GATE:
+                if q_load is None or load0 < q_load:
+                    q_load, timings[name] = load0, round(best, 3)
+                    loads_after[name] = round(load1, 2)
+                if load0 <= LOAD_GATE:
                     break
                 print(
-                    f"bench: {name} ran at 1m load {sample:.1f} > "
+                    f"bench: {name} STARTED at 1m load {load0:.1f} > "
                     f"{LOAD_GATE} — {'re-running once' if attempt == 0 else 'keeping cleaner attempt'}",
                     file=sys.stderr,
                 )
@@ -156,10 +160,18 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "query_loads_1m": loads,
+        "query_loads_1m_after": loads_after,
         "sf": sf_val,
         "load_1m_at_start": round(start_load, 2),
         "load_1m_at_end": round(os.getloadavg()[0], 2),
         "max_load_1m": max(loads.values()) if loads else round(start_load, 2),
+        "max_load_1m_incl_self": round(
+            max(
+                list(loads.values()) + list(loads_after.values())
+                + [start_load]
+            ),
+            2,
+        ),
         "load_gate": LOAD_GATE,
         "n_hot_queries": sum(1 for v in loads.values() if v > LOAD_GATE),
     }
