@@ -322,6 +322,17 @@ def q_frontier_rank_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_frontier_host_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host operational dashboard (frontier.host_health): url count,
+    status mix, error-escalation pressure, due backlog + earliest due
+    date — the host-grained StatusMetricsBolt companion. One
+    partial-aggregable groupBy, host-cardinality output."""
+    from incubator_stormcrawler_spark.operators.frontier import host_health
+
+    frontier = syn.synthetic_frontier(spark, sf_dir)
+    return host_health(frontier, NOW)
+
+
 def q_graph_seed_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source BFS hop distance from a seeded 20-node seed set
     (linkrank.seed_distance) over the same pinned 1000-node orders graph
@@ -2117,6 +2128,21 @@ WITH hourly AS (
 SELECT grp AS event_type, tbucket AS bucket,
        sum(w) / 214748364800.0 AS decayed
 FROM contrib GROUP BY 1, 2
+"""
+
+_ORACLES["frontier_host_health"] = f"""
+{_DUCK_PRELUDE}
+SELECT key,
+       count(*)::BIGINT AS n_urls,
+       sum((status = 'FETCHED')::INT)::BIGINT AS n_fetched,
+       sum((status = 'DISCOVERED')::INT)::BIGINT AS n_discovered,
+       sum((status = 'FETCH_ERROR')::INT)::BIGINT AS n_fetch_error,
+       sum((status = 'ERROR')::INT)::BIGINT AS n_error,
+       max(error_count) AS max_error_count,
+       sum((next_fetch_date <= TIMESTAMP '{syn.NOW}')::INT)::BIGINT AS n_due,
+       min(CASE WHEN next_fetch_date <= TIMESTAMP '{syn.NOW}'
+                THEN next_fetch_date END) AS next_due
+FROM frontier GROUP BY key
 """
 
 _BFS_LO = _rp_seeded_int("bfs_lo", 0, 980)
@@ -4932,12 +4958,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_jl_recall_clustered": q_ann_jl_recall_clustered,
         "frontier_rank_blend": q_frontier_rank_blend,
         "events_decayed_rate": q_events_decayed_rate,
-        # stalest-tail rotation (last driver row r03/r04) ---------------
-        "frontier_topk": q_frontier_topk,
+        "frontier_host_health": q_frontier_host_health,
         # ---- past the 50-entry driver window: ALL green in a committed
         # CORRECTNESS_r*.json and unchanged since (r7-certified first,
         # then the r03/r04 tail that rotates into r9+) ------------------
         "warc_roundtrip": q_warc_roundtrip,
+        "frontier_topk": q_frontier_topk,
         "frontier_next_generation": q_frontier_next_generation,
         "status_merge": q_status_merge,
         "parse_richdoc": q_parse_richdoc,

@@ -286,3 +286,35 @@ def frontier_topk_rank_ordered(
         .where(F.col("rn") <= F.lit(max_per_bucket))
         .withColumn("key_rank", F.round(F.col("key_rank"), 6))
     )
+
+
+def host_health(
+    frontier: DataFrame,
+    now: datetime | str,
+    key_col: str = "key",
+) -> DataFrame:
+    """Per-host operational dashboard row — the host-grained companion to
+    StatusMetricsBolt's global per-status counts (external/opensearch/
+    .../metrics/StatusMetricsBolt.java): url count, status mix, error
+    escalation pressure (max error_count vs the max.fetch.errors=3
+    threshold), due backlog and earliest due date. The table crawl
+    operators actually page through when a host misbehaves.
+
+    ONE partial-aggregable groupBy on the politeness key — host
+    cardinality output, any scale; no joins, no windows.
+    """
+    is_due = F.col("next_fetch_date") <= F.lit(now)
+    return frontier.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.sum((F.col("status") == "FETCHED").cast("int")).alias("n_fetched"),
+        F.sum((F.col("status") == "DISCOVERED").cast("int")).alias(
+            "n_discovered"
+        ),
+        F.sum((F.col("status") == "FETCH_ERROR").cast("int")).alias(
+            "n_fetch_error"
+        ),
+        F.sum((F.col("status") == "ERROR").cast("int")).alias("n_error"),
+        F.max("error_count").alias("max_error_count"),
+        F.sum(is_due.cast("int")).alias("n_due"),
+        F.min(F.when(is_due, F.col("next_fetch_date"))).alias("next_due"),
+    )

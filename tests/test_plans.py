@@ -525,3 +525,40 @@ def test_round7_partsupp_tpch_plan_shapes(spark):
         if "FileScan parquet" in line and "lineitem" in line:
             window = "\n".join(lines[max(0, i - 4):i])
             assert "LeftSemi" in window
+
+
+def test_round8_new_operator_plan_shapes(spark):
+    """Plan pins for the round-8 additions that aren't covered by their
+    own dedicated plan tests: containment joins hash-side only (no
+    cartesian, no nested loop against a non-broadcast side);
+    decayed_rates is two partial-aggregable exchanges and ZERO joins;
+    the BFS distance rounds join edges⋈reached as hash joins with no
+    cartesian."""
+    from pyspark.sql import Row
+
+    from incubator_stormcrawler_spark.operators.dedup import containment_pairs
+    from incubator_stormcrawler_spark.operators.linkrank import seed_distance
+    from incubator_stormcrawler_spark.operators.metrics import decayed_rates
+
+    docs = spark.range(200).selectExpr(
+        "id as doc_id",
+        "concat_ws(' ', transform(sequence(0, 19), j -> "
+        "substr(md5(cast(id as string) || cast(j as string)), 1, 5))) as text",
+    )
+    p = plan_of(containment_pairs(docs, n=3, threshold="0.7"))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+    ev = spark.createDataFrame(
+        [Row(ts="2024-01-01 10:05:00", event_type="a", value=1.0)]
+    ).selectExpr("cast(ts as timestamp) ts", "event_type", "value")
+    p = plan_of(decayed_rates(ev))
+    assert "Join" not in p  # explode + two hash aggregates, nothing else
+    assert p.count("HashAggregate") >= 4  # two aggs × partial+final
+
+    edges = spark.range(100).selectExpr(
+        "cast(id % 17 as bigint) as src", "cast((id * 3) % 19 as bigint) as dst"
+    )
+    seeds = spark.range(2).selectExpr("id as node")
+    p = plan_of(seed_distance(edges, seeds, max_hops=3))
+    assert "CartesianProduct" not in p
