@@ -294,3 +294,98 @@ def test_wav_roundtrip_property(n, seed):
     rng = np.random.default_rng(seed)
     s = rng.integers(-32768, 32768, size=n).astype("<i2")
     assert np.array_equal(decode_audio(encode_wav(s), None), s)
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filter completeness (jaccard_prefix_pairs' math, swept in pure
+# python — the Spark op's equivalence tests pin 3 thresholds on one
+# corpus; this sweeps random set systems × thresholds, so a future edit
+# to the prefix-length/ceil/length-filter arithmetic can't silently drop
+# a qualifying pair)
+# ---------------------------------------------------------------------------
+
+from fractions import Fraction
+
+
+def _prefix_candidates(sets, t: Fraction):
+    """Replicates jaccard_prefix_pairs' candidate logic: global (df,
+    token) rarity order, prefix length s - ceil(t·s) + 1 via integer
+    ceil, length filter min·den >= max·num."""
+    num, den = t.numerator, t.denominator
+    df = {}
+    for s in sets.values():
+        for tok in s:
+            df[tok] = df.get(tok, 0) + 1
+    order = {tok: (df[tok], tok) for tok in df}
+    prefixes = {}
+    for doc, s in sets.items():
+        toks = sorted(s, key=lambda x: order[x])
+        n = len(s)
+        ceil_ts = (num * n + den - 1) // den
+        prefixes[doc] = set(toks[: n - ceil_ts + 1])
+    cands = set()
+    docs = sorted(sets)
+    for i, d1 in enumerate(docs):
+        for d2 in docs[i + 1:]:
+            n1, n2 = len(sets[d1]), len(sets[d2])
+            if min(n1, n2) * den < max(n1, n2) * num:
+                continue
+            if prefixes[d1] & prefixes[d2]:
+                cands.add((d1, d2))
+    return cands
+
+
+@given(
+    st.lists(
+        st.sets(st.integers(0, 25), min_size=1, max_size=12),
+        min_size=2, max_size=8,
+    ),
+    st.sampled_from(["1/2", "11/20", "3/5", "7/10", "4/5"]),
+)
+@settings(max_examples=300, deadline=None)
+def test_prefix_filter_candidates_complete(set_list, tstr):
+    """COMPLETENESS: every pair with true Jaccard ≥ t must appear in the
+    prefix-filter candidate set (the verify stage can only REMOVE
+    candidates, so a miss here is a silently dropped true pair)."""
+    t = Fraction(tstr)
+    sets = {i: s for i, s in enumerate(set_list)}
+    cands = _prefix_candidates(sets, t)
+    docs = sorted(sets)
+    for i, d1 in enumerate(docs):
+        for d2 in docs[i + 1:]:
+            a, b = sets[d1], sets[d2]
+            jac = Fraction(len(a & b), len(a | b))
+            if jac >= t:
+                assert (d1, d2) in cands, (
+                    f"missed pair {d1},{d2} J={jac} t={t} "
+                    f"sets={a},{b}"
+                )
+
+
+@given(
+    st.lists(st.integers(-10**6, 10**6), min_size=1, max_size=40),
+    st.integers(2, 40),
+)
+@settings(max_examples=300, deadline=None)
+def test_decayed_rate_fixed_point_exact(cents, window):
+    """decayed_rates' integer pipeline (shift-accumulate, one final
+    division) equals the EXACT rational Σ v_i·2^−d / 100 at every
+    bucket, and the accumulator never leaves int64 at the documented
+    headroom."""
+    n = len(cents)
+    for t in range(n):
+        acc = 0
+        for d in range(window):
+            i = t - d
+            if 0 <= i < n:
+                acc += cents[i] << (window - 1 - d)
+        assert -(2**63) < acc < 2**63
+        got = acc / float((1 << (window - 1)) * 100)
+        exact = sum(
+            Fraction(cents[t - d], 100) * Fraction(1, 2**d)
+            for d in range(window)
+            if 0 <= t - d < n
+        )
+        # one IEEE division of an exact integer by an exact double —
+        # equal to the rational within one ulp of the quotient
+        assert abs(got - float(exact)) <= abs(float(exact)) * 1e-15
