@@ -70,6 +70,19 @@ def build_crawl_loop(
         fetch_threads=int(conf.get("fetcher.threads.number", 1)),
         max_depth=(int(conf["max.depth"]) if "max.depth" in conf else None),
         adaptive=bool(conf.get("scheduler.adaptive", False)),
+        # scale/topology knobs (round 8): the bucket-pruned frontier
+        # store, the Bloom discovery prefilter (the reference's per-JVM
+        # seen caches, AbstractQueryingSpout.java:149-175), WARC
+        # archiving of fetched pages (WARCHdfsBolt), and OPIC-style
+        # rank-prioritized bucket choice (PriorityURLBuffer analog)
+        bucket_partitioned=bool(conf.get("frontier.bucket.partitioned", False)),
+        bloom_prefilter=bool(conf.get("frontier.bloom.prefilter", False)),
+        bloom_m_bits=int(conf.get("frontier.bloom.m.bits", 1 << 20)),
+        bloom_refresh_every=int(conf.get("frontier.bloom.refresh.every", 1)),
+        warc_dir=conf.get("warc.dir"),
+        rank_priority=bool(conf.get("spout.rank.priority", False)),
+        rank_max_buckets=int(conf.get("spout.rank.max.buckets", 10)),
+        rank_refresh_every=int(conf.get("spout.rank.refresh.every", 1)),
     )
 
 

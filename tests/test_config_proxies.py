@@ -62,3 +62,41 @@ def test_build_crawl_loop_from_config(spark, tmp_path):
         "https://h0.example/p0": "FETCHED",
         "https://h0.example/p1": "FETCHED",
     }
+
+
+def test_build_crawl_loop_round8_knobs(spark, tmp_path):
+    """The r8 scale/topology knobs flow from config keys into CrawlLoop
+    (bucket-pruned store, Bloom prefilter, WARC archiving, rank
+    priority) and a configured crawl still converges."""
+    import glob
+
+    from incubator_stormcrawler_spark.config import build_crawl_loop
+    from incubator_stormcrawler_spark.protocol.fetch import MemoryProtocol
+
+    site = {"https://h0.example/p0": "<html><a href='/p1'>x</a></html>",
+            "https://h0.example/p1": "<html>end</html>"}
+    conf = {
+        "frontier.path": str(tmp_path / "frontier"),
+        "fetcher.server.delay": 0.0,
+        "frontier.bucket.partitioned": True,
+        "frontier.bloom.prefilter": True,
+        "frontier.bloom.m.bits": 1 << 16,
+        "frontier.bloom.refresh.every": 2,
+        "warc.dir": str(tmp_path / "warc"),
+        "spout.rank.priority": True,
+        "spout.rank.max.buckets": 4,
+        "spout.rank.refresh.every": 3,
+    }
+    loop = build_crawl_loop(spark, conf, lambda: MemoryProtocol(site))
+    assert loop.bucket_partitioned and loop.bloom_prefilter
+    assert loop.bloom_m_bits == 1 << 16 and loop.bloom_refresh_every == 2
+    assert loop.rank_priority and loop.rank_max_buckets == 4
+    assert loop.rank_refresh_every == 3
+    loop.inject_seeds(
+        spark.createDataFrame([("https://h0.example/p0",)], ["url"])
+    )
+    loop.run(3)
+    frontier = {r.url: r.status for r in loop.read_frontier().collect()}
+    assert set(frontier) == set(site)
+    assert all(st == "FETCHED" for st in frontier.values())
+    assert glob.glob(str(tmp_path / "warc" / "*.warc.gz"))
