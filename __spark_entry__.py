@@ -1455,6 +1455,88 @@ def q_corpus_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_status_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX-style crawl-snapshot delta (status_merge.snapshot_diff): every
+    URL classified NEW / GONE / CHANGED / UNCHANGED by null-safe digest
+    compare across two snapshots — the batch view of the signal
+    AdaptiveScheduler consumes per URL (core/.../persistence/
+    AdaptiveScheduler.java:121) and the WARC world's dedup journal.
+    Snapshots derive deterministically from orders: membership by
+    o_orderkey mod 5 (GONE = residue 0, NEW = residue 1), digest flips
+    on the SEEDED residue RP-style mods so the classifier — not one
+    constant tuple — is what a green row certifies. Both-NULL digests
+    (the null_mod residue) must land UNCHANGED; NULL→value is CHANGED.
+    ONE full-outer join, same plan family as merge_updates."""
+    from incubator_stormcrawler_spark.operators.status_merge import (
+        snapshot_diff,
+    )
+    from incubator_stormcrawler_spark.roundparams import seeded_int
+
+    chg = seeded_int("snapdiff_chg", 3, 4)
+    nul = seeded_int("snapdiff_null", 7, 11)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    prev = orders.where("o_orderkey % 5 != 0").selectExpr(
+        "concat('https://ex.com/', cast(o_orderkey as string)) as url",
+        f"case when o_orderkey % {nul} = 0 then null "
+        "else md5(cast(o_orderkey as string)) end as signature",
+    )
+    cur = orders.where("o_orderkey % 5 != 1").selectExpr(
+        "concat('https://ex.com/', cast(o_orderkey as string)) as url",
+        f"case when o_orderkey % {nul} = 0 then null "
+        f"when o_orderkey % {chg} = 0 then "
+        "md5(concat('v2|', cast(o_orderkey as string))) "
+        "else md5(cast(o_orderkey as string)) end as signature",
+    )
+    return snapshot_diff(cur, prev)
+
+
+def q_dedup_shard_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-to-corpus MinHash overlap (dedup.shard_minhash +
+    shard_similarity_pairs): one seeded-width signature per source shard
+    — min over the shard's whole 3-shingle SET of md5(h||'|'||shingle) —
+    then est Jaccard per shard pair as the slot-agreement fraction
+    (Broder 1997). The 100 TB answer to "how much does crawl N overlap
+    crawl N−1": ONE partial-aggregable pass over the shingle stream,
+    then pure sketch-space pair work (num_shards² × num_hashes rows,
+    independent of corpus size). The oracle replays shingling, every
+    min-probe, and the agreement division bit-for-bit."""
+    from incubator_stormcrawler_spark.roundparams import seeded_int
+
+    nh = seeded_int("shard_mh_hashes", 12, 24)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sig = dd.shard_minhash(docs, "source", num_hashes=nh, n=3)
+    return dd.shard_similarity_pairs(sig)
+
+
+def q_sketch_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise distinct-bigram overlap between sources via HLL
+    inclusion–exclusion (corpus.hll_overlap_pairs): the union sketch is
+    the elementwise register max (HLL's defining merge property — no
+    data re-scan), |A∩B| ≈ est(A)+est(B)−est(A∪B), clamped at 0. Same
+    deterministic md5/rho register pipeline as sketch_hll_bigrams, so
+    the oracle rebuilds registers, pairwise max-merge, and both rounded
+    estimates bit-for-bit. All pair-stage frames are group-cardinality
+    broadcasts; cost past the one register pass is independent of
+    corpus size."""
+    from incubator_stormcrawler_spark.operators.corpus import (
+        hll_overlap_pairs,
+        hll_registers,
+    )
+
+    big = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .selectExpr("source", "split(text, ' ') as toks")
+        .selectExpr(
+            "source",
+            "case when size(toks) < 2 then array() "
+            "else transform(sequence(1, size(toks) - 1), "
+            "i -> concat(toks[i - 1], ' ', toks[i])) end as bgs",
+        )
+        .select("source", F.explode("bgs").alias("bg"))
+    )
+    return hll_overlap_pairs(hll_registers(big, "source", "bg", m=64), m=64)
+
+
 def q_events_binned_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable histogram quantiles (timeseries.binned_quantiles): the
     one-pass (group, bin, count) sketch with window read-out — the scale
@@ -4661,6 +4743,107 @@ FROM picked p JOIN documents d USING (doc_id)
 ORDER BY p.score DESC, p.doc_id
 """
 
+# Snapshot diff: the identical membership/digest derivation from orders
+# on both sides, then one full-outer join + null-safe CASE classifier
+# (IS NOT DISTINCT FROM == eqNullSafe).
+_ORACLES["status_snapshot_diff"] = f"""
+WITH prev AS (
+  SELECT 'https://ex.com/' || CAST(o_orderkey AS VARCHAR) AS k,
+         CASE WHEN o_orderkey % {_seeded_int("snapdiff_null", 7, 11)} = 0
+              THEN NULL
+              ELSE md5(CAST(o_orderkey AS VARCHAR)) END AS prev_digest
+  FROM orders WHERE o_orderkey % 5 <> 0
+),
+cur AS (
+  SELECT 'https://ex.com/' || CAST(o_orderkey AS VARCHAR) AS k,
+         CASE WHEN o_orderkey % {_seeded_int("snapdiff_null", 7, 11)} = 0
+              THEN NULL
+              WHEN o_orderkey % {_seeded_int("snapdiff_chg", 3, 4)} = 0
+              THEN md5('v2|' || CAST(o_orderkey AS VARCHAR))
+              ELSE md5(CAST(o_orderkey AS VARCHAR)) END AS cur_digest
+  FROM orders WHERE o_orderkey % 5 <> 1
+)
+SELECT coalesce(cur.k, prev.k) AS url,
+       CASE WHEN prev.k IS NULL THEN 'NEW'
+            WHEN cur.k IS NULL THEN 'GONE'
+            WHEN cur_digest IS NOT DISTINCT FROM prev_digest
+            THEN 'UNCHANGED'
+            ELSE 'CHANGED' END AS change,
+       prev_digest, cur_digest
+FROM cur FULL OUTER JOIN prev ON cur.k = prev.k
+"""
+
+# Shard-level MinHash: replay the 3-shingle stream per source, every
+# min(md5(h||'|'||shingle)) slot, and the slot-agreement division.
+_ORACLES["dedup_shard_overlap"] = f"""
+WITH sh AS (
+  SELECT source AS shard,
+         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+  FROM (SELECT source, string_split(text, ' ') AS toks FROM documents) d,
+       unnest(generate_series(1, len(toks) - 2)) AS t(i)
+),
+sig AS (
+  SELECT shard, h, min(md5(CAST(h AS VARCHAR) || '|' || shingle)) AS v
+  FROM sh,
+       unnest(generate_series(0, {_seeded_int("shard_mh_hashes", 12, 24) - 1}))
+         AS hh(h)
+  GROUP BY shard, h
+)
+SELECT a.shard AS shard_a, b.shard AS shard_b,
+       CAST(sum(CASE WHEN a.v = b.v THEN 1 ELSE 0 END) AS BIGINT) AS agree,
+       CAST(count(*) AS BIGINT) AS num_hashes,
+       round(CAST(sum(CASE WHEN a.v = b.v THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 4) AS est_jaccard
+FROM sig a JOIN sig b ON a.h = b.h AND a.shard < b.shard
+GROUP BY 1, 2
+"""
+
+# HLL pairwise overlap: identical register pipeline as
+# sketch_hll_bigrams, then per-pair register max-merge and the rounded
+# inclusion-exclusion — every float op replayed in the same order.
+_ORACLES["sketch_hll_overlap"] = f"""
+WITH big AS (
+  SELECT source, toks[i] || ' ' || toks[i + 1] AS bg
+  FROM (SELECT source, string_split(text, ' ') AS toks FROM documents) d,
+       unnest(generate_series(1, len(toks) - 1)) AS t(i)
+),
+h AS (
+  SELECT source, ('0x' || substr(md5(bg), 1, 12))::BIGINT AS hv FROM big
+),
+regs AS (
+  SELECT source AS grp, hv % 64 AS bucket,
+         max({corpus.hll_rho_sql("(hv // 64)")}) AS M
+  FROM h GROUP BY source, hv % 64
+),
+est AS (
+  SELECT grp,
+         round(0.709 * 4096.0 /
+               (sum(power(2.0, -M)) + (64 - count(*))), 4) AS e
+  FROM regs GROUP BY grp
+),
+pairs AS (
+  SELECT a.grp AS grp_a, b.grp AS grp_b
+  FROM (SELECT DISTINCT grp FROM regs) a
+  JOIN (SELECT DISTINCT grp FROM regs) b ON a.grp < b.grp
+),
+uregs AS (
+  SELECT p.grp_a, p.grp_b, r.bucket, max(r.M) AS M
+  FROM pairs p JOIN regs r ON r.grp = p.grp_a OR r.grp = p.grp_b
+  GROUP BY 1, 2, 3
+),
+uest AS (
+  SELECT grp_a, grp_b,
+         round(0.709 * 4096.0 /
+               (sum(power(2.0, -M)) + (64 - count(*))), 4) AS est_union
+  FROM uregs GROUP BY 1, 2
+)
+SELECT grp_a, grp_b, ea.e AS est_a, eb.e AS est_b, est_union,
+       round(greatest(0.0, ea.e + eb.e - est_union), 4) AS est_intersection
+FROM uest
+JOIN est ea ON ea.grp = grp_a
+JOIN est eb ON eb.grp = grp_b
+"""
+
 # WARC round-trip: the Spark side writes real gzip-member WARC files and
 # reads them back; the oracle recomputes the expected payload inventory
 # directly from part (byte lengths of the synthesized pages).
@@ -4870,7 +5053,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the graph family (k-core, TrustRank, multi-source BFS), exact-k
     weighted sampling, prefix-filtered Jaccard, the JL projection + its
     two ANN recall harnesses, PQ-ADC search, the rank-blended frontier,
-    and the bit-exact decayed-rate metric — and a residue of the
+    the bit-exact decayed-rate metric, the CDX-style snapshot delta, and
+    the two corpus-overlap sketches (shard MinHash, HLL
+    inclusion–exclusion) — and a residue of the
     oldest-green flagships (warc/frontier/link — last driver-certified
     r03/r04; the rest of that stale tail rotates into the r9+ windows,
     deferred this round because every NEW operator needs its first
@@ -4919,12 +5104,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_minhash_incremental": q_dedup_minhash_incremental,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_ngram_jaccard_capped": q_dedup_ngram_jaccard_capped,
         "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
         "dedup_containment": q_dedup_containment,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_clusters_star": q_dedup_clusters_star,
+        # NEW r8 (final window): corpus-overlap sketches + snapshot delta.
+        # They displace dedup_ngram_jaccard / dedup_clusters /
+        # dedup_clusters_star to the tail: all three are green in
+        # committed rounds, their ONLY r8 change is the seeded
+        # (jaccard_threshold, jaccard_max_df) pair source, and that exact
+        # seeded source is certified IN-window this round by
+        # dedup_ngram_jaccard_capped + dedup_jaccard_prefix (same
+        # constants, same shingle pipeline); the cluster resolvers on
+        # top are unchanged since their green rounds and sweep-green at
+        # HEAD in VERIFY_ALL_r08.json --------------------------------
+        "status_snapshot_diff": q_status_snapshot_diff,
+        "dedup_shard_overlap": q_dedup_shard_overlap,
+        "sketch_hll_overlap": q_sketch_hll_overlap,
         # NEW r8: REAL stdlib codecs — Spark parses genuine BMP row
         # padding / RIFF framing; oracles replay the generating formula --
         "multimodal_bmp_roundtrip": q_multimodal_bmp_roundtrip,
@@ -5055,6 +5250,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "graph_triangles": q_graph_triangles,
         "sketch_hll_bigrams": q_sketch_hll_bigrams,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_clusters_star": q_dedup_clusters_star,
     }
 
 

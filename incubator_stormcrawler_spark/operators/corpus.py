@@ -1361,14 +1361,15 @@ def hll_registers(
     )
 
 
-def hll_estimate(registers: DataFrame, m: int = 64) -> DataFrame:
-    """(grp, est_distinct) from a register table. Raw HLL estimator
-    alpha_m * m^2 / sum(2^-M_j) with absent registers counting 2^0 = 1;
-    every 2^-M term is a dyadic rational, so the sum is EXACT in double
-    and the single rounded division is cross-engine stable."""
+def _hll_estimate_by(
+    registers: DataFrame, group_cols: list, m: int, out_col: str
+) -> DataFrame:
+    """Shared raw-HLL estimator over any grouping of a register relation —
+    the single-group and pairwise-union paths both route here so the
+    estimator math cannot drift between them."""
     alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
     return (
-        registers.groupBy("grp")
+        registers.groupBy(*group_cols)
         .agg(
             (
                 F.sum(F.pow(F.lit(2.0), -F.col("M")))
@@ -1376,10 +1377,96 @@ def hll_estimate(registers: DataFrame, m: int = 64) -> DataFrame:
             ).alias("inv_sum")
         )
         .select(
-            "grp",
+            *group_cols,
             F.round(
                 F.lit(alpha) * F.lit(float(m * m)) / F.col("inv_sum"), 4
-            ).alias("est_distinct"),
+            ).alias(out_col),
+        )
+    )
+
+
+def hll_estimate(registers: DataFrame, m: int = 64) -> DataFrame:
+    """(grp, est_distinct) from a register table. Raw HLL estimator
+    alpha_m * m^2 / sum(2^-M_j) with absent registers counting 2^0 = 1;
+    every 2^-M term is a dyadic rational, so the sum is EXACT in double
+    and the single rounded division is cross-engine stable."""
+    return _hll_estimate_by(registers, ["grp"], m, "est_distinct")
+
+
+def hll_overlap_pairs(registers: DataFrame, m: int = 64) -> DataFrame:
+    """(grp_a, grp_b, est_a, est_b, est_union, est_intersection) for every
+    unordered pair of groups in a (grp, bucket, M) register table —
+    overlap by inclusion–exclusion: |A∩B| ≈ est(A) + est(B) − est(A∪B),
+    where the UNION's registers are the elementwise max of the two
+    groups' registers (HLL's defining merge property: max per bucket IS
+    the sketch of the union — no data re-scan, ever).
+
+    The answer to "how many bigrams/URLs/tokens do crawl N and crawl N−1
+    share" at 100 TB: every stage below runs in sketch space —
+    num_groups² pair rows, ≤ m registers per group — so cost is
+    independent of corpus size once the one partial-aggregable
+    ``hll_registers`` pass has run. The pair frame and the member
+    explode are broadcast (group-cardinality sides by construction).
+    Inclusion–exclusion can go slightly negative on near-disjoint sets
+    (two independent ±~1.04/√m estimates subtract); clamped at 0, like
+    every practical theta/HLL intersection estimator.
+    """
+    grps = registers.select("grp").distinct()
+    pairs = F.broadcast(
+        grps.select(F.col("grp").alias("grp_a"))
+    ).join(
+        grps.select(F.col("grp").alias("grp_b")),
+        F.col("grp_a") < F.col("grp_b"),
+    )
+    # one row per (pair, member): joins each pair to BOTH groups'
+    # registers in a single equi-join, then max-merges per bucket
+    members = pairs.select(
+        "grp_a",
+        "grp_b",
+        F.explode(F.array("grp_a", "grp_b")).alias("grp"),
+    )
+    union_regs = (
+        F.broadcast(members)
+        .join(registers, "grp")
+        .groupBy("grp_a", "grp_b", "bucket")
+        .agg(F.max("M").alias("M"))
+    )
+    union_est = _hll_estimate_by(
+        union_regs, ["grp_a", "grp_b"], m, "est_union"
+    )
+    ests = hll_estimate(registers, m)
+    return (
+        union_est.join(
+            F.broadcast(
+                ests.select(
+                    F.col("grp").alias("grp_a"),
+                    F.col("est_distinct").alias("est_a"),
+                )
+            ),
+            "grp_a",
+        )
+        .join(
+            F.broadcast(
+                ests.select(
+                    F.col("grp").alias("grp_b"),
+                    F.col("est_distinct").alias("est_b"),
+                )
+            ),
+            "grp_b",
+        )
+        .select(
+            "grp_a",
+            "grp_b",
+            "est_a",
+            "est_b",
+            "est_union",
+            F.round(
+                F.greatest(
+                    F.lit(0.0),
+                    F.col("est_a") + F.col("est_b") - F.col("est_union"),
+                ),
+                4,
+            ).alias("est_intersection"),
         )
     )
 

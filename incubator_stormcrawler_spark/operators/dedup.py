@@ -1287,3 +1287,113 @@ def bloom_unseen_broadcast(
             seen.select(F.col(key_col)).distinct(), key_col, "left_anti"
         )
     return definite_new.unionByName(exact_new)
+
+
+# ---------------------------------------------------------------------------
+# Shard-level MinHash sketch — corpus-to-corpus similarity without touching
+# pairs of documents. One signature per SHARD (snapshot, dump, language
+# slice, ...): v_h = min over every shingle occurring anywhere in the shard
+# of md5(h || '|' || shingle) — the same minwise family minhash_signatures
+# uses per document, lifted to the shard's shingle SET. est Jaccard of two
+# shards = fraction of agreeing hash slots (Broder 1997). The 100 TB
+# properties that make this the right tool for "how much does crawl N
+# overlap crawl N-1":
+#   - ONE partial-aggregable pass over the shingle stream; the sketch is
+#     num_shards x num_hashes rows TOTAL regardless of corpus size.
+#   - MERGEABLE: the signature of a union of shards is the elementwise min
+#     of their signatures (min is associative/commutative/idempotent), so
+#     shards sketch independently and never re-scan.
+#   - the pairwise stage joins SKETCHES, never data: num_shards^2 work at
+#     num_hashes rows per pair.
+# Deterministic md5 probes keep the whole pipeline bit-replayable in the
+# DuckDB oracle (same contract as the HLL / Count-Min sketches).
+# ---------------------------------------------------------------------------
+
+def shard_minhash(
+    docs: DataFrame,
+    shard_expr: str,
+    num_hashes: int = 16,
+    n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """(shard, h, v) — one ``num_hashes``-slot MinHash signature per shard.
+
+    ``shard_expr`` is any SQL expression over ``docs``'s columns (a
+    snapshot id column, ``pmod(xxhash64(doc_id), k)``, a language tag).
+    Same codegen'd index-explode shingling as ``with_shingles`` (carrying
+    the shard key instead of doc_id), duplicates left to the min's
+    map-side combine, then ONE groupBy with ``num_hashes`` parallel min
+    aggregates + a stack projection — exactly minhash_signatures' shape,
+    keyed by shard.
+    """
+    toks = F.split(F.col(text_col), TOKEN_SPLIT)
+    grams = (
+        docs.select(F.expr(shard_expr).alias("shard"), toks.alias("toks"))
+        .where(F.size("toks") >= n)
+        .select(
+            "shard",
+            F.explode(
+                F.sequence(F.lit(1), F.size("toks") - (n - 1))
+            ).alias("i"),
+            "toks",
+        )
+        .select(
+            "shard",
+            F.concat_ws(
+                " ",
+                *[
+                    F.element_at(F.col("toks"), F.col("i") + j)
+                    for j in range(n)
+                ],
+            ).alias("shingle"),
+        )
+    )
+    aggs = [
+        F.min(
+            F.md5(F.concat(F.lit(f"{h}|"), F.col("shingle")))
+        ).alias(f"v{h}")
+        for h in range(num_hashes)
+    ]
+    wide = grams.groupBy("shard").agg(*aggs)
+    stack_expr = "stack({n}, {args}) as (h, v)".format(
+        n=num_hashes,
+        args=", ".join(f"{h}, v{h}" for h in range(num_hashes)),
+    )
+    return wide.select("shard", F.expr(stack_expr))
+
+
+def shard_similarity_pairs(sig: DataFrame) -> DataFrame:
+    """(shard_a, shard_b, agree, num_hashes, est_jaccard) for every
+    unordered pair of shards in a (shard, h, v) sketch relation.
+
+    Pure sketch-space work: equi-join on the hash slot index, one
+    partial-aggregable count of agreeing slots per pair. est_jaccard is
+    the agreement fraction rounded to 4 dp (one exact small-integer
+    division — cross-engine stable).
+    """
+    a = sig.select(
+        F.col("shard").alias("shard_a"), "h", F.col("v").alias("va")
+    )
+    b = sig.select(
+        F.col("shard").alias("shard_b"), "h", F.col("v").alias("vb")
+    )
+    return (
+        a.join(b, "h")
+        .where(F.col("shard_a") < F.col("shard_b"))
+        .groupBy("shard_a", "shard_b")
+        .agg(
+            F.sum(
+                F.when(F.col("va") == F.col("vb"), 1).otherwise(0)
+            ).alias("agree"),
+            F.count(F.lit(1)).alias("num_hashes"),
+        )
+        .select(
+            "shard_a",
+            "shard_b",
+            "agree",
+            "num_hashes",
+            F.round(F.col("agree") / F.col("num_hashes"), 4).alias(
+                "est_jaccard"
+            ),
+        )
+    )

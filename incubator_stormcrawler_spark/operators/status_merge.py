@@ -262,3 +262,52 @@ def deletion_stream(merged: DataFrame, previous: DataFrame) -> DataFrame:
     now_err = merged.where(F.col("status") == "ERROR").select("url")
     was_err = previous.where(F.col("status") == "ERROR").select("url")
     return now_err.join(was_err, "url", "left_anti")
+
+
+def snapshot_diff(
+    current: DataFrame,
+    previous: DataFrame,
+    key_col: str = "url",
+    digest_col: str = "signature",
+) -> DataFrame:
+    """CDX-style delta between two crawl snapshots: classify every key as
+    NEW (current only), GONE (previous only), CHANGED (both sides, digest
+    differs — NULL digests compare null-safely), or UNCHANGED.
+
+    This is the batch view of the signal AdaptiveScheduler consumes
+    per-URL (core/.../persistence/AdaptiveScheduler.java:121 compares the
+    stored signature against the fresh fetch to stretch/shrink the
+    recrawl interval) and of what the WARC/CDX world calls a dedup
+    journal: the CHANGED+NEW slice is the work list for re-indexing, the
+    GONE slice feeds the deletion stream.
+
+    Scale: ONE full-outer join on the key — the same plan family as
+    ``merge_updates``, so the 100 TB posture is identical: snapshots
+    stored bucketed by ``bucket(key)`` (FrontierTable's layout) co-locate
+    and the join runs exchange-free; otherwise it is a single hash
+    shuffle per side with AQE free to broadcast a small side. The
+    classification is a pure projection (no second pass).
+    """
+    cur = current.select(
+        F.col(key_col).alias("k"), F.col(digest_col).alias("cur_digest")
+    )
+    prev = previous.select(
+        F.col(key_col).alias("k"), F.col(digest_col).alias("prev_digest")
+    )
+    both = cur.withColumn("__c", F.lit(1)).join(
+        prev.withColumn("__p", F.lit(1)), "k", "full_outer"
+    )
+    change = (
+        F.when(F.col("__p").isNull(), "NEW")
+        .when(F.col("__c").isNull(), "GONE")
+        .when(
+            F.col("cur_digest").eqNullSafe(F.col("prev_digest")), "UNCHANGED"
+        )
+        .otherwise("CHANGED")
+    )
+    return both.select(
+        F.col("k").alias(key_col),
+        change.alias("change"),
+        "prev_digest",
+        "cur_digest",
+    )

@@ -1159,3 +1159,159 @@ def test_random_projection_unroll_bit_identical(spark):
     ).orderBy("vec_id").collect()
     assert all(x.proj == y.proj for x, y in zip(a, b))
     assert len(a) == len(b) == emb.count()
+
+
+def test_snapshot_diff_classification(spark):
+    """Hand-built two-snapshot delta: every class fires, digests compare
+    null-safely (both-NULL is UNCHANGED, NULL→value is CHANGED), and the
+    plan is the single full-outer join the docstring promises."""
+    from pyspark.sql import Row
+
+    from incubator_stormcrawler_spark.operators.status_merge import (
+        snapshot_diff,
+    )
+
+    prev = spark.createDataFrame(
+        [
+            Row(url="http://a/1", signature="s1"),
+            Row(url="http://a/2", signature="s2"),
+            Row(url="http://a/3", signature=None),
+            Row(url="http://a/4", signature=None),
+            Row(url="http://a/gone", signature="sg"),
+        ]
+    )
+    cur = spark.createDataFrame(
+        [
+            Row(url="http://a/1", signature="s1"),      # UNCHANGED
+            Row(url="http://a/2", signature="s2x"),     # CHANGED
+            Row(url="http://a/3", signature=None),      # UNCHANGED (both NULL)
+            Row(url="http://a/4", signature="now"),     # CHANGED (NULL -> value)
+            Row(url="http://a/new", signature="sn"),    # NEW
+        ]
+    )
+    out = {r.url: r.change for r in snapshot_diff(cur, prev).collect()}
+    assert out == {
+        "http://a/1": "UNCHANGED",
+        "http://a/2": "CHANGED",
+        "http://a/3": "UNCHANGED",
+        "http://a/4": "CHANGED",
+        "http://a/new": "NEW",
+        "http://a/gone": "GONE",
+    }
+    row = {
+        r.url: (r.prev_digest, r.cur_digest)
+        for r in snapshot_diff(cur, prev).collect()
+    }
+    assert row["http://a/gone"] == ("sg", None)
+    assert row["http://a/new"] == (None, "sn")
+    plan = (
+        snapshot_diff(cur, prev)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Join") == 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_shard_minhash_union_is_elementwise_min(spark):
+    """The mergeability contract that makes the shard sketch a sketch:
+    the signature of a union of shards equals the elementwise (per-h) min
+    of the shards' signatures — so shards sketch independently and merge
+    without a re-scan."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from incubator_stormcrawler_spark.operators.dedup import shard_minhash
+
+    rows = [
+        Row(
+            doc_id=i,
+            text=" ".join(f"w{(i * 7 + j) % 97}" for j in range(30)),
+        )
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows)
+    split = shard_minhash(
+        df, "case when doc_id < 20 then 0 else 1 end", num_hashes=8
+    )
+    merged = sorted(
+        (r.h, r.v)
+        for r in split.groupBy("h").agg(F.min("v").alias("v")).collect()
+    )
+    whole = sorted(
+        (r.h, r.v) for r in shard_minhash(df, "0", num_hashes=8).collect()
+    )
+    assert merged == whole
+
+
+def test_shard_similarity_pairs_estimates(spark):
+    """Identical shards agree on every slot (est 1.0); disjoint-vocabulary
+    shards agree nowhere (est 0.0); a planted 50%-overlap pair lands in
+    between. Output has one row per unordered pair."""
+    from pyspark.sql import Row
+
+    from incubator_stormcrawler_spark.operators.dedup import (
+        shard_minhash,
+        shard_similarity_pairs,
+    )
+
+    def doc(i, vocab, shard):
+        return Row(
+            doc_id=i,
+            shard=shard,
+            text=" ".join(f"{vocab}{(i * 5 + j) % 40}" for j in range(25)),
+        )
+
+    rows = (
+        [doc(i, "a", 0) for i in range(10)]
+        + [doc(i, "a", 1) for i in range(10)]     # identical shingles to 0
+        + [doc(i, "z", 2) for i in range(10)]     # disjoint vocabulary
+    )
+    sig = shard_minhash(
+        spark.createDataFrame(rows), "shard", num_hashes=16
+    )
+    out = {
+        (r.shard_a, r.shard_b): r.est_jaccard
+        for r in shard_similarity_pairs(sig).collect()
+    }
+    assert set(out) == {(0, 1), (0, 2), (1, 2)}
+    assert out[(0, 1)] == 1.0
+    assert out[(0, 2)] == 0.0 and out[(1, 2)] == 0.0
+
+
+def test_hll_overlap_pairs_inclusion_exclusion(spark):
+    """Identical groups: union registers equal either side's, so
+    est_intersection == est_a EXACTLY. Disjoint groups: clamped small.
+    A planted 50%-overlap pair estimates within raw-HLL error bounds,
+    and pair cardinality is n·(n−1)/2."""
+    from pyspark.sql import Row
+
+    from incubator_stormcrawler_spark.operators.corpus import (
+        hll_overlap_pairs,
+        hll_registers,
+    )
+
+    rows = (
+        [Row(g="a", v=f"item{i}") for i in range(3000)]
+        + [Row(g="a2", v=f"item{i}") for i in range(3000)]
+        + [Row(g="b", v=f"item{i}") for i in range(1500, 4500)]
+        + [Row(g="z", v=f"other{i}") for i in range(3000)]
+    )
+    regs = hll_registers(spark.createDataFrame(rows), "g", "v", m=64)
+    out = {
+        (r.grp_a, r.grp_b): r for r in hll_overlap_pairs(regs).collect()
+    }
+    assert len(out) == 6  # C(4, 2)
+    ident = out[("a", "a2")]
+    assert ident.est_union == ident.est_a == ident.est_b
+    assert ident.est_intersection == ident.est_a
+    disj = out[("a", "z")]
+    assert disj.est_intersection >= 0.0  # clamp holds
+    assert disj.est_intersection < 0.35 * disj.est_union
+    mid = out[("a", "b")]
+    # true intersection 1500 of union 4500; m=64 raw HLL stderr ~13%,
+    # inclusion-exclusion compounds three estimates — allow wide but
+    # meaningful bounds (must separate from 0 and from full overlap)
+    assert 300 < mid.est_intersection < 2800
