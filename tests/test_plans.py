@@ -562,3 +562,43 @@ def test_round8_new_operator_plan_shapes(spark):
     seeds = spark.range(2).selectExpr("id as node")
     p = plan_of(seed_distance(edges, seeds, max_hops=3))
     assert "CartesianProduct" not in p
+
+
+def test_overlap_sketch_plan_shapes(spark):
+    """Plan pins for the corpus-overlap sketches. Shard MinHash: the
+    signature build is ONE aggregate over the shingle stream (16 parallel
+    mins, partial+final) and the pair stage joins sketches on the slot
+    index — never a cartesian or a non-broadcast nested loop anywhere.
+    HLL overlap: every pair-stage join is hinted broadcast (the frames
+    are group-cardinality by construction); the only non-equi join is
+    the grp_a < grp_b pair enumeration, which must run as a BROADCAST
+    nested loop over the distinct-group frame, never a CartesianProduct;
+    the corpus-sized work is confined to the one register aggregate."""
+    from incubator_stormcrawler_spark.operators.corpus import (
+        hll_overlap_pairs,
+        hll_registers,
+    )
+    from incubator_stormcrawler_spark.operators.dedup import (
+        shard_minhash,
+        shard_similarity_pairs,
+    )
+
+    docs = spark.range(300).selectExpr(
+        "id % 4 as shard",
+        "concat_ws(' ', transform(sequence(0, 19), j -> "
+        "substr(md5(cast(id as string) || cast(j as string)), 1, 5))) as text",
+    )
+    p = plan_of(shard_similarity_pairs(shard_minhash(docs, "shard")))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+    vals = spark.range(5000).selectExpr(
+        "id % 4 as grp", "concat('v', cast(id div 2 as string)) as v"
+    )
+    p = plan_of(hll_overlap_pairs(hll_registers(vals, "grp", "v", m=64)))
+    assert "CartesianProduct" not in p
+    # pair enumeration: non-equi over two tiny distinct-group frames —
+    # broadcast nested loop is the CORRECT shape (and the only NL join)
+    assert p.count("BroadcastNestedLoopJoin") == 1
+    # members->registers and est_a/est_b attach joins ride the hints
+    assert p.count("BroadcastHashJoin") >= 3

@@ -611,6 +611,101 @@ def curve_dsir(spark, sizes):
     return out
 
 
+def curve_shard_overlap(spark, sizes, n_shards: int = 16):
+    """Shard-level MinHash corpus similarity: signature build (ONE
+    explode + groupBy with 16 parallel min aggs over the shingle stream)
+    + the shards²-sized sketch-space pair stage. Pair cost is constant,
+    so the curve should track the shingle scan — alpha ~1, and rows/s
+    should hold as the corpus grows 16x."""
+    from incubator_stormcrawler_spark.operators.dedup import (
+        shard_minhash,
+        shard_similarity_pairs,
+    )
+
+    out = []
+    for n in sizes:
+        docs = synth_docs(spark, n).selectExpr(
+            "doc_id", f"doc_id % {n_shards} as shard", "text"
+        )
+        _clean(spark)
+        sec = timed(
+            lambda: shard_similarity_pairs(
+                shard_minhash(docs, "shard", num_hashes=16, n=3)
+            ).count(),
+            warmup=(n == sizes[0]),
+        )
+        out.append({"rows": n, "sec": round(sec, 2),
+                    "rows_per_sec": int(n / sec)})
+    return out
+
+
+def curve_hll_overlap(spark, sizes, n_groups: int = 16):
+    """HLL pairwise overlap: the one partial-aggregable register pass
+    over the value stream + the groups²-pair inclusion-exclusion in
+    sketch space (n_groups * 64 register rows TOTAL). Planted 50%
+    inter-group value overlap so intersections are non-trivial. Pair
+    cost is size-independent; the curve should track the register
+    scan."""
+    from incubator_stormcrawler_spark.operators.corpus import (
+        hll_overlap_pairs,
+        hll_registers,
+    )
+
+    out = []
+    for n in sizes:
+        vals = spark.range(n).selectExpr(
+            f"id % {n_groups} as grp",
+            # id div 2 halves the value space per group -> neighbours
+            # share ~50% of their distinct values
+            "concat('v', cast(id div 2 as string)) as v",
+        )
+        _clean(spark)
+        sec = timed(
+            lambda: hll_overlap_pairs(
+                hll_registers(vals, "grp", "v", m=64), m=64
+            ).count(),
+            warmup=(n == sizes[0]),
+        )
+        out.append({"rows": n, "sec": round(sec, 2),
+                    "rows_per_sec": int(n / sec)})
+    return out
+
+
+def overlap_sketches_main():
+    """`--overlap-sketches`: measure the late-r8 corpus-overlap
+    additions (shard MinHash similarity, HLL inclusion-exclusion) at 3
+    sizes spanning 16x; merge `shard_overlap` / `hll_overlap` entries
+    into the existing SCALING.json."""
+    from incubator_stormcrawler_spark.session import get_spark
+
+    spark = get_spark("scale-bench-overlap")
+    spark.sparkContext.setLogLevel("ERROR")
+    results = {}
+    for name, fn in (
+        ("shard_overlap",
+         lambda: curve_shard_overlap(
+             spark, [100_000, 400_000, 1_600_000])),
+        ("hll_overlap",
+         lambda: curve_hll_overlap(
+             spark, [1_000_000, 4_000_000, 16_000_000])),
+    ):
+        pts = fn()
+        results[name] = {"points": pts, "alpha": alpha(pts)}
+        print(f"## {name}: alpha={results[name]['alpha']}", flush=True)
+        for p in pts:
+            print(f"   {p}", flush=True)
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "SCALING.json")
+    merged = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            merged = json.load(f)
+    merged.update(results)
+    with open(path, "w") as f:
+        json.dump(merged, f, indent=2)
+    print(f"merged shard_overlap/hll_overlap into {path}")
+
+
 def sketches_main():
     """`--sketches`: measure the r8 sketch/selection additions
     (Count-Min, DSIR) at 3 sizes spanning 16x and merge `countmin` /
@@ -957,6 +1052,9 @@ def main():
         return
     if "--sketches" in sys.argv:
         sketches_main()
+        return
+    if "--overlap-sketches" in sys.argv:
+        overlap_sketches_main()
         return
     if "--frontier-256m" in sys.argv:
         frontier_256m_main()
