@@ -318,3 +318,51 @@ def host_health(
         F.sum(is_due.cast("int")).alias("n_due"),
         F.min(F.when(is_due, F.col("next_fetch_date"))).alias("next_due"),
     )
+
+
+def fetch_forecast(
+    frontier: DataFrame,
+    delays: DataFrame,
+    now: datetime | str,
+    horizon_s: int = 300,
+    default_delay_s: float = 5.0,
+    key_col: str = "key",
+) -> DataFrame:
+    """Politeness-limited throughput forecast: how many pages can each
+    host actually yield in the next ``horizon_s`` seconds?
+
+    The reference serializes fetches per politeness key and honors
+    robots crawl-delay (FetcherBolt.java:191-245 — one in-flight fetch
+    per queue, ``fetcher.server.delay``/robots ``Crawl-delay`` between
+    them), so a host's ceiling over a horizon is the fetch train
+    t = 0, d, 2d, …: ``floor(horizon/d) + 1`` fetches — regardless of
+    how many URLs are due. The realizable forecast per host is
+    ``least(due_backlog, ceiling)``; summing it is the honest generation
+    size under politeness (the due histogram alone overcounts hot
+    hosts). Crawl operators use exactly this to pick generation cadence
+    and spot delay-bound hosts (where due >> ceiling, the host — not
+    the cluster — is the bottleneck).
+
+    ``delays`` is a (key, crawl_delay_s) dim — robots-derived, host
+    cardinality — BROADCAST into the due-count aggregate; hosts missing
+    from it fall back to ``default_delay_s`` (the reference's
+    ``fetcher.server.delay``). Plan: one partial-aggregable groupBy over
+    the frontier + one broadcast left join; host-cardinality output at
+    any scale.
+    """
+    due = (
+        frontier.where(F.col("next_fetch_date") <= F.lit(now))
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("n_due"))
+    )
+    d = F.coalesce(F.col("crawl_delay_s"), F.lit(float(default_delay_s)))
+    ceiling = (
+        F.floor(F.lit(float(horizon_s)) / d) + F.lit(1)
+    ).cast("bigint")
+    return due.join(F.broadcast(delays), key_col, "left").select(
+        key_col,
+        "n_due",
+        d.alias("crawl_delay_s"),
+        ceiling.alias("capacity"),
+        F.least(F.col("n_due"), ceiling).alias("forecast"),
+    )

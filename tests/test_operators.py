@@ -1315,3 +1315,71 @@ def test_hll_overlap_pairs_inclusion_exclusion(spark):
     # inclusion-exclusion compounds three estimates — allow wide but
     # meaningful bounds (must separate from 0 and from full overlap)
     assert 300 < mid.est_intersection < 2800
+
+
+def test_fetch_forecast_politeness_caps(spark):
+    """The generation-sizing forecast: a delay-bound host is capped at
+    floor(horizon/delay)+1 no matter its backlog; a backlog-bound host
+    yields exactly its due count; hosts absent from the delay dim ride
+    the default; non-due URLs never count. Plan: ONE aggregate over the
+    frontier + ONE broadcast join."""
+    from pyspark.sql import Row
+
+    from incubator_stormcrawler_spark.operators.frontier import (
+        fetch_forecast,
+    )
+
+    now = "2024-03-01 00:00:00"
+
+    def u(host, i, due):
+        return Row(
+            url=f"https://{host}/p{i}",
+            key=host,
+            status="DISCOVERED",
+            next_fetch_date="2024-02-29 00:00:00" if due
+            else "2024-03-02 00:00:00",
+        )
+
+    rows = (
+        [u("hot.example", i, True) for i in range(500)]       # delay-bound
+        + [u("cold.example", i, True) for i in range(3)]      # backlog-bound
+        + [u("nodelay.example", i, True) for i in range(100)]  # default delay
+        + [u("future.example", i, False) for i in range(50)]   # nothing due
+    )
+    frontier = spark.createDataFrame(rows).selectExpr(
+        "url", "key", "status",
+        "cast(next_fetch_date as timestamp) as next_fetch_date",
+    )
+    delays = spark.createDataFrame(
+        [
+            Row(key="hot.example", crawl_delay_s=10.0),
+            Row(key="cold.example", crawl_delay_s=1.0),
+        ]
+    )
+    out = {
+        r.key: r
+        for r in fetch_forecast(
+            frontier, delays, now, horizon_s=300, default_delay_s=5.0
+        ).collect()
+    }
+    # fetch train t=0,10,...,300 -> 31 fetches max, backlog 500
+    assert out["hot.example"].capacity == 31
+    assert out["hot.example"].forecast == 31
+    # backlog 3 < capacity 301
+    assert out["cold.example"].capacity == 301
+    assert out["cold.example"].forecast == 3
+    # default 5 s -> capacity 61, backlog 100 -> delay-bound
+    assert out["nodelay.example"].crawl_delay_s == 5.0
+    assert out["nodelay.example"].forecast == 61
+    # no due URLs -> no row at all (due-filter runs before the agg)
+    assert "future.example" not in out
+
+    plan = (
+        fetch_forecast(frontier, delays, now)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
