@@ -1651,3 +1651,77 @@ def dsir_resample(
         )
     )
     return scored.orderBy(F.desc("score"), id_col).limit(top_n)
+
+
+def hashed_weight_table(spark, n_buckets: int, salt: str = "lw") -> DataFrame:
+    """Deterministic (bucket, w) weight table for the hashed linear
+    scorer: w = md5-derived integer micro-units in [-1000, 1000]. A
+    stand-in for TRAINED classifier weights (fastText / CCNet-style
+    quality filters ship exactly this shape: a hashed-feature -> weight
+    vector) that keeps the whole scoring pipeline bit-replayable in the
+    oracle; swapping in learned weights is a table swap."""
+    return spark.range(n_buckets).selectExpr(
+        "cast(id as bigint) as bucket",
+        f"cast(conv(substring(md5(concat('{salt}:', cast(id as string))),"
+        " 1, 12), 16, 10) as bigint) % 2001 - 1000 as w",
+    )
+
+
+def hashed_linear_score(
+    docs: DataFrame,
+    weights: DataFrame,
+    n_buckets: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """fastText-style linear classifier scoring over hashed bag-of-words
+    features — the LEARNED-filter stage of a training-data pipeline
+    (CCNet's fastText LM filter, GPT-3's quality classifier): score each
+    document by the sum of its tokens' hashed-bucket weights, normalized
+    by length.
+
+    (doc_id, n_tokens, raw_score, score) where raw_score =
+    Σ_token w[md5(token) % n_buckets] in INTEGER micro-units — exact
+    BIGINT arithmetic, so the per-doc sum is order-independent and
+    cross-engine stable (float dot products would drift under Spark's
+    unordered partial aggregation) — and score = raw_score/n_tokens
+    rounded once. Tokens count with multiplicity, as fastText's mean-of-
+    embeddings does.
+
+    Scale: explode tokens → broadcast join the n_buckets-row weight dim
+    → ONE partial-aggregable groupBy(doc). Map-side combine collapses
+    the token stream to one row per doc before the only shuffle; the
+    weight table broadcasts at any corpus size. Filtering is then a
+    WHERE on score — used with a threshold it is the classifier-based
+    twin of ``quality_filter``'s heuristic gates.
+    """
+    toks = (
+        docs.select(
+            F.col(id_col),
+            F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+        .select(
+            id_col,
+            (
+                F.conv(F.substring(F.md5("tok"), 1, 12), 16, 10)
+                .cast("bigint") % F.lit(n_buckets)
+            ).alias("bucket"),
+        )
+    )
+    return (
+        toks.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("w").cast("bigint").alias("raw_score"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "raw_score",
+            F.round(F.col("raw_score") / F.col("n_tokens"), 4).alias(
+                "score"
+            ),
+        )
+    )

@@ -1383,3 +1383,74 @@ def test_fetch_forecast_politeness_caps(spark):
     assert plan.count("BroadcastHashJoin") == 1
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_hashed_linear_score_exact_and_planted_separation(spark):
+    """The learned-filter stage: (1) scores are EXACT — a pure-Python
+    replay of md5 bucketing + integer weights matches every raw_score
+    bit-for-bit (the order-independence the integer micro-units buy);
+    (2) a corpus with planted good/bad vocabulary separates when the
+    weight table is overridden accordingly; (3) plan: weight dim
+    broadcasts, ONE aggregate, no cartesian."""
+    import hashlib
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from incubator_stormcrawler_spark.operators.corpus import (
+        hashed_linear_score,
+        hashed_weight_table,
+    )
+
+    n_buckets = 512
+    rows = [
+        Row(
+            doc_id=i,
+            text=" ".join(f"w{(i * 11 + j) % 300}" for j in range(20)),
+        )
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows)
+    weights = hashed_weight_table(spark, n_buckets)
+    got = {
+        r.doc_id: (r.n_tokens, r.raw_score, r.score)
+        for r in hashed_linear_score(docs, weights, n_buckets).collect()
+    }
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:12], 16) % n_buckets
+
+    def w(b):
+        h = hashlib.md5(f"lw:{b}".encode()).hexdigest()
+        return int(h[:12], 16) % 2001 - 1000
+
+    for r in rows:
+        toks = [t for t in r.text.split(" ") if t]
+        raw = sum(w(bucket(t)) for t in toks)
+        assert got[r.doc_id][0] == len(toks)
+        assert got[r.doc_id][1] == raw
+        assert got[r.doc_id][2] == round(raw / len(toks), 4)
+
+    # planted separation with an explicit weight table
+    wt = spark.createDataFrame(
+        [Row(bucket=bucket(f"good{i}"), w=100) for i in range(50)]
+        + [Row(bucket=bucket(f"bad{i}"), w=-100) for i in range(50)]
+    ).groupBy("bucket").agg(F.max("w").alias("w"))
+    planted = spark.createDataFrame(
+        [Row(doc_id=0, text=" ".join(f"good{i}" for i in range(20))),
+         Row(doc_id=1, text=" ".join(f"bad{i}" for i in range(20)))]
+    )
+    s = {
+        r.doc_id: r.score
+        for r in hashed_linear_score(planted, wt, n_buckets).collect()
+    }
+    assert s[0] > 0 > s[1]
+
+    plan = (
+        hashed_linear_score(docs, weights, n_buckets)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
