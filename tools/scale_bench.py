@@ -671,6 +671,57 @@ def curve_hll_overlap(spark, sizes, n_groups: int = 16):
     return out
 
 
+def curve_linear_score(spark, sizes, n_buckets: int = 65536):
+    """Hashed linear classifier scoring: token explode + broadcast
+    weight-dim join + one partial-aggregable groupBy(doc). Work is
+    linear in tokens with a constant broadcast — alpha ~1, throughput
+    flat-to-rising as fixed costs amortize."""
+    from incubator_stormcrawler_spark.operators.corpus import (
+        hashed_linear_score,
+        hashed_weight_table,
+    )
+
+    weights = hashed_weight_table(spark, n_buckets)
+    out = []
+    for n in sizes:
+        docs = synth_docs(spark, n)
+        _clean(spark)
+        sec = timed(
+            lambda: hashed_linear_score(
+                docs, weights, n_buckets
+            ).count(),
+            warmup=(n == sizes[0]),
+        )
+        out.append({"rows": n, "sec": round(sec, 2),
+                    "rows_per_sec": int(n / sec)})
+    return out
+
+
+def classifier_main():
+    """`--classifier`: measure hashed_linear_score at 3 sizes spanning
+    16x; merge a `linear_score` entry into SCALING.json."""
+    from incubator_stormcrawler_spark.session import get_spark
+
+    spark = get_spark("scale-bench-classifier")
+    spark.sparkContext.setLogLevel("ERROR")
+    pts = curve_linear_score(spark, [400_000, 1_600_000, 6_400_000])
+    results = {"linear_score": {"points": pts, "alpha": alpha(pts)}}
+    print(f"## linear_score: alpha={results['linear_score']['alpha']}",
+          flush=True)
+    for p in pts:
+        print(f"   {p}", flush=True)
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "SCALING.json")
+    merged = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            merged = json.load(f)
+    merged.update(results)
+    with open(path, "w") as f:
+        json.dump(merged, f, indent=2)
+    print(f"merged linear_score into {path}")
+
+
 def overlap_sketches_main():
     """`--overlap-sketches`: measure the late-r8 corpus-overlap
     additions (shard MinHash similarity, HLL inclusion-exclusion) at 3
@@ -1055,6 +1106,9 @@ def main():
         return
     if "--overlap-sketches" in sys.argv:
         overlap_sketches_main()
+        return
+    if "--classifier" in sys.argv:
+        classifier_main()
         return
     if "--frontier-256m" in sys.argv:
         frontier_256m_main()
