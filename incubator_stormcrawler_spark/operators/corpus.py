@@ -1393,7 +1393,9 @@ def hll_estimate(registers: DataFrame, m: int = 64) -> DataFrame:
     return _hll_estimate_by(registers, ["grp"], m, "est_distinct")
 
 
-def hll_overlap_pairs(registers: DataFrame, m: int = 64) -> DataFrame:
+def hll_overlap_pairs(
+    registers: DataFrame, m: int = 64, materialize: bool = True
+) -> DataFrame:
     """(grp_a, grp_b, est_a, est_b, est_union, est_intersection) for every
     unordered pair of groups in a (grp, bucket, M) register table —
     overlap by inclusion–exclusion: |A∩B| ≈ est(A) + est(B) − est(A∪B),
@@ -1410,7 +1412,24 @@ def hll_overlap_pairs(registers: DataFrame, m: int = 64) -> DataFrame:
     Inclusion–exclusion can go slightly negative on near-disjoint sets
     (two independent ±~1.04/√m estimates subtract); clamped at 0, like
     every practical theta/HLL intersection estimator.
+
+    ``materialize`` (default on) localCheckpoints the register table
+    before the fan-out: the pair/est/union stages reference it FIVE
+    times, and the STATIC plan replays the full upstream lineage (the
+    corpus scan!) per reference — 5 parquet scans, zero ReusedExchange
+    nodes. At runtime AQE's shuffle-stage reuse recovers most of those
+    replays when the subplans hash identically (measured: the 5-scan
+    plan ran ≈ one register pass + pair work), but that recovery is
+    adaptive, not guaranteed — any projection drift between references,
+    or AQE off, re-runs the corpus pass up to 5×. The register relation
+    is sketch-sized (num_groups × m rows), so eager materialization
+    makes ONE register pass structural, the same per-generation pattern
+    as streaming/crawl_loop.py. Pass False only when the caller
+    materializes (or needs a pure-lazy plan, e.g. plan tests over an
+    in-memory frame).
     """
+    if materialize:
+        registers = registers.localCheckpoint(eager=True)
     grps = registers.select("grp").distinct()
     pairs = F.broadcast(
         grps.select(F.col("grp").alias("grp_a"))

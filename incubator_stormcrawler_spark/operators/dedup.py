@@ -1362,7 +1362,9 @@ def shard_minhash(
     return wide.select("shard", F.expr(stack_expr))
 
 
-def shard_similarity_pairs(sig: DataFrame) -> DataFrame:
+def shard_similarity_pairs(
+    sig: DataFrame, materialize: bool = True
+) -> DataFrame:
     """(shard_a, shard_b, agree, num_hashes, est_jaccard) for every
     unordered pair of shards in a (shard, h, v) sketch relation.
 
@@ -1370,7 +1372,17 @@ def shard_similarity_pairs(sig: DataFrame) -> DataFrame:
     partial-aggregable count of agreeing slots per pair. est_jaccard is
     the agreement fraction rounded to 4 dp (one exact small-integer
     division — cross-engine stable).
+
+    ``materialize`` (default on) localCheckpoints the signature table
+    first: the self-join references it twice and the static plan
+    replays the full shingle scan per side (AQE stage reuse usually
+    recovers the second pass at runtime, but that is adaptive, not
+    structural). The sketch is num_shards × num_hashes rows, so eager
+    materialization guarantees ONE shingle pass (same rationale as
+    ``hll_overlap_pairs``).
     """
+    if materialize:
+        sig = sig.localCheckpoint(eager=True)
     a = sig.select(
         F.col("shard").alias("shard_a"), "h", F.col("v").alias("va")
     )

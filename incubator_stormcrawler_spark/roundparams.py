@@ -21,8 +21,10 @@ ROUND LOG (bump + append a line each round):
   r8: ROUND_SEED = 8 — first seeded round (flipped from the fixed
       constants that stood through r7, all rows stayed green). The r9
       flip is PRE-PROVEN: the full registry sweep was run locally at
-      ROUND_SEED = 9 before r8 closed (143/143 green at sf0.01), so
-      bumping the seed next round cannot surface a red row.
+      ROUND_SEED = 9 before r8 closed (146/146 green at sf0.01,
+      re-run after the late-r8 additions — snapshot diff, shard
+      MinHash overlap, HLL overlap — landed), so bumping the seed next
+      round cannot surface a red row.
 """
 
 from __future__ import annotations
