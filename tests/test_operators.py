@@ -1454,3 +1454,45 @@ def test_hashed_linear_score_exact_and_planted_separation(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_snapshot_diff_random_model(spark):
+    """Model-based sweep: 400 random (membership, digest) rows across 5
+    seeds vs a pure-Python dict model of the classifier — covers digest
+    collisions, NULLs on either side, and keys present in only one
+    snapshot, far beyond the hand-built example's six cases."""
+    import random
+
+    from pyspark.sql import Row
+
+    from incubator_stormcrawler_spark.operators.status_merge import (
+        snapshot_diff,
+    )
+
+    for seed in range(5):
+        rng = random.Random(seed)
+        keys = [f"u{i}" for i in range(80)]
+        digests = [None, "d1", "d2", "d3"]
+        prev = {k: rng.choice(digests) for k in keys if rng.random() < 0.7}
+        cur = {k: rng.choice(digests) for k in keys if rng.random() < 0.7}
+
+        def model(k):
+            if k not in prev:
+                return "NEW"
+            if k not in cur:
+                return "GONE"
+            return "UNCHANGED" if prev[k] == cur[k] else "CHANGED"
+
+        expected = {k: model(k) for k in set(prev) | set(cur)}
+        prev_df = spark.createDataFrame(
+            [Row(url=k, signature=v) for k, v in prev.items()],
+            "url string, signature string",
+        )
+        cur_df = spark.createDataFrame(
+            [Row(url=k, signature=v) for k, v in cur.items()],
+            "url string, signature string",
+        )
+        got = {
+            r.url: r.change for r in snapshot_diff(cur_df, prev_df).collect()
+        }
+        assert got == expected, f"seed {seed}"
