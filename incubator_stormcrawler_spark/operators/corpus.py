@@ -1343,13 +1343,34 @@ def hll_rho_sql(col: str, max_rho: int = 24) -> str:
     return f"(CASE WHEN {col} % {2 ** max_rho} = 0 THEN {max_rho + 1} {cases} END)"
 
 
+def hash48_sql(value_expr: str, hash_fn: str = "md5") -> str:
+    """48-bit non-negative hash expression for the sketch family.
+
+    ``md5`` (default) is the ORACLE mode: DuckDB replays
+    conv(substring(md5(x),1,12),16,10) bit-for-bit, which is what makes
+    every sketch driver-checkable. ``xxhash64`` is the PRODUCTION mode:
+    Spark's native 64-bit hash stays inside whole-stage codegen with no
+    hex string round-trip — the right call on a 100 TB value stream
+    where the oracle isn't in the loop (masked to the same non-negative
+    48-bit domain so bucket/rho math is unchanged). Same minwise/HLL
+    guarantees either way; only cross-engine replayability differs."""
+    if hash_fn == "md5":
+        return f"cast(conv(substring(md5({value_expr}), 1, 12), 16, 10) as bigint)"
+    if hash_fn == "xxhash64":
+        return f"(xxhash64({value_expr}) & 281474976710655)"
+    raise ValueError(f"unknown hash_fn: {hash_fn!r}")
+
+
 def hll_registers(
-    df: DataFrame, group_col: str, value_expr: str, m: int = 64
+    df: DataFrame, group_col: str, value_expr: str, m: int = 64,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """(group, bucket, M) register table: bucket = low bits of the 48-bit
-    md5 hash, M = max rho of the remaining bits. Partial-aggregable;
-    merge two sketches with groupBy(group, bucket).max(M)."""
-    h = f"cast(conv(substring(md5({value_expr}), 1, 12), 16, 10) as bigint)"
+    hash, M = max rho of the remaining bits. Partial-aggregable;
+    merge two sketches with groupBy(group, bucket).max(M). ``hash_fn``:
+    md5 = oracle-replayable (default), xxhash64 = codegen production
+    path (see hash48_sql)."""
+    h = hash48_sql(value_expr, hash_fn)
     return (
         df.selectExpr(
             f"{group_col} as grp",

@@ -1315,6 +1315,7 @@ def shard_minhash(
     num_hashes: int = 16,
     n: int = 3,
     text_col: str = "text",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """(shard, h, v) — one ``num_hashes``-slot MinHash signature per shard.
 
@@ -1325,6 +1326,13 @@ def shard_minhash(
     map-side combine, then ONE groupBy with ``num_hashes`` parallel min
     aggregates + a stack projection — exactly minhash_signatures' shape,
     keyed by shard.
+
+    ``hash_fn``: ``md5`` (default) is the oracle-replayable mode — v is
+    the min md5 hex string; ``xxhash64`` is the production mode — v is
+    the min signed-bigint native hash, no hex round-trip, stays in
+    whole-stage codegen (same minwise family either way; mergeability
+    and the agreement estimator are hash-agnostic, and
+    ``shard_similarity_pairs`` only ever compares v for equality).
     """
     toks = F.split(F.col(text_col), TOKEN_SPLIT)
     grams = (
@@ -1348,12 +1356,15 @@ def shard_minhash(
             ).alias("shingle"),
         )
     )
-    aggs = [
-        F.min(
-            F.md5(F.concat(F.lit(f"{h}|"), F.col("shingle")))
-        ).alias(f"v{h}")
-        for h in range(num_hashes)
-    ]
+    if hash_fn == "md5":
+        def probe(h):
+            return F.md5(F.concat(F.lit(f"{h}|"), F.col("shingle")))
+    elif hash_fn == "xxhash64":
+        def probe(h):
+            return F.xxhash64(F.concat(F.lit(f"{h}|"), F.col("shingle")))
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
+    aggs = [F.min(probe(h)).alias(f"v{h}") for h in range(num_hashes)]
     wide = grams.groupBy("shard").agg(*aggs)
     stack_expr = "stack({n}, {args}) as (h, v)".format(
         n=num_hashes,

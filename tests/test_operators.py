@@ -1496,3 +1496,73 @@ def test_snapshot_diff_random_model(spark):
             r.url: r.change for r in snapshot_diff(cur_df, prev_df).collect()
         }
         assert got == expected, f"seed {seed}"
+
+
+def test_sketch_production_hash_mode(spark):
+    """The xxhash64 production path: HLL estimates stay within raw-HLL
+    error of the exact count (the estimator is hash-agnostic), shard
+    signatures keep mergeability and the identical/disjoint agreement
+    structure, and an unknown hash_fn raises."""
+    import pytest as _pytest
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from incubator_stormcrawler_spark.operators.corpus import (
+        hll_estimate,
+        hll_registers,
+    )
+    from incubator_stormcrawler_spark.operators.dedup import (
+        shard_minhash,
+        shard_similarity_pairs,
+    )
+
+    vals = spark.range(4000).selectExpr(
+        "id % 2 as grp", "concat('x', cast(id as string)) as v"
+    )
+    est = {
+        r.grp: r.est_distinct
+        for r in hll_estimate(
+            hll_registers(vals, "grp", "v", m=64, hash_fn="xxhash64")
+        ).collect()
+    }
+    for g in (0, 1):
+        assert 2000 * 0.6 < est[g] < 2000 * 1.4  # ~3sigma at m=64
+
+    rows = [
+        Row(doc_id=i, shard=s,
+            text=" ".join(f"{'a' if s < 2 else 'z'}{(i * 5 + j) % 40}"
+                          for j in range(25)))
+        for s in (0, 1, 2) for i in range(10)
+    ]
+    sig = shard_minhash(
+        spark.createDataFrame(rows), "shard", num_hashes=16,
+        hash_fn="xxhash64",
+    )
+    assert dict(sig.dtypes)["v"] == "bigint"  # native, no hex round-trip
+    out = {
+        (r.shard_a, r.shard_b): r.est_jaccard
+        for r in shard_similarity_pairs(sig).collect()
+    }
+    assert out[(0, 1)] == 1.0 and out[(0, 2)] == 0.0
+    # mergeability holds for the native hash too
+    merged = sorted(
+        (r.h, r.v)
+        for r in shard_minhash(
+            spark.createDataFrame(rows), "case when shard < 2 then 0 else 9 end",
+            num_hashes=8, hash_fn="xxhash64",
+        ).where("shard = 0").collect()
+    )
+    bymin = sorted(
+        (r.h, r.v)
+        for r in shard_minhash(
+            spark.createDataFrame(rows), "shard", num_hashes=8,
+            hash_fn="xxhash64",
+        ).where("shard in (0, 1)").groupBy("h").agg(F.min("v").alias("v"))
+        .collect()
+    )
+    assert merged == bymin
+
+    with _pytest.raises(ValueError):
+        hll_registers(vals, "grp", "v", hash_fn="fnv").collect()
+    with _pytest.raises(ValueError):
+        shard_minhash(spark.createDataFrame(rows), "shard", hash_fn="crc")
