@@ -1525,31 +1525,39 @@ def hll_overlap_pairs(
 # Cormode & Muthukrishnan 2005.
 # ---------------------------------------------------------------------------
 
-def _cm_bucket_sql(value: str, d: str, width: int) -> str:
-    """The shared probe: md5('cm'||d||':'||v) folded to 48 bits, mod
-    width — identical text semantics in Spark (conv) and DuckDB (0x
-    cast), both verified by the registered oracle."""
+def _cm_bucket_sql(
+    value: str, d: str, width: int, hash_fn: str = "md5"
+) -> str:
+    """The shared probe: hash('cm'||d||':'||v) folded to 48 bits, mod
+    width. md5 (default) has identical text semantics in Spark (conv)
+    and DuckDB (0x cast), both verified by the registered oracle;
+    xxhash64 is the codegen production mode (see hash48_sql)."""
     return (
-        f"cast(conv(substring(md5(concat('cm', {d}, ':', {value})), 1, 12),"
-        f" 16, 10) as bigint) % {width}"
+        hash48_sql(f"concat('cm', {d}, ':', {value})", hash_fn)
+        + f" % {width}"
     )
 
 
 def countmin_table(
-    df: DataFrame, value_expr: str, depth: int = 3, width: int = 128
+    df: DataFrame, value_expr: str, depth: int = 3, width: int = 128,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """(d, bucket, c) Count-Min grid over every OCCURRENCE of
     ``value_expr``. One explode of the depth range (depth is 3-5; the
     map-side combine collapses to depth*width rows per partition before
     the single tiny shuffle). Merge two grids: union + sum per (d,
-    bucket)."""
+    bucket). ``hash_fn``: md5 = oracle-replayable (default), xxhash64 =
+    codegen production path; estimates and grid point-queries must use
+    the SAME mode."""
     rows = df.selectExpr(f"({value_expr}) as __v").where(
         F.col("__v").isNotNull()
     )
     probes = rows.select(
         F.col("__v"),
         F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"),
-    ).selectExpr("d", _cm_bucket_sql("__v", "d", width) + " as bucket")
+    ).selectExpr(
+        "d", _cm_bucket_sql("__v", "d", width, hash_fn) + " as bucket"
+    )
     return probes.groupBy("d", "bucket").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     )
@@ -1561,6 +1569,7 @@ def countmin_estimate(
     value_col: str,
     depth: int = 3,
     width: int = 128,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Point queries against a Count-Min grid: (value, est_count) with
     est_count = min over the depth probe rows. The grid is depth*width
@@ -1570,7 +1579,8 @@ def countmin_estimate(
         F.col(value_col),
         F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"),
     ).selectExpr(
-        value_col, "d", _cm_bucket_sql(value_col, "d", width) + " as bucket"
+        value_col, "d",
+        _cm_bucket_sql(value_col, "d", width, hash_fn) + " as bucket"
     )
     return (
         probes.join(F.broadcast(grid), ["d", "bucket"], "left")

@@ -1566,3 +1566,32 @@ def test_sketch_production_hash_mode(spark):
         hll_registers(vals, "grp", "v", hash_fn="fnv").collect()
     with _pytest.raises(ValueError):
         shard_minhash(spark.createDataFrame(rows), "shard", hash_fn="crc")
+
+
+def test_countmin_production_hash_mode(spark):
+    """Count-Min under xxhash64: the est >= exact one-sided error bound
+    is hash-agnostic and must hold for every queried value, with
+    exactness at generous width; grid/query must share the mode."""
+    from pyspark.sql import functions as F
+
+    from incubator_stormcrawler_spark.operators.corpus import (
+        countmin_estimate,
+        countmin_table,
+    )
+
+    terms = spark.range(20000).selectExpr(
+        "concat('t', cast(id % 700 as string)) as term"
+    )
+    exact = terms.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact")
+    )
+    for width in (64, 8192):  # collisions forced, then ~exact
+        grid = countmin_table(terms, "term", depth=3, width=width,
+                              hash_fn="xxhash64")
+        est = countmin_estimate(grid, exact, "term", depth=3, width=width,
+                                hash_fn="xxhash64")
+        rows = est.join(exact, "term").collect()
+        assert len(rows) == 700
+        assert all(r.est_count >= r.exact for r in rows)
+        if width == 8192:
+            assert sum(r.est_count == r.exact for r in rows) >= 650
