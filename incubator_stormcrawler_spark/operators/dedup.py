@@ -332,14 +332,22 @@ def containment_pairs(
 
 
 def minhash_signatures(
-    docs: DataFrame, num_hashes: int = 8, n: int = 3
+    docs: DataFrame, num_hashes: int = 8, n: int = 3,
+    hash_fn: str = "md5",
 ) -> DataFrame:
-    """(doc_id, h, v): v = min over shingles of md5(h || '|' || shingle).
+    """(doc_id, h, v): v = min over shingles of hash(h || '|' || shingle).
 
     Lexicographic min over salted md5 hex is a valid minwise family for
     set-similarity banding (identical sets agree on every h; similar sets
     agree with probability ≈ Jaccard). One explode (×num_hashes) + one
     partial-aggregable groupBy.
+
+    ``hash_fn``: ``md5`` (default) is the oracle-replayable mode;
+    ``xxhash64`` mins the native signed bigint instead — no hex
+    round-trip, whole-stage codegen — the production mode for the 100 TB
+    dedup path (same minwise family property; banding and est_sim only
+    ever compare v for equality). An index built in one mode must be
+    probed in the same mode.
     """
     # distinct=False: min() is duplicate-insensitive, so the set-dedup
     # shuffle would be pure overhead here
@@ -348,12 +356,15 @@ def minhash_signatures(
     # ×num_hashes explode: the shuffle moves each (doc, shingle) row once,
     # and every partial min combines map-side. Then unpivot to (doc, h, v)
     # rows (stack is a projection — no extra shuffle).
-    aggs = [
-        F.min(
-            F.md5(F.concat(F.lit(f"{h}|"), F.col("shingle")))
-        ).alias(f"v{h}")
-        for h in range(num_hashes)
-    ]
+    if hash_fn == "md5":
+        def probe(h):
+            return F.md5(F.concat(F.lit(f"{h}|"), F.col("shingle")))
+    elif hash_fn == "xxhash64":
+        def probe(h):
+            return F.xxhash64(F.concat(F.lit(f"{h}|"), F.col("shingle")))
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
+    aggs = [F.min(probe(h)).alias(f"v{h}") for h in range(num_hashes)]
     wide = sh.groupBy("doc_id").agg(*aggs)
     stack_expr = "stack({n}, {args}) as (h, v)".format(
         n=num_hashes,
@@ -376,9 +387,12 @@ def band_keys(mh: DataFrame, band_rows: int = 2) -> DataFrame:
                 F.array_join(
                     F.transform(
                         F.array_sort(F.collect_list(F.struct("h", "v"))),
-                        lambda s: s["v"],
+                        # cast keeps the join type-agnostic: v is a hex
+                        # string in oracle mode, a bigint in production
+                        # (xxhash64) mode
+                        lambda s: s["v"].cast("string"),
                     ),
-                    "",
+                    "|",
                 )
             ).alias("bkey")
         )
@@ -391,6 +405,7 @@ def lsh_candidate_pairs(
     band_rows: int = 2,
     n: int = 3,
     min_est_sim: float = 0.5,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """MinHash-LSH near-dup candidates with estimated similarity.
 
@@ -406,7 +421,9 @@ def lsh_candidate_pairs(
     # (both sides of the band self-join, then m1/m2 in the est_sim join);
     # without lineage truncation the shingle explode + min-agg plan
     # re-executes for each (same pattern as the shingle/simhash relations).
-    mh = minhash_signatures(docs, num_hashes, n).localCheckpoint(eager=False)
+    mh = minhash_signatures(
+        docs, num_hashes, n, hash_fn=hash_fn
+    ).localCheckpoint(eager=False)
     bands = band_keys(mh, band_rows)
     b1 = bands.alias("b1")
     b2 = bands.alias("b2")

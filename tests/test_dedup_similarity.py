@@ -1400,3 +1400,44 @@ def test_containment_threshold_boundary_and_cap(spark):
     ]
     hi = containment_pairs(docs, n=3, threshold="0.75").collect()
     assert hi == []
+
+
+def test_minhash_production_hash_mode(spark):
+    """Doc-level MinHash-LSH under hash_fn='xxhash64': every exact
+    duplicate pairs at est_sim 1.0 in BOTH modes (identical shingle sets
+    agree on every slot regardless of the hash family), and
+    vocab-disjoint docs never pair. Deliberately NOT asserted: equality
+    of the two modes' full 1.0-sets — an 8-slot estimate can read 1.0
+    on a J≈0.7 pair with probability J^8 per family, so the lucky tail
+    is hash-dependent by construction."""
+    from pyspark.sql import Row
+
+    from incubator_stormcrawler_spark.operators.dedup import (
+        lsh_candidate_pairs,
+    )
+
+    def text(i, vocab="w"):
+        return " ".join(f"{vocab}{(i * 3 + j) % 50}" for j in range(30))
+
+    rows = (
+        [Row(doc_id=i, text=text(i)) for i in range(20)]
+        + [Row(doc_id=100 + i, text=text(i)) for i in range(20)]  # exact dups
+        + [Row(doc_id=200 + i, text=text(i, "z")) for i in range(5)]
+    )
+    docs = spark.createDataFrame(rows)
+    out = {}
+    for fn in ("md5", "xxhash64"):
+        pairs = lsh_candidate_pairs(
+            docs, num_hashes=8, band_rows=2, min_est_sim=0.9, hash_fn=fn
+        ).collect()
+        got = {(r.doc1, r.doc2): r.est_sim for r in pairs}
+        # every exact-dup pair captured at 1.0, in BOTH modes
+        for i in range(20):
+            assert got.get((i, 100 + i)) == 1.0, (fn, i)
+        # vocab-disjoint docs never pair
+        assert not any(d1 >= 200 or d2 >= 200 for d1, d2 in got
+                       if (d1 < 100) != (d2 < 100) and max(d1, d2) >= 200)
+        out[fn] = {k for k, v in got.items() if v == 1.0}
+    # the true-duplicate pairs sit in both modes' 1.0-sets
+    must = {(i, 100 + i) for i in range(20)}
+    assert must <= out["md5"] and must <= out["xxhash64"]
