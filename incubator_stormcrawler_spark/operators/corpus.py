@@ -1382,6 +1382,20 @@ def hll_registers(
     )
 
 
+def merge_hll_registers(stored: DataFrame, new: DataFrame) -> DataFrame:
+    """Fold a new generation's (grp, bucket, M) registers into a stored
+    sketch: max per (grp, bucket) — HLL's defining merge. Same
+    operational contract as ``merge_shard_signatures``: max is
+    associative/commutative/idempotent, so per-generation register
+    tables (groups × m rows) accumulate without ever re-scanning a
+    corpus, and a replayed generation is a no-op."""
+    return (
+        stored.unionByName(new)
+        .groupBy("grp", "bucket")
+        .agg(F.max("M").alias("M"))
+    )
+
+
 def _hll_estimate_by(
     registers: DataFrame, group_cols: list, m: int, out_col: str
 ) -> DataFrame:

@@ -1390,6 +1390,24 @@ def shard_minhash(
     return wide.select("shard", F.expr(stack_expr))
 
 
+def merge_shard_signatures(stored: DataFrame, new: DataFrame) -> DataFrame:
+    """Fold a new generation's (shard, h, v) signatures into a stored
+    index: elementwise min per (shard, h) — min is associative,
+    commutative, and idempotent, so generations sketch independently,
+    merge in any order, and replays are no-ops. This is the operational
+    half of the mergeability property ``shard_minhash``'s tests pin:
+    store crawl N's signature next to N−1's (num_shards × num_hashes
+    rows each — FrontierTable-metadata-sized) and the cross-crawl
+    overlap question never re-touches data. One tiny groupBy; both
+    hash modes (hex-string md5, bigint xxhash64) order the same way
+    min needs."""
+    return (
+        stored.unionByName(new)
+        .groupBy("shard", "h")
+        .agg(F.min("v").alias("v"))
+    )
+
+
 def shard_similarity_pairs(
     sig: DataFrame, materialize: bool = True
 ) -> DataFrame:

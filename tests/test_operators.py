@@ -1595,3 +1595,47 @@ def test_countmin_production_hash_mode(spark):
         assert all(r.est_count >= r.exact for r in rows)
         if width == 8192:
             assert sum(r.est_count == r.exact for r in rows) >= 650
+
+
+def test_sketch_store_merge_idempotent_any_order(spark):
+    """The cross-generation store contract for both sketches: merging
+    generations in any order equals sketching the union corpus, and
+    replaying a generation (exactly-once fallback) is a no-op."""
+    from pyspark.sql import Row
+
+    from incubator_stormcrawler_spark.operators.corpus import (
+        hll_registers,
+        merge_hll_registers,
+    )
+    from incubator_stormcrawler_spark.operators.dedup import (
+        merge_shard_signatures,
+        shard_minhash,
+    )
+
+    def docs(lo, hi):
+        return spark.createDataFrame(
+            [Row(doc_id=i,
+                 text=" ".join(f"w{(i * 7 + j) % 90}" for j in range(25)))
+             for i in range(lo, hi)]
+        )
+
+    g1, g2, union = docs(0, 30), docs(30, 60), docs(0, 60)
+
+    s1 = shard_minhash(g1, "doc_id % 4", num_hashes=8)
+    s2 = shard_minhash(g2, "doc_id % 4", num_hashes=8)
+    whole = sorted(map(tuple, shard_minhash(
+        union, "doc_id % 4", num_hashes=8).collect()))
+    merged = sorted(map(tuple, merge_shard_signatures(s1, s2).collect()))
+    reversed_ = sorted(map(tuple, merge_shard_signatures(s2, s1).collect()))
+    replayed = sorted(map(tuple, merge_shard_signatures(
+        merge_shard_signatures(s1, s2), s2).collect()))
+    assert whole == merged == reversed_ == replayed
+
+    r1 = hll_registers(g1.selectExpr("doc_id % 4 as g", "text"), "g", "text")
+    r2 = hll_registers(g2.selectExpr("doc_id % 4 as g", "text"), "g", "text")
+    rw = sorted(map(tuple, hll_registers(
+        union.selectExpr("doc_id % 4 as g", "text"), "g", "text").collect()))
+    rm = sorted(map(tuple, merge_hll_registers(r1, r2).collect()))
+    rr = sorted(map(tuple, merge_hll_registers(
+        merge_hll_registers(r2, r1), r1).collect()))
+    assert rw == rm == rr
