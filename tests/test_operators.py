@@ -1639,3 +1639,95 @@ def test_sketch_store_merge_idempotent_any_order(spark):
     rr = sorted(map(tuple, merge_hll_registers(
         merge_hll_registers(r2, r1), r1).collect()))
     assert rw == rm == rr
+
+
+def test_overlap_estimator_quality_vs_exact(spark):
+    """Estimator honesty on a graded-overlap corpus: 6 shards built so
+    every pair's TRUE shingle-set Jaccard spans 0..1, then (a) the
+    16-slot shard-MinHash estimate must track true Jaccard within the
+    binomial error of 16 Bernoulli slots, and (b) HLL est_intersection
+    must track the true distinct-intersection within compounded raw-HLL
+    error. Catches estimator-math regressions the equality oracles
+    can't (they replay the same formula on both engines)."""
+    import math
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from incubator_stormcrawler_spark.operators.corpus import (
+        hll_overlap_pairs,
+        hll_registers,
+    )
+    from incubator_stormcrawler_spark.operators.dedup import (
+        shard_minhash,
+        shard_similarity_pairs,
+    )
+
+    # shard s draws 3-gram windows from token range [200*s, 200*s+400):
+    # adjacent shards share half their range, distant shards none
+    rows = [
+        Row(doc_id=s * 1000 + i, shard=s,
+            text=" ".join(f"t{200 * s + (i * 7 + j) % 400}"
+                          for j in range(30)))
+        for s in range(6) for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows)
+
+    # exact shingle-set Jaccard per pair (the ground truth)
+    sh = docs.selectExpr(
+        "shard",
+        "explode(transform(sequence(1, size(split(text, ' ')) - 2), "
+        "i -> concat_ws(' ', split(text, ' ')[i - 1], "
+        "split(text, ' ')[i], split(text, ' ')[i + 1]))) as shingle",
+    ).distinct()
+    a = sh.selectExpr("shard as sa", "shingle")
+    b = sh.selectExpr("shard as sb", "shingle")
+    inter = (
+        a.join(b, "shingle").where("sa < sb").groupBy("sa", "sb").count()
+    )
+    sizes = {r.shard: r.n for r in
+             sh.groupBy("shard").agg(F.count("*").alias("n")).collect()}
+    true_j = {}
+    got_inter = {(r.sa, r.sb): r["count"] for r in inter.collect()}
+    for s1 in range(6):
+        for s2 in range(s1 + 1, 6):
+            i_ = got_inter.get((s1, s2), 0)
+            true_j[(s1, s2)] = i_ / (sizes[s1] + sizes[s2] - i_)
+
+    est = {
+        (r.shard_a, r.shard_b): r.est_jaccard
+        for r in shard_similarity_pairs(
+            shard_minhash(docs, "shard", num_hashes=16)
+        ).collect()
+    }
+    for pair, tj in true_j.items():
+        # 16 slots: stderr sqrt(J(1-J)/16) <= 0.125; allow 3 sigma + slop
+        assert abs(est[pair] - tj) <= 3 * math.sqrt(
+            max(tj * (1 - tj), 0.02) / 16
+        ) + 0.05, (pair, tj, est[pair])
+    # ordering sanity: the truly-disjoint pair estimates 0, the
+    # overlapping neighbour estimates strictly above it
+    assert true_j[(0, 5)] == 0.0 and est[(0, 5)] == 0.0
+    assert true_j[(0, 1)] > 0.05 and est[(0, 1)] > est[(0, 5)]
+
+    # HLL intersection vs exact distinct-shingle intersection
+    regs = hll_registers(
+        sh.selectExpr("shard as grp0", "shingle"), "grp0", "shingle", m=64
+    )
+    hll = {
+        (r.grp_a, r.grp_b): r.est_intersection
+        for r in hll_overlap_pairs(regs, m=64).collect()
+    }
+    for s1 in range(6):
+        for s2 in range(s1 + 1, 6):
+            exact_i = got_inter.get((s1, s2), 0)
+            # inclusion-exclusion subtracts three ±1.04/sqrt(64)≈13%
+            # set-size estimates, so the ABSOLUTE error scales with the
+            # UNION size, not the intersection — the documented weakness
+            # of HLL intersections on small overlaps. Bound: 25% of the
+            # union (disjoint pairs included: their estimate is pure
+            # compounded noise, clamped at 0).
+            union = sizes[s1] + sizes[s2] - exact_i
+            assert abs(hll[(s1, s2)] - exact_i) <= 0.25 * union, (
+                (s1, s2), exact_i, hll[(s1, s2)], union,
+            )
