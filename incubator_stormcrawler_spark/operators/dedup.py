@@ -598,6 +598,7 @@ def substring_dup_starts(
     window: int = 16,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Duplicate-gram START positions (doc_id, pos, __dup=1): every
     sliding ``window``-token gram occurrence that is NOT its hash's
@@ -611,7 +612,16 @@ def substring_dup_starts(
     alpha = 1.12). SMJ keeps the shuffle linear AND stays eligible for
     AQE skew-splitting on a mega-hot boilerplate gram (which a
     window-over-h formulation — the other way to find non-keepers —
-    can never split)."""
+    can never split).
+
+    ``hash_fn``: md5 (default) hashes the space-joined gram so DuckDB
+    replays it; ``xxhash64`` hashes the token-slice ARRAY directly —
+    no 16-token string materialization per position at all, the whole
+    gram stage stays in codegen (h is only ever compared for equality
+    downstream). Honest measurement: ~PARITY at 400k docs (14.4 vs
+    14.6 s) — unlike the MinHash family, this operator is bound by the
+    SMJ join-back and the span window, not the hash; the knob exists
+    for consistency and for corpora where profiling shows otherwise."""
     toks = F.split(F.col(text_col), " ")
     base = docs.select(F.col(id_col), toks.alias("__toks"))
     grams = (
@@ -626,10 +636,14 @@ def substring_dup_starts(
         .select(
             F.col(id_col),
             "pos",
-            F.md5(
-                F.concat_ws(
-                    " ", F.slice(F.col("__toks"), F.col("pos"), window)
+            (
+                F.md5(
+                    F.concat_ws(
+                        " ", F.slice(F.col("__toks"), F.col("pos"), window)
+                    )
                 )
+                if hash_fn == "md5"
+                else F.xxhash64(F.slice(F.col("__toks"), F.col("pos"), window))
             ).alias("h"),
         )
     )
@@ -651,6 +665,7 @@ def substring_dedup(
     window: int = 16,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Exact substring deduplication (Lee et al. 2022, "Deduplicating
     Training Data Makes Language Models Better"): remove every token span
@@ -686,7 +701,7 @@ def substring_dedup(
     # dup feeds two consumers (the touched-doc set and the span marking);
     # checkpoint so the gram self-aggregation pipeline runs once
     dup = substring_dup_starts(
-        docs, window, text_col, id_col
+        docs, window, text_col, id_col, hash_fn=hash_fn
     ).localCheckpoint(eager=False)
     # Only docs that CONTAIN a duplicate gram pay the token explode + span
     # window — in a lightly-duplicated corpus that's a small minority. The

@@ -1441,3 +1441,26 @@ def test_minhash_production_hash_mode(spark):
     # the true-duplicate pairs sit in both modes' 1.0-sets
     must = {(i, 100 + i) for i in range(20)}
     assert must <= out["md5"] and must <= out["xxhash64"]
+
+
+def test_substring_dedup_hash_modes_identical(spark):
+    """hash_fn='xxhash64' hashes the token-slice array instead of the
+    space-joined md5 string; the OUTPUT must be identical — h only
+    gates first-occurrence equality. (Measured ~parity at 400k docs:
+    the SMJ join-back dominates this operator, not the hash — recorded
+    in the docstring so nobody expects the MinHash-sized win here.)"""
+    from incubator_stormcrawler_spark.operators.dedup import substring_dedup
+
+    docs = spark.range(2000).selectExpr(
+        "id as doc_id",
+        "case when id % 4 = 0 and id > 0 then concat('p', cast(id as string),"
+        " ' ', concat_ws(' ', transform(sequence(0, 39), j ->"
+        " substr(md5(cast(id - 1 as string) || cast(j as string)), 1, 6))))"
+        " else concat_ws(' ', transform(sequence(0, 39), j ->"
+        " substr(md5(cast(id as string) || cast(j as string)), 1, 6))) end"
+        " as text",
+    )
+    a = substring_dedup(docs, hash_fn="md5").orderBy("doc_id").collect()
+    b = substring_dedup(docs, hash_fn="xxhash64").orderBy("doc_id").collect()
+    assert a == b and len(a) == 2000
+    assert any(r.n_removed > 0 for r in a)  # the planted copies were hit
