@@ -1359,6 +1359,23 @@ def q_corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(docs, k=k)
 
 
+def _source_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, bg) word-bigram stream over documents — shared by BOTH
+    HLL sketch queries so their Spark sides (and therefore their
+    replaying oracles) can never drift apart."""
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .selectExpr("source", "split(text, ' ') as toks")
+        .selectExpr(
+            "source",
+            "case when size(toks) < 2 then array() "
+            "else transform(sequence(1, size(toks) - 1), "
+            "i -> concat(toks[i - 1], ' ', toks[i])) end as bgs",
+        )
+        .select("source", F.explode("bgs").alias("bg"))
+    )
+
+
 def q_sketch_hll_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic HyperLogLog (corpus.hll_registers/hll_estimate):
     per-source distinct-bigram estimates next to the exact counts. md5
@@ -1372,17 +1389,7 @@ def q_sketch_hll_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         hll_registers,
     )
 
-    big = (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
-        .selectExpr("source", "split(text, ' ') as toks")
-        .selectExpr(
-            "source",
-            "case when size(toks) < 2 then array() "
-            "else transform(sequence(1, size(toks) - 1), "
-            "i -> concat(toks[i - 1], ' ', toks[i])) end as bgs",
-        )
-        .select("source", F.explode("bgs").alias("bg"))
-    )
+    big = _source_bigrams(spark, sf_dir)
     est = hll_estimate(hll_registers(big, "source", "bg", m=64), m=64)
     exact = big.groupBy("source").agg(
         F.count_distinct("bg").alias("exact_distinct")
@@ -1470,10 +1477,14 @@ def q_status_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from incubator_stormcrawler_spark.operators.status_merge import (
         snapshot_diff,
     )
-    from incubator_stormcrawler_spark.roundparams import seeded_int
+    from incubator_stormcrawler_spark.roundparams import seeded_choice, seeded_int
 
     chg = seeded_int("snapdiff_chg", 3, 4)
-    nul = seeded_int("snapdiff_null", 7, 11)
+    # odd residues only: a multiple-of-5 null mod (10 was in the old
+    # [7,11] range) would make every null-digest key fall in the
+    # GONE/NEW residues, silently skipping the null-compare branches
+    # this query exists to certify
+    nul = seeded_choice("snapdiff_null", [7, 9, 11, 13])
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     prev = orders.where("o_orderkey % 5 != 0").selectExpr(
         "concat('https://ex.com/', cast(o_orderkey as string)) as url",
@@ -1523,17 +1534,7 @@ def q_sketch_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         hll_registers,
     )
 
-    big = (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
-        .selectExpr("source", "split(text, ' ') as toks")
-        .selectExpr(
-            "source",
-            "case when size(toks) < 2 then array() "
-            "else transform(sequence(1, size(toks) - 1), "
-            "i -> concat(toks[i - 1], ' ', toks[i])) end as bgs",
-        )
-        .select("source", F.explode("bgs").alias("bg"))
-    )
+    big = _source_bigrams(spark, sf_dir)
     return hll_overlap_pairs(hll_registers(big, "source", "bg", m=64), m=64)
 
 
@@ -4610,6 +4611,7 @@ ORDER BY triangles DESC, deg.node
 """
 
 from incubator_stormcrawler_spark.operators.linkrank import unrolled_kcore_sql
+from incubator_stormcrawler_spark.roundparams import seeded_choice as _seeded_choice
 from incubator_stormcrawler_spark.roundparams import seeded_int as _seeded_int
 
 # same pinned orders graph as graph_triangles; the oracle unrolls the
@@ -4749,14 +4751,14 @@ ORDER BY p.score DESC, p.doc_id
 _ORACLES["status_snapshot_diff"] = f"""
 WITH prev AS (
   SELECT 'https://ex.com/' || CAST(o_orderkey AS VARCHAR) AS k,
-         CASE WHEN o_orderkey % {_seeded_int("snapdiff_null", 7, 11)} = 0
+         CASE WHEN o_orderkey % {_seeded_choice("snapdiff_null", [7, 9, 11, 13])} = 0
               THEN NULL
               ELSE md5(CAST(o_orderkey AS VARCHAR)) END AS prev_digest
   FROM orders WHERE o_orderkey % 5 <> 0
 ),
 cur AS (
   SELECT 'https://ex.com/' || CAST(o_orderkey AS VARCHAR) AS k,
-         CASE WHEN o_orderkey % {_seeded_int("snapdiff_null", 7, 11)} = 0
+         CASE WHEN o_orderkey % {_seeded_choice("snapdiff_null", [7, 9, 11, 13])} = 0
               THEN NULL
               WHEN o_orderkey % {_seeded_int("snapdiff_chg", 3, 4)} = 0
               THEN md5('v2|' || CAST(o_orderkey AS VARCHAR))

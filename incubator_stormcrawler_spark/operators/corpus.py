@@ -1773,12 +1773,19 @@ def hashed_linear_score(
             ).alias("bucket"),
         )
     )
+    # LEFT join + coalesce(w, 0): a SPARSE trained table (or a bucket
+    # domain narrower than n_buckets) must score unknown tokens 0, not
+    # silently drop them from n_tokens — and a doc whose tokens all miss
+    # must still emit a row (score 0), or a downstream WHERE-score filter
+    # loses the doc without a verdict
     return (
-        toks.join(F.broadcast(weights), "bucket")
+        toks.join(F.broadcast(weights), "bucket", "left")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-            F.sum("w").cast("bigint").alias("raw_score"),
+            F.sum(F.coalesce(F.col("w"), F.lit(0)))
+            .cast("bigint")
+            .alias("raw_score"),
         )
         .select(
             id_col,

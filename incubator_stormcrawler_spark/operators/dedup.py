@@ -44,6 +44,8 @@ def with_shingles(
     n: int = 3,
     text_col: str = "text",
     distinct: bool = True,
+    id_expr: str = "doc_id",
+    id_alias: str = "doc_id",
 ) -> DataFrame:
     """(doc_id, shingle) — word n-grams per document, distinct by default.
 
@@ -58,22 +60,26 @@ def with_shingles(
     semantics (what Jaccard needs). Duplicate-insensitive consumers
     (minhash's min-aggregates) pass ``distinct=False`` and skip it —
     their own partial-aggregable groupBy absorbs duplicates map-side.
+
+    ``id_expr``/``id_alias`` carry an arbitrary key expression instead of
+    the document id (e.g. a shard expression) — the one shingling
+    implementation serves both the per-doc and per-shard sketches.
     """
     toks = F.split(F.col(text_col), TOKEN_SPLIT)
     grams = (
-        docs.select("doc_id", toks.alias("toks"))
+        docs.select(F.expr(id_expr).alias(id_alias), toks.alias("toks"))
         # guard BEFORE the sequence: stop < start would generate a
         # descending index range, not an empty one
         .where(F.size("toks") >= n)
         .select(
-            "doc_id",
+            id_alias,
             F.explode(
                 F.sequence(F.lit(1), F.size("toks") - (n - 1))
             ).alias("i"),
             "toks",
         )
         .select(
-            "doc_id",
+            id_alias,
             F.concat_ws(
                 " ",
                 *[
@@ -83,7 +89,32 @@ def with_shingles(
             ).alias("shingle"),
         )
     )
-    return grams.dropDuplicates(["doc_id", "shingle"]) if distinct else grams
+    return grams.dropDuplicates([id_alias, "shingle"]) if distinct else grams
+
+
+def _minhash_probe_aggs(num_hashes: int, hash_fn: str) -> list:
+    """The shared salted min-probe block for every MinHash variant:
+    num_hashes parallel min aggregates over md5 (oracle-replayable) or
+    xxhash64 (codegen production) of "h|shingle"."""
+    if hash_fn == "md5":
+        def probe(h):
+            return F.md5(F.concat(F.lit(f"{h}|"), F.col("shingle")))
+    elif hash_fn == "xxhash64":
+        def probe(h):
+            return F.xxhash64(F.concat(F.lit(f"{h}|"), F.col("shingle")))
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
+    return [F.min(probe(h)).alias(f"v{h}") for h in range(num_hashes)]
+
+
+def _stack_signature(wide: DataFrame, key: str, num_hashes: int) -> DataFrame:
+    """Unpivot a (key, v0..v{n-1}) wide signature to (key, h, v) rows —
+    stack is a projection, no extra shuffle."""
+    stack_expr = "stack({n}, {args}) as (h, v)".format(
+        n=num_hashes,
+        args=", ".join(f"{h}, v{h}" for h in range(num_hashes)),
+    )
+    return wide.select(key, F.expr(stack_expr))
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -356,21 +387,8 @@ def minhash_signatures(
     # ×num_hashes explode: the shuffle moves each (doc, shingle) row once,
     # and every partial min combines map-side. Then unpivot to (doc, h, v)
     # rows (stack is a projection — no extra shuffle).
-    if hash_fn == "md5":
-        def probe(h):
-            return F.md5(F.concat(F.lit(f"{h}|"), F.col("shingle")))
-    elif hash_fn == "xxhash64":
-        def probe(h):
-            return F.xxhash64(F.concat(F.lit(f"{h}|"), F.col("shingle")))
-    else:
-        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
-    aggs = [F.min(probe(h)).alias(f"v{h}") for h in range(num_hashes)]
-    wide = sh.groupBy("doc_id").agg(*aggs)
-    stack_expr = "stack({n}, {args}) as (h, v)".format(
-        n=num_hashes,
-        args=", ".join(f"{h}, v{h}" for h in range(num_hashes)),
-    )
-    return wide.select("doc_id", F.expr(stack_expr))
+    wide = sh.groupBy("doc_id").agg(*_minhash_probe_aggs(num_hashes, hash_fn))
+    return _stack_signature(wide, "doc_id", num_hashes)
 
 
 def band_keys(mh: DataFrame, band_rows: int = 2) -> DataFrame:
@@ -1366,43 +1384,14 @@ def shard_minhash(
     and the agreement estimator are hash-agnostic, and
     ``shard_similarity_pairs`` only ever compares v for equality).
     """
-    toks = F.split(F.col(text_col), TOKEN_SPLIT)
-    grams = (
-        docs.select(F.expr(shard_expr).alias("shard"), toks.alias("toks"))
-        .where(F.size("toks") >= n)
-        .select(
-            "shard",
-            F.explode(
-                F.sequence(F.lit(1), F.size("toks") - (n - 1))
-            ).alias("i"),
-            "toks",
-        )
-        .select(
-            "shard",
-            F.concat_ws(
-                " ",
-                *[
-                    F.element_at(F.col("toks"), F.col("i") + j)
-                    for j in range(n)
-                ],
-            ).alias("shingle"),
-        )
+    grams = with_shingles(
+        docs, n, text_col=text_col, distinct=False,
+        id_expr=shard_expr, id_alias="shard",
     )
-    if hash_fn == "md5":
-        def probe(h):
-            return F.md5(F.concat(F.lit(f"{h}|"), F.col("shingle")))
-    elif hash_fn == "xxhash64":
-        def probe(h):
-            return F.xxhash64(F.concat(F.lit(f"{h}|"), F.col("shingle")))
-    else:
-        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
-    aggs = [F.min(probe(h)).alias(f"v{h}") for h in range(num_hashes)]
-    wide = grams.groupBy("shard").agg(*aggs)
-    stack_expr = "stack({n}, {args}) as (h, v)".format(
-        n=num_hashes,
-        args=", ".join(f"{h}, v{h}" for h in range(num_hashes)),
+    wide = grams.groupBy("shard").agg(
+        *_minhash_probe_aggs(num_hashes, hash_fn)
     )
-    return wide.select("shard", F.expr(stack_expr))
+    return _stack_signature(wide, "shard", num_hashes)
 
 
 def merge_shard_signatures(stored: DataFrame, new: DataFrame) -> DataFrame:

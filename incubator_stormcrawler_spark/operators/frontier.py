@@ -356,9 +356,15 @@ def fetch_forecast(
         .agg(F.count(F.lit(1)).alias("n_due"))
     )
     d = F.coalesce(F.col("crawl_delay_s"), F.lit(float(default_delay_s)))
-    ceiling = (
-        F.floor(F.lit(float(horizon_s)) / d) + F.lit(1)
-    ).cast("bigint")
+    # robots 'Crawl-delay: 0' (and malformed negatives) mean NO politeness
+    # bound — capacity is the backlog itself, never a division by zero
+    # (ANSI mode would otherwise fail the whole generation-sizing query
+    # on one bad dim row) and never negative
+    ceiling = F.when(
+        d <= 0, F.col("n_due")
+    ).otherwise(
+        (F.floor(F.lit(float(horizon_s)) / d) + F.lit(1)).cast("bigint")
+    )
     return due.join(F.broadcast(delays), key_col, "left").select(
         key_col,
         "n_due",

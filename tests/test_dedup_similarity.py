@@ -1434,9 +1434,11 @@ def test_minhash_production_hash_mode(spark):
         # every exact-dup pair captured at 1.0, in BOTH modes
         for i in range(20):
             assert got.get((i, 100 + i)) == 1.0, (fn, i)
-        # vocab-disjoint docs never pair
-        assert not any(d1 >= 200 or d2 >= 200 for d1, d2 in got
-                       if (d1 < 100) != (d2 < 100) and max(d1, d2) >= 200)
+        # vocab-disjoint docs never pair: no pair may cross the
+        # w-vocab (< 200) / z-vocab (>= 200) boundary at all
+        assert not any(
+            (d1 < 200) != (d2 < 200) for d1, d2 in got
+        ), fn
         out[fn] = {k for k, v in got.items() if v == 1.0}
     # the true-duplicate pairs sit in both modes' 1.0-sets
     must = {(i, 100 + i) for i in range(20)}

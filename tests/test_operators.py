@@ -1374,6 +1374,21 @@ def test_fetch_forecast_politeness_caps(spark):
     # no due URLs -> no row at all (due-filter runs before the agg)
     assert "future.example" not in out
 
+    # zero/negative delay = no politeness bound: capacity == backlog,
+    # never a DIVIDE_BY_ZERO under ANSI mode, never negative
+    weird = spark.createDataFrame(
+        [Row(key="hot.example", crawl_delay_s=0.0),
+         Row(key="cold.example", crawl_delay_s=-5.0)]
+    )
+    wout = {
+        r.key: r
+        for r in fetch_forecast(frontier, weird, now, horizon_s=300).collect()
+    }
+    assert wout["hot.example"].capacity == 500
+    assert wout["hot.example"].forecast == 500
+    assert wout["cold.example"].forecast == 3
+    assert all(r.forecast >= 0 for r in wout.values())
+
     plan = (
         fetch_forecast(frontier, delays, now)
         ._jdf.queryExecution()
@@ -1445,6 +1460,31 @@ def test_hashed_linear_score_exact_and_planted_separation(spark):
         for r in hashed_linear_score(planted, wt, n_buckets).collect()
     }
     assert s[0] > 0 > s[1]
+
+    # sparse-table contract: unknown tokens score 0 but still count in
+    # n_tokens, and a doc with NO known tokens still emits a row.
+    # Pick unseen tokens whose buckets provably miss the planted table
+    # (hash collisions with good/bad buckets would change the sum).
+    planted_buckets = {bucket(f"good{i}") for i in range(50)} | {
+        bucket(f"bad{i}") for i in range(50)
+    }
+    unseen = [
+        t for t in (f"unseen{k}" for k in range(200))
+        if bucket(t) not in planted_buckets
+    ][:5]
+    sparse = spark.createDataFrame(
+        [Row(doc_id=0, text="good0 " + " ".join(unseen[:3])),
+         Row(doc_id=1, text=" ".join(unseen[3:5]))]
+    )
+    srows = {
+        r.doc_id: r
+        for r in hashed_linear_score(sparse, wt, n_buckets).collect()
+    }
+    assert set(srows) == {0, 1}
+    assert srows[0].n_tokens == 4 and srows[0].raw_score == 100
+    assert srows[0].score == 25.0
+    assert srows[1].n_tokens == 2 and srows[1].raw_score == 0
+    assert srows[1].score == 0.0
 
     plan = (
         hashed_linear_score(docs, weights, n_buckets)

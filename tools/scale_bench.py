@@ -67,6 +67,29 @@ def alpha(points: list[dict]) -> float:
     )
 
 
+def _scaling_path() -> str:
+    return os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "SCALING.json")
+
+
+def load_scaling() -> dict:
+    """Current SCALING.json contents ({} before the first run)."""
+    if os.path.exists(_scaling_path()):
+        with open(_scaling_path()) as f:
+            return json.load(f)
+    return {}
+
+
+def merge_scaling(updates: dict) -> str:
+    """Read-merge-write SCALING.json (every *_main used to inline this
+    block verbatim — one place now)."""
+    merged = load_scaling()
+    merged.update(updates)
+    with open(_scaling_path(), "w") as f:
+        json.dump(merged, f, indent=2)
+    return _scaling_path()
+
+
 def synth_docs(spark, n: int):
     """~40-token docs, md5-derived unique word streams, 2% planted
     near-dups — the minhash bench corpus (tools/baseline_bench.py)."""
@@ -541,15 +564,7 @@ def recursive_crawl_main():
         for g in r["per_generation"]:
             print(f"   {g}", flush=True)
         points.append(r)
-    path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "SCALING.json")
-    results = {}
-    if os.path.exists(path):
-        with open(path) as f:
-            results = json.load(f)
-    results["recursive_crawl"] = {"points": points}
-    with open(path, "w") as f:
-        json.dump(results, f, indent=2)
+    merge_scaling({"recursive_crawl": {"points": points}})
     print(f"merged recursive_crawl into {path}")
 
 
@@ -710,15 +725,7 @@ def classifier_main():
           flush=True)
     for p in pts:
         print(f"   {p}", flush=True)
-    path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "SCALING.json")
-    merged = {}
-    if os.path.exists(path):
-        with open(path) as f:
-            merged = json.load(f)
-    merged.update(results)
-    with open(path, "w") as f:
-        json.dump(merged, f, indent=2)
+    path = merge_scaling(results)
     print(f"merged linear_score into {path}")
 
 
@@ -745,15 +752,7 @@ def overlap_sketches_main():
         print(f"## {name}: alpha={results[name]['alpha']}", flush=True)
         for p in pts:
             print(f"   {p}", flush=True)
-    path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "SCALING.json")
-    merged = {}
-    if os.path.exists(path):
-        with open(path) as f:
-            merged = json.load(f)
-    merged.update(results)
-    with open(path, "w") as f:
-        json.dump(merged, f, indent=2)
+    path = merge_scaling(results)
     print(f"merged shard_overlap/hll_overlap into {path}")
 
 
@@ -777,15 +776,7 @@ def sketches_main():
         print(f"## {name}: alpha={results[name]['alpha']}", flush=True)
         for p in pts:
             print(f"   {p}", flush=True)
-    path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "SCALING.json")
-    merged = {}
-    if os.path.exists(path):
-        with open(path) as f:
-            merged = json.load(f)
-    merged.update(results)
-    with open(path, "w") as f:
-        json.dump(merged, f, indent=2)
+    path = merge_scaling(results)
     print(f"merged countmin/dsir_resample into {path}")
 
 
@@ -965,15 +956,7 @@ def jaccard_prefix_ab_main():
     pts = [jaccard_prefix_ab(spark, n) for n in (25_000, 100_000)]
     for p in pts:
         print(f"   {p}", flush=True)
-    path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "SCALING.json")
-    merged = {}
-    if os.path.exists(path):
-        with open(path) as f:
-            merged = json.load(f)
-    merged["jaccard_prefix_boilerplate_ab"] = {"points": pts}
-    with open(path, "w") as f:
-        json.dump(merged, f, indent=2)
+    path = merge_scaling({"jaccard_prefix_boilerplate_ab": {"points": pts}})
     print(f"merged jaccard_prefix_boilerplate_ab into {path}")
 
 
@@ -1004,15 +987,7 @@ def r8ops_main():
         print(f"## {name}: alpha={results[name]['alpha']}", flush=True)
         for p in pts:
             print(f"   {p}", flush=True)
-    path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "SCALING.json")
-    merged = {}
-    if os.path.exists(path):
-        with open(path) as f:
-            merged = json.load(f)
-    merged.update(results)
-    with open(path, "w") as f:
-        json.dump(merged, f, indent=2)
+    path = merge_scaling(results)
     print(f"merged r8ops curves into {path}")
 
 
@@ -1052,15 +1027,7 @@ def kcore_main():
     print(f"## kcore_peel: alpha={entry['alpha']}", flush=True)
     for p in pts:
         print(f"   {p}", flush=True)
-    path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "SCALING.json")
-    merged = {}
-    if os.path.exists(path):
-        with open(path) as f:
-            merged = json.load(f)
-    merged["kcore_peel"] = entry
-    with open(path, "w") as f:
-        json.dump(merged, f, indent=2)
+    path = merge_scaling({"kcore_peel": entry})
     print(f"merged kcore_peel into {path}")
 
 
@@ -1079,20 +1046,12 @@ def frontier_256m_main():
         pts = curve_frontier_topk(spark, tmp, [256_000_000])
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "SCALING.json")
-    merged = {}
-    if os.path.exists(path):
-        with open(path) as f:
-            merged = json.load(f)
-    entry = merged.get("frontier_topk", {"points": []})
+    entry = load_scaling().get("frontier_topk", {"points": []})
     entry["points"] = [
         p for p in entry["points"] if p["rows"] != 256_000_000
     ] + pts
     entry["alpha"] = alpha(entry["points"])
-    merged["frontier_topk"] = entry
-    with open(path, "w") as f:
-        json.dump(merged, f, indent=2)
+    path = merge_scaling({"frontier_topk": entry})
     print(f"frontier_topk @256M: {pts[0]} -> merged into {path} "
           f"(alpha now {entry['alpha']})")
 
