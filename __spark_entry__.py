@@ -259,7 +259,15 @@ def q_embedding_random_projection(
     derive from ROUND_SEED (the oracle interpolates the IDENTICAL literal
     matrix and replays the same index-order fold), so the pair certifies
     the parameterized projection. Pure per-row JVM fold: no shuffle, no
-    UDF — the cheap dimensionality cut in front of LSH/k-means/dedup."""
+    UDF — the cheap dimensionality cut in front of LSH/k-means/dedup.
+
+    REGISTRATION SHAPE (r9 fix): the operator returns (vec_id,
+    proj ARRAY<DOUBLE>) for composition (jl_cosine_topk consumes the
+    array), but the driver's oracle comparator pandas-sorts every output
+    column and crashes on list cells (the ONLY red row in
+    CORRECTNESS_r08) — so the REGISTERED query posexplodes to scalar
+    rows (vec_id, pos, component); same values, one row per component.
+    test_registry.py now rejects top-level array/map output schemas."""
     from incubator_stormcrawler_spark.operators.similarity import (
         random_projection,
     )
@@ -267,7 +275,10 @@ def q_embedding_random_projection(
 
     out_dim = seeded_int("jl_dim", 6, 10)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return random_projection(emb, out_dim=out_dim, seed=ROUND_SEED)
+    proj = random_projection(emb, out_dim=out_dim, seed=ROUND_SEED)
+    return proj.select(
+        "vec_id", F.posexplode("proj").alias("pos", "component")
+    ).select("vec_id", F.col("pos").cast("bigint").alias("pos"), "component")
 
 
 def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -905,21 +905,26 @@ def random_projection_sql(
     """DuckDB oracle: the IDENTICAL literal matrix (same hashlib
     derivation) applied with the same sequential fold order —
     ``list_sum(list_transform(range ...))`` multiplies and accumulates in
-    index order exactly like the Spark ``aggregate`` fold."""
+    index order exactly like the Spark ``aggregate`` fold. Emits the
+    registered query's EXPLODED scalar shape (vec_id, pos, component) —
+    one row per output component, 0-based pos like Spark's posexplode —
+    because the driver's comparator cannot canonicalize array cells."""
     mat = rademacher_matrix(in_dim, out_dim, seed)
     comps = []
-    for row in mat:
+    for j, row in enumerate(mat):
         lit = "[" + ",".join(f"{s}.0" for s in row) + "]"
         comps.append(
             f"round(list_sum(list_transform(range(1, {in_dim + 1}),"
-            f" i -> v[i] * ({lit})[i])) / sqrt({out_dim}), 6)"
+            f" i -> v[i] * ({lit})[i])) / sqrt({out_dim}), 6) AS c{j}"
         )
-    arr = "[" + ", ".join(comps) + "]"
+    case = " ".join(f"WHEN {j} THEN c{j}" for j in range(out_dim))
     return (
-        "SELECT vec_id, "
-        + arr
-        + " AS proj FROM (SELECT vec_id, embedding::DOUBLE[] AS v"
-        " FROM embeddings)"
+        "SELECT vec_id, CAST(pos AS BIGINT) AS pos,"
+        f" CASE pos {case} END AS component"
+        " FROM (SELECT vec_id, " + ", ".join(comps) +
+        " FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings))"
+        f" CROSS JOIN (SELECT unnest(generate_series(0, {out_dim - 1}))"
+        " AS pos)"
     )
 
 

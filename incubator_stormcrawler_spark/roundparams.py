@@ -25,6 +25,10 @@ ROUND LOG (bump + append a line each round):
       re-run after the late-r8 additions — snapshot diff, shard
       MinHash overlap, HLL overlap — landed), so bumping the seed next
       round cannot surface a red row.
+  r9: ROUND_SEED = 9 — second flip, pre-proven at r8 close (see above).
+      The r10 flip is PRE-PROVEN the same way: the full registry sweep
+      was run locally at ROUND_SEED = 10 before r9 closed (see
+      tools/verify_local.py workflow in COVERAGE.md).
 """
 
 from __future__ import annotations
@@ -32,7 +36,7 @@ from __future__ import annotations
 import hashlib
 from datetime import date, timedelta
 
-ROUND_SEED = 8
+ROUND_SEED = 9
 
 REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
 NATIONS = [f"NATION_{i}" for i in range(25)]

@@ -91,7 +91,9 @@ def test_seeded_constants_flip_stays_green(spark):
     seeded query AND its oracle at fresh constants and the pair must STILL
     agree — proving the parameterized operator, not one memorized tuple.
     Runs two seeded TPC-H shapes at two non-committed seeds, rebuilding
-    the oracle SQL from the flipped dict exactly as oracle_sql() does."""
+    the oracle SQL from the flipped dict exactly as oracle_sql() does.
+    (Trial seeds stay ahead of the committed ROUND_SEED: 9 became the
+    committed seed in r9, so the trials moved to 10/17.)"""
     import duckdb
 
     from incubator_stormcrawler_spark import roundparams as rp
@@ -103,7 +105,7 @@ def test_seeded_constants_flip_stays_green(spark):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
     saved = dict(rp.RP)
     try:
-        for trial_seed in (9, 17):
+        for trial_seed in (10, 17):
             rp.RP.clear()
             rp.RP.update(rp.round_params(trial_seed))
             P = rp.RP
@@ -136,3 +138,33 @@ def test_seeded_constants_flip_stays_green(spark):
     finally:
         rp.RP.clear()
         rp.RP.update(saved)
+
+
+def test_no_array_or_map_output_columns(spark):
+    """The driver's oracle comparator pandas-sorts EVERY output column;
+    a top-level ARRAY or MAP cell raises `unhashable type: 'list'` and
+    the row errors without ever comparing values — exactly how
+    embedding_random_projection became the only ungraded query in r8
+    (CORRECTNESS_r08.json). Schema inspection is lazy (plan analysis
+    only, nothing executes), so this sweeps the whole registry cheaply:
+    any query returning nested top-level columns must posexplode (or
+    emit per-component scalars) BEFORE registration."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    import __spark_entry__ as e
+
+    sf_dir = "/root/testdata/sf0.001"
+    bad: dict[str, list[str]] = {}
+    for name, q in e.queries().items():
+        schema = q(spark, sf_dir).schema
+        nested = [
+            f"{f.name}:{f.dataType.simpleString()}"
+            for f in schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if nested:
+            bad[name] = nested
+    assert bad == {}, (
+        f"registered queries with driver-uncanonicalizable output "
+        f"columns: {bad}"
+    )
