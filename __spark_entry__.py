@@ -344,6 +344,35 @@ def q_frontier_host_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_health(frontier, NOW)
 
 
+def q_frontier_fetch_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-limited throughput forecast (frontier.fetch_forecast):
+    how many pages each host can actually yield in the next horizon_s
+    seconds. The reference serializes fetches per politeness key and
+    honors robots crawl-delay (FetcherBolt.java:191-245), so a host's
+    ceiling over a horizon is floor(horizon/delay) + 1 and the honest
+    per-host forecast is least(due_backlog, ceiling) — the number crawl
+    operators size generations with (the due histogram alone overcounts
+    hot hosts). The delay dim covers every third host with delay
+    mod(h*7, 30) seconds — INCLUDING zero-delay hosts (h ≡ 0 mod 30),
+    exercising the robots 'Crawl-delay: 0' guard — and the other hosts
+    fall back to the 5 s fetcher.server.delay default through the LEFT
+    join. horizon_s derives from ROUND_SEED. Plan: one partial-aggregable
+    groupBy over the frontier + one broadcast join against the
+    host-cardinality dim."""
+    from incubator_stormcrawler_spark.operators.frontier import fetch_forecast
+    from incubator_stormcrawler_spark.roundparams import seeded_int
+
+    horizon = seeded_int("forecast_horizon", 120, 600)
+    frontier = syn.synthetic_frontier(spark, sf_dir)
+    delays = spark.range(0, syn.NUM_HOSTS).where("id % 3 = 0").selectExpr(
+        "'host' || cast(id as string) || '.example' as key",
+        "cast(mod(id * 7, 30) as double) as crawl_delay_s",
+    )
+    return fetch_forecast(
+        frontier, delays, NOW, horizon_s=horizon, default_delay_s=5.0
+    )
+
+
 def q_graph_seed_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source BFS hop distance from a seeded 20-node seed set
     (linkrank.seed_distance) over the same pinned 1000-node orders graph
@@ -1370,6 +1399,30 @@ def q_corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(docs, k=k)
 
 
+def q_corpus_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed linear classifier scoring (corpus.
+    hashed_linear_score) — the LEARNED-quality-filter stage of a corpus
+    pipeline (CCNet's fastText LM filter, GPT-3's quality classifier; the
+    reference's filter-chain extension point, parse/ParseFilter.java:29):
+    each doc scores the sum of its tokens' hashed-bucket weights in exact
+    INTEGER micro-units, normalized by token count. The weight table is
+    md5-derived (hashed_weight_table: a stand-in for trained weights with
+    the same shape), so the oracle replays bucket hash, weight derivation,
+    and the bigint sum bit-for-bit; n_buckets derives from ROUND_SEED.
+    Plan: explode tokens → broadcast n_buckets-row weight dim → ONE
+    partial-aggregable groupBy(doc) (map-side combine collapses the token
+    stream before the only shuffle)."""
+    from incubator_stormcrawler_spark.operators.corpus import (
+        hashed_linear_score,
+        hashed_weight_table,
+    )
+    from incubator_stormcrawler_spark.roundparams import seeded_int
+
+    n = seeded_int("clf_buckets", 256, 1024)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return hashed_linear_score(docs, hashed_weight_table(spark, n), n)
+
+
 def _source_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(source, bg) word-bigram stream over documents — shared by BOTH
     HLL sketch queries so their Spark sides (and therefore their
@@ -1480,7 +1533,8 @@ def q_status_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     AdaptiveScheduler consumes per URL (core/.../persistence/
     AdaptiveScheduler.java:121) and the WARC world's dedup journal.
     Snapshots derive deterministically from orders: membership by
-    o_orderkey mod 5 (GONE = residue 0, NEW = residue 1), digest flips
+    o_orderkey mod 5 (NEW = residue 0 — absent from prev; GONE =
+    residue 1 — absent from cur), digest flips
     on the SEEDED residue RP-style mods so the classifier — not one
     constant tuple — is what a green row certifies. Both-NULL digests
     (the null_mod residue) must land UNCHANGED; NULL→value is CHANGED.
@@ -2237,6 +2291,34 @@ SELECT key,
        min(CASE WHEN next_fetch_date <= TIMESTAMP '{syn.NOW}'
                 THEN next_fetch_date END) AS next_due
 FROM frontier GROUP BY key
+"""
+
+# least(due backlog, floor(horizon/delay)+1) replay; zero-delay hosts
+# (h ≡ 0 mod 30 in the dim) take the capacity = backlog branch, hosts
+# missing from the dim fall back to the 5 s default through the LEFT join
+_FC_HORIZON = _rp_seeded_int("forecast_horizon", 120, 600)
+_FC_CAP = (
+    "CASE WHEN coalesce(l.crawl_delay_s, 5.0) <= 0 THEN d.n_due"
+    f" ELSE CAST(floor({_FC_HORIZON}.0 / coalesce(l.crawl_delay_s, 5.0))"
+    " + 1 AS BIGINT) END"
+)
+_ORACLES["frontier_fetch_forecast"] = f"""
+{_DUCK_PRELUDE},
+due AS (
+  SELECT key, count(*)::BIGINT AS n_due FROM frontier
+  WHERE next_fetch_date <= TIMESTAMP '{NOW}' GROUP BY key
+),
+delays AS (
+  SELECT 'host' || cast(h as varchar) || '.example' AS key,
+         CAST(mod(h * 7, 30) AS DOUBLE) AS crawl_delay_s
+  FROM unnest(generate_series(0, {syn.NUM_HOSTS - 1})) t(h)
+  WHERE mod(h, 3) = 0
+)
+SELECT d.key, d.n_due,
+       coalesce(l.crawl_delay_s, 5.0) AS crawl_delay_s,
+       {_FC_CAP} AS capacity,
+       least(d.n_due, {_FC_CAP}) AS forecast
+FROM due d LEFT JOIN delays l ON d.key = l.key
 """
 
 _BFS_LO = _rp_seeded_int("bfs_lo", 0, 980)
@@ -4654,6 +4736,32 @@ ORDER BY p, doc_id
 LIMIT {_seeded_int("wsample_k", 200, 400)}
 """
 
+# identical md5 48-bit token hash, bucket split, md5-derived integer
+# micro-unit weights ([-1000, 1000]), LEFT join + coalesce-0 for sparse
+# tables, exact BIGINT sum; the one double op (raw/n) divides the same
+# exact integers on both engines, rounded once
+_CLF_BUCKETS = _seeded_int("clf_buckets", 256, 1024)
+_ORACLES["corpus_classifier_score"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(tok), 1, 12))::BIGINT % {_CLF_BUCKETS} AS bucket
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents)
+  WHERE tok <> ''
+), w AS (
+  SELECT CAST(b AS BIGINT) AS bucket,
+         ('0x' || substr(md5('lw:' || CAST(b AS VARCHAR)), 1, 12))::BIGINT
+           % 2001 - 1000 AS w
+  FROM unnest(generate_series(0, {_CLF_BUCKETS - 1})) t(b)
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_tokens,
+       CAST(sum(coalesce(w.w, 0)) AS BIGINT) AS raw_score,
+       round(CAST(sum(coalesce(w.w, 0)) AS DOUBLE) / count(*), 4) AS score
+FROM toks LEFT JOIN w USING (bucket)
+GROUP BY doc_id
+"""
+
 # identical md5 48-bit hash, bucket split, CASE-chain rho, and dyadic
 # 2^-M sum — the estimate is reproduced bit-for-bit, then rounded once
 _ORACLES["sketch_hll_bigrams"] = f"""
@@ -5059,44 +5167,105 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     flip (away from the constants that stood through r7) and all rows
     stayed green.
 
-    Round 8's window: all seeded TPC-H shapes and seeded dedup entries
-    (changed behavior ⇒ must be re-certified), plus every operator NEW in
-    round 8 — the three real-codec roundtrips (genuine BMP/PNG/WAV byte
-    parsing vs formula-replay oracles), the sketches (Count-Min, DSIR),
-    the graph family (k-core, TrustRank, multi-source BFS), exact-k
-    weighted sampling, prefix-filtered Jaccard, the JL projection + its
-    two ANN recall harnesses, PQ-ADC search, the rank-blended frontier,
-    the bit-exact decayed-rate metric, the CDX-style snapshot delta, and
-    the two corpus-overlap sketches (shard MinHash, HLL
-    inclusion–exclusion) — and a residue of the
-    oldest-green flagships (warc/frontier/link — last driver-certified
-    r03/r04; the rest of that stale tail rotates into the r9+ windows,
-    deferred this round because every NEW operator needs its first
-    driver row). Every entry past position 50 is GREEN in some committed
-    CORRECTNESS_r*.json AND unchanged since (tests/test_registry.py
-    asserts the green-tail invariant mechanically over the union of all
-    committed rounds). ALL registered queries are benched by the driver
-    every round, and the full local sweep artifact for THIS round is
-    VERIFY_ALL_r08.json (tools/verify_local.py at HEAD, written as the
-    round's final act — the committed r7 artifact predates its last 8
-    queries, whose green rows live in CORRECTNESS_r07.json instead)."""
+    Round 9's window EXECUTES THE ROTATION the r8 verdict called for
+    (COVERAGE.md §Round-9 window rotation plan): (1) four seeded
+    canaries — three TPC-H shapes + one seeded dedup entry — prove the
+    ROUND_SEED=9 flip against the driver (the full-registry sweep at
+    seed 9 was committed green before r8 closed; the other seeded
+    entries rotate to the tail under their r8 green rows with the
+    canaries certifying the shared seed mechanics in-window); (2)
+    embedding_random_projection stays in-window after its r9 reshape to
+    driver-canonicalizable scalar rows (the ONLY registry entry with no
+    committed green row — its r8 row died in the driver's pandas
+    canonicalizer on a top-level ARRAY column); (3) first driver rows
+    for the two r8 pytest-only operators, frontier_fetch_forecast and
+    corpus_classifier_score; (4) the 34 stalest entries (last green
+    r03) and 9 of the r04 flagships (warc/frontier/status/parse/link/
+    text/multimodal families) — every displaced entry is green in
+    CORRECTNESS_r08.json. The remaining r04 cohort (corpus_bm25,
+    doc_winnow, events_cube/correlation, text_tfidf_keywords,
+    embedding_*, multimodal_embeddings/frames) rotates in r10. Every
+    entry past position 50 is GREEN in some committed
+    CORRECTNESS_r*.json (tests/test_registry.py asserts the green-tail
+    invariant mechanically over the union of all committed rounds). ALL
+    registered queries are benched by the driver every round, and the
+    full local sweep artifact for THIS round is VERIFY_ALL_r09.json
+    (tools/verify_local.py at HEAD, written as the round's final
+    act)."""
     return {
         # ---- driver correctness window (first 50) -------------------
-        # Seeded TPC-H (22) — constants derive from ROUND_SEED in both
-        # engines; Q2/Q11/Q16/Q20 ride the derived partsupp, Q21/Q2/Q20
-        # oracles keep textbook correlated forms so green rows also prove
-        # the rewrites -------------------------------------------------
+        # Seed-flip canaries (4): three TPC-H shapes + one seeded dedup
+        # entry re-certify the ROUND_SEED=9 constants in-window; the
+        # other seeded entries ride their r8 green rows in the tail ----
+        "tpch_pricing_summary": rel.pricing_summary,
+        "tpch_forecast_revenue": rel.forecast_revenue,
+        "tpch_market_share": rel.market_share,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        # r9 fix: reshaped to scalar rows (vec_id, pos, component) — the
+        # only entry with no committed green driver row; must stay
+        # in-window until it has one -----------------------------------
+        "embedding_random_projection": q_embedding_random_projection,
+        # NEW r9 registrations: first driver rows for the two r8
+        # pytest-only operators ----------------------------------------
+        "frontier_fetch_forecast": q_frontier_fetch_forecast,
+        "corpus_classifier_score": q_corpus_classifier_score,
+        # Stalest cohort — last driver-green r03, re-certified here ----
+        "seeds_parse": q_seeds_parse,
+        "xpath_html": q_xpath_html,
+        "embedding_cosine_pairs": q_embedding_cosine_pairs,
+        "frontier_topk_bucket_ordered": q_frontier_topk_bucket_ordered,
+        "frontier_host_budget": q_frontier_host_budget,
+        "indexer_projection": q_indexer_projection,
+        "events_rate_10s": q_events_rate_10s,
+        "events_hourly": rel.events_hourly,
+        "frontier_topk_sharded": q_frontier_topk_sharded,
+        "frontier_topk_salted": q_frontier_topk_salted,
+        "frontier_due_histogram": q_due_histogram,
+        "adaptive_scheduler": q_adaptive_scheduler,
+        "url_normalize_native": q_url_normalize_native,
+        "frontier_status_counts": q_status_counts,
+        "deletion_stream": q_deletion_stream,
+        "status_merge_counts": q_status_merge_counts,
+        "url_partition_keys": q_url_partition_keys,
+        "anchor_text_agg": q_anchor_text_agg,
+        "top_orders_per_customer": rel.top_orders_per_customer,
+        "customer_value_bands": rel.customer_value_bands,
+        "customers_without_urgent_orders": rel.customers_without_urgent_orders,
+        "nations_by_activity": rel.nations_by_activity,
+        "events_sessionize": rel.events_sessionize,
+        "events_json_props": rel.events_json_props,
+        "events_quantiles": rel.events_quantiles,
+        "text_simhash": q_text_simhash,
+        "text_repetition": q_text_repetition,
+        "text_pii_scrub": q_text_pii_scrub,
+        "corpus_decontaminate": q_corpus_decontaminate,
+        "doc_fingerprint": q_doc_fingerprint,
+        "parse_word_doc": q_parse_word_doc,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        # r04-green flagships (9 of the r04 cohort; the rest rotate r10)
+        "warc_roundtrip": q_warc_roundtrip,
+        "frontier_topk": q_frontier_topk,
+        "frontier_next_generation": q_frontier_next_generation,
+        "status_merge": q_status_merge,
+        "parse_richdoc": q_parse_richdoc,
+        "link_rank": q_link_rank,
+        "link_hits": q_link_hits,
+        "text_quality": q_text_quality,
+        "multimodal_resize": q_multimodal_resize,
+        # ---- past the 50-entry driver window: ALL green in a committed
+        # CORRECTNESS_r*.json (r8-certified first — the displaced r8
+        # window — then the r06/r07 cohorts and the r04 remainder that
+        # rotates in r10) ----------------------------------------------
         "tpch_min_cost_supplier": rel.min_cost_supplier,
         "tpch_important_stock": rel.important_stock,
         "tpch_supplier_part_counts": rel.supplier_part_counts,
         "tpch_excess_inventory": rel.excess_inventory_suppliers,
-        "tpch_pricing_summary": rel.pricing_summary,
         "tpch_shipping_priority": rel.shipping_priority,
         "tpch_local_supplier_volume": rel.local_supplier_volume,
-        "tpch_forecast_revenue": rel.forecast_revenue,
         "tpch_priority_waiting": rel.order_priority_waiting,
         "tpch_volume_shipping": rel.volume_shipping,
-        "tpch_market_share": rel.market_share,
         "tpch_product_profit": rel.product_profit,
         "tpch_returned_customers": rel.returned_item_customers,
         "tpch_customer_distribution": rel.customer_order_distribution,
@@ -5108,58 +5277,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_waiting_suppliers": rel.waiting_suppliers,
         "tpch_promo_revenue": rel.promo_revenue,
         "tpch_brand_revenue": rel.brand_revenue,
-        # Seeded dedup family (10) — thresholds/splits/bitmap sizing from
-        # the seed; bloom_sharded is NEW r8 (per-shard broadcast bitmaps,
-        # the 10^9-URL membership path, same NOT-IN oracle) -------------
         "dedup_bloom_prefilter": q_dedup_bloom_prefilter,
         "dedup_bloom_sharded": q_dedup_bloom_sharded,
         "dedup_incremental": q_dedup_incremental,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_minhash_incremental": q_dedup_minhash_incremental,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_ngram_jaccard_capped": q_dedup_ngram_jaccard_capped,
         "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
         "dedup_containment": q_dedup_containment,
-        # NEW r8 (final window): corpus-overlap sketches + snapshot delta.
-        # They displace dedup_ngram_jaccard / dedup_clusters /
-        # dedup_clusters_star to the tail: all three are green in
-        # committed rounds, their ONLY r8 change is the seeded
-        # (jaccard_threshold, jaccard_max_df) pair source, and that exact
-        # seeded source is certified IN-window this round by
-        # dedup_ngram_jaccard_capped + dedup_jaccard_prefix (same
-        # constants, same shingle pipeline); the cluster resolvers on
-        # top are unchanged since their green rounds and sweep-green at
-        # HEAD in VERIFY_ALL_r08.json --------------------------------
         "status_snapshot_diff": q_status_snapshot_diff,
         "dedup_shard_overlap": q_dedup_shard_overlap,
         "sketch_hll_overlap": q_sketch_hll_overlap,
-        # NEW r8: REAL stdlib codecs — Spark parses genuine BMP row
-        # padding / RIFF framing; oracles replay the generating formula --
         "multimodal_bmp_roundtrip": q_multimodal_bmp_roundtrip,
         "multimodal_png_roundtrip": q_multimodal_png_roundtrip,
         "multimodal_wav_roundtrip": q_multimodal_wav_roundtrip,
-        # NEW r8 (late window): Count-Min point-query sketch and DSIR
-        # importance resampling — seeded width/buckets/target-lang; the
-        # two r7 sketches they displace (graph_triangles,
-        # sketch_hll_bigrams) are r07-green and unchanged, so they move
-        # to the tail under the union-green invariant -------------------
         "sketch_countmin_terms": q_sketch_countmin_terms,
         "corpus_dsir_sample": q_corpus_dsir_sample,
-        # NEW r8 (this window): k-core peel with an unrolled-CTE oracle,
-        # and exact-k weighted sampling (Sequential Poisson) whose
-        # single-IEEE-division priorities DuckDB reproduces bit-for-bit;
-        # they displace multimodal_resize/frames (r03-green, unchanged)
-        # to the tail under the union-green invariant ------------------
         "graph_kcore": q_graph_kcore,
         "corpus_weighted_sample": q_corpus_weighted_sample,
-        # NEW r8 (this window): TrustRank (seed-personalized PageRank),
-        # JL random projection (seeded Rademacher matrix), and PQ-ADC
-        # top-k search (the query half of the IVF-PQ index); they
-        # displace events_binned_quantiles (r07-green) and text_quality /
-        # xpath_html (r03/r04-green) to the tail under the union-green
-        # invariant ----------------------------------------------------
         "link_trustrank": q_link_trustrank,
-        "embedding_random_projection": q_embedding_random_projection,
         "ann_pq_adc": q_ann_pq_adc,
         "graph_seed_distance": q_graph_seed_distance,
         "ann_jl_recall": q_ann_jl_recall,
@@ -5167,21 +5303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_rank_blend": q_frontier_rank_blend,
         "events_decayed_rate": q_events_decayed_rate,
         "frontier_host_health": q_frontier_host_health,
-        # ---- past the 50-entry driver window: ALL green in a committed
-        # CORRECTNESS_r*.json and unchanged since (r7-certified first,
-        # then the r03/r04 tail that rotates into r9+) ------------------
-        "warc_roundtrip": q_warc_roundtrip,
-        "frontier_topk": q_frontier_topk,
-        "frontier_next_generation": q_frontier_next_generation,
-        "status_merge": q_status_merge,
-        "parse_richdoc": q_parse_richdoc,
-        "seeds_parse": q_seeds_parse,
-        "link_rank": q_link_rank,
-        "link_hits": q_link_hits,
-        "text_quality": q_text_quality,
-        "xpath_html": q_xpath_html,
         "events_binned_quantiles": q_events_binned_quantiles,
-        "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
         "corpus_bpe_merges": q_corpus_bpe_merges,
         "corpus_substring_dedup": q_corpus_substring_dedup,
@@ -5229,41 +5351,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_kmeans": q_embedding_kmeans,
         "embedding_pq": q_embedding_pq,
         "embedding_semdedup": q_embedding_semdedup,
-        "embedding_cosine_pairs": q_embedding_cosine_pairs,
         "multimodal_embeddings": q_multimodal_embeddings,
-        "frontier_topk_bucket_ordered": q_frontier_topk_bucket_ordered,
-        "frontier_host_budget": q_frontier_host_budget,
-        "indexer_projection": q_indexer_projection,
-        "events_rate_10s": q_events_rate_10s,
-        "events_hourly": rel.events_hourly,
-        "frontier_topk_sharded": q_frontier_topk_sharded,
-        "frontier_topk_salted": q_frontier_topk_salted,
-        "frontier_due_histogram": q_due_histogram,
-        "adaptive_scheduler": q_adaptive_scheduler,
-        "url_normalize_native": q_url_normalize_native,
-        "frontier_status_counts": q_status_counts,
-        "deletion_stream": q_deletion_stream,
-        "status_merge_counts": q_status_merge_counts,
-        "url_partition_keys": q_url_partition_keys,
-        "anchor_text_agg": q_anchor_text_agg,
-        "top_orders_per_customer": rel.top_orders_per_customer,
-        "customer_value_bands": rel.customer_value_bands,
-        "customers_without_urgent_orders": rel.customers_without_urgent_orders,
-        "nations_by_activity": rel.nations_by_activity,
-        "events_sessionize": rel.events_sessionize,
-        "events_json_props": rel.events_json_props,
-        "events_quantiles": rel.events_quantiles,
-        "text_simhash": q_text_simhash,
-        "text_repetition": q_text_repetition,
-        "text_pii_scrub": q_text_pii_scrub,
-        "corpus_decontaminate": q_corpus_decontaminate,
-        "doc_fingerprint": q_doc_fingerprint,
-        "parse_word_doc": q_parse_word_doc,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "dedup_exact": q_dedup_exact,
         "graph_triangles": q_graph_triangles,
         "sketch_hll_bigrams": q_sketch_hll_bigrams,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "dedup_clusters_star": q_dedup_clusters_star,
     }

@@ -89,6 +89,23 @@ def main() -> None:
     # a no-op that only doubles bench time. Summary carries max_load_1m
     # over pre-samples (the cleanliness claim) and max_load_1m_incl_self
     # over all samples; the detail file has both per query.
+    #
+    # r9 advisory (post-sample spike detection): a spike that BEGINS
+    # mid-query — especially on the last query — taints that timing
+    # while every pre-sample stays clean, so "0 hot queries" alone can
+    # overclaim. The 1m loadavg relaxes toward instantaneous load with a
+    # 60 s time constant, so over a query of wall time t the query's OWN
+    # full-burn contribution is bounded by ncpu·(1 − e^(−t/60)); a
+    # post-sample above pre + that bound (+ the gate's headroom) cannot
+    # be self-load and is counted in n_post_hot_queries — advisory only
+    # (no retry: the next query's PRE-sample gate already handles
+    # sustained load), but a nonzero value flags the artifact.
+    import math
+    import multiprocessing
+
+    ncpu = float(os.environ.get(
+        "SPARK_GRAFT_CPUS", multiprocessing.cpu_count()))
+    post_hot: list[str] = []
     for name, fn in e.queries().items():
         try:
             q_load = None
@@ -96,8 +113,20 @@ def main() -> None:
                 load0 = os.getloadavg()[0]
                 if load0 > LOAD_GATE:
                     load0 = _wait_for_quiet_box(max_wait_sec=120.0)
+                t_wall0 = time.time()
                 best = _time_query(fn, spark, sf_dir, runs)
+                elapsed = time.time() - t_wall0
                 load1 = os.getloadavg()[0]
+                self_ceiling = load0 + ncpu * (
+                    1.0 - math.exp(-elapsed / 60.0))
+                if load1 > max(LOAD_GATE, self_ceiling) and name not in post_hot:
+                    post_hot.append(name)
+                    print(
+                        f"bench: {name} post-load {load1:.1f} exceeds "
+                        f"self-load ceiling {self_ceiling:.1f} — external "
+                        "spike began mid-query (advisory)",
+                        file=sys.stderr,
+                    )
                 if q_load is None or load0 < q_load:
                     q_load, timings[name] = load0, round(best, 3)
                     loads_after[name] = round(load1, 2)
@@ -174,6 +203,8 @@ def main() -> None:
         ),
         "load_gate": LOAD_GATE,
         "n_hot_queries": sum(1 for v in loads.values() if v > LOAD_GATE),
+        "n_post_hot_queries": len(post_hot),
+        "post_hot_queries": post_hot,
     }
     if baselines:
         print("baselines: " + json.dumps(baselines, separators=(",", ":")),
@@ -201,6 +232,7 @@ def main() -> None:
                 "load_1m_at_start": round(start_load, 2),
                 "max_load_1m": detail["max_load_1m"],
                 "n_hot_queries": detail["n_hot_queries"],
+                "n_post_hot_queries": detail["n_post_hot_queries"],
                 "detail_file": "BENCH_DETAIL_latest.json",
             },
             separators=(",", ":"),

@@ -240,6 +240,7 @@ def frontier_topk_rank_ordered(
     key_col: str = "key",
     rank_col: str = "rank",
     node_col: str = "node",
+    max_results: int | None = None,
 ) -> DataFrame:
     """Link-evidence-prioritized frontier: choose the ``max_buckets``
     politeness keys with the HIGHEST rank score (PageRank / TrustRank /
@@ -258,6 +259,14 @@ def frontier_topk_rank_ordered(
     rank table (#hosts rows, partial-aggregable distinct), then the
     windowed top-k runs only over the chosen keys; the frontier itself
     is never shuffled for the bucket choice.
+
+    ``max_results`` caps the generation like the plain ``frontier_topk``
+    path — without it the batch is max_buckets × max_per_bucket and a
+    smaller configured generation size would be silently exceeded.
+    Higher-ranked hosts win the cap (rank desc, then key/rn/url for a
+    total deterministic order); the cap runs over the already-bounded
+    ≤ max_buckets·max_per_bucket rows, so it is a TakeOrderedAndProject
+    on a tiny relation, never a global sort of the frontier.
     """
     due = frontier.where(F.col("next_fetch_date") <= F.lit(now))
     keys = due.select(key_col).distinct()
@@ -280,12 +289,20 @@ def frontier_topk_rank_ordered(
     w = Window.partitionBy(key_col).orderBy(
         F.col("next_fetch_date").asc(), F.col("url").asc()
     )
-    return (
+    out = (
         due.join(F.broadcast(scored), key_col)
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= F.lit(max_per_bucket))
         .withColumn("key_rank", F.round(F.col("key_rank"), 6))
     )
+    if max_results is not None:
+        out = out.orderBy(
+            F.col("key_rank").desc(),
+            F.col(key_col).asc(),
+            F.col("rn").asc(),
+            F.col("url").asc(),
+        ).limit(max_results)
+    return out
 
 
 def host_health(

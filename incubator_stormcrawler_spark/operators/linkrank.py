@@ -36,19 +36,22 @@ def link_rank(
     # Pre-join rank-independent state once and cache: each iteration reuses
     # (edges ⋈ outdeg) and nodes; ranks localCheckpoint per iteration to cut
     # lineage — without it, iteration k replays all k-1 predecessors.
-    e = (
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .distinct()
-        .cache()
-    )
+    # The distinct edge relation itself is NOT cached: it is only read
+    # while the cached children below first materialize (ReusedExchange
+    # shares its shuffle within that action), and a cache here would pin
+    # a duplicate copy of the edge list in executor memory for the whole
+    # iteration loop with no further reads.
+    raw = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
+        raw.select(F.col("src").alias("node"))
+        .union(raw.select(F.col("dst").alias("node")))
         .distinct()
         .cache()
     )
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    e = e.join(outdeg, "src").cache()
+    outdeg = raw.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    e = raw.join(outdeg, "src").cache()
     ranks = nodes.withColumn("rank", F.lit(1.0))
 
     for _ in range(iterations):
@@ -447,14 +450,14 @@ def trustrank(
     pass a pre-partitioned seeds frame and drop the broadcast hint).
     Ranks localCheckpoint per iteration to cut lineage.
     """
-    e = (
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .distinct()
-        .cache()
-    )
+    # distinct edges deliberately uncached (same rationale as link_rank:
+    # only read while the cached trust/joined relations first materialize)
+    raw = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
+        raw.select(F.col("src").alias("node"))
+        .union(raw.select(F.col("dst").alias("node")))
         .distinct()
     )
     trust = (
@@ -468,8 +471,8 @@ def trustrank(
         .select("node", F.coalesce(F.col("__s"), F.lit(0.0)).alias("t"))
         .cache()
     )
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    e = e.join(outdeg, "src").cache()
+    outdeg = raw.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    e = raw.join(outdeg, "src").cache()
     ranks = trust.select("node", F.col("t").alias("rank"))
     for _ in range(iterations):
         contribs = (

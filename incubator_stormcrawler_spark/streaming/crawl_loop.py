@@ -263,6 +263,10 @@ class CrawlLoop:
                 frontier, ranks, now,
                 max_buckets=self.rank_max_buckets,
                 max_per_bucket=self.max_per_bucket,
+                # same generation-size contract as the plain path: without
+                # this, rank_max_buckets × max_per_bucket silently exceeds
+                # a smaller configured max_results
+                max_results=self.max_results,
             ).select("url", "key", "depth").cache()
         else:
             batch = frontier_topk(
