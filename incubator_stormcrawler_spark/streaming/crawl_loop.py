@@ -66,6 +66,9 @@ class CrawlLoop:
         rank_max_buckets: int = 10,
         rank_iterations: int = 3,
         rank_refresh_every: int = 1,
+        forecast_sizing: bool = False,
+        forecast_horizon_s: float = 60.0,
+        forecast_delays: DataFrame | None = None,
     ):
         self.spark = spark
         self.frontier_path = frontier_path
@@ -145,6 +148,22 @@ class CrawlLoop:
         # stream into DeletionBolt,
         # opensearch/.../bolt/DeletionBolt.java:53-58)
         self.index = index
+        # forecast_sizing=True caps each host's generation share at its
+        # politeness-limited fetch forecast (frontier.fetch_forecast):
+        # least(due backlog, floor(horizon/delay) + 1) for the configured
+        # forecast_horizon_s. Without it the loop sizes by max_results /
+        # max_per_bucket alone, so a delay-bound host can be handed more
+        # URLs than its crawl-delay lets it fetch inside the generation
+        # budget and the whole generation's wall time stretches to the
+        # slowest host (the reference hits the same wall as queue
+        # starvation: FetcherBolt.java:191-245 holds the queue while the
+        # delay elapses). forecast_delays is an optional robots-derived
+        # (key, crawl_delay_s) dim; hosts missing from it pace at
+        # server_delay — with server_delay == 0 the cap provably never
+        # binds (capacity = backlog), so the default stays a no-op.
+        self.forecast_sizing = forecast_sizing
+        self.forecast_horizon_s = forecast_horizon_s
+        self.forecast_delays = forecast_delays
         self.table = FrontierTable(
             frontier_path,
             partition_by="bucket" if bucket_partitioned else None,
@@ -267,13 +286,35 @@ class CrawlLoop:
                 # this, rank_max_buckets × max_per_bucket silently exceeds
                 # a smaller configured max_results
                 max_results=self.max_results,
-            ).select("url", "key", "depth").cache()
+            )
         else:
             batch = frontier_topk(
                 frontier, now,
                 max_per_bucket=self.max_per_bucket,
                 max_results=self.max_results,
-            ).select("url", "key", "depth").cache()
+            )
+        if self.forecast_sizing:
+            # drop the rows a delay-bound host cannot fetch inside the
+            # horizon anyway: rn ranks each host's URLs oldest-first, so
+            # keeping rn <= forecast keeps exactly the politeness-feasible
+            # prefix. The forecast is one host-cardinality aggregate +
+            # broadcast join — never a frontier shuffle.
+            from ..operators.frontier import fetch_forecast
+
+            delays = self.forecast_delays
+            if delays is None:
+                delays = self.spark.createDataFrame(
+                    [], "key string, crawl_delay_s double"
+                )
+            fc = fetch_forecast(
+                frontier, delays, now,
+                horizon_s=self.forecast_horizon_s,
+                default_delay_s=self.server_delay,
+            )
+            batch = batch.join(
+                F.broadcast(fc.select("key", "forecast")), "key"
+            ).where(F.col("rn") <= F.col("forecast"))
+        batch = batch.select("url", "key", "depth").cache()
 
         cache_hits = 0
         if self.content_cache is not None:

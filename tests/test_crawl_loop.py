@@ -552,3 +552,53 @@ def test_rank_prioritized_crawl_focuses_on_endorsed_host(spark, tmp_path):
     frontier = {r.url: r.status for r in loop.read_frontier().collect()}
     assert set(frontier) == set(site)
     assert all(st == "FETCHED" for st in frontier.values())
+
+
+def test_forecast_sizing_caps_generation_at_politeness_ceiling(spark, tmp_path):
+    """forecast_sizing=True sizes each host's generation share by
+    frontier.fetch_forecast — least(due backlog, floor(horizon/delay)+1)
+    — instead of max_per_bucket alone, so a delay-bound host is handed
+    exactly the prefix it can politely fetch inside the horizon and the
+    rest is DEFERRED (never dropped): later generations drain it at the
+    same ceiling. Mirrors the reference's FetcherBolt queue-hold
+    (FetcherBolt.java:191-245) at planning time instead of fetch time."""
+    site = {
+        f"https://h{h}.example/p{p}": "<html>x</html>"
+        for h in range(3)
+        for p in range(10)
+    }
+    # h0: 10 s crawl-delay, 30 s horizon -> ceiling floor(30/10)+1 = 4
+    # h1: robots 'Crawl-delay: 0' -> no politeness bound (capacity = backlog)
+    # h2: absent from the dim -> server_delay (0.0) default -> no bound
+    delays = spark.createDataFrame(
+        [("h0.example", 10.0), ("h1.example", 0.0)],
+        "key string, crawl_delay_s double",
+    )
+    loop = CrawlLoop(
+        spark,
+        frontier_path=str(tmp_path / "frontier"),
+        protocol_factory=lambda: MemoryProtocol(site),
+        server_delay=0.0,
+        max_per_bucket=10,
+        max_results=100,
+        forecast_sizing=True,
+        forecast_horizon_s=30.0,
+        forecast_delays=delays,
+    )
+    loop.inject_seeds(spark.createDataFrame([(u,) for u in site], ["url"]))
+
+    c1 = loop.run_generation()
+    assert c1["batch"] == 24 and c1["fetched_ok"] == 24  # 4 + 10 + 10
+    frontier = {r.url: r.status for r in loop.read_frontier().collect()}
+    h0_done = [u for u, s in frontier.items()
+               if s == "FETCHED" and u.startswith("https://h0")]
+    assert len(h0_done) == 4  # the politeness-feasible prefix, exactly
+
+    # deferred URLs drain at the ceiling in later generations
+    c2 = loop.run_generation()
+    assert c2["batch"] == 4 and c2["fetched_ok"] == 4
+    c3 = loop.run_generation()
+    assert c3["batch"] == 2 and c3["fetched_ok"] == 2
+    frontier = {r.url: r.status for r in loop.read_frontier().collect()}
+    assert set(frontier) == set(site)
+    assert all(s == "FETCHED" for s in frontier.values())
