@@ -1621,6 +1621,108 @@ def countmin_estimate(
     )
 
 
+def heavy_hitters(
+    df: DataFrame,
+    value_expr: str,
+    min_count: int,
+    depth: int = 3,
+    width: int = 128,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """EXACT heavy hitters — every value occurring >= ``min_count`` times,
+    with its exact count — WITHOUT ever grouping the full stream by value.
+
+    The naive ``groupBy(value).count()`` shuffles the entire stream on a
+    mostly-distinct key (the long tail IS most of the rows — Zipf), which
+    at 100 TB is the single biggest avoidable shuffle in a term-statistics
+    pipeline. This operator exploits Count-Min's ONE-SIDED error
+    (Cormode & Muthukrishnan 2005: estimates only ever OVER-count): pass 1
+    builds the depth×width grid (partial-aggregable, grid-sized output);
+    pass 2 re-scans the stream and keeps an occurrence only if its value's
+    CM estimate min_d grid[d][h_d(v)] >= min_count — a pure map-side
+    filter through ``depth`` BROADCAST joins (the grid is depth×width
+    rows, always broadcastable). Every true heavy hitter survives
+    (one-sided guarantee ⇒ no false negatives — property-tested); the
+    survivors (true hitters + hash-collision stowaways) are the ONLY rows
+    that reach the exact groupBy, whose final ``count >= min_count``
+    filter evicts the stowaways. Result is EXACTLY the naive answer
+    (equivalence-tested) with the shuffle shrunk from the full stream to
+    the heavy tail.
+
+    Sizing: undersize ``width`` below the distinct-value count and
+    collisions admit more stowaways — correctness is unaffected, only the
+    shuffle saving shrinks; ``width ~ distinct/10`` keeps the grid tiny
+    while the Zipf head dominates cells. ``hash_fn`` follows the family
+    contract: md5 = oracle-replayable default, xxhash64 = codegen
+    production mode (same survivor set — the filter only needs SOME
+    one-sided sketch).
+    """
+    rows = df.selectExpr(f"({value_expr}) as __v").where(
+        F.col("__v").isNotNull()
+    )
+    grid = countmin_table(
+        rows, "__v", depth=depth, width=width, hash_fn=hash_fn
+    )
+    probed = rows
+    ests = []
+    for d in range(depth):
+        g = grid.where(F.col("d") == d).select(
+            F.col("bucket").alias(f"__b{d}"), F.col("c").alias(f"__c{d}")
+        )
+        probed = probed.withColumn(
+            f"__b{d}", F.expr(_cm_bucket_sql("__v", str(d), width, hash_fn))
+        ).join(F.broadcast(g), f"__b{d}", "left")
+        # an absent cell means the value was never sketched -> estimate 0
+        ests.append(F.coalesce(F.col(f"__c{d}"), F.lit(0)))
+    candidates = probed.where(F.least(*ests) >= F.lit(min_count))
+    return (
+        candidates.groupBy(F.col("__v").alias("value"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .where(F.col("n") >= F.lit(min_count))
+    )
+
+
+def heavy_hitters_sql(
+    table_expr: str,
+    min_count: int,
+    depth: int = 3,
+    width: int = 128,
+) -> str:
+    """DuckDB oracle for :func:`heavy_hitters` (md5 mode): replays the
+    grid, the per-occurrence min-probe filter, and the exact survivor
+    count. ``table_expr`` must yield one ``v`` column of occurrences."""
+    probes = ", ".join(
+        f"('0x' || substr(md5('cm' || '{d}' || ':' || v), 1, 12))::BIGINT"
+        f" % {width} AS b{d}"
+        for d in range(depth)
+    )
+    grid_joins = " ".join(
+        f"LEFT JOIN grid g{d} ON g{d}.d = {d} AND g{d}.bucket = p.b{d}"
+        for d in range(depth)
+    )
+    least = ", ".join(f"coalesce(g{d}.c, 0)" for d in range(depth))
+    return f"""
+WITH occ AS (SELECT v FROM ({table_expr}) WHERE v IS NOT NULL),
+probes AS (
+  SELECT v, d,
+         ('0x' || substr(md5('cm' || CAST(d AS VARCHAR) || ':' || v),
+                         1, 12))::BIGINT % {width} AS bucket
+  FROM occ, unnest(generate_series(0, {depth - 1})) t(d)
+),
+grid AS (
+  SELECT d, bucket, CAST(count(*) AS BIGINT) AS c
+  FROM probes GROUP BY 1, 2
+),
+cand AS (
+  SELECT p.v FROM (SELECT v, {probes} FROM occ) p
+  {grid_joins}
+  WHERE least({least}) >= {min_count}
+)
+SELECT v AS value, CAST(count(*) AS BIGINT) AS n
+FROM cand GROUP BY v HAVING count(*) >= {min_count}
+"""
+
+
 # ---------------------------------------------------------------------------
 # DSIR-style importance resampling (Xie et al. 2023, "Data Selection for
 # Language Models via Importance Resampling"): pick raw-corpus documents

@@ -257,8 +257,17 @@ def jaccard_prefix_pairs(
     prefix = ranked.where(
         F.col("pos") <= F.col("n_sh") - ceil_ts + 1
     ).select("doc_id", "shingle", "n_sh")
+    # hint("merge") on the self-join and the verify joins: the prefix
+    # relation derives from two windows over a lazily-checkpointed
+    # stream, so Catalyst's plan-time size estimate is garbage and it
+    # will happily pick a BROADCAST build of a corpus-sized side — at
+    # 400k docs that kills the driver ("Not enough memory to build and
+    # broadcast", found by the r9 scale curve; same defect class as
+    # substring_dup_starts' join-back). SMJ keeps every corpus-sized
+    # join linear and AQE-skew-splittable; the candidate side stays
+    # broadcast-eligible when AQE's RUNTIME size says so.
     a = prefix.alias("a")
-    b = prefix.alias("b")
+    b = prefix.alias("b").hint("merge")
     cand = (
         a.join(b, "shingle")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -276,11 +285,13 @@ def jaccard_prefix_pairs(
         .distinct()
     )
     common = (
-        cand.join(sh.withColumnRenamed("doc_id", "doc1"), "doc1")
+        cand.join(
+            sh.withColumnRenamed("doc_id", "doc1").hint("merge"), "doc1"
+        )
         .join(
             sh.select(
                 F.col("doc_id").alias("doc2"), "shingle"
-            ),
+            ).hint("merge"),
             ["doc2", "shingle"],
         )
         .groupBy("doc1", "doc2", "n1", "n2")
@@ -1167,6 +1178,7 @@ def bloom_unseen_sharded(
     m_bits: int = 1 << 16,
     k: int = 3,
     bitmap: DataFrame | None = None,
+    broadcast_residue: bool = False,
 ) -> DataFrame:
     """EXACT unseen-set via a bucket-SHARDED Bloom prefilter — same result
     as :func:`bloom_unseen` and as the plain LEFT ANTI join, but no single
@@ -1216,9 +1228,29 @@ def bloom_unseen_sharded(
         possible_parts.append(probed.where(present).select(*out_cols))
     definite_new = reduce(DataFrame.unionByName, definite_parts)
     possible = reduce(DataFrame.unionByName, possible_parts)
-    exact_new = possible.join(
-        seen.select(F.col(key_col)).distinct(), key_col, "left_anti"
-    )
+    if broadcast_residue:
+        # zero-seen-shuffle form (same contract as bloom_unseen_broadcast):
+        # seen is only SCANNED map-side; both broadcasts are bounded by
+        # the candidate batch — the crawl-generation shape
+        found = seen.join(
+            F.broadcast(possible.select(key_col).distinct()),
+            key_col,
+            "left_semi",
+        ).select(key_col).distinct()
+        exact_new = possible.join(F.broadcast(found), key_col, "left_anti")
+    else:
+        # hint("merge"): Catalyst's plan-time estimate of the seen set can
+        # sit under the broadcast threshold (spark.range-derived fixtures
+        # estimate bytes pre-widening) and a broadcast anti-join BUILD of
+        # the full seen relation kills the driver — found by the r9 scale
+        # curve at 16M keys. SMJ keeps the residue linear; the possible
+        # side still downgrades to broadcast when AQE's runtime size
+        # justifies it.
+        exact_new = possible.join(
+            seen.select(F.col(key_col)).distinct().hint("merge"),
+            key_col,
+            "left_anti",
+        )
     return definite_new.unionByName(exact_new)
 
 
@@ -1238,6 +1270,151 @@ def bloom_bitmap_array(seen: DataFrame, key_col: str, m_bits: int = 1 << 16,
         w = np.array([r.word for r in rows], dtype=np.int64).view(np.uint64)
         arr[idx] = w
     return arr
+
+
+def bloom_bitmap_array_sharded(
+    seen: DataFrame,
+    key_col: str,
+    n_shards: int,
+    m_bits: int = 1 << 16,
+    k: int = 3,
+) -> list:
+    """Materialize :func:`bloom_bitmap_sharded` as a LIST of dense numpy
+    uint64 arrays (one per shard, each spanning the PER-SHARD ``m_bits``)
+    — the executor-shippable form for
+    :func:`bloom_unseen_broadcast_sharded`. The collect is bounded by the
+    TOTAL sketch size (n_shards · m_bits / 8 bytes), never the data, and
+    rides the ARROW collect path (``toArrow`` → one vectorized numpy
+    scatter per shard): the row-object collect took minutes and ~100
+    bytes/word of driver Python heap at 64M bitmap words (256M keys on
+    the r9 scale curve) where the columnar path moves the same words as
+    three flat buffers."""
+    import numpy as np
+
+    frame = bloom_bitmap_sharded(seen, key_col, n_shards, m_bits=m_bits, k=k)
+    arrays = [
+        np.zeros(m_bits // 64 + 1, dtype=np.uint64) for _ in range(n_shards)
+    ]
+    tbl = frame.toArrow()
+    shard = tbl.column("shard").to_numpy()
+    wi = tbl.column("word_idx").to_numpy()
+    w = tbl.column("word").to_numpy().astype(np.int64).view(np.uint64)
+    for s in range(n_shards):
+        m = shard == s
+        arrays[s][wi[m]] = w[m]
+    return arrays
+
+
+def bloom_unseen_broadcast_sharded(
+    seen: DataFrame,
+    candidates: DataFrame,
+    key_col: str,
+    n_shards: int = 8,
+    m_bits: int = 1 << 16,
+    k: int = 3,
+    bitmap_arrays=None,
+    broadcast_residue: bool = False,
+) -> DataFrame:
+    """EXACT unseen-set via SHARDED ``SparkContext.broadcast`` numpy
+    bitmaps + one Arrow pass per shard branch — the 100 TB form of the
+    Bloom membership family, combining :func:`bloom_unseen_broadcast`'s
+    vectorized probe (no per-probe broadcast-hash JOIN builds) with
+    :func:`bloom_unseen_sharded`'s bounded broadcast units.
+
+    Why this shape (r9 scale-curve finding): the JOIN-form sharded probe
+    materializes ``n_shards × k`` SEPARATE HashedRelation broadcasts,
+    each proportional to a shard's bitmap ROWS — at 16M keys / 2^28 bits
+    that is 24 × ~4.2M-row builds pinned simultaneously, which OOMs an
+    8 GB driver before the first batch probes. Here each shard's bitmap
+    is ONE TorrentBroadcast of a dense ``m_bits/8``-byte array: the
+    driver holds the arrays only transiently, executors PULL a shard's
+    blocks lazily on first use — a node only ever materializes the
+    shards its tasks actually touch — and the bit tests run as one numpy
+    gather per Arrow batch. At 10^9 seen URLs / 10 bits/key, 64 shards
+    of ~20 MB replace the unshippable 1.2 GB single array.
+
+    Same exactness contract as every form in this family (false
+    positives resolved by the exact residue; staleness caveat as
+    documented on :func:`bloom_unseen_broadcast`); ``broadcast_residue``
+    selects the zero-seen-shuffle residue, and the default residue uses
+    the merge-hinted SMJ anti join.
+    """
+    import numpy as np
+
+    from pyspark import Broadcast
+
+    if bitmap_arrays is None:
+        bitmap_arrays = bloom_bitmap_array_sharded(
+            seen, key_col, n_shards, m_bits=m_bits, k=k
+        )
+    if len(bitmap_arrays) != n_shards:
+        raise ValueError(
+            f"bitmap_arrays has {len(bitmap_arrays)} shards, "
+            f"expected {n_shards}"
+        )
+    sc = candidates.sparkSession.sparkContext
+    bcasts = [
+        a if isinstance(a, Broadcast) else sc.broadcast(a)
+        for a in bitmap_arrays
+    ]
+    out_cols = list(candidates.columns)
+    _check_bf_namespace(out_cols)
+    # one checkpoint below the branch split (same rationale as
+    # bloom_unseen_sharded: every branch re-evaluates its input subtree)
+    cand = candidates.withColumn(
+        "__bf_shard", _shard_expr(key_col, n_shards)
+    ).localCheckpoint(eager=False)
+    pos_cols = [f"__bf_p{j}" for j in range(k)]
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in candidates.schema.fields
+    ) + ", __bf_hit boolean"
+
+    def make_runner(bcast):
+        def run(batches):
+            a = bcast.value
+            one = np.uint64(1)
+            for pdf in batches:
+                hit = np.ones(len(pdf), dtype=bool)
+                for c in pos_cols:
+                    p = pdf[c].to_numpy(dtype=np.int64)
+                    hit &= (
+                        (a[p >> 6] >> (p & 63).astype(np.uint64)) & one
+                    ).astype(bool)
+                out = pdf.drop(columns=pos_cols)
+                out["__bf_hit"] = hit
+                yield out
+        return run
+
+    flagged_parts = []
+    for s in range(n_shards):
+        branch = cand.where(F.col("__bf_shard") == s).drop("__bf_shard")
+        for j in range(k):
+            branch = branch.withColumn(
+                f"__bf_p{j}", _probe_pos_expr(key_col, j, m_bits)
+            )
+        flagged_parts.append(
+            branch.mapInPandas(make_runner(bcasts[s]), schema=schema)
+        )
+    flagged = reduce(DataFrame.unionByName, flagged_parts).localCheckpoint(
+        eager=False
+    )
+    definite_new = flagged.where(~F.col("__bf_hit")).select(*out_cols)
+    possible = flagged.where(F.col("__bf_hit")).select(*out_cols)
+    if broadcast_residue:
+        found = seen.join(
+            F.broadcast(possible.select(key_col).distinct()),
+            key_col,
+            "left_semi",
+        ).select(key_col).distinct()
+        exact_new = possible.join(F.broadcast(found), key_col, "left_anti")
+    else:
+        exact_new = possible.join(
+            seen.select(F.col(key_col)).distinct().hint("merge"),
+            key_col,
+            "left_anti",
+        )
+    return definite_new.unionByName(exact_new)
 
 
 def bloom_unseen_broadcast(

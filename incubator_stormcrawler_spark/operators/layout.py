@@ -1,0 +1,210 @@
+"""Data-layout operators: Z-order clustering keys and the file-skipping
+statistics they buy.
+
+At 100 TB the cheapest query is the one that never reads the file: engines
+skip a parquet file/row-group when its per-column min/max interval misses
+the predicate, and HOW MUCH gets skipped is decided entirely by the data
+LAYOUT — rows clustered so that each file covers a small rectangle of the
+value space skip multi-column predicates that a single-column sort cannot.
+Z-ordering (bit-interleaving the columns' fixed-width ranks — Morton 1966;
+the technique behind Delta/Iceberg ``OPTIMIZE ZORDER BY``) is the standard
+multi-column clustering key, and it is pure integer bit arithmetic: fully
+codegen-able, no UDF, no shuffle beyond the one repartition/sort the
+rewrite itself pays.
+
+Reference parity: the reference's status backends shard/cluster their
+frontier indexes by routing key for exactly this scan-pruning reason
+(external/opensearch/.../StatusUpdaterBolt routing; SQL backend bucket
+column — external/sql/.../StatusUpdaterBolt.java:157-163); Z-order is the
+multi-column generalization our parquet lakehouse shim can adopt without
+an engine.
+
+Cross-engine determinism (driver-oracle contract): column normalization is
+min-max scaling to ``bits``-bit integer grid cells — ``floor((v - min) *
+(2^bits - 1) / (max - min))`` — computed in DOUBLE on both engines from
+the same integer inputs (one exactly-rounded multiply + divide, then an
+explicit floor: DuckDB's implicit double->int cast ROUNDS where Spark's
+truncates, a trap this module sidesteps by flooring before the cast).
+Interleave is plain shift/or. No floats survive into the key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _scale_expr(col: str, mn: str, mx: str, bits: int) -> str:
+    """SQL text: min-max scale ``col`` into [0, 2^bits) — shared verbatim
+    with the DuckDB oracle builder so the two engines cannot drift. The
+    max(1, ...) guard keeps a constant column (mx == mn) at cell 0
+    instead of dividing by zero."""
+    top = (1 << bits) - 1
+    return (
+        f"cast(floor((cast({col} as double) - {mn}) * {top}.0 / "
+        f"greatest(cast({mx} - {mn} as double), 1.0)) as bigint)"
+    )
+
+
+def _interleave_expr(cells: list[str], bits: int) -> str:
+    """SQL text: bit-interleave the ``cells`` (each already in
+    [0, 2^bits)) into one Z-key — bit b of column j lands at position
+    b * ncols + j. Pure shift/and/or: identical semantics in Spark SQL
+    and DuckDB; key width = bits * ncols <= 63 is asserted by callers."""
+    parts = []
+    ncols = len(cells)
+    for j, cell in enumerate(cells):
+        for b in range(bits):
+            src = f"(({cell}) >> {b}) & 1"
+            parts.append(f"(({src}) << {b * ncols + j})")
+    return " | ".join(parts)
+
+
+def zorder_key(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 10,
+) -> DataFrame:
+    """Append a ``zkey`` column: the Z-order (Morton) interleave of the
+    min-max-scaled ``cols``. Sorting/range-partitioning by ``zkey``
+    before a write clusters rows so every output file covers a compact
+    hyper-rectangle of the column space — the layout multi-column
+    min/max skipping needs.
+
+    Plan: ONE tiny aggregate computes each column's (min, max) — a
+    single row, joined back as a broadcast crossJoin (scalar dimension)
+    — then the scale + interleave is a pure per-row projection in
+    whole-stage codegen. No UDF, no shuffle; the caller chooses what to
+    do with the key (repartitionByRange + sortWithinPartitions is the
+    rewrite shape).
+    """
+    if not cols:
+        raise ValueError("zorder_key: need at least one column")
+    if bits * len(cols) > 63:
+        raise ValueError("zorder_key: bits * ncols must fit in 63 bits")
+    bounds = df.agg(
+        *[F.min(c).cast("double").alias(f"__mn_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"__mx_{c}") for c in cols],
+    )
+    out = df.crossJoin(F.broadcast(bounds))
+    cells = [
+        _scale_expr(c, f"__mn_{c}", f"__mx_{c}", bits) for c in cols
+    ]
+    return out.selectExpr(
+        *df.columns, _interleave_expr(cells, bits) + " as zkey"
+    )
+
+
+def zorder_skipping_stats(
+    df: DataFrame,
+    cols: list[str],
+    n_buckets: int = 64,
+    bits: int = 10,
+    predicates: list[tuple[str, float, float]] | None = None,
+) -> DataFrame:
+    """Simulate the Z-order rewrite and measure what it buys: bucket rows
+    by the TOP bits of their Z-key (bucket = zkey >> (keybits -
+    log2(n_buckets)) — exactly the files a range-partitioned write would
+    produce), record each bucket's per-column min/max (the parquet
+    footer stats), and for each ``(col, lo, hi)`` predicate mark whether
+    the bucket is PRUNABLE (its [min, max] misses [lo, hi] — the scan
+    never opens it).
+
+    Returns one row per bucket: (bucket, n_rows, <col>_min/<col>_max ...,
+    prunable_<i> per predicate, prunable_all). Aggregating
+    sum(prunable)/count(*) gives the skipping ratio — the honest number a
+    layout decision should be made on, and exactly what this simulates
+    without writing files.
+
+    Plan: zorder_key's projection + ONE partial-aggregable groupBy on the
+    bucket id (n_buckets output rows). The predicate checks are literals
+    over the aggregate — free.
+    """
+    if n_buckets & (n_buckets - 1):
+        raise ValueError("zorder_skipping_stats: n_buckets must be 2^k")
+    keybits = bits * len(cols)
+    shift = keybits - n_buckets.bit_length() + 1
+    keyed = zorder_key(df, cols, bits=bits)
+    # footer stats cover the cluster columns AND every predicate column —
+    # parquet footers stat all columns, and the interesting skipping
+    # question is often a predicate on a column OUTSIDE the cluster key
+    # (the single-column-sort counterfactual)
+    stat_cols = list(cols) + [
+        c for c, _, _ in (predicates or []) if c not in cols
+    ]
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    for c in stat_cols:
+        # floor-before-cast: a double->int CAST rounds in DuckDB but
+        # truncates in Spark (the documented oracle trap), so non-integer
+        # cluster columns would drift by 1 in the footer stats
+        aggs.append(F.floor(F.min(c)).cast("bigint").alias(f"{c}_min"))
+        aggs.append(F.floor(F.max(c)).cast("bigint").alias(f"{c}_max"))
+    stats = keyed.groupBy(
+        F.expr(f"zkey >> {shift}").alias("bucket")
+    ).agg(*aggs)
+    preds = predicates or []
+    flags = []
+    for i, (c, lo, hi) in enumerate(preds):
+        flag = (
+            (F.col(f"{c}_max") < F.lit(lo)) | (F.col(f"{c}_min") > F.lit(hi))
+        ).cast("int").alias(f"prunable_{i}")
+        flags.append(flag)
+    out = stats.select("*", *flags)
+    if preds:
+        any_pruned = None
+        for i in range(len(preds)):
+            term = F.col(f"prunable_{i}") == 1
+            any_pruned = term if any_pruned is None else (any_pruned | term)
+        out = out.withColumn("prunable_any", any_pruned.cast("int"))
+    return out
+
+
+def zorder_sql(
+    table: str,
+    cols: list[str],
+    n_buckets: int = 64,
+    bits: int = 10,
+    predicates: list[tuple[str, float, float]] | None = None,
+) -> str:
+    """DuckDB oracle for :func:`zorder_skipping_stats`: the IDENTICAL
+    scale/interleave/bucket arithmetic (the SQL text is generated by the
+    same helpers), replayed over the same table."""
+    keybits = bits * len(cols)
+    shift = keybits - n_buckets.bit_length() + 1
+    mins = ", ".join(f"min({c}) AS __mn_{c}" for c in cols)
+    maxs = ", ".join(f"max({c}) AS __mx_{c}" for c in cols)
+    cells = [_scale_expr(c, f"__mn_{c}", f"__mx_{c}", bits) for c in cols]
+    zk = _interleave_expr(cells, bits)
+    stat_col_names = list(cols) + [
+        c for c, _, _ in (predicates or []) if c not in cols
+    ]
+    stat_cols = ", ".join(
+        f"CAST(floor(min({c})) AS BIGINT) AS {c}_min, "
+        f"CAST(floor(max({c})) AS BIGINT) AS {c}_max"
+        for c in stat_col_names
+    )
+    preds = predicates or []
+    flag_cols = "".join(
+        f", CAST(({c}_max < {lo} OR {c}_min > {hi}) AS INT)"
+        f" AS prunable_{i}"
+        for i, (c, lo, hi) in enumerate(preds)
+    )
+    any_col = ""
+    if preds:
+        # inline the per-predicate terms (no lateral alias reliance)
+        terms = " OR ".join(
+            f"({c}_max < {lo} OR {c}_min > {hi})" for c, lo, hi in preds
+        )
+        any_col = f", CAST(({terms}) AS INT) AS prunable_any"
+    return f"""
+WITH bounds AS (SELECT {mins}, {maxs} FROM {table}),
+keyed AS (
+  SELECT t.*, ({zk}) AS zkey FROM {table} t CROSS JOIN bounds
+),
+stats AS (
+  SELECT zkey >> {shift} AS bucket,
+         CAST(count(*) AS BIGINT) AS n_rows, {stat_cols}
+  FROM keyed GROUP BY 1
+)
+SELECT *{flag_cols}{any_col} FROM stats
+"""

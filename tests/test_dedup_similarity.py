@@ -1075,13 +1075,15 @@ def test_bloom_unseen_sharded_equals_not_in(spark):
     )
     for n_shards in (1, 4):
         for m_bits in (64, 1 << 12):
-            got = sorted(
-                r.key
-                for r in bloom_unseen_sharded(
-                    seen, cands, "key", n_shards=n_shards, m_bits=m_bits
-                ).collect()
-            )
-            assert got == expected, f"n_shards={n_shards} m_bits={m_bits}"
+            for bres in (False, True):  # r9: both residue forms exact
+                got = sorted(
+                    r.key
+                    for r in bloom_unseen_sharded(
+                        seen, cands, "key", n_shards=n_shards,
+                        m_bits=m_bits, broadcast_residue=bres,
+                    ).collect()
+                )
+                assert got == expected, (n_shards, m_bits, bres)
     assert expected == sorted(
         r.key for r in bloom_unseen(seen, cands, "key").collect()
     )
@@ -1505,3 +1507,72 @@ def test_segment_dedup_hash_modes_identical(spark):
     dropped = 1000 - len(ra)
     # 99 cross-doc repeats (ids 5,10,...,495) + doc 7's internal repeat
     assert dropped == 100
+
+
+def test_bloom_unseen_broadcast_sharded_equals_not_in(spark):
+    """The r9 array-broadcast sharded form == plain LEFT ANTI, across
+    shard counts, per-shard saturation (m_bits=64), and both residue
+    forms. This is the 100 TB member of the family: each shard bitmap is
+    ONE TorrentBroadcast of a dense numpy array that executors pull
+    lazily per branch — no n_shards x k HashedRelation builds (the
+    join-form's failure mode, which OOMed an 8 GB driver at 16M keys on
+    the r9 scale curve)."""
+    from pyspark.sql import Row
+
+    from incubator_stormcrawler_spark.operators.dedup import (
+        bloom_unseen_broadcast_sharded,
+    )
+
+    seen = spark.createDataFrame([Row(key=f"k{i}") for i in range(300)])
+    cands = spark.createDataFrame(
+        [Row(key=f"k{i}", payload=i) for i in range(150, 450)]
+    )
+    expected = sorted(
+        r.key for r in cands.join(seen, "key", "left_anti").collect()
+    )
+    for n_shards in (1, 4):
+        for m_bits in (64, 1 << 12):
+            for bres in (False, True):
+                got = sorted(
+                    r.key
+                    for r in bloom_unseen_broadcast_sharded(
+                        seen, cands, "key", n_shards=n_shards,
+                        m_bits=m_bits, broadcast_residue=bres,
+                    ).collect()
+                )
+                assert got == expected, (n_shards, m_bits, bres)
+
+
+def test_bloom_broadcast_sharded_reuses_prebuilt_arrays(spark):
+    """bitmap_arrays from bloom_bitmap_array_sharded is interchangeable
+    with the internally-built one (the cross-generation amortized asset),
+    and a wrong shard count is rejected loudly."""
+    import pytest
+    from pyspark.sql import Row
+
+    from incubator_stormcrawler_spark.operators.dedup import (
+        bloom_bitmap_array_sharded,
+        bloom_unseen_broadcast_sharded,
+    )
+
+    seen = spark.createDataFrame([Row(key=f"k{i}") for i in range(200)])
+    cands = spark.createDataFrame(
+        [Row(key=f"k{i}", payload=i) for i in range(100, 300)]
+    )
+    arrays = bloom_bitmap_array_sharded(seen, "key", 4, m_bits=1 << 10)
+    got = sorted(
+        r.key
+        for r in bloom_unseen_broadcast_sharded(
+            seen, cands, "key", n_shards=4, m_bits=1 << 10,
+            bitmap_arrays=arrays,
+        ).collect()
+    )
+    expected = sorted(
+        r.key for r in cands.join(seen, "key", "left_anti").collect()
+    )
+    assert got == expected
+    with pytest.raises(ValueError):
+        bloom_unseen_broadcast_sharded(
+            seen, cands, "key", n_shards=8, m_bits=1 << 10,
+            bitmap_arrays=arrays,
+        )

@@ -1771,3 +1771,165 @@ def test_overlap_estimator_quality_vs_exact(spark):
             assert abs(hll[(s1, s2)] - exact_i) <= 0.25 * union, (
                 (s1, s2), exact_i, hll[(s1, s2)], union,
             )
+
+
+# --- r9 additions: exact heavy hitters + Z-order layout ---------------------
+
+def test_heavy_hitters_exact_equivalence_and_one_sided_guarantee(spark):
+    """heavy_hitters must return EXACTLY groupBy(value).count() filtered at
+    min_count, under an UNDERSIZED grid (width << distinct values, so
+    hash collisions admit stowaway candidates — correctness must not
+    depend on sketch accuracy), and in both hash modes."""
+    from pyspark.sql import functions as F
+
+    from incubator_stormcrawler_spark.operators.corpus import heavy_hitters
+
+    # Zipf-ish: token t{k} appears ~2000/k times for k in 1..20, plus a
+    # 20k-token distinct long tail
+    head = spark.range(20).selectExpr(
+        "explode(transform(sequence(1, cast(2000 / (id + 1) as int)),"
+        " x -> concat('t', cast(id as string)))) as tok"
+    )
+    tail = spark.range(20_000).selectExpr(
+        "concat('rare', cast(id as string)) as tok"
+    )
+    occ = head.union(tail)
+    naive = {
+        (r.tok, r.n)
+        for r in occ.groupBy("tok").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n")
+        ).where(F.col("n") >= 100).collect()
+    }
+    for fn in ("md5", "xxhash64"):
+        got = {
+            (r.value, r.n)
+            for r in heavy_hitters(
+                occ.selectExpr("tok"), "tok", min_count=100,
+                width=64, hash_fn=fn,   # 64 cells vs ~20k distinct
+            ).collect()
+        }
+        assert got == naive, fn
+    assert len(naive) == 20  # 2000/k >= 100 for k = 1..20
+
+
+def test_heavy_hitters_duckdb_oracle_parity(spark):
+    """The md5-mode pipeline replays bit-for-bit in DuckDB."""
+    import duckdb
+
+    from incubator_stormcrawler_spark.operators.corpus import (
+        heavy_hitters,
+        heavy_hitters_sql,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    occ = docs.selectExpr("explode(split(text, ' ')) as tok").where(
+        "tok <> ''"
+    )
+    got = {
+        (r.value, r.n)
+        for r in heavy_hitters(occ, "tok", min_count=50, width=32).collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    sql = heavy_hitters_sql(
+        "SELECT unnest(string_split(text, ' ')) AS v FROM documents"
+        " WHERE text IS NOT NULL",
+        min_count=50,
+        width=32,
+    )
+    exp = {(r[0], r[1]) for r in con.sql(sql).fetchall()
+           if r[0] != ""} | set()
+    exp = {(v, n) for v, n in exp}
+    got_nonempty = {(v, n) for v, n in got if v != ""}
+    assert got_nonempty == exp
+    assert len(got_nonempty) > 0
+
+
+def test_heavy_hitters_plan_broadcast_filter_before_shuffle(spark):
+    """The scale claim: the full stream reaches the exact groupBy ONLY
+    after the map-side CM filter — every grid probe is a BroadcastHashJoin
+    and no SortMergeJoin touches the occurrence stream."""
+    from incubator_stormcrawler_spark.operators.corpus import heavy_hitters
+
+    occ = spark.range(100_000).selectExpr(
+        "concat('t', cast(id % 500 as string)) as tok"
+    )
+    plan = heavy_hitters(
+        occ, "tok", min_count=150, width=64
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 3  # one per depth row
+    assert "SortMergeJoin" not in plan
+
+
+def test_zorder_key_interleave_hand_checked(spark):
+    """bits=2, two columns spanning [0,3]: cell values ARE the raw values
+    and the Morton key is the textbook interleave."""
+    from incubator_stormcrawler_spark.operators.layout import zorder_key
+
+    df = spark.createDataFrame(
+        [(x, y) for x in range(4) for y in range(4)], ["x", "y"]
+    )
+    got = {(r.x, r.y): r.zkey for r in zorder_key(df, ["x", "y"], bits=2).collect()}
+
+    def morton(x, y):
+        out = 0
+        for b in range(2):
+            out |= ((x >> b) & 1) << (2 * b)      # col j=0 -> bit 2b
+            out |= ((y >> b) & 1) << (2 * b + 1)  # col j=1 -> bit 2b+1
+        return out
+
+    assert got == {(x, y): morton(x, y) for x in range(4) for y in range(4)}
+    # locality sanity: the four corners of the grid land in distinct
+    # quadrants of the key space
+    assert sorted(got[(c, d)] >> 2 for c, d in
+                  [(0, 0), (3, 0), (0, 3), (3, 3)]) == [0, 1, 2, 3]
+
+
+def test_zorder_skipping_stats_matches_duckdb_and_beats_single_sort(spark):
+    """(1) Spark and the DuckDB oracle produce identical bucket stats +
+    prunable flags; (2) the layout claim itself: for a predicate on the
+    SECOND column, Z-order on (custkey, totalprice) yields prunable
+    buckets while clustering on custkey alone prunes NOTHING."""
+    import duckdb
+
+    from incubator_stormcrawler_spark.operators.layout import (
+        zorder_skipping_stats,
+        zorder_sql,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    # floor-before-cast in BOTH engines: double->int CAST rounds in
+    # DuckDB, truncates in Spark (the documented oracle trap)
+    orders = spark.read.parquet(f"{sf}/orders.parquet").selectExpr(
+        "o_custkey as ck", "cast(floor(o_totalprice) as bigint) as tp"
+    )
+    preds = [("tp", 0.0, 50_000.0)]
+    got = {
+        r.bucket: (r.n_rows, r.ck_min, r.ck_max, r.tp_min, r.tp_max,
+                   r.prunable_0, r.prunable_any)
+        for r in zorder_skipping_stats(
+            orders, ["ck", "tp"], n_buckets=16, bits=8, predicates=preds
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW orders AS SELECT * FROM '{sf}/orders.parquet'")
+    sql = zorder_sql(
+        "(SELECT o_custkey AS ck, CAST(floor(o_totalprice) AS BIGINT)"
+        " AS tp FROM orders)",
+        ["ck", "tp"], n_buckets=16, bits=8, predicates=preds,
+    )
+    exp = {r[0]: tuple(r[1:]) for r in con.sql(sql).fetchall()}
+    assert got == exp
+    # the two-column layout makes SOME buckets prunable for the tp
+    # predicate, but not all (the data does span the box)
+    n_prunable = sum(1 for v in got.values() if v[5] == 1)
+    assert 0 < n_prunable < len(got)
+    # single-column clustering (ck only): every bucket spans the whole tp
+    # range, so the tp predicate prunes nothing
+    single = zorder_skipping_stats(
+        orders, ["ck"], n_buckets=16, bits=8, predicates=preds
+    ).collect()
+    assert all(r.prunable_0 == 0 for r in single)

@@ -960,6 +960,129 @@ def jaccard_prefix_ab_main():
     print(f"merged jaccard_prefix_boilerplate_ab into {path}")
 
 
+def curve_jaccard_prefix(spark, sizes, threshold: str = "0.6"):
+    """PPJoin curve — the prefix-filtered join ALONE (its full-self-join
+    twin is measured separately in jaccard_prefix_boilerplate_ab and is
+    quadratic by construction, so it cannot ride to these sizes). Same
+    boilerplate corpus: every 4th doc shares a 12-token header, the
+    hot-shingle case the prefix filter excludes structurally."""
+    from incubator_stormcrawler_spark.operators.dedup import (
+        jaccard_prefix_pairs,
+    )
+
+    out = []
+    for n in sizes:
+        docs = synth_boiler_docs(spark, n)
+        _clean(spark)
+        sec = timed(
+            lambda: jaccard_prefix_pairs(
+                docs, n=3, threshold=threshold
+            ).count(),
+            warmup=True,
+        )
+        out.append({"rows": n, "sec": round(sec, 2),
+                    "rows_per_sec": int(n / sec)})
+    return out
+
+
+def jaccard_prefix_curve_main():
+    """`--jaccard-prefix-curve`: the r8 verdict's missing SCALING entry —
+    PPJoin to >= 1.6M docs (16x the A/B ceiling, where the full join is
+    already 30x slower and off the chart), merged as
+    jaccard_prefix_pairs."""
+    from incubator_stormcrawler_spark.session import get_spark
+
+    spark = get_spark("scale-bench-jacpfx")
+    spark.sparkContext.setLogLevel("ERROR")
+    pts = curve_jaccard_prefix(spark, [100_000, 400_000, 1_600_000])
+    entry = {"points": pts, "alpha": alpha(pts)}
+    print(f"## jaccard_prefix_pairs: alpha={entry['alpha']}", flush=True)
+    for p in pts:
+        print(f"   {p}", flush=True)
+    path = merge_scaling({"jaccard_prefix_pairs": entry})
+    print(f"merged jaccard_prefix_pairs into {path}")
+
+
+def curve_bloom_sharded(spark, sizes):
+    """Sharded-Bloom probe curve at sizes where the SINGLE bitmap stops
+    being shippable: m_bits ~ 10 bits/key, n_shards sized so each shard
+    bitmap stays <= 16 MiB (the comfortable broadcast unit). At 256M
+    keys the single bitmap is 512 MiB — past any sane per-task broadcast
+    — while the shards stay constant-size.
+
+    Times the ARRAY-broadcast sharded probe
+    (bloom_unseen_broadcast_sharded, broadcast_residue=True — the 100 TB
+    form) per generation (batch = seen/16, half true members, arrays
+    prebuilt, untimed) plus the one-off build. The JOIN-form sharded
+    probe is deliberately NOT on this curve: measuring it is what
+    exposed its n_shards x k simultaneous HashedRelation builds OOMing
+    an 8 GB driver at 16M keys (the finding that motivated the array
+    form — BASELINE.md §Round 9)."""
+    from incubator_stormcrawler_spark.operators.dedup import (
+        bloom_bitmap_array_sharded,
+        bloom_unseen_broadcast_sharded,
+    )
+
+    out = []
+    for n in sizes:
+        m_bits = 1 << max(16, (10 * n - 1).bit_length())
+        n_shards = max(8, m_bits >> 27)  # shards <= 2^27 bits = 16 MiB
+        seen = spark.range(n).selectExpr("md5(cast(id as string)) AS key")
+        nb = n // 16
+        cands = spark.range(n - nb // 2, n + nb // 2).selectExpr(
+            "md5(cast(id as string)) AS key", "id AS payload"
+        )
+        _clean(spark)
+        t0 = time.time()
+        arrays = bloom_bitmap_array_sharded(
+            seen, "key", n_shards, m_bits=m_bits // n_shards
+        )
+        build_sec = time.time() - t0
+        probe = lambda: bloom_unseen_broadcast_sharded(
+            seen, cands, "key", n_shards=n_shards,
+            m_bits=m_bits // n_shards, bitmap_arrays=arrays,
+            broadcast_residue=True,
+        ).count()
+        cnt = probe()  # warm + correctness
+        assert cnt == nb // 2, (n, cnt, nb // 2)
+        sec = timed(probe, warmup=False)
+        out.append({
+            "rows": n, "batch": nb, "sec": round(sec, 2),
+            "rows_per_sec": int(nb / sec),
+            "build_sec": round(build_sec, 2),
+            "n_shards": n_shards,
+            "single_bitmap_mb": round(m_bits / 8 / 2**20, 1),
+            "shard_bitmap_mb": round(m_bits / n_shards / 8 / 2**20, 1),
+        })
+        print(f"   {out[-1]}", flush=True)
+    return out
+
+
+def bloom_sharded_curve_main():
+    """`--bloom-sharded-curve`: the r8 verdict's other missing SCALING
+    entry — the sharded Bloom to a scale where one bitmap exceeds the
+    broadcast unit (256M keys -> 512 MiB single vs 32 x 16 MiB shards).
+    rows_per_sec is per CANDIDATE-BATCH row (the per-generation work);
+    the seen set only sizes the bitmap. maxResultSize is raised for the
+    HARNESS only: the 256M-key build collects the full 512 MiB sketch to
+    the driver in one toArrow pass (bounded by sketch bytes, never data
+    — but past the 1 GiB default with serialization overhead)."""
+    from incubator_stormcrawler_spark.session import get_spark
+
+    spark = get_spark(
+        "scale-bench-bloomsh",
+        extra_conf={"spark.driver.maxResultSize": "4g"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    pts = curve_bloom_sharded(spark, [16_000_000, 64_000_000, 256_000_000])
+    entry = {"points": pts, "alpha": alpha(pts)}
+    print(f"## bloom_sharded_probe: alpha={entry['alpha']}", flush=True)
+    for p in pts:
+        print(f"   {p}", flush=True)
+    path = merge_scaling({"bloom_sharded_probe": entry})
+    print(f"merged bloom_sharded_probe into {path}")
+
+
 def r8ops_main():
     """`--r8ops`: curves for the round-8 additions (TrustRank, BFS seed
     distance, JL projection, PQ-ADC search), merged into SCALING.json."""
@@ -1080,6 +1203,12 @@ def main():
         return
     if "--jaccard-ab" in sys.argv:
         jaccard_prefix_ab_main()
+        return
+    if "--jaccard-prefix-curve" in sys.argv:
+        jaccard_prefix_curve_main()
+        return
+    if "--bloom-sharded-curve" in sys.argv:
+        bloom_sharded_curve_main()
         return
     quick = "--quick" in sys.argv
     deep = "--deep" in sys.argv
