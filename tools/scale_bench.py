@@ -1083,6 +1083,72 @@ def bloom_sharded_curve_main():
     print(f"merged bloom_sharded_probe into {path}")
 
 
+def curve_heavy_hitters(spark, sizes, min_frac: float = 1e-4):
+    """EXACT heavy hitters vs the naive groupBy(value).count() it
+    replaces, on a Zipf-ish stream (head tokens t0..t999 under a
+    power-law, plus a 50%-of-rows distinct long tail — the shape where
+    the naive plan shuffles mostly-unique keys for nothing). Both must
+    return the identical hitter set (asserted). min_count scales with n
+    so the hitter count stays fixed across sizes."""
+    from incubator_stormcrawler_spark.operators.corpus import heavy_hitters
+
+    out = []
+    for n in sizes:
+        half = n // 2
+        # head: occurrence i of n/2 maps to token floor(sqrt(i)) — token k
+        # appears ~2*sqrt-density (power-law-ish, deterministic)
+        head = spark.range(half).selectExpr(
+            "concat('t', cast(cast(floor(sqrt(id)) as bigint) % 1000"
+            " as string)) as tok"
+        )
+        tail = spark.range(half).selectExpr(
+            "concat('rare', cast(id as string)) as tok"
+        )
+        occ = head.union(tail)
+        min_count = max(2, int(n * min_frac))
+        _clean(spark)
+        t_hh = timed(
+            lambda: heavy_hitters(
+                occ, "tok", min_count=min_count, width=1024,
+                hash_fn="xxhash64",
+            ).count(),
+            warmup=True,
+        )
+        _clean(spark)
+        naive = occ.groupBy("tok").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n")
+        ).where(F.col("n") >= min_count)
+        t_naive = timed(lambda: naive.count(), warmup=True)
+        got = {(r.value, r.n) for r in heavy_hitters(
+            occ, "tok", min_count=min_count, width=1024,
+            hash_fn="xxhash64").collect()}
+        exp = {(r.tok, r.n) for r in naive.collect()}
+        assert got == exp, (n, len(got), len(exp))
+        out.append({
+            "rows": n, "sec": round(t_hh, 2),
+            "rows_per_sec": int(n / t_hh),
+            "naive_sec": round(t_naive, 2),
+            "min_count": min_count, "n_hitters": len(got),
+        })
+        print(f"   {out[-1]}", flush=True)
+    return out
+
+
+def heavy_hitters_main():
+    """`--heavy-hitters`: the r9 operator's scale evidence — exact heavy
+    hitters via the one-sided Count-Min prefilter vs the naive full
+    groupBy, merged as heavy_hitters."""
+    from incubator_stormcrawler_spark.session import get_spark
+
+    spark = get_spark("scale-bench-hh")
+    spark.sparkContext.setLogLevel("ERROR")
+    pts = curve_heavy_hitters(spark, [10_000_000, 40_000_000, 160_000_000])
+    entry = {"points": pts, "alpha": alpha(pts)}
+    print(f"## heavy_hitters: alpha={entry['alpha']}", flush=True)
+    path = merge_scaling({"heavy_hitters": entry})
+    print(f"merged heavy_hitters into {path}")
+
+
 def r8ops_main():
     """`--r8ops`: curves for the round-8 additions (TrustRank, BFS seed
     distance, JL projection, PQ-ADC search), merged into SCALING.json."""
@@ -1209,6 +1275,9 @@ def main():
         return
     if "--bloom-sharded-curve" in sys.argv:
         bloom_sharded_curve_main()
+        return
+    if "--heavy-hitters" in sys.argv:
+        heavy_hitters_main()
         return
     quick = "--quick" in sys.argv
     deep = "--deep" in sys.argv
