@@ -1933,3 +1933,60 @@ def test_zorder_skipping_stats_matches_duckdb_and_beats_single_sort(spark):
         orders, ["ck"], n_buckets=16, bits=8, predicates=preds
     ).collect()
     assert all(r.prunable_0 == 0 for r in single)
+
+
+def test_zorder_rewrite_real_parquet_footers_prune(spark, tmp_path):
+    """The rewrite's claim against REAL files, not the simulation: write
+    orders (ck, tp) once in natural order and once through
+    zorder_rewrite, read every output file's parquet FOOTER min/max with
+    pyarrow, and count files a box predicate on (ck, tp) can skip. The
+    natural layout (clustered by orderkey ~ neither column) must prune
+    ~nothing; the Z-ordered layout must prune a strict majority of files
+    for a quadrant-sized box."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from incubator_stormcrawler_spark.operators.layout import zorder_rewrite
+
+    sf = "/root/testdata/sf0.001"
+    orders = spark.read.parquet(f"{sf}/orders.parquet").selectExpr(
+        "o_custkey as ck", "cast(floor(o_totalprice) as bigint) as tp"
+    )
+    nat_dir, z_dir = str(tmp_path / "nat"), str(tmp_path / "zord")
+    orders.repartition(16).write.parquet(nat_dir)
+    zorder_rewrite(orders, ["ck", "tp"], z_dir, n_files=16, bits=10)
+
+    # box predicate ~ one quadrant of each dimension
+    ck_hi = orders.agg({"ck": "max"}).collect()[0][0] // 4
+    tp_hi = orders.agg({"tp": "max"}).collect()[0][0] // 4
+
+    def prunable_files(d: str) -> tuple[int, int]:
+        pruned = total = 0
+        for f in glob.glob(f"{d}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            if md.num_rows == 0:
+                continue
+            total += 1
+            mins: dict = {}
+            maxs: dict = {}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    name = col.path_in_schema
+                    st = col.statistics
+                    mins[name] = min(mins.get(name, st.min), st.min)
+                    maxs[name] = max(maxs.get(name, st.max), st.max)
+            if mins["ck"] > ck_hi or mins["tp"] > tp_hi:
+                pruned += 1
+        return pruned, total
+
+    nat_pruned, nat_total = prunable_files(nat_dir)
+    z_pruned, z_total = prunable_files(z_dir)
+    assert nat_total >= 8 and z_total >= 8
+    # natural layout: both columns span ~everything in every file
+    assert nat_pruned <= nat_total // 4
+    # z-ordered: a quadrant box skips a strict majority of files
+    assert z_pruned > z_total // 2
+    assert z_pruned > nat_pruned

