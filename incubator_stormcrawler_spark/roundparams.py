@@ -26,9 +26,10 @@ ROUND LOG (bump + append a line each round):
       MinHash overlap, HLL overlap — landed), so bumping the seed next
       round cannot surface a red row.
   r9: ROUND_SEED = 9 — second flip, pre-proven at r8 close (see above).
-      The r10 flip is PRE-PROVEN the same way: the full registry sweep
-      was run locally at ROUND_SEED = 10 before r9 closed (see
-      tools/verify_local.py workflow in COVERAGE.md).
+      The r10 flip is PRE-PROVEN the same way: the full 148-query sweep
+      ran locally at ROUND_SEED = 10 before r9 closed (148/148 green at
+      sf0.01, after all r9 additions — fetch_forecast,
+      classifier_score, the reshaped random projection — landed).
 """
 
 from __future__ import annotations
