@@ -54,59 +54,45 @@ def _time_query(fn, spark, sf_dir: str, runs: int) -> float:
     return best
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    start_load = _wait_for_quiet_box()
+def _run_slice(sf_dir: str, lo: int, hi: int) -> dict:
+    """Time queries [lo, hi) of the registry in THIS process's JVM and
+    return {timings, loads, loads_after, post_hot}. Extracted so the
+    orchestrator can run each slice in a FRESH subprocess: the r9 bench
+    found ~4x inflation on late-position queries after ~110 queries in
+    one JVM (solo reruns were normal — cumulative codegen/metaspace/
+    block-manager state, not the operators), so cross-query JVM state is
+    now bounded by the chunk size instead of the registry size."""
+    import gc
+    import math
+    import multiprocessing
+
     import __spark_entry__ as e
     from incubator_stormcrawler_spark.session import get_spark
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
-
-    # warm the JVM + parquet footers once
+    # warm the JVM + parquet footers once (untimed)
     spark.read.parquet(f"{sf_dir}/orders.parquet").count()
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     loads: dict[str, float] = {}
     loads_after: dict[str, float] = {}
-    import gc
-
-    # Per-query load gating (r7 fix, refined r8): the r6 AND r7 driver
-    # artifacts were both load-tainted — the start gate passed, then the
-    # box got busy MID-RUN and inflated the tail queries (r7: start 3.94,
-    # end 11.27). Every query samples the 1-minute loadavg immediately
-    # BEFORE its timing runs; a query whose pre-sample exceeds the gate
-    # is quiet-waited and re-run ONCE, the retry kept only if cleaner —
-    # one external load spike costs one bounded wait, not a tainted
-    # artifact. The PRE-sample is the contamination signal: queries run
-    # back-to-back, so sustained external load (the r6/r7 failure mode)
-    # shows in the next pre-sample within a minute. The POST-sample is
-    # recorded for diagnostics but deliberately NOT gated on — a
-    # 32-thread iterative stage (PageRank, k-core) legitimately drives
-    # its OWN 1m loadavg past any reasonable gate (measured 5.4 on
-    # link_trustrank with a 0.07-idle box), and re-running self-load is
-    # a no-op that only doubles bench time. Summary carries max_load_1m
-    # over pre-samples (the cleanliness claim) and max_load_1m_incl_self
-    # over all samples; the detail file has both per query.
-    #
-    # r9 advisory (post-sample spike detection): a spike that BEGINS
-    # mid-query — especially on the last query — taints that timing
-    # while every pre-sample stays clean, so "0 hot queries" alone can
-    # overclaim. The 1m loadavg relaxes toward instantaneous load with a
-    # 60 s time constant, so over a query of wall time t the query's OWN
-    # full-burn contribution is bounded by ncpu·(1 − e^(−t/60)); a
-    # post-sample above pre + that bound (+ the gate's headroom) cannot
-    # be self-load and is counted in n_post_hot_queries — advisory only
-    # (no retry: the next query's PRE-sample gate already handles
-    # sustained load), but a nonzero value flags the artifact.
-    import math
-    import multiprocessing
-
+    # Per-query load gating (r7 fix, refined r8): every query samples the
+    # 1-minute loadavg immediately BEFORE its timing runs; a query whose
+    # pre-sample exceeds the gate is quiet-waited and re-run ONCE, the
+    # retry kept only if cleaner. The PRE-sample is the contamination
+    # signal; the POST-sample is recorded but NOT gated on (a 32-thread
+    # iterative stage legitimately drives its own 1m loadavg past any
+    # gate). r9 advisory: a post-sample above the self-load ceiling
+    # pre + ncpu*(1 - e^(-t/60)) cannot be self-load — an external spike
+    # began mid-query — and is counted in post_hot (no retry; the next
+    # query's pre-sample gate handles sustained load).
     ncpu = float(os.environ.get(
         "SPARK_GRAFT_CPUS", multiprocessing.cpu_count()))
     post_hot: list[str] = []
-    for name, fn in e.queries().items():
+    items = list(e.queries().items())[lo:hi]
+    for name, fn in items:
         try:
             q_load = None
             for attempt in range(2):
@@ -134,33 +120,95 @@ def main() -> None:
                     break
                 print(
                     f"bench: {name} STARTED at 1m load {load0:.1f} > "
-                    f"{LOAD_GATE} — {'re-running once' if attempt == 0 else 'keeping cleaner attempt'}",
+                    f"{LOAD_GATE} — "
+                    f"{'re-running once' if attempt == 0 else 'keeping cleaner attempt'}",
                     file=sys.stderr,
                 )
             loads[name] = round(q_load, 2)
         except Exception as ex:  # a failing query gets a sentinel, not a crash
             print(f"bench error in {name}: {ex}", file=sys.stderr)
-            # only install the sentinel when NO attempt recorded a timing:
-            # a hot attempt 0 may have measured fine and only the load-gate
-            # RETRY failed — that valid measurement must survive
+            # only install the sentinel when NO attempt recorded a timing
             if name not in timings:
                 timings[name] = -1.0
                 loads[name] = round(os.getloadavg()[0], 2)
             elif name not in loads:
-                # attempt 0 measured fine; record its load sample
                 loads[name] = round(q_load, 2)
-        # Release per-query executor state: some operators cache() or
-        # localCheckpoint() intermediates (edge lists, signatures,
-        # centroids) that only the query's own lineage references. Left
-        # alone, 69 queries × best-of-2 accumulate hundreds of MB of dead
-        # blocks in the single local JVM and the LAST benchmarks (8 M-row
-        # baselines) pay for it in spills — measured 8× on the 8 M
-        # frontier window after the round-4 registry grew. clearCache
-        # drops named caches; the gc.collect() releases the Python
-        # DataFrame wrappers so the ContextCleaner can reap checkpoint
-        # RDDs.
+        # Release per-query executor state: cached/checkpointed
+        # intermediates otherwise accumulate in the single local JVM and
+        # later queries pay for it in spills (measured 8x in round 4).
         spark.catalog.clearCache()
         gc.collect()
+    return {
+        "timings": timings,
+        "loads": loads,
+        "loads_after": loads_after,
+        "post_hot": post_hot,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    # child mode: run one registry slice in this (fresh) JVM
+    sl = os.environ.get("SPARK_GRAFT_BENCH_SLICE")
+    if sl:
+        lo, hi = (int(x) for x in sl.split(":"))
+        out = _run_slice(sf_dir, lo, hi)
+        with open(os.environ["SPARK_GRAFT_BENCH_OUT"], "w") as fh:
+            json.dump(out, fh)
+        return
+
+    start_load = _wait_for_quiet_box()
+
+    import __spark_entry__ as e
+
+    names = list(e.queries())
+    chunk = int(os.environ.get("SPARK_GRAFT_BENCH_CHUNK", "40"))
+    timings: dict[str, float] = {}
+    loads: dict[str, float] = {}
+    loads_after: dict[str, float] = {}
+    post_hot: list[str] = []
+    if chunk <= 0:
+        res = _run_slice(sf_dir, 0, len(names))
+        timings, loads = res["timings"], res["loads"]
+        loads_after, post_hot = res["loads_after"], res["post_hot"]
+    else:
+        import subprocess
+        import tempfile
+
+        for lo in range(0, len(names), chunk):
+            hi = min(lo + chunk, len(names))
+            with tempfile.NamedTemporaryFile(
+                suffix=".json", delete=False
+            ) as tf:
+                out_path = tf.name
+            env = dict(os.environ)
+            env["SPARK_GRAFT_BENCH_SLICE"] = f"{lo}:{hi}"
+            env["SPARK_GRAFT_BENCH_OUT"] = out_path
+            rc = subprocess.call(
+                [sys.executable, os.path.abspath(__file__)], env=env
+            )
+            if rc != 0:
+                print(f"bench: slice {lo}:{hi} exited rc={rc}",
+                      file=sys.stderr)
+            try:
+                with open(out_path) as fh:
+                    res = json.load(fh)
+                timings.update(res["timings"])
+                loads.update(res["loads"])
+                loads_after.update(res["loads_after"])
+                post_hot.extend(res["post_hot"])
+            except (OSError, json.JSONDecodeError) as ex:
+                print(f"bench: slice {lo}:{hi} output unreadable: {ex}",
+                      file=sys.stderr)
+                for name in names[lo:hi]:
+                    timings.setdefault(name, -1.0)
+                    loads.setdefault(name, round(os.getloadavg()[0], 2))
+            finally:
+                try:
+                    os.unlink(out_path)
+                except OSError:
+                    pass
     total = round(sum(t for t in timings.values() if t >= 0), 3)
 
     # BASELINE.md operator workloads (frontier/merge vs DuckDB, normalize +
@@ -168,6 +216,10 @@ def main() -> None:
     baselines = {}
     if not os.environ.get("SPARK_GRAFT_SKIP_BASELINES"):
         try:
+            from incubator_stormcrawler_spark.session import get_spark
+
+            spark = get_spark("bench")
+            spark.sparkContext.setLogLevel("ERROR")
             from tools.baseline_bench import run_baselines
 
             baselines = run_baselines(spark)
@@ -202,6 +254,7 @@ def main() -> None:
             2,
         ),
         "load_gate": LOAD_GATE,
+        "chunk_size": chunk,
         "n_hot_queries": sum(1 for v in loads.values() if v > LOAD_GATE),
         "n_post_hot_queries": len(post_hot),
         "post_hot_queries": post_hot,
