@@ -60,6 +60,7 @@ class CrawlLoop:
         bloom_prefilter: bool = False,
         bloom_m_bits: int = 1 << 20,
         bloom_refresh_every: int = 1,
+        bloom_n_shards: int = 1,
         warc_dir: str | None = None,
         index=None,
         rank_priority: bool = False,
@@ -111,7 +112,13 @@ class CrawlLoop:
         # insert-if-absent semantics no-op them — exactly the duplicates
         # the prefilter exists to shed, traded against the rebuild cost.
         self.bloom_refresh_every = bloom_refresh_every
-        self._bloom_bcast = None
+        # bloom_n_shards > 1 switches the prefilter to the array-SHARDED
+        # broadcast form (dedup.bloom_unseen_broadcast_sharded): one
+        # lazily-pulled TorrentBroadcast per shard instead of one bitmap
+        # that at 10^9 frontier urls weighs ~1.2 GB. bloom_m_bits stays
+        # the TOTAL budget; each shard holds m_bits / n_shards bits.
+        self.bloom_n_shards = bloom_n_shards
+        self._bloom_bcast = None  # one Broadcast, or a list when sharded
         self._bloom_built_gen = -(10**9)
         # rank_priority=True is OPIC-style focused crawling: each
         # generation appends the observed host→host link edges to a side
@@ -489,7 +496,9 @@ class CrawlLoop:
         if self.bloom_prefilter and self.table.exists():
             from ..operators.dedup import (
                 bloom_bitmap_array,
+                bloom_bitmap_array_sharded,
                 bloom_unseen_broadcast,
+                bloom_unseen_broadcast_sharded,
             )
 
             # keep min depth per url first: the prefilter is exact on
@@ -499,26 +508,55 @@ class CrawlLoop:
                 F.min("depth").alias("depth"),
                 F.first("status").alias("status"),
             )
+            sharded = self.bloom_n_shards > 1
             if (
                 self._bloom_bcast is None
                 or self.generation - self._bloom_built_gen
                 >= self.bloom_refresh_every
             ):
                 if self._bloom_bcast is not None:
-                    self._bloom_bcast.destroy()
-                arr = bloom_bitmap_array(
-                    frontier.select("url"), "url", m_bits=self.bloom_m_bits
-                )
-                self._bloom_bcast = self.spark.sparkContext.broadcast(arr)
+                    for b in (
+                        self._bloom_bcast
+                        if isinstance(self._bloom_bcast, list)
+                        else [self._bloom_bcast]
+                    ):
+                        b.destroy()
+                if sharded:
+                    arrays = bloom_bitmap_array_sharded(
+                        frontier.select("url"), "url", self.bloom_n_shards,
+                        m_bits=self.bloom_m_bits // self.bloom_n_shards,
+                    )
+                    self._bloom_bcast = [
+                        self.spark.sparkContext.broadcast(a) for a in arrays
+                    ]
+                else:
+                    arr = bloom_bitmap_array(
+                        frontier.select("url"), "url",
+                        m_bits=self.bloom_m_bits,
+                    )
+                    self._bloom_bcast = self.spark.sparkContext.broadcast(
+                        arr
+                    )
                 self._bloom_built_gen = self.generation
-            discovered = bloom_unseen_broadcast(
-                frontier.select("url"),
-                discovered,
-                "url",
-                m_bits=self.bloom_m_bits,
-                bitmap_array=self._bloom_bcast,
-                broadcast_residue=True,
-            )
+            if sharded:
+                discovered = bloom_unseen_broadcast_sharded(
+                    frontier.select("url"),
+                    discovered,
+                    "url",
+                    n_shards=self.bloom_n_shards,
+                    m_bits=self.bloom_m_bits // self.bloom_n_shards,
+                    bitmap_arrays=self._bloom_bcast,
+                    broadcast_residue=True,
+                )
+            else:
+                discovered = bloom_unseen_broadcast(
+                    frontier.select("url"),
+                    discovered,
+                    "url",
+                    m_bits=self.bloom_m_bits,
+                    bitmap_array=self._bloom_bcast,
+                    broadcast_residue=True,
+                )
         discovered = discovered.cache()
 
         # fetch-level statuses for everything that was attempted

@@ -418,6 +418,15 @@ def test_bloom_prefilter_crawl_equivalence(spark, tmp_path):
         bloom_refresh_every=3,
     )
     assert stale == base
+    # r9: the array-SHARDED prefilter (one lazy broadcast per shard — the
+    # 10^9-url form) must be just as invisible, saturation and all
+    shard = run(
+        "f_bloom_sharded",
+        bloom_prefilter=True,
+        bloom_m_bits=256,
+        bloom_n_shards=4,
+    )
+    assert shard == base
     assert len({u for u, _, _ in base}) == len(site)
 
 
