@@ -286,6 +286,7 @@ def bench_recursive_crawl(
     adaptive: bool = True,
     bloom_prefilter: bool = False,
     rank_priority: bool = False,
+    **loop_kw,
 ) -> dict:
     """FULL recursive crawl to frontier exhaustion over a CLOSED synthetic
     graph (SyntheticGraphProtocol: a fanout-ary tree covering every page
@@ -344,6 +345,10 @@ def bench_recursive_crawl(
             rank_max_buckets=hosts,
             # ~10 bits per eventual frontier url
             bloom_m_bits=1 << max(16, (10 * n_pages - 1).bit_length()),
+            # extra CrawlLoop options (forecast_sizing, bloom_n_shards,
+            # warc_dir, index, ...) pass straight through — the
+            # full-stack mode turns everything on at once
+            **loop_kw,
         )
         seeds = spark.createDataFrame(
             [(f"https://h0.example/p0",)], ["url"]

@@ -568,6 +568,62 @@ def recursive_crawl_main():
     print(f"merged recursive_crawl into {path}")
 
 
+def full_stack_crawl_main():
+    """`--crawl-full-stack`: the whole feature surface ON at once —
+    rank-prioritized bucket choice, politeness forecast sizing (no-op cap
+    at server_delay 0: coverage must stay identical), the array-SHARDED
+    Bloom prefilter, per-generation WARC archiving, and the live index
+    with the deletion stream — run to exhaustion at 100k pages with the
+    exactly-once checks. The measurement is the integration overhead vs
+    the plain crawl; the assertion is that five features composed do not
+    bend exactly-once."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from tools.baseline_bench import bench_recursive_crawl
+
+    from incubator_stormcrawler_spark.operators.indexing import IndexTable
+    from incubator_stormcrawler_spark.session import get_spark
+
+    spark = get_spark("scale-bench-fullstack")
+    spark.sparkContext.setLogLevel("ERROR")
+    bench_recursive_crawl(spark, n_pages=5_000, hosts=100)  # warm
+    plain = bench_recursive_crawl(
+        spark, n_pages=100_000, hosts=1000, fanout=8
+    )
+    assert plain["exactly_once"], plain
+    tmp = _tempfile.mkdtemp(prefix="crawl_fullstack_")
+    try:
+        full = bench_recursive_crawl(
+            spark, n_pages=100_000, hosts=1000, fanout=8,
+            bloom_prefilter=True,
+            bloom_n_shards=8,
+            rank_priority=True,
+            rank_refresh_every=3,
+            forecast_sizing=True,
+            forecast_horizon_s=3600.0,
+            warc_dir=os.path.join(tmp, "warcs"),
+            index=IndexTable(os.path.join(tmp, "index")),
+        )
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+    assert full["exactly_once"], full
+    entry = {
+        "plain": {k: plain[k] for k in (
+            "n_pages", "generations", "wall_sec", "pages_per_sec",
+            "exactly_once")},
+        "full_stack": {k: full[k] for k in (
+            "n_pages", "generations", "wall_sec", "pages_per_sec",
+            "exactly_once")},
+        "overhead_x": round(full["wall_sec"] / plain["wall_sec"], 2),
+        "features": ["rank_priority", "forecast_sizing",
+                     "bloom_sharded8", "warc", "index+deletions"],
+    }
+    print(f"## full_stack_crawl: {entry}", flush=True)
+    path = merge_scaling({"full_stack_crawl": entry})
+    print(f"merged full_stack_crawl into {path}")
+
+
 def curve_countmin(spark, sizes):
     """Grid build + top-100 point queries per size. The grid is
     depth*width rows no matter the corpus, so the curve should track the
@@ -1134,6 +1190,55 @@ def curve_heavy_hitters(spark, sizes, min_frac: float = 1e-4):
     return out
 
 
+def curve_fetch_forecast(spark, sizes, n_hosts: int = 100_000):
+    """fetch_forecast over synthetic frontiers: ONE partial-aggregable
+    groupBy on the politeness key + a broadcast join against a
+    host-cardinality delay dim. Host count fixed at 100k (a real crawl's
+    key cardinality), rows scale past it — the map-side combine should
+    keep the curve ~linear in rows."""
+    from incubator_stormcrawler_spark.operators.frontier import (
+        fetch_forecast,
+    )
+
+    delays = spark.range(0, n_hosts, 3).selectExpr(
+        "'h' || cast(id as string) as key",
+        "cast(id % 30 as double) as crawl_delay_s",
+    )
+    out = []
+    for n in sizes:
+        frontier = spark.range(n).selectExpr(
+            f"'h' || cast(id % {n_hosts} as string) as key",
+            "timestampadd(MINUTE, cast(id % 20160 as int),"
+            " timestamp '2024-01-08 00:00:00') as next_fetch_date",
+        )
+        _clean(spark)
+        sec = timed(
+            lambda: fetch_forecast(
+                frontier, delays, "2024-01-15 00:00:00", horizon_s=300
+            ).count(),
+            warmup=True,
+        )
+        out.append({"rows": n, "sec": round(sec, 2),
+                    "rows_per_sec": int(n / sec)})
+        print(f"   {out[-1]}", flush=True)
+    return out
+
+
+def fetch_forecast_main():
+    """`--fetch-forecast`: scale curve for the r9-registered politeness
+    forecast, merged as fetch_forecast."""
+    from incubator_stormcrawler_spark.session import get_spark
+
+    spark = get_spark("scale-bench-forecast")
+    spark.sparkContext.setLogLevel("ERROR")
+    pts = curve_fetch_forecast(
+        spark, [16_000_000, 64_000_000, 256_000_000])
+    entry = {"points": pts, "alpha": alpha(pts)}
+    print(f"## fetch_forecast: alpha={entry['alpha']}", flush=True)
+    path = merge_scaling({"fetch_forecast": entry})
+    print(f"merged fetch_forecast into {path}")
+
+
 def heavy_hitters_main():
     """`--heavy-hitters`: the r9 operator's scale evidence — exact heavy
     hitters via the one-sided Count-Min prefilter vs the naive full
@@ -1278,6 +1383,12 @@ def main():
         return
     if "--heavy-hitters" in sys.argv:
         heavy_hitters_main()
+        return
+    if "--fetch-forecast" in sys.argv:
+        fetch_forecast_main()
+        return
+    if "--crawl-full-stack" in sys.argv:
+        full_stack_crawl_main()
         return
     quick = "--quick" in sys.argv
     deep = "--deep" in sys.argv
