@@ -79,6 +79,14 @@ def build_crawl_loop(
         bloom_prefilter=bool(conf.get("frontier.bloom.prefilter", False)),
         bloom_m_bits=int(conf.get("frontier.bloom.m.bits", 1 << 20)),
         bloom_refresh_every=int(conf.get("frontier.bloom.refresh.every", 1)),
+        # r9: shard the prefilter bitmap into N lazy broadcasts (the
+        # 10^9-url form); 1 = the single-array path
+        bloom_n_shards=int(conf.get("frontier.bloom.n.shards", 1)),
+        # r9: politeness-limited generation sizing (fetch_forecast cap)
+        forecast_sizing=bool(conf.get("frontier.forecast.sizing", False)),
+        forecast_horizon_s=float(
+            conf.get("frontier.forecast.horizon.sec", 60.0)
+        ),
         warc_dir=conf.get("warc.dir"),
         rank_priority=bool(conf.get("spout.rank.priority", False)),
         rank_max_buckets=int(conf.get("spout.rank.max.buckets", 10)),
