@@ -1836,6 +1836,81 @@ def dsir_resample(
     return scored.orderBy(F.desc("score"), id_col).limit(top_n)
 
 
+def ngram_novelty(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's DISTINCT word
+    n-grams that occur in NO other document — the inverse boilerplate /
+    memorization signal of a training corpus (near-1 = original prose;
+    near-0 = template chrome, licence banners, mirrored text). The
+    quality-filter twin of the dedup family: dedup asks "which PAIRS
+    share n-grams", this asks "how much of THIS doc is shared at all",
+    one number per doc, no pairwise stage anywhere.
+
+    Returns (doc_id, n_shingles, n_unique, novelty) with novelty =
+    round(n_unique / n_shingles, 4) — exact integers up to the one
+    rounded division, so the oracle replays it bit-for-bit.
+
+    Scale shape: distinct (doc, shingle) stream → one partial-aggregable
+    DF count per shingle → hint("merge") join-back (the DF relation is
+    corpus-sized; Catalyst's estimate of an aggregate output is garbage,
+    the same broadcast trap the r9 curves caught in jaccard_prefix_pairs)
+    → one groupBy(doc). Two uniform-key shuffles, nothing quadratic.
+    Docs with fewer than n tokens have no shingles and drop out (both
+    engines agree).
+    """
+    from .dedup import with_shingles
+
+    sh = with_shingles(docs, n, text_col, distinct=True, id_expr=id_col,
+                       id_alias=id_col)
+    df_t = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    return (
+        sh.join(df_t.hint("merge"), "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum((F.col("__df") == 1).cast("int"))
+            .cast("bigint")
+            .alias("n_unique"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_unique",
+            F.round(F.col("n_unique") / F.col("n_shingles"), 4).alias(
+                "novelty"
+            ),
+        )
+    )
+
+
+def ngram_novelty_sql(n: int = 3) -> str:
+    """DuckDB oracle for :func:`ngram_novelty` over the ``documents``
+    view: identical shingle formation, DF count, and rounded division."""
+    grams = " || ' ' || ".join(f"toks[i+{j}]" for j in range(n))
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, {grams} AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) d,
+       unnest(generate_series(1, len(toks) - {n - 1})) AS t(i)
+),
+dfs AS (
+  SELECT shingle, count(*) AS df FROM sh GROUP BY shingle
+)
+SELECT sh.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN dfs.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unique,
+       round(CAST(sum(CASE WHEN dfs.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 4) AS novelty
+FROM sh JOIN dfs USING (shingle)
+GROUP BY sh.doc_id
+"""
+
+
 def hashed_weight_table(spark, n_buckets: int, salt: str = "lw") -> DataFrame:
     """Deterministic (bucket, w) weight table for the hashed linear
     scorer: w = md5-derived integer micro-units in [-1000, 1000]. A

@@ -1990,3 +1990,44 @@ def test_zorder_rewrite_real_parquet_footers_prune(spark, tmp_path):
     # z-ordered: a quadrant box skips a strict majority of files
     assert z_pruned > z_total // 2
     assert z_pruned > nat_pruned
+
+
+def test_ngram_novelty_semantics_and_duckdb_parity(spark):
+    """(1) Hand-checked semantics: a fully-copied doc scores 0, an
+    original doc scores 1, a half-copied doc scores the exact fraction;
+    (2) full DuckDB parity on the real documents table (the r10
+    registration pair, proven ahead of time)."""
+    import duckdb
+    from pyspark.sql import Row
+
+    from incubator_stormcrawler_spark.operators.corpus import (
+        ngram_novelty,
+        ngram_novelty_sql,
+    )
+
+    a = "w1 w2 w3 w4 w5 w6"                 # original
+    b = "x1 x2 x3 x4 x5 x6"                 # original
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text=a),
+        Row(doc_id=2, text=a),              # exact copy of 1
+        Row(doc_id=3, text=b),
+        Row(doc_id=4, text="x1 x2 x3 x4 y5 y6"),  # half-copies 3
+    ])
+    got = {r.doc_id: (r.n_shingles, r.n_unique, r.novelty)
+           for r in ngram_novelty(docs, n=3).collect()}
+    assert got[1] == (4, 0, 0.0) and got[2] == (4, 0, 0.0)
+    # doc 3: shingles x123,x234,x345,x456; x123+x234 also in doc 4
+    assert got[3] == (4, 2, 0.5)
+    assert got[4] == (4, 2, 0.5)
+
+    sf = "/root/testdata/sf0.001"
+    real = spark.read.parquet(f"{sf}/documents.parquet")
+    got_real = {r.doc_id: (r.n_shingles, r.n_unique, r.novelty)
+                for r in ngram_novelty(real, n=3).collect()}
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    exp = {r[0]: tuple(r[1:])
+           for r in con.sql(ngram_novelty_sql(n=3)).fetchall()}
+    assert got_real == exp and len(got_real) > 100
