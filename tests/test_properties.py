@@ -389,3 +389,39 @@ def test_decayed_rate_fixed_point_exact(cents, window):
         # one IEEE division of an exact integer by an exact double —
         # equal to the rational within one ulp of the quotient
         assert abs(got - float(exact)) <= abs(float(exact)) * 1e-15
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(1, 24),
+    st.integers(1, 24),
+    st.integers(0, 2**32 - 1),
+    st.sampled_from(["noise", "stripes", "constant", "gradient"]),
+)
+def test_gif_lzw_roundtrip_property(h, w, seed, kind):
+    """Pure-Python property sweep of the GIF89a LZW codec: ANY grayscale
+    image roundtrips pixel-exactly through encode_gif -> decode_gif —
+    shapes, palettes, and content classes chosen to cross the 9->10-bit
+    code-width boundary and exercise dictionary growth patterns the
+    fixed-fixture test can't enumerate."""
+    import numpy as np
+
+    from incubator_stormcrawler_spark.operators.multimodal import (
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.RandomState(seed % (2**32))
+    if kind == "noise":
+        img = rng.randint(0, 256, (h, w)).astype(np.uint8)
+    elif kind == "stripes":
+        img = np.tile((np.arange(w) * 17) % 256, (h, 1)).astype(np.uint8)
+    elif kind == "constant":
+        img = np.full((h, w), seed % 256, np.uint8)
+    else:
+        img = (np.add.outer(np.arange(h), np.arange(w)) * 3 % 256).astype(
+            np.uint8
+        )
+    back = decode_gif(encode_gif(img))
+    assert back.shape == img.shape
+    assert (back == img).all()

@@ -568,6 +568,77 @@ def recursive_crawl_main():
     print(f"merged recursive_crawl into {path}")
 
 
+def curve_zorder(spark, tmp, sizes):
+    """zorder_rewrite cost curve — the one range shuffle (with its
+    sampling pass) + local sorts any clustering rewrite pays. Two-column
+    synthetic (independent uniform dims, the layout's worst case for a
+    single-column sort), 64 output files; per point also records the
+    measured file-skipping ratio for a quadrant box predicate from the
+    REAL parquet footers the rewrite produced."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from incubator_stormcrawler_spark.operators.layout import zorder_rewrite
+
+    out = []
+    for n in sizes:
+        df = spark.range(n).selectExpr(
+            "cast(pmod(xxhash64(id), 1000000) as bigint) as a",
+            "cast(pmod(xxhash64(id + 7), 1000000) as bigint) as b",
+        )
+        path = os.path.join(tmp, f"zorder_{n}")
+        _clean(spark)
+        t0 = time.time()
+        zorder_rewrite(df, ["a", "b"], path, n_files=64, bits=10)
+        sec = time.time() - t0
+        pruned = total = 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            if md.num_rows == 0:
+                continue
+            total += 1
+            mins = {}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    c = g.column(ci)
+                    mins[c.path_in_schema] = min(
+                        mins.get(c.path_in_schema, c.statistics.min),
+                        c.statistics.min,
+                    )
+            # quadrant box: a < 250k AND b < 250k — prunable when either
+            # dimension's file-min clears the bound
+            if mins["a"] > 250_000 or mins["b"] > 250_000:
+                pruned += 1
+        shutil.rmtree(path, ignore_errors=True)
+        out.append({
+            "rows": n, "sec": round(sec, 2), "rows_per_sec": int(n / sec),
+            "files": total,
+            "skip_ratio": round(pruned / total, 2) if total else 0.0,
+        })
+        print(f"   {out[-1]}", flush=True)
+    return out
+
+
+def zorder_main():
+    """`--zorder`: clustering-rewrite cost + real-footer skipping ratio,
+    merged as zorder_rewrite."""
+    from incubator_stormcrawler_spark.session import get_spark
+
+    spark = get_spark("scale-bench-zorder")
+    spark.sparkContext.setLogLevel("ERROR")
+    tmp = tempfile.mkdtemp(prefix="scale_bench_zorder_")
+    try:
+        pts = curve_zorder(spark, tmp, [4_000_000, 16_000_000, 64_000_000])
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    entry = {"points": pts, "alpha": alpha(pts)}
+    print(f"## zorder_rewrite: alpha={entry['alpha']}", flush=True)
+    path = merge_scaling({"zorder_rewrite": entry})
+    print(f"merged zorder_rewrite into {path}")
+
+
 def full_stack_crawl_main():
     """`--crawl-full-stack`: the whole feature surface ON at once —
     rank-prioritized bucket choice, politeness forecast sizing (no-op cap
@@ -1389,6 +1460,9 @@ def main():
         return
     if "--crawl-full-stack" in sys.argv:
         full_stack_crawl_main()
+        return
+    if "--zorder" in sys.argv:
+        zorder_main()
         return
     quick = "--quick" in sys.argv
     deep = "--deep" in sys.argv
