@@ -226,6 +226,80 @@ class FrontierTable:
         self._vacuum(keep=3)
         return new_v
 
+    def compact(
+        self,
+        spark: SparkSession,
+        max_files_per_bucket: int = 1,
+    ) -> int:
+        """OPTIMIZE (small-file compaction) for the bucket-partitioned
+        table — the operational primitive every incremental lakehouse
+        merge makes necessary: each ``merge_commit`` rewrites a touched
+        bucket with however many shuffle tasks hold its rows (up to
+        ``spark.sql.shuffle.partitions`` files per bucket per
+        generation), and a long crawl accretes exactly the small-file
+        problem Delta/Iceberg ``OPTIMIZE`` exists for.
+
+        Rewrites ONLY buckets whose parquet file count exceeds
+        ``max_files_per_bucket`` — ``repartition(n, "bucket")`` puts each
+        fragmented bucket's rows in exactly ONE task, so each compacts to
+        exactly one file — and hard-links every already-compact bucket
+        into the new snapshot unchanged (the same byte-identical
+        carry-forward as ``merge_commit``). Content is untouched by
+        construction; the batch-id mark carries forward so the
+        exactly-once retry guard survives compaction. The fragmentation
+        inventory is a driver-side ``listdir`` — metadata bounded by the
+        bucket count, never a data read. Returns the new version (or the
+        current one when nothing is fragmented — no empty commits)."""
+        from pyspark.sql import functions as F
+
+        if self.partition_by != "bucket":
+            raise ValueError("compact requires partition_by='bucket'")
+        v = self.current_version()
+        snap_old = os.path.join(self.path, f"v{v:06d}")
+        frag: list[int] = []
+        compactible: list[str] = []
+        for name in sorted(os.listdir(snap_old)):
+            if not name.startswith("bucket="):
+                continue
+            n_files = sum(
+                1 for f in os.listdir(os.path.join(snap_old, name))
+                if f.endswith(".parquet")
+            )
+            if n_files > max_files_per_bucket:
+                frag.append(int(name.split("=", 1)[1]))
+            else:
+                compactible.append(name)
+        if not frag:
+            return v
+        frontier = self.read(spark)
+        to_rewrite = frontier.where(F.col("bucket").isin(frag)).repartition(
+            len(frag), "bucket"
+        )
+        new_v = v + 1
+        snap_new = os.path.join(self.path, f"v{new_v:06d}")
+        to_rewrite.write.mode("overwrite").partitionBy("bucket").parquet(
+            snap_new
+        )
+        for name in compactible:
+            src = os.path.join(snap_old, name)
+            dst = os.path.join(snap_new, name)
+            os.makedirs(dst, exist_ok=True)
+            for fname in os.listdir(src):
+                if fname.endswith(".parquet"):
+                    os.link(
+                        os.path.join(src, fname), os.path.join(dst, fname)
+                    )
+        mark = self.last_batch_id()
+        if mark is not None:
+            with open(os.path.join(snap_new, "_BATCH"), "w") as f:
+                f.write(mark)
+        tmp = self._pointer + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(new_v))
+        os.replace(tmp, self._pointer)
+        self._vacuum(keep=3)
+        return new_v
+
     def _vacuum(self, keep: int = 3) -> None:
         """Drop snapshots older than the last ``keep`` (readers of very old
         versions are long gone by then)."""

@@ -503,3 +503,67 @@ def test_generation_batch_ids_survive_restart_and_seed_interleave(
     assert sorted(
         (r.url, r.status) for r in loop2.read_frontier().collect()
     ) == before
+
+
+def test_compact_merges_small_files_and_preserves_everything(spark, tmp_path):
+    """OPTIMIZE for the bucket-partitioned table: merge_commit fragments
+    touched buckets (one file per shuffle task holding the bucket's rows),
+    compact() rewrites ONLY fragmented buckets down to one file each,
+    hard-links compact buckets unchanged, keeps the content bit-identical,
+    carries the batch-id mark forward (the exactly-once retry guard
+    survives), and no-ops when nothing is fragmented."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from incubator_stormcrawler_spark.operators.synthetic import (
+        synthetic_frontier,
+    )
+
+    NOW = "2024-01-15 00:00:00"
+    table = FrontierTable(str(tmp_path / "f"), partition_by="bucket")
+    frontier = synthetic_frontier(spark, "/root/testdata/sf0.001")
+    # 16-task commit: every task holds rows of every bucket, so each
+    # bucket lands as ~16 small files — the accreted-table state a long
+    # crawl reaches (at THIS toy scale AQE coalesces the merge shuffles
+    # to one file per bucket, so fragmentation is staged directly)
+    table.commit(frontier.repartition(16))
+    # updates confined to one host: its bucket gets the AQE-coalesced
+    # rewrite, every other bucket keeps its 16 hard-linked fragments
+    updates = spark.createDataFrame(
+        [("https://host1.example/p101", "FETCHED")],
+        "url string, status string",
+    )
+    table.merge_commit(spark, updates, NOW, batch_id="gen-2")
+
+    v = table.current_version()
+    snap = os.path.join(table.path, f"v{v:06d}")
+    files_before = {
+        d: len(glob.glob(f"{snap}/{d}/*.parquet"))
+        for d in os.listdir(snap) if d.startswith("bucket=")
+    }
+    fragmented = {d for d, n in files_before.items() if n > 1}
+    assert fragmented, "fixture failed to fragment any bucket"
+    before_rows = {
+        tuple(r) for r in table.read(spark).collect()
+    }
+
+    v2 = table.compact(spark, max_files_per_bucket=1)
+    assert v2 == v + 1
+    snap2 = os.path.join(table.path, f"v{v2:06d}")
+    for d in os.listdir(snap2):
+        if not d.startswith("bucket="):
+            continue
+        n = len(glob.glob(f"{snap2}/{d}/*.parquet"))
+        assert n == 1, (d, n)
+        if d not in fragmented:
+            # untouched compact bucket: hard-linked, not rewritten
+            o = glob.glob(f"{snap}/{d}/*.parquet")
+            nn = glob.glob(f"{snap2}/{d}/*.parquet")
+            assert len(o) == 1 and os.path.samefile(o[0], nn[0])
+    after_rows = {tuple(r) for r in table.read(spark).collect()}
+    assert after_rows == before_rows
+    assert table.last_batch_id() == "gen-2"  # retry guard intact
+
+    # already-compact table: no empty commit
+    assert table.compact(spark, max_files_per_bucket=1) == v2
