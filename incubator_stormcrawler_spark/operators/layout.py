@@ -111,7 +111,7 @@ def zorder_skipping_stats(
     never opens it).
 
     Returns one row per bucket: (bucket, n_rows, <col>_min/<col>_max ...,
-    prunable_<i> per predicate, prunable_all). Aggregating
+    prunable_<i> per predicate, prunable_any). Aggregating
     sum(prunable)/count(*) gives the skipping ratio — the honest number a
     layout decision should be made on, and exactly what this simulates
     without writing files.
@@ -123,6 +123,14 @@ def zorder_skipping_stats(
     if n_buckets & (n_buckets - 1):
         raise ValueError("zorder_skipping_stats: n_buckets must be 2^k")
     keybits = bits * len(cols)
+    if n_buckets.bit_length() - 1 > keybits:
+        # a negative shift is SILENTLY masked by Spark's shiftright (Java
+        # shift semantics) while DuckDB behaves differently — wrong
+        # bucketing + oracle drift, so refuse instead
+        raise ValueError(
+            "zorder_skipping_stats: log2(n_buckets) exceeds the key width"
+            f" ({n_buckets} buckets > 2^{keybits} key values)"
+        )
     shift = keybits - n_buckets.bit_length() + 1
     keyed = zorder_key(df, cols, bits=bits)
     # footer stats cover the cluster columns AND every predicate column —
@@ -200,6 +208,13 @@ def zorder_sql(
     scale/interleave/bucket arithmetic (the SQL text is generated by the
     same helpers), replayed over the same table."""
     keybits = bits * len(cols)
+    if n_buckets & (n_buckets - 1):
+        raise ValueError("zorder_sql: n_buckets must be 2^k")
+    if n_buckets.bit_length() - 1 > keybits:
+        raise ValueError(
+            "zorder_sql: log2(n_buckets) exceeds the key width"
+            f" ({n_buckets} buckets > 2^{keybits} key values)"
+        )
     shift = keybits - n_buckets.bit_length() + 1
     mins = ", ".join(f"min({c}) AS __mn_{c}" for c in cols)
     maxs = ", ".join(f"max({c}) AS __mx_{c}" for c in cols)

@@ -767,12 +767,14 @@ def synthesize_png_corpus(spark: SparkSession, n: int = 20) -> DataFrame:
 
 def synthesize_gif_corpus(spark: SparkSession, n: int = 20) -> DataFrame:
     """n real GIF89a images (genuine variable-width LZW streams);
-    pixel(x, y) = (3x + 17y + 23*id) % 256, width 7 + id%3, height
-    5 + id%4 — sized so the code stream crosses the 9→10-bit width
-    boundary on the larger images (the bit-unpacking case that matters)."""
+    pixel(x, y) = (3x + 17y + 23*id) % 256, width 24 + id%5, height
+    18 + id%4 — ≥432 px each, so EVERY image's code stream genuinely
+    crosses the 9→10-bit width boundary (verified: next_code reaches
+    ≥513 on all 20; the r9 corpus topped out at ~330 and never widened —
+    the variable-width bit-unpacking case the codec exists to exercise)."""
     rows = []
     for i in range(n):
-        w, h = 7 + i % 3, 5 + i % 4
+        w, h = 24 + i % 5, 18 + i % 4
         ys, xs = np.mgrid[0:h, 0:w]
         img = ((3 * xs + 17 * ys + 23 * i) % 256).astype(np.uint8)
         rows.append(

@@ -30,6 +30,10 @@ ROUND LOG (bump + append a line each round):
       ran locally at ROUND_SEED = 10 before r9 closed (148/148 green at
       sf0.01, after all r9 additions — fetch_forecast,
       classifier_score, the reshaped random projection — landed).
+  r10: ROUND_SEED = 10 — third flip, pre-proven at r9 close (see above;
+      148/148 at sf0.01). New seeded params this round: hh_min_count
+      (corpus_heavy_hitters) and zorder_tp_hi (layout_zorder_stats),
+      both verified non-degenerate at sf0.01 before registration.
 """
 
 from __future__ import annotations
@@ -37,7 +41,7 @@ from __future__ import annotations
 import hashlib
 from datetime import date, timedelta
 
-ROUND_SEED = 9
+ROUND_SEED = 10
 
 REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
 NATIONS = [f"NATION_{i}" for i in range(25)]

@@ -443,7 +443,7 @@ def test_gif_corpus_stats_match_duckdb_formula_replay(spark):
         r[0]: tuple(r[1:])
         for r in duckdb.sql("""
 WITH g AS (
-  SELECT i, 7 + i % 3 AS w, 5 + i % 4 AS h
+  SELECT i, 24 + i % 5 AS w, 18 + i % 4 AS h
   FROM generate_series(0, 19) t(i)
 ),
 px AS (
