@@ -87,6 +87,10 @@ def build_crawl_loop(
         forecast_horizon_s=float(
             conf.get("frontier.forecast.horizon.sec", 60.0)
         ),
+        # r10: lakehouse maintenance cadence — OPTIMIZE (optionally
+        # ZORDER-clustered) every N generations on the bucketed table
+        compact_every=int(conf.get("frontier.compact.every", 0)),
+        compact_zorder=bool(conf.get("frontier.compact.zorder", False)),
         warc_dir=conf.get("warc.dir"),
         rank_priority=bool(conf.get("spout.rank.priority", False)),
         rank_max_buckets=int(conf.get("spout.rank.max.buckets", 10)),

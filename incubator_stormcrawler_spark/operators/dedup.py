@@ -1338,6 +1338,17 @@ def bloom_unseen_broadcast_sharded(
     documented on :func:`bloom_unseen_broadcast`); ``broadcast_residue``
     selects the zero-seen-shuffle residue, and the default residue uses
     the merge-hinted SMJ anti join.
+
+    Broadcast lifecycle: REPEATED callers (e.g. once per crawl
+    generation) should pass prebuilt ``Broadcast`` objects in
+    ``bitmap_arrays`` and own their destroy (CrawlLoop does exactly
+    this, destroying on refresh). When this function has to create
+    broadcasts itself — ``bitmap_arrays=None`` or raw numpy arrays — it
+    EAGERLY materializes the probe checkpoint and then ``unpersist()``s
+    them (driver copy retained for fault re-fetch), so standalone
+    per-call use cannot accumulate undestroyed executor copies for the
+    session lifetime. The price is losing plan laziness on that
+    convenience path only.
     """
     import numpy as np
 
@@ -1353,10 +1364,14 @@ def bloom_unseen_broadcast_sharded(
             f"expected {n_shards}"
         )
     sc = candidates.sparkSession.sparkContext
-    bcasts = [
-        a if isinstance(a, Broadcast) else sc.broadcast(a)
-        for a in bitmap_arrays
-    ]
+    bcasts, created = [], []
+    for a in bitmap_arrays:
+        if isinstance(a, Broadcast):
+            bcasts.append(a)
+        else:
+            b = sc.broadcast(a)
+            bcasts.append(b)
+            created.append(b)
     out_cols = list(candidates.columns)
     _check_bf_namespace(out_cols)
     # one checkpoint below the branch split (same rationale as
@@ -1396,9 +1411,13 @@ def bloom_unseen_broadcast_sharded(
         flagged_parts.append(
             branch.mapInPandas(make_runner(bcasts[s]), schema=schema)
         )
+    # internally-created broadcasts: force the probe now, then release
+    # executor copies (see the lifecycle note in the docstring)
     flagged = reduce(DataFrame.unionByName, flagged_parts).localCheckpoint(
-        eager=False
+        eager=bool(created)
     )
+    for b in created:
+        b.unpersist()
     definite_new = flagged.where(~F.col("__bf_hit")).select(*out_cols)
     possible = flagged.where(F.col("__bf_hit")).select(*out_cols)
     if broadcast_residue:

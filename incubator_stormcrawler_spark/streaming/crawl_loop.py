@@ -70,6 +70,9 @@ class CrawlLoop:
         forecast_sizing: bool = False,
         forecast_horizon_s: float = 60.0,
         forecast_delays: DataFrame | None = None,
+        compact_every: int = 0,
+        compact_zorder: bool = False,
+        compact_max_files_per_bucket: int = 4,
     ):
         self.spark = spark
         self.frontier_path = frontier_path
@@ -171,6 +174,18 @@ class CrawlLoop:
         self.forecast_sizing = forecast_sizing
         self.forecast_horizon_s = forecast_horizon_s
         self.forecast_delays = forecast_delays
+        # compact_every > 0 runs FrontierTable.compact (OPTIMIZE) every N
+        # generations, right after the generation's merge commits: the
+        # pruned merge_commit fragments each touched bucket by up to
+        # shuffle-partitions files per generation, and without a cadence
+        # a long crawl's file count grows without bound (the lakehouse
+        # maintenance loop every Delta/Iceberg deployment schedules).
+        # compact_zorder=True makes the rewrite OPTIMIZE ZORDER —
+        # clustered on (next_fetch_date, key hash) so frontier due scans
+        # skip files by footer stats (see FrontierTable.compact).
+        self.compact_every = compact_every
+        self.compact_zorder = compact_zorder
+        self.compact_max_files_per_bucket = compact_max_files_per_bucket
         self.table = FrontierTable(
             frontier_path,
             partition_by="bucket" if bucket_partitioned else None,
@@ -282,6 +297,15 @@ class CrawlLoop:
         # frontier scan + grouped-top-k window re-executes for each
         # (measured ~3× per generation in round 3's 537 p/s regression)
         ranks = self._host_ranks() if self.rank_priority else None
+        # with forecast sizing on, the global max_results cap is DEFERRED
+        # until after the politeness-forecast filter: capping first would
+        # let rows the forecast then drops keep unconstrained hosts'
+        # overflow out of the generation (systematic under-fill — the r9
+        # advice finding); capping after lets freed slots backfill.
+        cap_after_forecast = (
+            self.forecast_sizing and self.max_results is not None
+        )
+        topk_cap = None if cap_after_forecast else self.max_results
         if ranks is not None:
             from ..operators.frontier import frontier_topk_rank_ordered
 
@@ -292,13 +316,13 @@ class CrawlLoop:
                 # same generation-size contract as the plain path: without
                 # this, rank_max_buckets × max_per_bucket silently exceeds
                 # a smaller configured max_results
-                max_results=self.max_results,
+                max_results=topk_cap,
             )
         else:
             batch = frontier_topk(
                 frontier, now,
                 max_per_bucket=self.max_per_bucket,
-                max_results=self.max_results,
+                max_results=topk_cap,
             )
         if self.forecast_sizing:
             # drop the rows a delay-bound host cannot fetch inside the
@@ -321,6 +345,22 @@ class CrawlLoop:
             batch = batch.join(
                 F.broadcast(fc.select("key", "forecast")), "key"
             ).where(F.col("rn") <= F.col("forecast"))
+            if cap_after_forecast:
+                # same deterministic total orders the topk paths use; the
+                # input is already bounded (≤ hosts × max_per_bucket after
+                # the forecast filter), so this is a TakeOrderedAndProject
+                # over a generation-sized relation, never a frontier sort
+                if ranks is not None:
+                    batch = batch.orderBy(
+                        F.col("key_rank").desc(),
+                        F.col("key").asc(),
+                        F.col("rn").asc(),
+                        F.col("url").asc(),
+                    ).limit(self.max_results)
+                else:
+                    batch = batch.orderBy(
+                        F.col("next_fetch_date").asc(), F.col("url").asc()
+                    ).limit(self.max_results)
         batch = batch.select("url", "key", "depth").cache()
 
         cache_hits = 0
@@ -618,6 +658,20 @@ class CrawlLoop:
             "cache_hits": cache_hits,
             "index_deleted": n_deleted,
         }
+        if (
+            self.compact_every > 0
+            and self.bucket_partitioned
+            and self.generation % self.compact_every == 0
+            and self.table.exists()
+        ):
+            # lakehouse maintenance cadence: bound the table's file count
+            # after the generation's merge has committed (content is
+            # untouched; the exactly-once mark carries forward)
+            self.table.compact(
+                self.spark,
+                max_files_per_bucket=self.compact_max_files_per_bucket,
+                zorder=self.compact_zorder,
+            )
         if self.metrics_path:
             # per-generation metrics table (StatusMetricsBolt cadence)
             self.spark.createDataFrame(
