@@ -43,6 +43,13 @@ def get_spark(
         # Parquet scans: push filters + prune columns (Catalyst default, kept
         # explicit because frontier queries depend on it at scale).
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Write timestamps as INT64 TIMESTAMP_MICROS, not Spark's legacy
+        # INT96: INT96 columns carry NO parquet min/max statistics, so a
+        # frontier due-scan (next_fetch_date <= now) could never skip a
+        # file or row group on the tables this engine writes — the whole
+        # point of the clustered/compacted layout (and of pushdown on any
+        # timestamp filter) at 100 TB.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # the driver's events.parquet stores TIMESTAMP(NANOS) which Spark
         # has no native type for — read as long, convert at the source
         # (see operators/relational.py load_events).

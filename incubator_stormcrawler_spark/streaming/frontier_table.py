@@ -230,6 +230,9 @@ class FrontierTable:
         self,
         spark: SparkSession,
         max_files_per_bucket: int = 1,
+        zorder: bool = False,
+        zorder_files_per_bucket: int = 4,
+        zorder_bits: int = 10,
     ) -> int:
         """OPTIMIZE (small-file compaction) for the bucket-partitioned
         table — the operational primitive every incremental lakehouse
@@ -249,11 +252,36 @@ class FrontierTable:
         exactly-once retry guard survives compaction. The fragmentation
         inventory is a driver-side ``listdir`` — metadata bounded by the
         bucket count, never a data read. Returns the new version (or the
-        current one when nothing is fragmented — no empty commits)."""
+        current one when nothing is fragmented — no empty commits).
+
+        ``zorder=True`` is OPTIMIZE ZORDER (the Delta idiom; reference
+        analog: routing/bucket clustering in the SQL status index,
+        external/sql/.../StatusUpdaterBolt.java:157-163): each fragmented
+        bucket is rewritten as ``zorder_files_per_bucket`` files
+        CLUSTERED by the Morton interleave of (next_fetch_date seconds,
+        xxhash64(key)) — operators.layout.zorder_key, the same codegen
+        bit arithmetic as the registered layout_zorder_stats query. Every
+        output file then covers a compact rectangle of (due-time × host)
+        space, so its parquet FOOTER min/max prunes BOTH the due scan
+        (``next_fetch_date <= now`` — frontier_topk's filter) and a
+        host-range lookup — verified against real pyarrow-read footers in
+        tests/test_streaming.py. One range shuffle over the fragmented
+        slice only. The rewrite targets ~``zorder_files_per_bucket``
+        files per bucket (range tasks that straddle a bucket boundary
+        add one), and the fragmentation threshold becomes
+        ``max(max_files_per_bucket, 2 * zorder_files_per_bucket)`` so
+        the clustered layout is a fixed point (re-running compact is a
+        no-op) — the OPTIMIZE idiom: trigger on accumulated small
+        files, not on exact counts."""
         from pyspark.sql import functions as F
 
         if self.partition_by != "bucket":
             raise ValueError("compact requires partition_by='bucket'")
+        threshold = (
+            max(max_files_per_bucket, 2 * zorder_files_per_bucket)
+            if zorder
+            else max_files_per_bucket
+        )
         v = self.current_version()
         snap_old = os.path.join(self.path, f"v{v:06d}")
         frag: list[int] = []
@@ -265,16 +293,54 @@ class FrontierTable:
                 1 for f in os.listdir(os.path.join(snap_old, name))
                 if f.endswith(".parquet")
             )
-            if n_files > max_files_per_bucket:
+            if n_files > threshold:
                 frag.append(int(name.split("=", 1)[1]))
             else:
                 compactible.append(name)
         if not frag:
             return v
         frontier = self.read(spark)
-        to_rewrite = frontier.where(F.col("bucket").isin(frag)).repartition(
-            len(frag), "bucket"
-        )
+        if zorder:
+            from ..operators.layout import zorder_key
+
+            aug = (
+                frontier.where(F.col("bucket").isin(frag))
+                .withColumn("__z_nfd", F.col("next_fetch_date").cast("double"))
+                .withColumn("__z_kh", F.xxhash64("key").cast("double"))
+            )
+            # clamp the date axis at its 95th percentile before min-max
+            # scaling: the frontier's far-future "never" sentinel would
+            # otherwise stretch the grid until the whole live band fits
+            # one Z-cell. Clamped sentinel rows all land in the TOP cell
+            # — exactly the band every due scan skips.
+            hi = aug.agg(
+                F.expr("approx_percentile(__z_nfd, 0.95)")
+            ).first()[0]
+            if hi is not None:
+                aug = aug.withColumn(
+                    "__z_nfd", F.least(F.col("__z_nfd"), F.lit(float(hi)))
+                )
+            # column order matters: zorder_key gives the LAST column the
+            # higher bit of each interleave pair, and the due scan is the
+            # hot predicate — put the date axis there so the top zkey bit
+            # splits by due time first
+            keyed = zorder_key(aug, ["__z_kh", "__z_nfd"], bits=zorder_bits)
+            # range-partition on (bucket, zkey): each task holds one
+            # contiguous zkey slice of one bucket (row-count balanced by
+            # the range sampler — hot buckets get more files), and the
+            # partitionBy("bucket") write splits any straddling task per
+            # directory, so every output file is zkey-contiguous
+            to_rewrite = (
+                keyed.repartitionByRange(
+                    len(frag) * zorder_files_per_bucket, "bucket", "zkey"
+                )
+                .sortWithinPartitions("bucket", "zkey")
+                .drop("__z_nfd", "__z_kh", "zkey")
+            )
+        else:
+            to_rewrite = frontier.where(
+                F.col("bucket").isin(frag)
+            ).repartition(len(frag), "bucket")
         new_v = v + 1
         snap_new = os.path.join(self.path, f"v{new_v:06d}")
         to_rewrite.write.mode("overwrite").partitionBy("bucket").parquet(

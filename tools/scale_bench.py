@@ -621,6 +621,108 @@ def curve_zorder(spark, tmp, sizes):
     return out
 
 
+def curve_frontier_zorder_compact(spark, tmp, sizes):
+    """FrontierTable.compact(zorder=True) cost + real-footer due-scan
+    skipping, on the LIVE bucketed table (the r10 wiring of the r9
+    zorder operator): build a fragmented bucket-partitioned frontier
+    with a realistic due-date spread (14-day band + 2% never-due
+    sentinels), OPTIMIZE-ZORDER it, then read every output file's
+    parquet footer and count the files a quartile due scan
+    (next_fetch_date <= cutoff) skips — against the fragmented
+    baseline's ratio on the same data."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from incubator_stormcrawler_spark.streaming.frontier_table import (
+        FrontierTable,
+    )
+
+    cutoff_iso = "2024-01-11T00:00:00+00:00"
+
+    def skip_ratio(root):
+        from datetime import datetime
+
+        cutoff = datetime.fromisoformat(cutoff_iso)
+        pruned = total = 0
+        for f in glob.glob(f"{root}/bucket=*/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            if md.num_rows == 0:
+                continue
+            total += 1
+            names = [md.schema.column(i).name
+                     for i in range(md.num_columns)]
+            ci = names.index("next_fetch_date")
+            mn = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                mn = st.min if mn is None else min(mn, st.min)
+            if mn is not None and mn > cutoff:
+                pruned += 1
+        return (round(pruned / total, 2) if total else 0.0), total
+
+    out = []
+    for n in sizes:
+        tdir = os.path.join(tmp, f"fzc{n}")
+        hosts = max(n // 100, 100)
+        table = FrontierTable(tdir, partition_by="bucket")
+        frontier = spark.range(n).selectExpr(
+            f"concat('https://host', cast(mod(id, {hosts}) as string), "
+            "'.example/p', cast(id as string)) as url",
+            "'DISCOVERED' as status",
+            "case when mod(id, 100) >= 98 then timestamp '2200-01-01 00:00:00' "
+            "else timestampadd(MINUTE, cast(mod(id * 7, 20160) as int), "
+            "timestamp '2024-01-08 00:00:00') end as next_fetch_date",
+            "0 as error_count",
+            f"concat('host', cast(mod(id, {hosts}) as string), "
+            "'.example') as key",
+            "cast(mod(id, 10) as int) as bucket",
+        )
+        # 64-task commit: the accreted small-file state a crawl reaches
+        table.commit(frontier.repartition(64))
+        v = table.current_version()
+        base_ratio, base_files = skip_ratio(
+            os.path.join(tdir, f"v{v:06d}")
+        )
+        _clean(spark)
+        t0 = time.time()
+        table.compact(spark, zorder=True, zorder_files_per_bucket=16)
+        sec = time.time() - t0
+        z_ratio, z_files = skip_ratio(
+            os.path.join(tdir, f"v{table.current_version():06d}")
+        )
+        shutil.rmtree(tdir, ignore_errors=True)
+        out.append({
+            "rows": n, "sec": round(sec, 2), "rows_per_sec": int(n / sec),
+            "files_before": base_files, "files_after": z_files,
+            "skip_ratio_fragmented": base_ratio,
+            "skip_ratio_zordered": z_ratio,
+        })
+        print(f"   {out[-1]}", flush=True)
+    return out
+
+
+def frontier_zorder_compact_main():
+    """`--frontier-zorder-compact`: OPTIMIZE-ZORDER on the live bucketed
+    table — cost curve + real-footer due-scan skip ratios, merged as
+    frontier_zorder_compact."""
+    from incubator_stormcrawler_spark.session import get_spark
+
+    spark = get_spark("scale-bench-fzc")
+    spark.sparkContext.setLogLevel("ERROR")
+    tmp = tempfile.mkdtemp(prefix="scale_bench_fzc_")
+    try:
+        pts = curve_frontier_zorder_compact(
+            spark, tmp, [1_000_000, 4_000_000, 16_000_000]
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    entry = {"points": pts, "alpha": alpha(pts)}
+    print(f"## frontier_zorder_compact: alpha={entry['alpha']}", flush=True)
+    path = merge_scaling({"frontier_zorder_compact": entry})
+    print(f"merged frontier_zorder_compact into {path}")
+
+
 def zorder_main():
     """`--zorder`: clustering-rewrite cost + real-footer skipping ratio,
     merged as zorder_rewrite."""
@@ -1463,6 +1565,9 @@ def main():
         return
     if "--zorder" in sys.argv:
         zorder_main()
+        return
+    if "--frontier-zorder-compact" in sys.argv:
+        frontier_zorder_compact_main()
         return
     quick = "--quick" in sys.argv
     deep = "--deep" in sys.argv
