@@ -34,6 +34,9 @@ ROUND LOG (bump + append a line each round):
       148/148 at sf0.01). New seeded params this round: hh_min_count
       (corpus_heavy_hitters) and zorder_tp_hi (layout_zorder_stats),
       both verified non-degenerate at sf0.01 before registration.
+      The r11 flip is PRE-PROVEN: the full 152-query sweep ran locally
+      at ROUND_SEED = 11 before r10 closed (152/152 green at sf0.01,
+      after all r10 additions — the four new registrations included).
 """
 
 from __future__ import annotations
