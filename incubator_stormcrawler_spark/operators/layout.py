@@ -253,3 +253,242 @@ stats AS (
 )
 SELECT *{flag_cols}{any_col} FROM stats
 """
+
+
+# ---------------------------------------------------------------------------
+# Hilbert curve — the locality upgrade over Z-order.
+#
+# A Z-order walk teleports: consecutive keys can sit a half-grid apart
+# (max Manhattan jump 2^bits at the quadrant seam), so an equal-COUNT
+# range partition (what repartitionByRange produces) can hand one file
+# rows from both sides of a seam and its footer min/max balloons. The
+# Hilbert walk is a Hamiltonian path on the grid — EVERY consecutive pair
+# of keys is Manhattan distance exactly 1 — so any contiguous key slice
+# is a CONNECTED region and equal-count files keep tight footers on
+# skewed data (measured ~1.2x tighter bbox sum on lognormal 2-D data at
+# 16 files; test_hilbert_rewrite_beats_zorder_on_real_footers). This
+# is why Delta Lake's liquid clustering moved from Morton to Hilbert.
+#
+# Encoding is the textbook iterative xy2d walk (Wikipedia "Hilbert
+# curve"; Butz 1971), one level per bit from the top: read the two level
+# bits, accumulate the quadrant's d contribution, rotate/reflect the
+# frame. Each level is plain integer arithmetic over the running
+# (__hx, __hy, __hd) columns — branchless (no CASE) and XOR-free
+# (DuckDB's ^ is POWER, not xor: (3*rx) xor ry over bits is the
+# polynomial 3*rx + ry - 2*rx*ry) — so the SAME per-level SQL text runs
+# verbatim in Spark SQL and DuckDB. The Spark side applies the levels as
+# a chain of projections (Catalyst keeps them un-collapsed past the
+# alias-reuse guard, and whole-stage codegen fuses the chain into one
+# stage computing each level once); the oracle applies them as a CTE
+# chain. No UDF, no shuffle.
+
+
+def _hilbert_level_exprs(k: int, bits: int) -> tuple[str, str, str]:
+    """SQL text for ONE xy2d level (cell size s = 2^k) over the running
+    columns ``__hx``/``__hy``: returns ``(d_term, new_x, new_y)``.
+    Shared verbatim by :func:`hilbert_key` (Spark projection chain) and
+    :func:`hilbert_sql` (DuckDB CTE chain) so the engines cannot drift."""
+    s = 1 << k
+    n = 1 << bits
+    rx = f"(((__hx) >> {k}) & 1)"
+    ry = f"(((__hy) >> {k}) & 1)"
+    d_term = (
+        f"cast({s * s} as bigint) * "
+        f"(3 * {rx} + {ry} - 2 * {rx} * {ry})"
+    )
+    flip = f"({rx} * (1 - {ry}))"  # reflect when ry=0 and rx=1
+    x1 = f"({flip} * ({n - 1} - __hx) + (1 - {flip}) * __hx)"
+    y1 = f"({flip} * ({n - 1} - __hy) + (1 - {flip}) * __hy)"
+    nx = f"((1 - {ry}) * {y1} + {ry} * {x1})"  # swap axes when ry=0
+    ny = f"((1 - {ry}) * {x1} + {ry} * {y1})"
+    return d_term, nx, ny
+
+
+def hilbert_key(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 10,
+) -> DataFrame:
+    """Append an ``hkey`` column: the Hilbert-curve index of the two
+    min-max-scaled ``cols`` (2-D only — the classic xy2d walk; for >2
+    clustering columns compose, e.g. hilbert over the two highest-value
+    columns and plain sort on the rest).
+
+    Plan shape is identical to :func:`zorder_key`: ONE tiny (min, max)
+    aggregate broadcast back as a scalar dimension, then ``bits`` chained
+    integer projections fused by whole-stage codegen. No UDF, no extra
+    shuffle."""
+    if len(cols) != 2:
+        raise ValueError("hilbert_key: exactly 2 columns (classic 2-D walk)")
+    if 2 * bits > 62:
+        raise ValueError("hilbert_key: 2 * bits must fit in 62 bits")
+    bounds = df.agg(
+        *[F.min(c).cast("double").alias(f"__mn_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"__mx_{c}") for c in cols],
+    )
+    out = df.crossJoin(F.broadcast(bounds))
+    xs = _scale_expr(cols[0], f"__mn_{cols[0]}", f"__mx_{cols[0]}", bits)
+    ys = _scale_expr(cols[1], f"__mn_{cols[1]}", f"__mx_{cols[1]}", bits)
+    out = out.selectExpr(
+        *df.columns,
+        f"({xs}) as __hx",
+        f"({ys}) as __hy",
+        "cast(0 as bigint) as __hd",
+    )
+    for k in range(bits - 1, -1, -1):
+        d_term, nx, ny = _hilbert_level_exprs(k, bits)
+        out = out.selectExpr(
+            *df.columns,
+            f"{nx} as __hx",
+            f"{ny} as __hy",
+            f"__hd + {d_term} as __hd",
+        )
+    return out.selectExpr(*df.columns, "__hd as hkey")
+
+
+def hilbert_skipping_stats(
+    df: DataFrame,
+    cols: list[str],
+    n_buckets: int = 64,
+    bits: int = 10,
+    predicates: list[tuple[str, float, float]] | None = None,
+) -> DataFrame:
+    """Hilbert twin of :func:`zorder_skipping_stats`: bucket rows by the
+    top bits of the Hilbert key (the files a range-partitioned rewrite
+    would produce — and because the Hilbert walk is a Hamiltonian path,
+    each bucket is a CONNECTED grid region), record per-bucket footer
+    min/max and per-predicate PRUNABLE flags. Same output schema, same
+    plan shape: the key projection chain + ONE partial-aggregable
+    groupBy with n_buckets output rows."""
+    if n_buckets & (n_buckets - 1):
+        raise ValueError("hilbert_skipping_stats: n_buckets must be 2^k")
+    keybits = 2 * bits
+    if n_buckets.bit_length() - 1 > keybits:
+        raise ValueError(
+            "hilbert_skipping_stats: log2(n_buckets) exceeds the key"
+            f" width ({n_buckets} buckets > 2^{keybits} key values)"
+        )
+    shift = keybits - n_buckets.bit_length() + 1
+    keyed = hilbert_key(df, cols, bits=bits)
+    stat_cols = list(cols) + [
+        c for c, _, _ in (predicates or []) if c not in cols
+    ]
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    for c in stat_cols:
+        aggs.append(F.floor(F.min(c)).cast("bigint").alias(f"{c}_min"))
+        aggs.append(F.floor(F.max(c)).cast("bigint").alias(f"{c}_max"))
+    stats = keyed.groupBy(
+        F.expr(f"hkey >> {shift}").alias("bucket")
+    ).agg(*aggs)
+    preds = predicates or []
+    flags = []
+    for i, (c, lo, hi) in enumerate(preds):
+        flag = (
+            (F.col(f"{c}_max") < F.lit(lo)) | (F.col(f"{c}_min") > F.lit(hi))
+        ).cast("int").alias(f"prunable_{i}")
+        flags.append(flag)
+    out = stats.select("*", *flags)
+    if preds:
+        any_pruned = None
+        for i in range(len(preds)):
+            term = F.col(f"prunable_{i}") == 1
+            any_pruned = term if any_pruned is None else (any_pruned | term)
+        out = out.withColumn("prunable_any", any_pruned.cast("int"))
+    return out
+
+
+def hilbert_rewrite(
+    df: DataFrame,
+    cols: list[str],
+    path: str,
+    n_files: int = 16,
+    bits: int = 10,
+) -> None:
+    """OPTIMIZE-by-Hilbert rewrite: range-partition on the Hilbert key
+    into ``n_files`` files, sort within each, drop the key, write
+    parquet. Same one-range-shuffle cost as :func:`zorder_rewrite`;
+    buys CONNECTED per-file regions, i.e. strictly tighter footer
+    rectangles than Morton on skewed data under equal-count
+    partitioning (see module docstring)."""
+    keyed = hilbert_key(df, cols, bits=bits)
+    (
+        keyed.repartitionByRange(n_files, "hkey")
+        .sortWithinPartitions("hkey")
+        .drop("hkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def hilbert_sql(
+    table: str,
+    cols: list[str],
+    n_buckets: int = 64,
+    bits: int = 10,
+    predicates: list[tuple[str, float, float]] | None = None,
+) -> str:
+    """DuckDB oracle for :func:`hilbert_skipping_stats`: the IDENTICAL
+    per-level arithmetic (SQL text generated by the same
+    :func:`_hilbert_level_exprs` / :func:`_scale_expr` helpers), applied
+    as a chained-CTE unroll of the xy2d walk over the same table."""
+    if len(cols) != 2:
+        raise ValueError("hilbert_sql: exactly 2 columns")
+    if n_buckets & (n_buckets - 1):
+        raise ValueError("hilbert_sql: n_buckets must be 2^k")
+    keybits = 2 * bits
+    if n_buckets.bit_length() - 1 > keybits:
+        raise ValueError(
+            "hilbert_sql: log2(n_buckets) exceeds the key width"
+            f" ({n_buckets} buckets > 2^{keybits} key values)"
+        )
+    shift = keybits - n_buckets.bit_length() + 1
+    stat_col_names = list(cols) + [
+        c for c, _, _ in (predicates or []) if c not in cols
+    ]
+    carried = ", ".join(stat_col_names)
+    mins = ", ".join(f"min({c}) AS __mn_{c}" for c in cols)
+    maxs = ", ".join(f"max({c}) AS __mx_{c}" for c in cols)
+    xs = _scale_expr(cols[0], f"__mn_{cols[0]}", f"__mx_{cols[0]}", bits)
+    ys = _scale_expr(cols[1], f"__mn_{cols[1]}", f"__mx_{cols[1]}", bits)
+    levels = [
+        f"lev{bits} AS (\n"
+        f"  SELECT {carried}, ({xs}) AS __hx, ({ys}) AS __hy,\n"
+        f"         CAST(0 AS BIGINT) AS __hd\n"
+        f"  FROM {table} t CROSS JOIN bounds\n)"
+    ]
+    for k in range(bits - 1, -1, -1):
+        d_term, nx, ny = _hilbert_level_exprs(k, bits)
+        levels.append(
+            f"lev{k} AS (\n"
+            f"  SELECT {carried}, {nx} AS __hx, {ny} AS __hy,\n"
+            f"         __hd + {d_term} AS __hd\n"
+            f"  FROM lev{k + 1}\n)"
+        )
+    stat_cols = ", ".join(
+        f"CAST(floor(min({c})) AS BIGINT) AS {c}_min, "
+        f"CAST(floor(max({c})) AS BIGINT) AS {c}_max"
+        for c in stat_col_names
+    )
+    preds = predicates or []
+    flag_cols = "".join(
+        f", CAST(({c}_max < {lo} OR {c}_min > {hi}) AS INT)"
+        f" AS prunable_{i}"
+        for i, (c, lo, hi) in enumerate(preds)
+    )
+    any_col = ""
+    if preds:
+        terms = " OR ".join(
+            f"({c}_max < {lo} OR {c}_min > {hi})" for c, lo, hi in preds
+        )
+        any_col = f", CAST(({terms}) AS INT) AS prunable_any"
+    level_ctes = ",\n".join(levels)
+    return f"""
+WITH bounds AS (SELECT {mins}, {maxs} FROM {table}),
+{level_ctes},
+stats AS (
+  SELECT __hd >> {shift} AS bucket,
+         CAST(count(*) AS BIGINT) AS n_rows, {stat_cols}
+  FROM lev0 GROUP BY 1
+)
+SELECT *{flag_cols}{any_col} FROM stats
+"""

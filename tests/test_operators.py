@@ -1992,6 +1992,145 @@ def test_zorder_rewrite_real_parquet_footers_prune(spark, tmp_path):
     assert z_pruned > nat_pruned
 
 
+def test_hilbert_key_matches_textbook_xy2d_and_is_hamiltonian(spark):
+    """(1) The branchless projection chain reproduces the textbook
+    iterative xy2d walk (Wikipedia "Hilbert curve") value-for-value on a
+    full 32x32 grid; (2) the curve's defining property holds END-TO-END
+    through Spark: keys are a bijection onto 0..n^2-1 and EVERY pair of
+    consecutive keys is Manhattan distance exactly 1 (a Hamiltonian walk
+    — the locality guarantee Z-order lacks; Morton's max consecutive
+    jump on this grid is 32)."""
+    from incubator_stormcrawler_spark.operators.layout import hilbert_key
+
+    def rot(n, x, y, rx, ry):
+        if ry == 0:
+            if rx == 1:
+                x, y = n - 1 - x, n - 1 - y
+            x, y = y, x
+        return x, y
+
+    def xy2d(n, x, y):
+        d, s = 0, n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            x, y = rot(n, x, y, rx, ry)
+            s //= 2
+        return d
+
+    bits, n = 5, 32
+    df = spark.createDataFrame(
+        [(x, y) for x in range(n) for y in range(n)], "x int, y int"
+    )
+    # min/max are exactly (0, n-1) so the min-max scaling is identity and
+    # raw grid coordinates ARE the cells
+    got = {(r.x, r.y): r.hkey
+           for r in hilbert_key(df, ["x", "y"], bits=bits).collect()}
+    assert got == {(x, y): xy2d(n, x, y)
+                   for x in range(n) for y in range(n)}
+    walk = sorted((d, x, y) for (x, y), d in got.items())
+    assert [w[0] for w in walk] == list(range(n * n))
+    assert all(
+        abs(walk[i][1] - walk[i + 1][1]) + abs(walk[i][2] - walk[i + 1][2])
+        == 1
+        for i in range(len(walk) - 1)
+    )
+
+
+def test_hilbert_stats_match_duckdb_and_prune(spark):
+    """Spark and the DuckDB chained-CTE oracle produce identical bucket
+    stats + prunable flags on real orders data (every level of the
+    rotation/reflection arithmetic replayed cross-engine), and the
+    two-column Hilbert layout makes some-but-not-all buckets prunable
+    for a second-column predicate."""
+    import duckdb
+
+    from incubator_stormcrawler_spark.operators.layout import (
+        hilbert_skipping_stats,
+        hilbert_sql,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    orders = spark.read.parquet(f"{sf}/orders.parquet").selectExpr(
+        "o_custkey as ck", "cast(floor(o_totalprice) as bigint) as tp"
+    )
+    preds = [("tp", 0.0, 50_000.0)]
+    got = {
+        r.bucket: (r.n_rows, r.ck_min, r.ck_max, r.tp_min, r.tp_max,
+                   r.prunable_0, r.prunable_any)
+        for r in hilbert_skipping_stats(
+            orders, ["ck", "tp"], n_buckets=16, bits=8, predicates=preds
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW orders AS SELECT * FROM '{sf}/orders.parquet'")
+    sql = hilbert_sql(
+        "(SELECT o_custkey AS ck, CAST(floor(o_totalprice) AS BIGINT)"
+        " AS tp FROM orders)",
+        ["ck", "tp"], n_buckets=16, bits=8, predicates=preds,
+    )
+    exp = {r[0]: tuple(r[1:]) for r in con.sql(sql).fetchall()}
+    assert got == exp
+    n_prunable = sum(1 for v in got.values() if v[5] == 1)
+    assert 0 < n_prunable < len(got)
+
+
+def test_hilbert_rewrite_beats_zorder_on_real_footers(spark, tmp_path):
+    """The claim that justifies Hilbert over Morton, against REAL files:
+    on skewed 2-D data, equal-COUNT range partitioning (what
+    repartitionByRange produces) hands Z-order files rows from both
+    sides of a quadrant seam — their footer boxes balloon — while every
+    Hilbert file is a slice of a Hamiltonian walk and stays connected.
+    Sum of per-file footer bounding-box areas must be strictly smaller
+    for Hilbert (measured ~1.3x here; the gap is why liquid clustering
+    moved to Hilbert)."""
+    import glob
+    import random
+
+    import pyarrow.parquet as pq
+
+    from incubator_stormcrawler_spark.operators.layout import (
+        hilbert_rewrite,
+        zorder_rewrite,
+    )
+
+    rnd = random.Random(7)
+    rows = [
+        (min(int(rnd.lognormvariate(0, 1.0) * 80), 1023),
+         min(int(rnd.lognormvariate(0, 0.8) * 120), 1023))
+        for _ in range(60_000)
+    ]
+    df = spark.createDataFrame(rows, "x bigint, y bigint")
+    h_dir, z_dir = str(tmp_path / "hil"), str(tmp_path / "zord")
+    hilbert_rewrite(df, ["x", "y"], h_dir, n_files=16, bits=10)
+    zorder_rewrite(df, ["x", "y"], z_dir, n_files=16, bits=10)
+
+    def footer_bbox_area_sum(d: str) -> int:
+        tot = 0
+        for f in glob.glob(f"{d}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            if md.num_rows == 0:
+                continue
+            mins: dict = {}
+            maxs: dict = {}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    nm = col.path_in_schema
+                    st = col.statistics
+                    mins[nm] = min(mins.get(nm, st.min), st.min)
+                    maxs[nm] = max(maxs.get(nm, st.max), st.max)
+            tot += ((maxs["x"] - mins["x"] + 1)
+                    * (maxs["y"] - mins["y"] + 1))
+        return tot
+
+    h_area = footer_bbox_area_sum(h_dir)
+    z_area = footer_bbox_area_sum(z_dir)
+    assert h_area < z_area, (h_area, z_area)
+
+
 def test_ngram_novelty_semantics_and_duckdb_parity(spark):
     """(1) Hand-checked semantics: a fully-copied doc scores 0, an
     original doc scores 1, a half-copied doc scores the exact fraction;
