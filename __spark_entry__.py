@@ -400,6 +400,41 @@ def q_graph_seed_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seed_distance(edges, seeds, max_hops=6)
 
 
+def q_graph_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-hop redirect-chain resolution by pointer doubling
+    (linkrank.redirect_resolve): the reference records each 3xx hop as
+    ``_redirTo`` status metadata (bolt/FetcherBolt.java:732; excluded
+    from outlink transfer, util/MetadataTransfer.java:155) and chains
+    accumulate one hop per crawl generation — this collapses the
+    accumulated chain set to terminal URLs (plus exact hop counts) in
+    ceil(log2(max_hops)) self-joins of the pointer table instead of one
+    join per hop (6 shuffles for 63-hop chains), with redirect CYCLES
+    detected and emitted unresolved. Edge set: chains up to 63 hops
+    (src -> src-1 over orderkey residues, multiples of 64 terminal) plus
+    a planted 3-cycle at a seeded base. The oracle unrolls the identical
+    doubling rounds as MATERIALIZED CTEs; unresolved rows emit NULLs in
+    both engines, which is what makes the Spark side's
+    no-new-resolutions early exit provable by a green row."""
+    from incubator_stormcrawler_spark.operators.linkrank import (
+        redirect_resolve,
+    )
+    from incubator_stormcrawler_spark.roundparams import seeded_int
+
+    cyc = seeded_int("redirect_cycle_base", 5000, 9000)
+    chains = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .selectExpr("cast(o_orderkey % 4000 as bigint) as src")
+        .where("src % 64 != 0")
+        .distinct()
+        .selectExpr("src", "src - 1 as dst")
+    )
+    cycle = spark.range(0, 3).selectExpr(
+        f"cast({cyc} + id as bigint) as src",
+        f"cast({cyc} + (id + 1) % 3 as bigint) as dst",
+    )
+    return redirect_resolve(chains.unionByName(cycle), max_hops=64)
+
+
 def q_events_decayed_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially-decayed hourly rates (metrics.decayed_rates): the
     dashboard smoothing on top of PerSecondReducer's raw buckets —
@@ -2457,6 +2492,24 @@ _ORACLES["graph_seed_distance"] = unrolled_seed_distance_sql(
     f"seeds AS (SELECT CAST(x AS BIGINT) AS node FROM"
     f" unnest(generate_series({_BFS_LO}, {_BFS_LO + 19})) t(x))",
     max_hops=6,
+)
+
+from incubator_stormcrawler_spark.operators.linkrank import (  # noqa: E402
+    unrolled_redirect_resolve_sql,
+)
+
+_REDIR_CYC = _rp_seeded_int("redirect_cycle_base", 5000, 9000)
+_ORACLES["graph_redirect_resolve"] = unrolled_redirect_resolve_sql(
+    "redirects AS ("
+    " SELECT src, src - 1 AS dst FROM"
+    " (SELECT DISTINCT CAST(o_orderkey % 4000 AS BIGINT) AS src"
+    "  FROM orders) t"
+    " WHERE src % 64 <> 0"
+    " UNION ALL"
+    f" SELECT CAST({_REDIR_CYC} + i AS BIGINT),"
+    f" CAST({_REDIR_CYC} + (i + 1) % 3 AS BIGINT)"
+    " FROM (VALUES (0), (1), (2)) c(i))",
+    max_hops=64,
 )
 
 _ORACLES["frontier_topk_bucket_ordered"] = f"""
@@ -5381,10 +5434,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     multimodal_embeddings/frames) and the r06-green corpus cohort (10
     queries); (4) 21 of the 31 r07-green entries, oldest-first — the
     remaining 10 r07 rows rotate in r11. When the round RESTARTED with
-    fresh turns, the new layout_hilbert_stats took a window slot (first
-    driver row; new queries cannot legally enter the tail) and displaced
-    text_readability (r07-green) back to the tail, so 11 r07 rows now
-    rotate in r11. Every displaced entry is green
+    fresh turns, the new layout_hilbert_stats and graph_redirect_resolve
+    rows took window slots (first driver rows; new queries cannot
+    legally enter the tail) and displaced text_langid and
+    text_readability (both r07-green) back to the tail, so 12 r07 rows
+    now rotate in r11. Every displaced entry is green
     in CORRECTNESS_r09.json; after this round no registry entry's newest
     green row is older than r07. Every entry past position 50 is GREEN in
     some committed CORRECTNESS_r*.json (tests/test_registry.py asserts
@@ -5400,9 +5454,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_zorder_stats": q_layout_zorder_stats,
         "multimodal_gif_roundtrip": q_multimodal_gif_roundtrip,
         "corpus_ngram_novelty": q_corpus_ngram_novelty,
-        # First driver row for the restarted-r10 addition: the Hilbert
-        # layout twin (new queries cannot legally enter the tail) ------
+        # First driver rows for the restarted-r10 additions: the Hilbert
+        # layout twin and pointer-doubling redirect resolution (new
+        # queries cannot legally enter the tail) -----------------------
         "layout_hilbert_stats": q_layout_hilbert_stats,
+        "graph_redirect_resolve": q_graph_redirect_resolve,
         # Seed-flip canaries (3): seeded TPC-H shapes re-certify the
         # ROUND_SEED=10 constants in-window; the other seeded entries
         # ride their committed green rows in the tail ------------------
@@ -5453,12 +5509,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_features": q_multimodal_audio_features,
         "multimodal_image_hash": q_multimodal_image_hash,
         "text_card_audit": q_text_card_audit,
-        "text_langid": q_text_langid,
         # ---- past the 50-entry driver window: ALL green in a committed
-        # CORRECTNESS_r*.json (text_readability — r07-green — was
-        # displaced by layout_hilbert_stats when the round restarted and
-        # rejoins the r11 rotation with the other r07 rows; then the
-        # displaced r09 window, the r08 cohort, and the rest) ----------
+        # CORRECTNESS_r*.json (text_langid and text_readability — both
+        # r07-green — were displaced by the restarted round's two new
+        # first-row entries and rejoin the r11 rotation with the other
+        # r07 rows; then the displaced r09 window, the r08 cohort, and
+        # the rest) ----------------------------------------------------
+        "text_langid": q_text_langid,
         "text_readability": q_text_readability,
         "tpch_pricing_summary": rel.pricing_summary,
         "tpch_forecast_revenue": rel.forecast_revenue,

@@ -641,3 +641,132 @@ def unrolled_seed_distance_sql(
         f" coalesce(d{max_hops}.hops, -1)::BIGINT AS hops"
         f" FROM nodes LEFT JOIN d{max_hops} ON nodes.node = d{max_hops}.node"
     )
+
+
+def redirect_resolve(
+    redirects: DataFrame,
+    max_hops: int = 64,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Collapse multi-hop redirect chains to their final targets by
+    POINTER DOUBLING — the crawl-pipeline operator behind canonical
+    indexing: the reference surfaces each 3xx hop as ``_redirTo`` status
+    metadata (``bolt/FetcherBolt.java:732``, ``SimpleFetcherBolt``;
+    meta-refresh in ``JSoupParserBolt``; explicitly NOT transferred to
+    outlinks, ``util/MetadataTransfer.java:155``) and chains accumulate
+    across generations one hop per crawl — this operator resolves the
+    accumulated chain set in one batch so the indexer can key documents
+    by their terminal URL.
+
+    Semantics: the redirect map is canonicalized to a FUNCTION
+    (``min(dst)`` per src — crawl data can carry conflicting hops; min
+    is deterministic and engine-portable). A node with no outgoing
+    redirect is TERMINAL. For every src the output row is
+    ``(url, target, hops, resolved)``: the terminal URL and exact chain
+    length when the walk terminates within the budget, or
+    ``(NULL, NULL, 0)`` when it does not (a redirect CYCLE — including
+    self-loops — or a chain longer than the budget).
+
+    Scale shape: ``ceil(log2(max_hops))`` rounds, each ONE self-join of
+    the pointer table on a UNIQUE key (no fanout, no skew: src is
+    unique by construction) with terminal absorption —
+    ``g'(u) = g(g(u)) if g(u) has an outgoing edge else g(u)`` — and hop
+    counts compose additively, so a 63-hop chain costs 6 shuffles where
+    one-hop iteration costs 63. The pointer table is |redirect srcs|
+    rows, independent of corpus size. Early exit on a one-scalar count:
+    if a round resolves NOTHING new, every still-unresolved node is on a
+    cycle (every suffix of a chain is a chain, so chain lengths fill
+    every value below the max — a longer chain always yields a
+    resolution in the next round) and the loop stops; the oracle unrolls
+    ALL rounds (identities on the RESOLVED output columns past the
+    fixpoint — unresolved rows emit NULLs in both engines regardless of
+    where their pointer sits), so a green row proves the exit sound.
+    """
+    import math
+
+    rounds = max(1, math.ceil(math.log2(max(2, max_hops))))
+    f = (
+        redirects.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        .groupBy("src")
+        .agg(F.min("dst").alias("nxt"))
+        .localCheckpoint()
+    )
+    g = f.select("src", "nxt", F.lit(1).cast("bigint").alias("hops"))
+    domain = f.select(F.col("src").alias("__dom")).localCheckpoint()
+
+    def n_resolved(cur: DataFrame) -> int:
+        return cur.join(
+            domain, cur.nxt == F.col("__dom"), "left_anti"
+        ).count()
+
+    done = n_resolved(g)
+    for _ in range(rounds):
+        a, b = g.alias("a"), g.alias("b")
+        g = (
+            a.join(b, F.col("a.nxt") == F.col("b.src"), "left")
+            .select(
+                F.col("a.src").alias("src"),
+                F.coalesce(F.col("b.nxt"), F.col("a.nxt")).alias("nxt"),
+                (
+                    F.col("a.hops")
+                    + F.coalesce(F.col("b.hops"), F.lit(0))
+                ).alias("hops"),
+            )
+            .localCheckpoint()
+        )
+        now = n_resolved(g)
+        if now == done:
+            break
+        done = now
+    # mark terminality via a left join against the function's domain
+    marked = g.join(domain, g.nxt == F.col("__dom"), "left")
+    return marked.select(
+        F.col("src").alias("url"),
+        F.when(F.col("__dom").isNull(), F.col("nxt")).alias("target"),
+        F.when(F.col("__dom").isNull(), F.col("hops"))
+        .cast("bigint")
+        .alias("hops"),
+        F.col("__dom").isNull().cast("int").alias("resolved"),
+    )
+
+
+def unrolled_redirect_resolve_sql(
+    redirects_cte: str, max_hops: int = 64
+) -> str:
+    """The identical pointer-doubling walk unrolled as MATERIALIZED
+    chained CTEs (default inlining would expand the unroll
+    exponentially — the ``unrolled_kcore_sql`` trap). Rounds past the
+    resolution fixpoint only rotate cycle pointers, and cycle rows emit
+    NULLs in the output, so the final SELECT is round-count-insensitive
+    exactly like the Spark side's early exit."""
+    import math
+
+    rounds = max(1, math.ceil(math.log2(max(2, max_hops))))
+    parts = [
+        f"{redirects_cte}",
+        "f AS MATERIALIZED (SELECT src, min(dst) AS nxt"
+        " FROM redirects GROUP BY src)",
+        "g0 AS MATERIALIZED"
+        " (SELECT src, nxt, CAST(1 AS BIGINT) AS hops FROM f)",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"g{r + 1} AS MATERIALIZED (SELECT a.src,"
+            f" coalesce(b.nxt, a.nxt) AS nxt,"
+            f" a.hops + coalesce(b.hops, 0) AS hops"
+            f" FROM g{r} a LEFT JOIN g{r} b ON a.nxt = b.src)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT a.src AS url,
+       CASE WHEN d.src IS NULL THEN a.nxt END AS target,
+       CAST(CASE WHEN d.src IS NULL THEN a.hops END AS BIGINT) AS hops,
+       CAST(d.src IS NULL AS INT) AS resolved
+FROM g{rounds} a LEFT JOIN f d ON a.nxt = d.src
+"""
+    )

@@ -1071,6 +1071,55 @@ def test_seed_distance_matches_unrolled_oracle(spark, duck):
     assert got == exp
 
 
+def test_redirect_resolve_chains_cycles_and_conflicts(spark):
+    """Hand-checked semantics: a 5-hop chain resolves every prefix with
+    exact hop counts, a 2-cycle and a self-loop stay unresolved (NULL
+    target/hops), and a conflicting double-hop (4 -> {3, 9}) is
+    canonicalized to min(dst) so the walk is a deterministic function."""
+    from incubator_stormcrawler_spark.operators.linkrank import (
+        redirect_resolve,
+    )
+
+    edges = [(5, 4), (4, 3), (4, 9), (3, 2), (2, 1), (1, 0),
+             (10, 11), (11, 10), (20, 20)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r.url: (r.target, r.hops, r.resolved)
+           for r in redirect_resolve(df, max_hops=8).collect()}
+    assert got == {
+        5: (0, 5, 1), 4: (0, 4, 1), 3: (0, 3, 1), 2: (0, 2, 1),
+        1: (0, 1, 1),
+        10: (None, None, 0), 11: (None, None, 0), 20: (None, None, 0),
+    }
+
+
+def test_redirect_resolve_matches_unrolled_oracle_on_long_chain(
+    spark, duck
+):
+    """Pointer doubling vs the MATERIALIZED-CTE unroll on a 63-hop chain
+    (the full doubling depth at max_hops=64: 6 rounds, no early exit)
+    PLUS a planted cycle: both engines agree row-for-row, and the chain
+    proves hop-count composition is exact at every prefix length."""
+    from incubator_stormcrawler_spark.operators.linkrank import (
+        redirect_resolve,
+        unrolled_redirect_resolve_sql,
+    )
+
+    edges = [(i, i - 1) for i in range(1, 64)] + [(100, 101), (101, 100)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = sorted(
+        (r.url, r.target, r.hops, r.resolved)
+        for r in redirect_resolve(df, max_hops=64).collect()
+    )
+    assert (63, 0, 63, 1) in got and (100, None, None, 0) in got
+    vals = ",".join(f"({s},{d})" for s, d in edges)
+    sql = unrolled_redirect_resolve_sql(
+        f"redirects AS (SELECT * FROM (VALUES {vals}) t(src, dst))",
+        max_hops=64,
+    )
+    exp = sorted(tuple(r) for r in duck.sql(sql).fetchall())
+    assert got == exp
+
+
 def test_frontier_topk_rank_ordered(spark):
     """Rank-prioritized bucket choice: the two highest-ranked hosts win,
     an unranked-but-due host scores 0 and is cut by max_buckets, and the
