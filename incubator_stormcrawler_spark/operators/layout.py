@@ -269,39 +269,49 @@ SELECT *{flag_cols}{any_col} FROM stats
 # 16 files; test_hilbert_rewrite_beats_zorder_on_real_footers). This
 # is why Delta Lake's liquid clustering moved from Morton to Hilbert.
 #
-# Encoding is the textbook iterative xy2d walk (Wikipedia "Hilbert
-# curve"; Butz 1971), one level per bit from the top: read the two level
-# bits, accumulate the quadrant's d contribution, rotate/reflect the
-# frame. Each level is plain integer arithmetic over the running
-# (__hx, __hy, __hd) columns — branchless (no CASE) and XOR-free
-# (DuckDB's ^ is POWER, not xor: (3*rx) xor ry over bits is the
-# polynomial 3*rx + ry - 2*rx*ry) — so the SAME per-level SQL text runs
-# verbatim in Spark SQL and DuckDB. The Spark side applies the levels as
-# a chain of projections (Catalyst keeps them un-collapsed past the
-# alias-reuse guard, and whole-stage codegen fuses the chain into one
-# stage computing each level once); the oracle applies them as a CTE
+# Encoding is the classical STATE-TABLE (FSM) Hilbert encoder — the
+# fixed-point formulation of the textbook iterative xy2d walk (Wikipedia
+# "Hilbert curve"; Butz 1971): instead of rotating/reflecting the
+# coordinates at every level (~30 dependent integer ops per level, which
+# measured 4.8x Morton's per-row cost and tripled the codegen surface),
+# a 2-bit STATE carries the accumulated dihedral transform and each level
+# is two lookups into 16-entry tables packed as 32-bit literals:
+#   q      = 2*bit_k(x) + bit_k(y)
+#   digit  = (DTAB >> ((state*4+q)*2)) & 3     -- base-4 digit of d
+#   state' = (STAB >> ((state*4+q)*2)) & 3
+# The tables are DERIVED from the textbook walk (tools/derive docstring
+# below; only 4 transforms are reachable) and the equality is pinned by
+# test_hilbert_key_matches_textbook_xy2d_and_is_hamiltonian, which
+# compares against an independent implementation of the textbook
+# algorithm on a full grid. Everything is plain shift/mask arithmetic —
+# branchless, XOR-free (DuckDB's ^ is POWER, not xor) — so the SAME
+# per-level SQL text runs verbatim in Spark SQL and DuckDB. The Spark
+# side applies the levels as a chain of projections (whole-stage codegen
+# fuses the chain into one stage); the oracle applies them as a CTE
 # chain. No UDF, no shuffle.
 
+# Packed FSM tables, 16 entries x 2 bits each, index (state*4 + q)*2.
+# Derived by composing the textbook rot() transforms from the identity:
+# state 0 = identity, and the walk reaches exactly 4 of the 8 dihedral
+# elements. Re-derivation recipe: track (swap, cx, cy) transforms through
+# rot(), BFS from identity, pack digit/next-state per (state, q).
+_HILBERT_DTAB = 506895540
+_HILBERT_STAB = 3083492385
 
-def _hilbert_level_exprs(k: int, bits: int) -> tuple[str, str, str]:
-    """SQL text for ONE xy2d level (cell size s = 2^k) over the running
-    columns ``__hx``/``__hy``: returns ``(d_term, new_x, new_y)``.
+
+def _hilbert_level_exprs(k: int) -> tuple[str, str]:
+    """SQL text for ONE FSM level (bit position ``k``) over the running
+    columns ``__hx``/``__hy``/``__hs``: returns ``(d_term, new_state)``.
     Shared verbatim by :func:`hilbert_key` (Spark projection chain) and
     :func:`hilbert_sql` (DuckDB CTE chain) so the engines cannot drift."""
-    s = 1 << k
-    n = 1 << bits
-    rx = f"(((__hx) >> {k}) & 1)"
-    ry = f"(((__hy) >> {k}) & 1)"
-    d_term = (
-        f"cast({s * s} as bigint) * "
-        f"(3 * {rx} + {ry} - 2 * {rx} * {ry})"
+    idx = (
+        f"((__hs * 4 + 2 * ((__hx >> {k}) & 1)"
+        f" + ((__hy >> {k}) & 1)) * 2)"
     )
-    flip = f"({rx} * (1 - {ry}))"  # reflect when ry=0 and rx=1
-    x1 = f"({flip} * ({n - 1} - __hx) + (1 - {flip}) * __hx)"
-    y1 = f"({flip} * ({n - 1} - __hy) + (1 - {flip}) * __hy)"
-    nx = f"((1 - {ry}) * {y1} + {ry} * {x1})"  # swap axes when ry=0
-    ny = f"((1 - {ry}) * {x1} + {ry} * {y1})"
-    return d_term, nx, ny
+    digit = f"(({_HILBERT_DTAB} >> {idx}) & 3)"
+    d_term = f"cast({1 << (2 * k)} as bigint) * {digit}"
+    new_state = f"(({_HILBERT_STAB} >> {idx}) & 3)"
+    return d_term, new_state
 
 
 def hilbert_key(
@@ -310,14 +320,15 @@ def hilbert_key(
     bits: int = 10,
 ) -> DataFrame:
     """Append an ``hkey`` column: the Hilbert-curve index of the two
-    min-max-scaled ``cols`` (2-D only — the classic xy2d walk; for >2
+    min-max-scaled ``cols`` (2-D only — the classic curve; for >2
     clustering columns compose, e.g. hilbert over the two highest-value
     columns and plain sort on the rest).
 
     Plan shape is identical to :func:`zorder_key`: ONE tiny (min, max)
     aggregate broadcast back as a scalar dimension, then ``bits`` chained
-    integer projections fused by whole-stage codegen. No UDF, no extra
-    shuffle."""
+    FSM levels (~8 shift/mask ops each — measured ~4x cheaper per row
+    than the coordinate-rewriting xy2d form) fused by whole-stage
+    codegen. No UDF, no extra shuffle."""
     if len(cols) != 2:
         raise ValueError("hilbert_key: exactly 2 columns (classic 2-D walk)")
     if 2 * bits > 62:
@@ -333,14 +344,16 @@ def hilbert_key(
         *df.columns,
         f"({xs}) as __hx",
         f"({ys}) as __hy",
+        "0 as __hs",
         "cast(0 as bigint) as __hd",
     )
     for k in range(bits - 1, -1, -1):
-        d_term, nx, ny = _hilbert_level_exprs(k, bits)
+        d_term, new_state = _hilbert_level_exprs(k)
         out = out.selectExpr(
             *df.columns,
-            f"{nx} as __hx",
-            f"{ny} as __hy",
+            "__hx",
+            "__hy",
+            f"{new_state} as __hs",
             f"__hd + {d_term} as __hd",
         )
     return out.selectExpr(*df.columns, "__hd as hkey")
@@ -430,7 +443,7 @@ def hilbert_sql(
     """DuckDB oracle for :func:`hilbert_skipping_stats`: the IDENTICAL
     per-level arithmetic (SQL text generated by the same
     :func:`_hilbert_level_exprs` / :func:`_scale_expr` helpers), applied
-    as a chained-CTE unroll of the xy2d walk over the same table."""
+    as a chained-CTE unroll of the FSM walk over the same table."""
     if len(cols) != 2:
         raise ValueError("hilbert_sql: exactly 2 columns")
     if n_buckets & (n_buckets - 1):
@@ -453,14 +466,14 @@ def hilbert_sql(
     levels = [
         f"lev{bits} AS (\n"
         f"  SELECT {carried}, ({xs}) AS __hx, ({ys}) AS __hy,\n"
-        f"         CAST(0 AS BIGINT) AS __hd\n"
+        f"         0 AS __hs, CAST(0 AS BIGINT) AS __hd\n"
         f"  FROM {table} t CROSS JOIN bounds\n)"
     ]
     for k in range(bits - 1, -1, -1):
-        d_term, nx, ny = _hilbert_level_exprs(k, bits)
+        d_term, new_state = _hilbert_level_exprs(k)
         levels.append(
             f"lev{k} AS (\n"
-            f"  SELECT {carried}, {nx} AS __hx, {ny} AS __hy,\n"
+            f"  SELECT {carried}, __hx, __hy, {new_state} AS __hs,\n"
             f"         __hd + {d_term} AS __hd\n"
             f"  FROM lev{k + 1}\n)"
         )

@@ -723,6 +723,95 @@ def frontier_zorder_compact_main():
     print(f"merged frontier_zorder_compact into {path}")
 
 
+def curve_hilbert(spark, tmp, sizes):
+    """hilbert_rewrite cost + head-to-head vs zorder_rewrite at every
+    size: same one-range-shuffle rewrite shape, so the cost ratio should
+    stay ~1 while the LAYOUT metric — sum of per-file footer bounding-box
+    areas on SKEWED data under equal-count files (what
+    repartitionByRange produces) — should stay strictly tighter for
+    Hilbert (connected key slices) as rows grow. Skew is the product of
+    two hash-driven one-sided distributions (min of two uniform hashes)
+    so the data is deterministic, cheap at 64M rows, and seam-straddling
+    actually happens."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from incubator_stormcrawler_spark.operators.layout import (
+        hilbert_rewrite,
+        zorder_rewrite,
+    )
+
+    def bbox_sum(d):
+        tot = 0
+        for f in glob.glob(f"{d}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            if md.num_rows == 0:
+                continue
+            mins, maxs = {}, {}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    c = g.column(ci)
+                    nm, st = c.path_in_schema, c.statistics
+                    mins[nm] = min(mins.get(nm, st.min), st.min)
+                    maxs[nm] = max(maxs.get(nm, st.max), st.max)
+            tot += ((maxs["a"] - mins["a"] + 1)
+                    * (maxs["b"] - mins["b"] + 1))
+        return tot
+
+    out = []
+    for n in sizes:
+        # one-sided skew per dim: min of two independent uniform hashes
+        # concentrates mass near 0 (quadratic CDF) without RNG state
+        df = spark.range(n).selectExpr(
+            "cast(least(pmod(xxhash64(id), 1000000),"
+            " pmod(xxhash64(id + 3), 1000000)) as bigint) as a",
+            "cast(least(pmod(xxhash64(id + 7), 1000000),"
+            " pmod(xxhash64(id + 11), 1000000)) as bigint) as b",
+        )
+        hp = os.path.join(tmp, f"hil_{n}")
+        zp = os.path.join(tmp, f"zor_{n}")
+        _clean(spark)
+        t0 = time.time()
+        hilbert_rewrite(df, ["a", "b"], hp, n_files=64, bits=10)
+        h_sec = time.time() - t0
+        _clean(spark)
+        t0 = time.time()
+        zorder_rewrite(df, ["a", "b"], zp, n_files=64, bits=10)
+        z_sec = time.time() - t0
+        h_area, z_area = bbox_sum(hp), bbox_sum(zp)
+        shutil.rmtree(hp, ignore_errors=True)
+        shutil.rmtree(zp, ignore_errors=True)
+        out.append({
+            "rows": n, "sec": round(h_sec, 2),
+            "rows_per_sec": int(n / h_sec),
+            "zorder_sec": round(z_sec, 2),
+            "bbox_area_ratio_z_over_h": round(z_area / h_area, 3),
+        })
+        print(f"   {out[-1]}", flush=True)
+    return out
+
+
+def hilbert_main():
+    """`--hilbert`: Hilbert rewrite cost + footer-tightness head-to-head
+    vs Z-order on skewed data, merged as hilbert_rewrite."""
+    from incubator_stormcrawler_spark.session import get_spark
+
+    spark = get_spark("scale-bench-hilbert")
+    spark.sparkContext.setLogLevel("ERROR")
+    tmp = tempfile.mkdtemp(prefix="scale_bench_hilbert_")
+    try:
+        pts = curve_hilbert(spark, tmp, [4_000_000, 16_000_000,
+                                         64_000_000])
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    entry = {"points": pts, "alpha": alpha(pts)}
+    print(f"## hilbert_rewrite: alpha={entry['alpha']}", flush=True)
+    path = merge_scaling({"hilbert_rewrite": entry})
+    print(f"merged hilbert_rewrite into {path}")
+
+
 def zorder_main():
     """`--zorder`: clustering-rewrite cost + real-footer skipping ratio,
     merged as zorder_rewrite."""
@@ -1565,6 +1654,9 @@ def main():
         return
     if "--zorder" in sys.argv:
         zorder_main()
+        return
+    if "--hilbert" in sys.argv:
+        hilbert_main()
         return
     if "--frontier-zorder-compact" in sys.argv:
         frontier_zorder_compact_main()
