@@ -1546,6 +1546,35 @@ def q_layout_hilbert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_layout_hilbert3_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE-column Hilbert layout stats (layout.hilbert_nd_skipping_
+    stats over Skilling's transpose algorithm, AIP Conf. Proc. 707,
+    2004): the multi-column clustering case the 2-D walk can't serve —
+    (partkey, suppkey, extendedprice) on lineitem, bucketed by the top
+    bits of the d-dimensional Hilbert index, with a seeded predicate on
+    the THIRD column. The Skilling step chain is branchless
+    shift/mask/xor arithmetic generated by ONE shared step list
+    (_skilling_steps) rendered per engine (Spark `a ^ b`, DuckDB
+    `xor(a,b)` — its ^ is POWER), so a green row certifies every level
+    of the Gray-code transform + bit transpose cross-engine. Full-grid
+    parity vs an independent Python implementation of Skilling's
+    algorithm plus the bijection/Hamiltonian-walk properties are pinned
+    in tests/test_operators.py."""
+    from incubator_stormcrawler_spark.operators.layout import (
+        hilbert_nd_skipping_stats,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").selectExpr(
+        "l_partkey as pk",
+        "l_suppkey as sk",
+        "cast(floor(l_extendedprice) as bigint) as ep",
+    )
+    return hilbert_nd_skipping_stats(
+        li, ["pk", "sk", "ep"], n_buckets=16, bits=6,
+        predicates=[("ep", 0.0, float(_HILBERT3_EP_HI))],
+    )
+
+
 def q_multimodal_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL-codec GIF89a path (multimodal.encode_gif/decode_gif/
     image_stats): 20 genuine GIF streams — logical screen descriptor,
@@ -4990,6 +5019,20 @@ _ORACLES["layout_hilbert_stats"] = _hilbert_sql(
     predicates=[("tp", 0.0, float(_HILBERT_TP_HI))],
 )
 
+# d-dimensional (Skilling) twin: same shared step list rendered with
+# DuckDB's xor() spelling; seeded predicate on the third column
+from incubator_stormcrawler_spark.operators.layout import (  # noqa: E402
+    hilbert_nd_sql as _hilbert_nd_sql,
+)
+
+_HILBERT3_EP_HI = _seeded_int("hilbert3_ep_hi", 10_000, 60_000)
+_ORACLES["layout_hilbert3_stats"] = _hilbert_nd_sql(
+    "(SELECT l_partkey AS pk, l_suppkey AS sk,"
+    " CAST(floor(l_extendedprice) AS BIGINT) AS ep FROM lineitem)",
+    ["pk", "sk", "ep"], n_buckets=16, bits=6,
+    predicates=[("ep", 0.0, float(_HILBERT3_EP_HI))],
+)
+
 # GIF formula replay: the oracle never parses a byte — it recomputes the
 # exact integral stats from the pixel formula, so agreement proves the
 # variable-width LZW encode -> decode roundtrip recovered every pixel
@@ -5434,11 +5477,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     multimodal_embeddings/frames) and the r06-green corpus cohort (10
     queries); (4) 21 of the 31 r07-green entries, oldest-first — the
     remaining 10 r07 rows rotate in r11. When the round RESTARTED with
-    fresh turns, the new layout_hilbert_stats and graph_redirect_resolve
-    rows took window slots (first driver rows; new queries cannot
-    legally enter the tail) and displaced text_langid and
-    text_readability (both r07-green) back to the tail, so 12 r07 rows
-    now rotate in r11. Every displaced entry is green
+    fresh turns, the new layout_hilbert_stats, layout_hilbert3_stats and
+    graph_redirect_resolve rows took window slots (first driver rows;
+    new queries cannot legally enter the tail) and displaced
+    text_card_audit, text_langid and text_readability (all r07-green)
+    back to the tail, so 13 r07 rows now rotate in r11. Every displaced
+    entry is green
     in CORRECTNESS_r09.json; after this round no registry entry's newest
     green row is older than r07. Every entry past position 50 is GREEN in
     some committed CORRECTNESS_r*.json (tests/test_registry.py asserts
@@ -5455,9 +5499,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_gif_roundtrip": q_multimodal_gif_roundtrip,
         "corpus_ngram_novelty": q_corpus_ngram_novelty,
         # First driver rows for the restarted-r10 additions: the Hilbert
-        # layout twin and pointer-doubling redirect resolution (new
-        # queries cannot legally enter the tail) -----------------------
+        # layout twins (2-D FSM + d-dimensional Skilling) and
+        # pointer-doubling redirect resolution (new queries cannot
+        # legally enter the tail) --------------------------------------
         "layout_hilbert_stats": q_layout_hilbert_stats,
+        "layout_hilbert3_stats": q_layout_hilbert3_stats,
         "graph_redirect_resolve": q_graph_redirect_resolve,
         # Seed-flip canaries (3): seeded TPC-H shapes re-certify the
         # ROUND_SEED=10 constants in-window; the other seeded entries
@@ -5508,13 +5554,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup": q_events_rollup,
         "multimodal_audio_features": q_multimodal_audio_features,
         "multimodal_image_hash": q_multimodal_image_hash,
-        "text_card_audit": q_text_card_audit,
         # ---- past the 50-entry driver window: ALL green in a committed
-        # CORRECTNESS_r*.json (text_langid and text_readability — both
-        # r07-green — were displaced by the restarted round's two new
-        # first-row entries and rejoin the r11 rotation with the other
-        # r07 rows; then the displaced r09 window, the r08 cohort, and
-        # the rest) ----------------------------------------------------
+        # CORRECTNESS_r*.json (text_card_audit, text_langid and
+        # text_readability — all r07-green — were displaced by the
+        # restarted round's three new first-row entries and rejoin the
+        # r11 rotation with the other r07 rows; then the displaced r09
+        # window, the r08 cohort, and the rest) -------------------------
+        "text_card_audit": q_text_card_audit,
         "text_langid": q_text_langid,
         "text_readability": q_text_readability,
         "tpch_pricing_summary": rel.pricing_summary,

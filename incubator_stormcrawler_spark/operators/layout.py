@@ -505,3 +505,262 @@ stats AS (
 )
 SELECT *{flag_cols}{any_col} FROM stats
 """
+
+
+# ---------------------------------------------------------------------------
+# d-dimensional Hilbert — Skilling's transpose algorithm.
+#
+# The 2-D FSM encoder above covers the classic pair-clustering case; real
+# tables often want 3+ clustering columns (Delta's multi-column OPTIMIZE
+# surface). Skilling's algorithm ("Programming the Hilbert curve", AIP
+# Conf. Proc. 707, 2004 — public domain) encodes any dimensionality with
+# one Gray-code-flavored in-place transform of the coordinate bits
+# followed by a plain bit transpose (interleave). Its conditionals are
+# bit tests, so every step is expressible as branchless shift/mask/xor
+# arithmetic. XOR spelling differs per engine (Spark `a ^ b`, DuckDB
+# `xor(a, b)` — DuckDB's ^ is POWER), so the shared step generator takes
+# the spelling as a parameter and BOTH engines' texts come from the same
+# structure — the cross-engine contract is pinned by the registered
+# oracle pair and the full-grid reference-parity test.
+#
+# Cost shape: (bits-1) levels x ncols mini-projections of ~6 ops each,
+# plus gray-encode / t-fold / interleave projections — all fused into one
+# whole-stage-codegen stage, no UDF, no shuffle beyond the caller's.
+
+
+def _skilling_steps(ncols: int, bits: int, xor) -> list[dict[str, str]]:
+    """The shared step list for Skilling's AxesToTranspose over running
+    columns ``__a0..__a{n-1}`` and scratch ``__t``: each dict maps
+    column -> replacement SQL text (columns absent from a dict pass
+    through). ``xor(a, b)`` supplies the engine's xor spelling. Both
+    :func:`hilbert_key_nd` (projection chain) and :func:`hilbert_nd_sql`
+    (CTE chain) consume this list, so the engines cannot drift
+    structurally."""
+    steps: list[dict[str, str]] = []
+    for q in range(bits - 1, 0, -1):
+        p = (1 << q) - 1
+        for i in range(ncols):
+            c = f"((__a{i} >> {q}) & 1)"
+            if i == 0:
+                # self step: the else-branch t is identically 0
+                steps.append({"__a0": xor("__a0", f"({c} * {p})")})
+            else:
+                t = f"((1 - {c}) * ({xor('__a0', f'__a{i}')} & {p}))"
+                steps.append({
+                    "__a0": xor("__a0", f"(({c} * {p}) + {t})"),
+                    f"__a{i}": xor(f"__a{i}", t),
+                })
+    # Gray encode: X[i] ^= X[i-1] sequentially == cumulative xor prefix
+    gray: dict[str, str] = {}
+    for i in range(1, ncols):
+        expr = "__a0"
+        for j in range(1, i + 1):
+            expr = xor(expr, f"__a{j}")
+        gray[f"__a{i}"] = expr
+    steps.append(gray)
+    # t-fold: bit j of t = parity of the bits of X[n-1] above j
+    tbits = " + ".join(
+        f"((bit_count(__a{ncols - 1} >> {j + 1}) & 1) * {1 << j})"
+        for j in range(bits - 1)
+    ) or "0"
+    steps.append({"__t": f"cast({tbits} as bigint)"})
+    steps.append({f"__a{i}": xor(f"__a{i}", "__t") for i in range(ncols)})
+    return steps
+
+
+def _skilling_interleave(ncols: int, bits: int) -> str:
+    """Bit-transpose of the transformed axes into the Hilbert index:
+    bit q of axis i lands at position q*ncols + (ncols-1-i), MSB-major
+    exactly as Skilling's TransposetoLine reads it."""
+    parts = []
+    for q in range(bits):
+        for i in range(ncols):
+            pos = q * ncols + (ncols - 1 - i)
+            parts.append(
+                f"(cast(((__a{i} >> {q}) & 1) as bigint) << {pos})"
+            )
+    return " | ".join(parts)
+
+
+def _spark_xor(a: str, b: str) -> str:
+    return f"({a} ^ {b})"
+
+
+def _duck_xor(a: str, b: str) -> str:
+    return f"xor({a}, {b})"
+
+
+def hilbert_key_nd(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 8,
+) -> DataFrame:
+    """Append an ``hkey`` column: the d-dimensional Hilbert index
+    (Skilling's transform) of the min-max-scaled ``cols``. Any
+    dimensionality >= 2; bits * ncols <= 62. NOTE: for 2 columns this
+    curve is a reflection of :func:`hilbert_key`'s orientation — both
+    are Hilbert curves (bijective Hamiltonian walks) but the key values
+    differ; pick one per table and stay with it.
+
+    Plan: ONE bounds aggregate broadcast back, then the Skilling step
+    chain + transpose as fused integer projections. No UDF, no extra
+    shuffle."""
+    if len(cols) < 2:
+        raise ValueError("hilbert_key_nd: need at least 2 columns")
+    if bits * len(cols) > 62:
+        raise ValueError("hilbert_key_nd: bits * ncols must fit in 62 bits")
+    n = len(cols)
+    bounds = df.agg(
+        *[F.min(c).cast("double").alias(f"__mn_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"__mx_{c}") for c in cols],
+    )
+    out = df.crossJoin(F.broadcast(bounds))
+    init = [
+        f"({_scale_expr(c, f'__mn_{c}', f'__mx_{c}', bits)}) as __a{i}"
+        for i, c in enumerate(cols)
+    ]
+    out = out.selectExpr(
+        *df.columns, *init, "cast(0 as bigint) as __t"
+    )
+    carried = [f"__a{i}" for i in range(n)] + ["__t"]
+    for step in _skilling_steps(n, bits, _spark_xor):
+        out = out.selectExpr(
+            *df.columns,
+            *[
+                (f"{step[c]} as {c}" if c in step else c)
+                for c in carried
+            ],
+        )
+    return out.selectExpr(
+        *df.columns, f"({_skilling_interleave(n, bits)}) as hkey"
+    )
+
+
+def hilbert_nd_skipping_stats(
+    df: DataFrame,
+    cols: list[str],
+    n_buckets: int = 64,
+    bits: int = 8,
+    predicates: list[tuple[str, float, float]] | None = None,
+) -> DataFrame:
+    """d-dimensional twin of :func:`hilbert_skipping_stats`: bucket by
+    the top bits of the Skilling Hilbert key, emit per-bucket footer
+    min/max + prunable flags. Same output schema and plan shape."""
+    if n_buckets & (n_buckets - 1):
+        raise ValueError("hilbert_nd_skipping_stats: n_buckets must be 2^k")
+    keybits = bits * len(cols)
+    if n_buckets.bit_length() - 1 > keybits:
+        raise ValueError(
+            "hilbert_nd_skipping_stats: log2(n_buckets) exceeds the key"
+            f" width ({n_buckets} buckets > 2^{keybits} key values)"
+        )
+    shift = keybits - n_buckets.bit_length() + 1
+    keyed = hilbert_key_nd(df, cols, bits=bits)
+    stat_cols = list(cols) + [
+        c for c, _, _ in (predicates or []) if c not in cols
+    ]
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    for c in stat_cols:
+        aggs.append(F.floor(F.min(c)).cast("bigint").alias(f"{c}_min"))
+        aggs.append(F.floor(F.max(c)).cast("bigint").alias(f"{c}_max"))
+    stats = keyed.groupBy(
+        F.expr(f"hkey >> {shift}").alias("bucket")
+    ).agg(*aggs)
+    preds = predicates or []
+    flags = []
+    for i, (c, lo, hi) in enumerate(preds):
+        flags.append(
+            ((F.col(f"{c}_max") < F.lit(lo))
+             | (F.col(f"{c}_min") > F.lit(hi))).cast("int")
+            .alias(f"prunable_{i}")
+        )
+    out = stats.select("*", *flags)
+    if preds:
+        any_pruned = None
+        for i in range(len(preds)):
+            term = F.col(f"prunable_{i}") == 1
+            any_pruned = term if any_pruned is None else (any_pruned | term)
+        out = out.withColumn("prunable_any", any_pruned.cast("int"))
+    return out
+
+
+def hilbert_nd_sql(
+    table: str,
+    cols: list[str],
+    n_buckets: int = 64,
+    bits: int = 8,
+    predicates: list[tuple[str, float, float]] | None = None,
+) -> str:
+    """DuckDB oracle for :func:`hilbert_nd_skipping_stats`: the same
+    :func:`_skilling_steps` list rendered with DuckDB's xor spelling as
+    a chained-CTE unroll, then the identical bucket/stats/flags tail."""
+    if len(cols) < 2:
+        raise ValueError("hilbert_nd_sql: need at least 2 columns")
+    if n_buckets & (n_buckets - 1):
+        raise ValueError("hilbert_nd_sql: n_buckets must be 2^k")
+    keybits = bits * len(cols)
+    if n_buckets.bit_length() - 1 > keybits:
+        raise ValueError(
+            "hilbert_nd_sql: log2(n_buckets) exceeds the key width"
+            f" ({n_buckets} buckets > 2^{keybits} key values)"
+        )
+    shift = keybits - n_buckets.bit_length() + 1
+    n = len(cols)
+    stat_col_names = list(cols) + [
+        c for c, _, _ in (predicates or []) if c not in cols
+    ]
+    carried_data = ", ".join(stat_col_names)
+    mins = ", ".join(f"min({c}) AS __mn_{c}" for c in cols)
+    maxs = ", ".join(f"max({c}) AS __mx_{c}" for c in cols)
+    init = ", ".join(
+        f"({_scale_expr(c, f'__mn_{c}', f'__mx_{c}', bits)}) AS __a{i}"
+        for i, c in enumerate(cols)
+    )
+    levels = [
+        f"s0 AS (\n  SELECT {carried_data}, {init},\n"
+        f"         CAST(0 AS BIGINT) AS __t\n"
+        f"  FROM {table} t CROSS JOIN bounds\n)"
+    ]
+    carried = [f"__a{i}" for i in range(n)] + ["__t"]
+    for si, step in enumerate(_skilling_steps(n, bits, _duck_xor)):
+        sel = ", ".join(
+            [carried_data]
+            + [
+                (f"{step[c]} AS {c}" if c in step else c)
+                for c in carried
+            ]
+        )
+        levels.append(f"s{si + 1} AS (\n  SELECT {sel} FROM s{si}\n)")
+    n_steps = len(levels) - 1
+    stat_cols = ", ".join(
+        f"CAST(floor(min({c})) AS BIGINT) AS {c}_min, "
+        f"CAST(floor(max({c})) AS BIGINT) AS {c}_max"
+        for c in stat_col_names
+    )
+    preds = predicates or []
+    flag_cols = "".join(
+        f", CAST(({c}_max < {lo} OR {c}_min > {hi}) AS INT)"
+        f" AS prunable_{i}"
+        for i, (c, lo, hi) in enumerate(preds)
+    )
+    any_col = ""
+    if preds:
+        terms = " OR ".join(
+            f"({c}_max < {lo} OR {c}_min > {hi})" for c, lo, hi in preds
+        )
+        any_col = f", CAST(({terms}) AS INT) AS prunable_any"
+    level_ctes = ",\n".join(levels)
+    return f"""
+WITH bounds AS (SELECT {mins}, {maxs} FROM {table}),
+{level_ctes},
+keyed AS (
+  SELECT {carried_data}, ({_skilling_interleave(n, bits)}) AS hkey
+  FROM s{n_steps}
+),
+stats AS (
+  SELECT hkey >> {shift} AS bucket,
+         CAST(count(*) AS BIGINT) AS n_rows, {stat_cols}
+  FROM keyed GROUP BY 1
+)
+SELECT *{flag_cols}{any_col} FROM stats
+"""
