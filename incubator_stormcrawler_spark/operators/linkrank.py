@@ -674,16 +674,24 @@ def redirect_resolve(
     ``g'(u) = g(g(u)) if g(u) has an outgoing edge else g(u)`` — and hop
     counts compose additively, so a 63-hop chain costs 6 shuffles where
     one-hop iteration costs 63. The pointer table is |redirect srcs|
-    rows, independent of corpus size. Early exit on a one-scalar count:
-    if a round resolves NOTHING new, every still-unresolved node is on a
-    cycle (every suffix of a chain is a chain, so chain lengths fill
-    every value below the max — a longer chain always yields a
-    resolution in the next round) and the loop stops; the oracle unrolls
-    ALL rounds (identities on the RESOLVED output columns past the
-    fixpoint — unresolved rows emit NULLs in both engines regardless of
-    where their pointer sits), so a green row proves the exit sound.
+    rows, independent of corpus size. A ``done`` flag rides the SAME
+    round join for free (the probe side missing == the pointer is
+    terminal; a matched row inherits the match's flag), so the
+    all-resolved early exit costs one scan of the just-materialized
+    table — no extra join per round (the first cut paid a per-round
+    left-anti + count and measured SUPERLINEAR at 16M; see BASELINE.md).
+    Each round persists its output, materializes it via that scan, and
+    unpersists the previous round, so peak storage is two pointer-table
+    generations. Cycle inputs simply run all ceil(log2(max_hops))
+    rounds — the round count is log-bounded by construction. The final
+    terminality marking is ONE domain join (unchanged from the oracle's
+    final SELECT), so the ``done`` flag never reaches the output: the
+    oracle unrolls ALL rounds and unresolved rows emit NULLs in both
+    engines regardless of where their cycle pointer sits.
     """
     import math
+
+    from pyspark import StorageLevel
 
     rounds = max(1, math.ceil(math.log2(max(2, max_hops))))
     f = (
@@ -692,17 +700,16 @@ def redirect_resolve(
         )
         .groupBy("src")
         .agg(F.min("dst").alias("nxt"))
-        .localCheckpoint()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    g = f.select("src", "nxt", F.lit(1).cast("bigint").alias("hops"))
-    domain = f.select(F.col("src").alias("__dom")).localCheckpoint()
+    n_total = f.count()
+    g = f.select(
+        "src", "nxt", F.lit(1).cast("bigint").alias("hops"),
+        F.lit(0).alias("done"),
+    )
+    domain = f.select(F.col("src").alias("__dom"))
 
-    def n_resolved(cur: DataFrame) -> int:
-        return cur.join(
-            domain, cur.nxt == F.col("__dom"), "left_anti"
-        ).count()
-
-    done = n_resolved(g)
+    prev = None
     for _ in range(rounds):
         a, b = g.alias("a"), g.alias("b")
         g = (
@@ -714,14 +721,21 @@ def redirect_resolve(
                     F.col("a.hops")
                     + F.coalesce(F.col("b.hops"), F.lit(0))
                 ).alias("hops"),
+                F.when(F.col("b.src").isNull(), F.lit(1))
+                .otherwise(F.col("b.done"))
+                .alias("done"),
             )
-            .localCheckpoint()
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        now = n_resolved(g)
-        if now == done:
+        n_done = g.agg(F.sum("done")).first()[0] or 0
+        if prev is not None:
+            prev.unpersist(False)
+        prev = g
+        if n_done == n_total:
             break
-        done = now
     # mark terminality via a left join against the function's domain
+    # (done lags absorption by up to one round, so the flag is only the
+    # exit heuristic — the output's resolved bit comes from this join)
     marked = g.join(domain, g.nxt == F.col("__dom"), "left")
     return marked.select(
         F.col("src").alias("url"),

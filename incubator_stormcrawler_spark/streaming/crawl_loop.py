@@ -72,6 +72,7 @@ class CrawlLoop:
         forecast_delays: DataFrame | None = None,
         compact_every: int = 0,
         compact_zorder: bool = False,
+        compact_curve: str = "morton",
         compact_max_files_per_bucket: int = 4,
     ):
         self.spark = spark
@@ -185,6 +186,10 @@ class CrawlLoop:
         # skip files by footer stats (see FrontierTable.compact).
         self.compact_every = compact_every
         self.compact_zorder = compact_zorder
+        # curve="hilbert" clusters with the FSM Hilbert key instead of
+        # the Morton interleave (tighter per-file footers on skewed
+        # date/host data; see FrontierTable.compact)
+        self.compact_curve = compact_curve
         self.compact_max_files_per_bucket = compact_max_files_per_bucket
         self.table = FrontierTable(
             frontier_path,
@@ -671,6 +676,7 @@ class CrawlLoop:
                 self.spark,
                 max_files_per_bucket=self.compact_max_files_per_bucket,
                 zorder=self.compact_zorder,
+                curve=self.compact_curve,
             )
         if self.metrics_path:
             # per-generation metrics table (StatusMetricsBolt cadence)

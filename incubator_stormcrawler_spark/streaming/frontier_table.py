@@ -233,6 +233,7 @@ class FrontierTable:
         zorder: bool = False,
         zorder_files_per_bucket: int = 4,
         zorder_bits: int = 10,
+        curve: str = "morton",
     ) -> int:
         """OPTIMIZE (small-file compaction) for the bucket-partitioned
         table — the operational primitive every incremental lakehouse
@@ -272,7 +273,19 @@ class FrontierTable:
         ``max(max_files_per_bucket, 2 * zorder_files_per_bucket)`` so
         the clustered layout is a fixed point (re-running compact is a
         no-op) — the OPTIMIZE idiom: trigger on accumulated small
-        files, not on exact counts."""
+        files, not on exact counts.
+
+        ``curve="hilbert"`` swaps the Morton interleave for the 2-D FSM
+        Hilbert key (operators.layout.hilbert_key). Honest guidance,
+        measured (tests/test_streaming.py::
+        test_compact_hilbert_curve_clusters_and_prunes): for THIS
+        table's single hot predicate — the due scan — Morton with the
+        date axis on the top interleave bit prunes MORE files (~68% vs
+        ~45% for a quartile cutoff) because files split by due time
+        first, so Morton stays the default. Hilbert's tighter-footer
+        advantage (1.7x bbox, SCALING.json `hilbert_rewrite`) pays off
+        when scans hit BOTH axes comparably — pick it for workloads
+        that range over host hash as much as due time."""
         from pyspark.sql import functions as F
 
         if self.partition_by != "bucket":
@@ -323,8 +336,23 @@ class FrontierTable:
             # column order matters: zorder_key gives the LAST column the
             # higher bit of each interleave pair, and the due scan is the
             # hot predicate — put the date axis there so the top zkey bit
-            # splits by due time first
-            keyed = zorder_key(aug, ["__z_kh", "__z_nfd"], bits=zorder_bits)
+            # splits by due time first (hilbert splits both axes at every
+            # level, so for it the order only reflects the curve)
+            if curve == "hilbert":
+                from ..operators.layout import hilbert_key
+
+                keyed = hilbert_key(
+                    aug, ["__z_kh", "__z_nfd"], bits=zorder_bits
+                ).withColumnRenamed("hkey", "zkey")
+            elif curve == "morton":
+                keyed = zorder_key(
+                    aug, ["__z_kh", "__z_nfd"], bits=zorder_bits
+                )
+            else:
+                raise ValueError(
+                    f"compact: unknown curve {curve!r}"
+                    " (expected 'morton' or 'hilbert')"
+                )
             # range-partition on (bucket, zkey): each task holds one
             # contiguous zkey slice of one bucket (row-count balanced by
             # the range sampler — hot buckets get more files), and the

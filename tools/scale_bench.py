@@ -793,6 +793,62 @@ def curve_hilbert(spark, tmp, sizes):
     return out
 
 
+def curve_redirect_resolve(spark, sizes):
+    """redirect_resolve cost curve: n-row redirect sets whose chains run
+    up to 63 hops (i -> i-1 within 64-aligned blocks) plus a planted
+    3-cycle — the pointer-doubling claim is that ROUND COUNT stays at
+    ceil(log2(max_hops)) = 6 while rows grow, so wall time tracks the
+    6 self-joins (~linear in rows), never the 63 one-hop iterations."""
+    from incubator_stormcrawler_spark.operators.linkrank import (
+        redirect_resolve,
+    )
+
+    out = []
+    for n in sizes:
+        edges = spark.range(n).selectExpr(
+            "id as src",
+            "case when id % 64 = 0 then id else id - 1 end as dst",
+        ).where("id % 64 != 0")
+        cyc = spark.range(3).selectExpr(
+            f"cast({n} + id as bigint) as src",
+            f"cast({n} + (id + 1) % 3 as bigint) as dst",
+        )
+        _clean(spark)
+        t0 = time.time()
+        res = redirect_resolve(edges.unionByName(cyc), max_hops=64)
+        agg = res.selectExpr(
+            "sum(resolved) as n_resolved",
+            "sum(case when resolved = 0 then 1 else 0 end) as n_cycle",
+            "max(hops) as max_hops",
+        ).collect()[0]
+        sec = time.time() - t0
+        assert agg.n_cycle == 3, agg
+        assert agg.max_hops == 63, agg
+        out.append({
+            "rows": n, "sec": round(sec, 2),
+            "rows_per_sec": int(n / sec),
+            "resolved": int(agg.n_resolved),
+        })
+        print(f"   {out[-1]}", flush=True)
+    return out
+
+
+def redirect_main():
+    """`--redirect`: pointer-doubling chain resolution cost curve,
+    merged as redirect_resolve."""
+    from incubator_stormcrawler_spark.session import get_spark
+
+    spark = get_spark("scale-bench-redirect")
+    spark.sparkContext.setLogLevel("ERROR")
+    pts = curve_redirect_resolve(
+        spark, [4_000_000, 16_000_000, 64_000_000]
+    )
+    entry = {"points": pts, "alpha": alpha(pts)}
+    print(f"## redirect_resolve: alpha={entry['alpha']}", flush=True)
+    path = merge_scaling({"redirect_resolve": entry})
+    print(f"merged redirect_resolve into {path}")
+
+
 def hilbert_main():
     """`--hilbert`: Hilbert rewrite cost + footer-tightness head-to-head
     vs Z-order on skewed data, merged as hilbert_rewrite."""
@@ -1657,6 +1713,9 @@ def main():
         return
     if "--hilbert" in sys.argv:
         hilbert_main()
+        return
+    if "--redirect" in sys.argv:
+        redirect_main()
         return
     if "--frontier-zorder-compact" in sys.argv:
         frontier_zorder_compact_main()
