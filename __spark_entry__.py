@@ -648,6 +648,34 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED-Jaccard MinHash audit (dedup.weighted_minhash_signatures
+    / weighted_pair_audit): weighted Jaccard via the exact integer-weight
+    reduction — term with tf w becomes elements term#1..term#w (clipped
+    at a SEEDED max_weight), plain Jaccard of the expanded multisets IS
+    weighted Jaccard, and the unchanged salted-min machinery applies
+    (same hash family as every MinHash variant, banding-compatible).
+    Separates documents whose term SETS agree but whose frequencies
+    don't — the boilerplate/spam case unweighted shingle Jaccard scores
+    1.0 (CCNet/RefinedWeb weigh terms for exactly this reason). Output
+    per consecutive doc pair: agreeing-slot count next to the exact
+    Σmin/Σmax INTEGER sums — no float leaves either engine. Plan: ONE
+    clipped explode + ONE partial-aggregable groupBy(doc) for
+    signatures; the audit pair stage is doc-linear. Oracle replays the
+    expansion, every salted min, and both integer sums."""
+    from incubator_stormcrawler_spark.operators.dedup import (
+        tf_terms,
+        weighted_pair_audit,
+    )
+    from incubator_stormcrawler_spark.roundparams import seeded_int
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return weighted_pair_audit(
+        tf_terms(docs), num_hashes=8,
+        max_weight=seeded_int("wmh_max_weight", 8, 24),
+    )
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidates (8 hashes, 4 bands × 2 rows) with est_sim at
     the seeded threshold (RP['minhash_min_sim'])."""
@@ -5025,6 +5053,46 @@ from incubator_stormcrawler_spark.operators.layout import (  # noqa: E402
     hilbert_nd_sql as _hilbert_nd_sql,
 )
 
+_WMH_MAX_W = _seeded_int("wmh_max_weight", 8, 24)
+_WMH_H = 8
+_WMH_MINS = ", ".join(
+    f"min(md5('{h}|' || shingle)) AS v{h}" for h in range(_WMH_H)
+)
+_WMH_AGREE = " + ".join(
+    f"CAST(a.v{h} = b.v{h} AS INT)" for h in range(_WMH_H)
+)
+_ORACLES["dedup_weighted_minhash"] = f"""
+WITH terms AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS w FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+    FROM documents WHERE text IS NOT NULL) t
+  WHERE term <> '' GROUP BY doc_id, term
+),
+clipped AS (SELECT doc_id, term, least(w, {_WMH_MAX_W}) AS wc FROM terms),
+expanded AS (
+  SELECT doc_id, term || '#' || CAST(i AS VARCHAR) AS shingle
+  FROM clipped, unnest(generate_series(1, wc)) t(i)
+),
+wide AS (SELECT doc_id, {_WMH_MINS} FROM expanded GROUP BY doc_id),
+agree AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST({_WMH_AGREE} AS BIGINT) AS est_agree
+  FROM wide a JOIN wide b ON a.doc_id + 1 = b.doc_id
+),
+exact AS (
+  SELECT coalesce(wa.doc_id, wb.doc_id - 1) AS doc_a,
+         CAST(sum(least(coalesce(wa.wc, 0), coalesce(wb.wc, 0)))
+              AS BIGINT) AS wj_min_sum,
+         CAST(sum(greatest(coalesce(wa.wc, 0), coalesce(wb.wc, 0)))
+              AS BIGINT) AS wj_max_sum
+  FROM clipped wa FULL OUTER JOIN clipped wb
+    ON wa.doc_id + 1 = wb.doc_id AND wa.term = wb.term
+  GROUP BY 1
+)
+SELECT agree.doc_a, doc_b, est_agree, wj_min_sum, wj_max_sum
+FROM agree JOIN exact ON agree.doc_a = exact.doc_a
+"""
+
 _HILBERT3_EP_HI = _seeded_int("hilbert3_ep_hi", 10_000, 60_000)
 _ORACLES["layout_hilbert3_stats"] = _hilbert_nd_sql(
     "(SELECT l_partkey AS pk, l_suppkey AS sk,"
@@ -5477,12 +5545,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     multimodal_embeddings/frames) and the r06-green corpus cohort (10
     queries); (4) 21 of the 31 r07-green entries, oldest-first — the
     remaining 10 r07 rows rotate in r11. When the round RESTARTED with
-    fresh turns, the new layout_hilbert_stats, layout_hilbert3_stats and
-    graph_redirect_resolve rows took window slots (first driver rows;
-    new queries cannot legally enter the tail) and displaced
-    text_card_audit, text_langid and text_readability (all r07-green)
-    back to the tail, so 13 r07 rows now rotate in r11. Every displaced
-    entry is green
+    fresh turns, the new layout_hilbert_stats, layout_hilbert3_stats,
+    graph_redirect_resolve and dedup_weighted_minhash rows took window
+    slots (first driver rows; new queries cannot legally enter the
+    tail) and displaced multimodal_image_hash, text_card_audit,
+    text_langid and text_readability (all r07-green) back to the tail,
+    so 14 r07 rows now rotate in r11. Every displaced entry is green
     in CORRECTNESS_r09.json; after this round no registry entry's newest
     green row is older than r07. Every entry past position 50 is GREEN in
     some committed CORRECTNESS_r*.json (tests/test_registry.py asserts
@@ -5505,6 +5573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_hilbert_stats": q_layout_hilbert_stats,
         "layout_hilbert3_stats": q_layout_hilbert3_stats,
         "graph_redirect_resolve": q_graph_redirect_resolve,
+        "dedup_weighted_minhash": q_dedup_weighted_minhash,
         # Seed-flip canaries (3): seeded TPC-H shapes re-certify the
         # ROUND_SEED=10 constants in-window; the other seeded entries
         # ride their committed green rows in the tail ------------------
@@ -5553,13 +5622,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_join": q_events_range_join,
         "events_rollup": q_events_rollup,
         "multimodal_audio_features": q_multimodal_audio_features,
-        "multimodal_image_hash": q_multimodal_image_hash,
         # ---- past the 50-entry driver window: ALL green in a committed
-        # CORRECTNESS_r*.json (text_card_audit, text_langid and
-        # text_readability — all r07-green — were displaced by the
-        # restarted round's three new first-row entries and rejoin the
-        # r11 rotation with the other r07 rows; then the displaced r09
-        # window, the r08 cohort, and the rest) -------------------------
+        # CORRECTNESS_r*.json (multimodal_image_hash, text_card_audit,
+        # text_langid and text_readability — all r07-green — were
+        # displaced by the restarted round's four new first-row entries
+        # and rejoin the r11 rotation with the other r07 rows; then the
+        # displaced r09 window, the r08 cohort, and the rest) -----------
+        "multimodal_image_hash": q_multimodal_image_hash,
         "text_card_audit": q_text_card_audit,
         "text_langid": q_text_langid,
         "text_readability": q_text_readability,

@@ -1655,3 +1655,143 @@ def shard_similarity_pairs(
             ),
         )
     )
+
+
+def tf_terms(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, term, w): whitespace-token term frequencies — the
+    weighted-set view of a document that weighted-Jaccard dedup
+    consumes. ONE explode + ONE partial-aggregable groupBy."""
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("term"),
+        )
+        .where("term is not null and term <> ''")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+
+
+def weighted_minhash_signatures(
+    terms: DataFrame,
+    num_hashes: int = 8,
+    hash_fn: str = "md5",
+    max_weight: int = 16,
+) -> DataFrame:
+    """(doc_id, h, v) MinHash signature of the WEIGHTED set — weighted
+    Jaccard J_w(A, B) = Σ_t min(w_A(t), w_B(t)) / Σ_t max(w_A(t), w_B(t))
+    — via the exact integer-weight reduction: a term with weight w
+    becomes the w distinct elements term#1..term#w, and plain Jaccard of
+    the expanded multisets IS weighted Jaccard (min(wa, wb) expanded
+    elements agree, max(wa, wb) exist). The plain-set MinHash machinery
+    then applies unchanged, so this reuses the SAME salted min-probe
+    block as ``minhash_signatures`` — identical hash family, identical
+    banding compatibility.
+
+    Unweighted shingle Jaccard scores a doc and its
+    one-word-repeated-9× variant as identical (same term SET); the
+    weighted estimate separates them — the discriminating case for
+    boilerplate/spam near-dup detection (CCNet/RefinedWeb weigh terms
+    for exactly this reason).
+
+    Scale shape: ONE explode (×min(w, max_weight) per term — weights are
+    CLIPPED at ``max_weight`` so a pathological repeated-token document
+    cannot blow up the expansion; clipping is the standard tf
+    saturation) + ONE partial-aggregable groupBy(doc) with num_hashes
+    parallel mins. ``hash_fn="xxhash64"`` is the codegen production
+    mode, ``md5`` the oracle-replayable default (same contract as every
+    MinHash variant in this module).
+    """
+    expanded = (
+        terms.select(
+            "doc_id",
+            F.col("term"),
+            F.least(F.col("w"), F.lit(max_weight)).alias("__wc"),
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr("sequence(1, __wc)")
+            ).alias("__i"),
+            "term",
+        )
+        .select(
+            "doc_id",
+            F.concat(
+                F.col("term"), F.lit("#"), F.col("__i").cast("string")
+            ).alias("shingle"),
+        )
+    )
+    wide = expanded.groupBy("doc_id").agg(
+        *_minhash_probe_aggs(num_hashes, hash_fn)
+    )
+    return _stack_signature(wide, "doc_id", num_hashes)
+
+
+def weighted_pair_audit(
+    terms: DataFrame,
+    num_hashes: int = 8,
+    hash_fn: str = "md5",
+    max_weight: int = 16,
+) -> DataFrame:
+    """Estimate-vs-exact audit over consecutive doc-id pairs: for every
+    (d, d+1) pair present in ``terms``, the number of agreeing signature
+    slots (the MinHash weighted-Jaccard estimator's numerator —
+    est = est_agree / num_hashes) next to the EXACT clipped
+    weighted-Jaccard numerator and denominator (Σ min / Σ max as
+    integers — no float leaves either engine, so the driver hash is
+    exact). Consecutive pairs keep the audit linear in docs; the
+    LSH banding path for all-pairs candidates is ``band_keys`` over
+    ``weighted_minhash_signatures`` unchanged."""
+    sig = weighted_minhash_signatures(
+        terms, num_hashes=num_hashes, hash_fn=hash_fn,
+        max_weight=max_weight,
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    agree = (
+        a.join(
+            b,
+            (F.col("a.doc_id") + 1 == F.col("b.doc_id"))
+            & (F.col("a.h") == F.col("b.h")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(
+            F.sum((F.col("a.v") == F.col("b.v")).cast("int"))
+            .cast("bigint")
+            .alias("est_agree")
+        )
+    )
+    w = terms.select(
+        "doc_id", "term",
+        F.least(F.col("w"), F.lit(max_weight)).alias("wc"),
+    )
+    wa, wb = w.alias("wa"), w.alias("wb")
+    exact = (
+        wa.join(
+            wb,
+            (F.col("wa.doc_id") + 1 == F.col("wb.doc_id"))
+            & (F.col("wa.term") == F.col("wb.term")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(
+                F.col("wa.doc_id"), F.col("wb.doc_id") - 1
+            ).alias("doc_a"),
+            F.coalesce(F.col("wa.wc"), F.lit(0)).alias("w_a"),
+            F.coalesce(F.col("wb.wc"), F.lit(0)).alias("w_b"),
+        )
+        .groupBy("doc_a")
+        .agg(
+            F.sum(F.least("w_a", "w_b")).cast("bigint").alias("wj_min_sum"),
+            F.sum(F.greatest("w_a", "w_b")).cast("bigint")
+            .alias("wj_max_sum"),
+        )
+    )
+    return agree.join(exact, "doc_a").select(
+        "doc_a", "doc_b", "est_agree", "wj_min_sum", "wj_max_sum"
+    )

@@ -1071,6 +1071,97 @@ def test_seed_distance_matches_unrolled_oracle(spark, duck):
     assert got == exp
 
 
+def test_weighted_minhash_separates_frequency_variants(spark):
+    """The case unweighted shingle Jaccard cannot see: two docs with the
+    SAME term set but different multiplicities ("x"*9 + "y" vs "x y")
+    have weighted Jaccard 2/10, and the weighted signature's agreement
+    reflects it (strictly below all-agree), while truly identical docs
+    agree on every slot with exact sums min==max. Exact numerator and
+    denominator are integers — hand-checked."""
+    from incubator_stormcrawler_spark.operators.dedup import (
+        tf_terms,
+        weighted_pair_audit,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "x x x x x x x x x y"), (1, "x y"),
+         (2, "a b c d"), (3, "a b c d")],
+        "doc_id bigint, text string",
+    )
+    out = {
+        (r.doc_a, r.doc_b): (r.est_agree, r.wj_min_sum, r.wj_max_sum)
+        for r in weighted_pair_audit(
+            tf_terms(docs), num_hashes=16
+        ).collect()
+    }
+    # (0,1): min sums x:1 y:1 = 2; max sums x:9 y:1 = 10
+    assert out[(0, 1)][1:] == (2, 10)
+    assert out[(0, 1)][0] < 16  # the estimate separates the variants
+    # identical docs: every slot agrees, exact sums equal
+    assert out[(2, 3)] == (16, 4, 4)
+    # disjoint docs: nothing agrees, min sum 0
+    assert out[(1, 2)][0] == 0 and out[(1, 2)][1] == 0
+
+
+def test_weighted_minhash_audit_matches_duckdb(spark, duck):
+    """Cross-engine replay on the real documents table: DuckDB rebuilds
+    the clipped integer-weight expansion, every salted min, the
+    agreement count, and both exact integer sums — 499 consecutive
+    pairs, row-for-row."""
+    from incubator_stormcrawler_spark.operators.dedup import (
+        tf_terms,
+        weighted_pair_audit,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    got = {
+        (r.doc_a, r.doc_b): (r.est_agree, r.wj_min_sum, r.wj_max_sum)
+        for r in weighted_pair_audit(
+            tf_terms(docs), num_hashes=4, max_weight=12
+        ).collect()
+    }
+    mins = ", ".join(
+        f"min(md5('{h}|' || shingle)) AS v{h}" for h in range(4)
+    )
+    agree = " + ".join(f"CAST(a.v{h} = b.v{h} AS INT)" for h in range(4))
+    sql = f"""
+WITH terms AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS w FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+    FROM '{sf}/documents.parquet' WHERE text IS NOT NULL) t
+  WHERE term <> '' GROUP BY doc_id, term
+),
+clipped AS (SELECT doc_id, term, least(w, 12) AS wc FROM terms),
+expanded AS (
+  SELECT doc_id, term || '#' || CAST(i AS VARCHAR) AS shingle
+  FROM clipped, unnest(generate_series(1, wc)) t(i)
+),
+wide AS (SELECT doc_id, {mins} FROM expanded GROUP BY doc_id),
+agree AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST({agree} AS BIGINT) AS est_agree
+  FROM wide a JOIN wide b ON a.doc_id + 1 = b.doc_id
+),
+exact AS (
+  SELECT coalesce(wa.doc_id, wb.doc_id - 1) AS doc_a,
+         CAST(sum(least(coalesce(wa.wc, 0), coalesce(wb.wc, 0)))
+              AS BIGINT) AS wj_min_sum,
+         CAST(sum(greatest(coalesce(wa.wc, 0), coalesce(wb.wc, 0)))
+              AS BIGINT) AS wj_max_sum
+  FROM clipped wa FULL OUTER JOIN clipped wb
+    ON wa.doc_id + 1 = wb.doc_id AND wa.term = wb.term
+  GROUP BY 1
+)
+SELECT agree.doc_a, doc_b, est_agree, wj_min_sum, wj_max_sum
+FROM agree JOIN exact ON agree.doc_a = exact.doc_a
+"""
+    exp = {(r[0], r[1]): (r[2], r[3], r[4])
+           for r in duck.sql(sql).fetchall()}
+    assert got == exp
+    assert len(got) == 499
+
+
 def test_redirect_resolve_chains_cycles_and_conflicts(spark):
     """Hand-checked semantics: a 5-hop chain resolves every prefix with
     exact hop counts, a 2-cycle and a self-loop stay unresolved (NULL
