@@ -1089,6 +1089,30 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_cosine_topk(emb, queries, k=5)
 
 
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search (similarity.ivf_pq_adc_topk) — the billion-scale
+    serving composition (Jégou et al. 2011 §V; the FAISS IVFx,PQy read
+    path), built from the two registered halves UNCHANGED: the IVF
+    coarse quantizer restricts each query to its n_probe nearest cells
+    (n_probe SEEDED per round) and ADC scores only those survivors from
+    their m-byte PQ codes via the broadcast query LUT — no full-vector
+    distance anywhere in the scan path. At 10^9 vectors a query batch
+    touches ~n_probe/n_centroids of the m-byte codes; cells and codes
+    are reusable index artifacts. The oracle replays centroid seeding,
+    assignment, probes, codebook, codes, LUT, and the cell-restricted
+    ADC sum."""
+    from incubator_stormcrawler_spark.operators.similarity import (
+        ivf_pq_adc_topk,
+    )
+    from incubator_stormcrawler_spark.roundparams import seeded_int
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_pq_adc_topk(
+        emb, list(range(20)),
+        n_probe=seeded_int("ivfpq_n_probe", 8, 14),
+    )
+
+
 def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs with cosine ≥ 0.4 (corpus max ≈ 0.51)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -2567,6 +2591,14 @@ _ORACLES["graph_redirect_resolve"] = unrolled_redirect_resolve_sql(
     f" CAST({_REDIR_CYC} + (i + 1) % 3 AS BIGINT)"
     " FROM (VALUES (0), (1), (2)) c(i))",
     max_hops=64,
+)
+
+from incubator_stormcrawler_spark.operators.similarity import (  # noqa: E402
+    ivf_pq_adc_topk_sql as _ivfpq_sql,
+)
+
+_ORACLES["ann_ivfpq_topk"] = _ivfpq_sql(
+    list(range(20)), n_probe=_rp_seeded_int("ivfpq_n_probe", 8, 14),
 )
 
 _ORACLES["frontier_topk_bucket_ordered"] = f"""
@@ -5546,11 +5578,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     queries); (4) 21 of the 31 r07-green entries, oldest-first — the
     remaining 10 r07 rows rotate in r11. When the round RESTARTED with
     fresh turns, the new layout_hilbert_stats, layout_hilbert3_stats,
-    graph_redirect_resolve and dedup_weighted_minhash rows took window
-    slots (first driver rows; new queries cannot legally enter the
-    tail) and displaced multimodal_image_hash, text_card_audit,
-    text_langid and text_readability (all r07-green) back to the tail,
-    so 14 r07 rows now rotate in r11. Every displaced entry is green
+    graph_redirect_resolve, dedup_weighted_minhash and ann_ivfpq_topk
+    rows took window slots (first driver rows; new queries cannot
+    legally enter the tail) and displaced multimodal_audio_features,
+    multimodal_image_hash, text_card_audit, text_langid and
+    text_readability (all r07-green) back to the tail, so 15 r07 rows
+    now rotate in r11. Every displaced entry is green
     in CORRECTNESS_r09.json; after this round no registry entry's newest
     green row is older than r07. Every entry past position 50 is GREEN in
     some committed CORRECTNESS_r*.json (tests/test_registry.py asserts
@@ -5574,6 +5607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_hilbert3_stats": q_layout_hilbert3_stats,
         "graph_redirect_resolve": q_graph_redirect_resolve,
         "dedup_weighted_minhash": q_dedup_weighted_minhash,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
         # Seed-flip canaries (3): seeded TPC-H shapes re-certify the
         # ROUND_SEED=10 constants in-window; the other seeded entries
         # ride their committed green rows in the tail ------------------
@@ -5621,13 +5655,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_gap_fill": q_events_gap_fill,
         "events_range_join": q_events_range_join,
         "events_rollup": q_events_rollup,
-        "multimodal_audio_features": q_multimodal_audio_features,
         # ---- past the 50-entry driver window: ALL green in a committed
-        # CORRECTNESS_r*.json (multimodal_image_hash, text_card_audit,
-        # text_langid and text_readability — all r07-green — were
-        # displaced by the restarted round's four new first-row entries
-        # and rejoin the r11 rotation with the other r07 rows; then the
-        # displaced r09 window, the r08 cohort, and the rest) -----------
+        # CORRECTNESS_r*.json (multimodal_audio_features,
+        # multimodal_image_hash, text_card_audit, text_langid and
+        # text_readability — all r07-green — were displaced by the
+        # restarted round's five new first-row entries and rejoin the
+        # r11 rotation with the other r07 rows; then the displaced r09
+        # window, the r08 cohort, and the rest) -------------------------
+        "multimodal_audio_features": q_multimodal_audio_features,
         "multimodal_image_hash": q_multimodal_image_hash,
         "text_card_audit": q_text_card_audit,
         "text_langid": q_text_langid,

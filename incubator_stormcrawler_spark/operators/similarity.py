@@ -1151,3 +1151,157 @@ def jl_cand_sql(
     FROM p, pq WHERE p.vec_id <> pq.query_id
   ) WHERE rn <= {shortlist}
 )"""
+
+
+def ivf_pq_adc_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    m: int = 8,
+    k: int = 16,
+    topk: int = 5,
+    n_centroids: int = 32,
+    n_probe: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ search — the standard billion-scale serving composition
+    (Jégou et al. 2011 §V; the FAISS ``IVFx,PQy`` read path): the IVF
+    coarse quantizer restricts each query to its ``n_probe`` nearest
+    cells (~n_probe/n_centroids of the corpus) and ADC scores ONLY those
+    survivors from their m-byte PQ codes via the broadcast query LUT —
+    no full-vector distance anywhere in the scan path. Composes the two
+    registered halves unchanged: ``_ivf_index`` (cells + probes, the
+    ann_ivf_* pipeline) and ``pq_adc_topk``'s code/LUT stages.
+
+    Scale shape at 10^9 vectors: cell assignment and PQ codes are
+    index-build artifacts (one pass each, reusable across query
+    batches); a query batch touches n_probe/n_centroids of the m-byte
+    codes (semi-join through the probed cells), each candidate costing m
+    LUT lookups + an add. The LUT is nq*m*k rows — broadcastable at any
+    corpus size. One shuffle groups candidate partial sums; per-query
+    top-k is a window over rounded distance with id tiebreak
+    (deterministic cross-engine). Non-residual variant (codes quantize
+    raw vectors, not cell residuals) so the PQ codebook stays
+    cell-independent and oracle-replayable; residual encoding is the
+    accuracy upgrade a production index would add."""
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+    )
+    q = e.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    assign, probes = _ivf_index(e, q, n_centroids, n_probe)
+    cand = (
+        probes.select("query_id", "cid")
+        .join(assign, "cid")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id")
+    )
+    codes = _pq_assignments(e, m, k, guard="ivf_pq_adc_topk").select(
+        "vec_id", "s", F.col("b.cid").alias("pq_cid")
+    )
+    qsub = _pq_subspaces(
+        q.select(F.col("query_id").alias("qid"), F.col("qv").alias("v")),
+        "qid", "v", m, "qsv",
+    )
+    csub = _pq_subspaces(_pq_codebook(e, k), "cid", "cv", m, "csv")
+    lut = qsub.join(F.broadcast(csub), "s").select(
+        F.col("qid").alias("query_id"), "s",
+        F.col("cid").alias("pq_cid"),
+        _sq_l2(F.col("qsv"), F.col("csv")).alias("qd2"),
+    )
+    dist = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(lut), ["query_id", "s", "pq_cid"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sum("qd2"), 6).alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "vec_id")
+    return (
+        dist.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+        .select("query_id", "vec_id", "adc_dist", "rank")
+    )
+
+
+def ivf_pq_adc_topk_sql(
+    query_ids: list[int],
+    m: int = 8,
+    k: int = 16,
+    topk: int = 5,
+    subdim: int = 8,
+    n_centroids: int = 32,
+    n_probe: int = 12,
+) -> str:
+    """DuckDB oracle for :func:`ivf_pq_adc_topk`: replays centroid
+    seeding, cell assignment, probe selection, PQ codebook/codes, the
+    query LUT, and the cell-restricted ADC sum — same rounded distance
+    and id tiebreak."""
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), cents AS (
+  SELECT vec_id AS cid, v AS cv FROM e
+  ORDER BY md5(cast(vec_id AS VARCHAR)), vec_id LIMIT {n_centroids}
+), assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid
+           ) AS rn
+    FROM e CROSS JOIN cents c
+  ) WHERE rn = 1
+), probes AS (
+  SELECT query_id, cid FROM (
+    SELECT q.vec_id AS query_id, c.cid,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(q.v, c.cv) DESC, c.cid
+           ) AS rn
+    FROM (SELECT * FROM e WHERE vec_id IN ({ids})) q CROSS JOIN cents c
+  ) WHERE rn <= {n_probe}
+), cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM probes p JOIN assign a USING (cid)
+  WHERE p.query_id <> a.vec_id
+), seeds AS (
+  SELECT vec_id AS pq_cid, v AS cv FROM e
+  ORDER BY md5(cast(vec_id AS VARCHAR)), vec_id LIMIT {k}
+), pairs AS (
+  SELECT e.vec_id, t.s, c.pq_cid,
+         list_sum(list_transform(range(1, {subdim + 1}),
+           i -> (e.v[t.s * {subdim} + i] - c.cv[t.s * {subdim} + i])
+              * (e.v[t.s * {subdim} + i] - c.cv[t.s * {subdim} + i]))) AS d2
+  FROM e, unnest(generate_series(0, {m - 1})) t(s) CROSS JOIN seeds c
+), codes AS (
+  SELECT vec_id, s, pq_cid FROM (
+    SELECT vec_id, s, pq_cid,
+           row_number() OVER (
+             PARTITION BY vec_id, s ORDER BY d2, pq_cid) AS rn
+    FROM pairs
+  ) WHERE rn = 1
+), lut AS (
+  SELECT q.vec_id AS query_id, t.s, c.pq_cid,
+         list_sum(list_transform(range(1, {subdim + 1}),
+           i -> (q.v[t.s * {subdim} + i] - c.cv[t.s * {subdim} + i])
+              * (q.v[t.s * {subdim} + i] - c.cv[t.s * {subdim} + i]))) AS qd2
+  FROM e q, unnest(generate_series(0, {m - 1})) t(s) CROSS JOIN seeds c
+  WHERE q.vec_id IN ({ids})
+), dist AS (
+  SELECT c.query_id, c.vec_id, round(sum(lut.qd2), 6) AS adc_dist
+  FROM cand c
+  JOIN codes ON codes.vec_id = c.vec_id
+  JOIN lut ON lut.query_id = c.query_id
+          AND lut.s = codes.s AND lut.pq_cid = codes.pq_cid
+  GROUP BY c.query_id, c.vec_id
+)
+SELECT query_id, vec_id, adc_dist, rank FROM (
+  SELECT query_id, vec_id, adc_dist,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY adc_dist, vec_id
+         )::INT AS rank
+  FROM dist
+) WHERE rank <= {topk}
+"""

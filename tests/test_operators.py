@@ -1071,6 +1071,53 @@ def test_seed_distance_matches_unrolled_oracle(spark, duck):
     assert got == exp
 
 
+def test_ivf_pq_adc_composition_matches_oracle_and_pruning_laws(
+    spark, duck
+):
+    """(1) Spark and the DuckDB oracle agree row-for-row on the composed
+    IVF-PQ read path (centroid seeding, assignment, probes, codebook,
+    codes, LUT, cell-restricted ADC sum); (2) the composition laws hold
+    against the registered halves: every ADC distance equals the
+    full-scan pq_adc_topk distance for the same (query, candidate) pair
+    — cell restriction changes WHICH pairs are scored, never their
+    score — and per query the pruned rank-1 distance is >= the
+    full-scan rank-1 (pruning can only lose candidates)."""
+    from incubator_stormcrawler_spark.operators.similarity import (
+        ivf_pq_adc_topk,
+        ivf_pq_adc_topk_sql,
+        pq_adc_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    qids = list(range(20))
+    got = sorted(
+        (r.query_id, r.vec_id, r.adc_dist, r.rank)
+        for r in ivf_pq_adc_topk(emb, qids, n_probe=10).collect()
+    )
+    duck.sql(
+        "CREATE OR REPLACE VIEW embeddings AS SELECT * FROM"
+        f" '{sf}/embeddings.parquet'"
+    )
+    exp = sorted(
+        tuple(r)
+        for r in duck.sql(ivf_pq_adc_topk_sql(qids, n_probe=10)).fetchall()
+    )
+    assert got == exp
+    full = {
+        (r.qid, r.vec_id): r.adc_dist
+        for r in pq_adc_topk(emb, qids, topk=10_000).collect()
+    }
+    best_full = {}
+    for (qid, vid), d in full.items():
+        if qid not in best_full or d < best_full[qid]:
+            best_full[qid] = d
+    for qid, vid, d, rank in got:
+        assert full[(qid, vid)] == d
+        if rank == 1:
+            assert d >= best_full[qid]
+
+
 def test_weighted_minhash_separates_frequency_variants(spark):
     """The case unweighted shingle Jaccard cannot see: two docs with the
     SAME term set but different multiplicities ("x"*9 + "y" vs "x y")
