@@ -37,14 +37,15 @@ ROUND LOG (bump + append a line each round):
       The r11 flip is PRE-PROVEN: the full 152-query sweep ran locally
       at ROUND_SEED = 11 before r10 closed (152/152 green at sf0.01,
       after all r10 additions — the four new registrations included).
-  r10 (restarted): the driver re-opened round 10 with fresh turns; four
+  r10 (restarted): the driver re-opened round 10 with fresh turns; five
       more queries registered (layout_hilbert_stats,
       layout_hilbert3_stats, graph_redirect_resolve,
-      dedup_weighted_minhash) with new seeded params hilbert_tp_hi,
-      hilbert3_ep_hi, redirect_cycle_base, wmh_max_weight. The r11 flip
-      was RE-PROVEN after they landed: the full 156-query sweep ran at
-      ROUND_SEED = 11 (failures: 0 at sf0.01), so the r11 bump cannot
-      surface a red row.
+      dedup_weighted_minhash, ann_ivfpq_topk) with new seeded params
+      hilbert_tp_hi, hilbert3_ep_hi, redirect_cycle_base,
+      wmh_max_weight, ivfpq_n_probe. The r11 flip was RE-PROVEN at the
+      final HEAD: the full 157-query sweep ran at ROUND_SEED = 11
+      (failures: 0 at sf0.01), so the r11 bump cannot surface a red
+      row.
 """
 
 from __future__ import annotations
