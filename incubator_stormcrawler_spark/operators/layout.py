@@ -764,3 +764,27 @@ stats AS (
 )
 SELECT *{flag_cols}{any_col} FROM stats
 """
+
+
+def hilbert_nd_rewrite(
+    df: DataFrame,
+    cols: list[str],
+    path: str,
+    n_files: int = 16,
+    bits: int = 8,
+) -> None:
+    """OPTIMIZE-by-Hilbert for 3+ clustering columns: range-partition on
+    the Skilling key, sort within each file, drop the key, write
+    parquet. Same one-range-shuffle cost shape as :func:`zorder_rewrite`
+    / :func:`hilbert_rewrite`; verified against REAL parquet footers in
+    tests/test_operators.py::test_hilbert_nd_rewrite_real_footers_prune
+    (a 3-D box predicate skips a strict majority of files where the
+    natural layout prunes ~nothing)."""
+    keyed = hilbert_key_nd(df, cols, bits=bits)
+    (
+        keyed.repartitionByRange(n_files, "hkey")
+        .sortWithinPartitions("hkey")
+        .drop("hkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

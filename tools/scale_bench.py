@@ -833,6 +833,58 @@ def curve_redirect_resolve(spark, sizes):
     return out
 
 
+def curve_weighted_minhash(spark, sizes):
+    """weighted_minhash_signatures cost curve on a REPEATED-token corpus
+    (40 tokens per doc over a 10-word per-doc vocabulary, tf ~ 4, so the
+    clipped integer-weight expansion genuinely multiplies): tf_terms +
+    the expansion + the one partial-aggregable groupBy with 8 parallel
+    mins. The claim is the same linear shape as plain MinHash — the
+    expansion factor is bounded by min(tf, max_weight) and everything
+    stays in the single groupBy pass."""
+    from incubator_stormcrawler_spark.operators.dedup import (
+        tf_terms,
+        weighted_minhash_signatures,
+    )
+
+    words = (
+        "concat_ws(' ', transform(sequence(0, 39), j -> "
+        "substr(md5(cast(id as string) || '-' ||"
+        " cast(j % 10 as string)), 1, 6)))"
+    )
+    out = []
+    for n in sizes:
+        docs = spark.range(n).selectExpr(
+            "id as doc_id", f"{words} as text"
+        )
+        _clean(spark)
+        sec = timed(
+            lambda: weighted_minhash_signatures(
+                tf_terms(docs), num_hashes=8, hash_fn="xxhash64"
+            ).count(),
+            warmup=(n == sizes[0]),
+        )
+        out.append({"rows": n, "sec": round(sec, 2),
+                    "rows_per_sec": int(n / sec)})
+        print(f"   {out[-1]}", flush=True)
+    return out
+
+
+def weighted_minhash_main():
+    """`--wmh`: weighted-MinHash signature-build cost curve, merged as
+    weighted_minhash."""
+    from incubator_stormcrawler_spark.session import get_spark
+
+    spark = get_spark("scale-bench-wmh")
+    spark.sparkContext.setLogLevel("ERROR")
+    pts = curve_weighted_minhash(
+        spark, [100_000, 400_000, 1_600_000]
+    )
+    entry = {"points": pts, "alpha": alpha(pts)}
+    print(f"## weighted_minhash: alpha={entry['alpha']}", flush=True)
+    path = merge_scaling({"weighted_minhash": entry})
+    print(f"merged weighted_minhash into {path}")
+
+
 def redirect_main():
     """`--redirect`: pointer-doubling chain resolution cost curve,
     merged as redirect_resolve."""
@@ -1716,6 +1768,9 @@ def main():
         return
     if "--redirect" in sys.argv:
         redirect_main()
+        return
+    if "--wmh" in sys.argv:
+        weighted_minhash_main()
         return
     if "--frontier-zorder-compact" in sys.argv:
         frontier_zorder_compact_main()
