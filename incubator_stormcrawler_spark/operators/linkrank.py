@@ -784,3 +784,40 @@ SELECT a.src AS url,
 FROM g{rounds} a LEFT JOIN f d ON a.nxt = d.src
 """
     )
+
+
+def canonicalize_urls(
+    docs: DataFrame,
+    redirects: DataFrame,
+    url_col: str = "url",
+    max_hops: int = 64,
+) -> DataFrame:
+    """Rewrite ``docs[url_col]`` to each URL's terminal redirect target —
+    the indexing-side consumer of :func:`redirect_resolve`: the
+    reference's RedirectionBolt shunts redirected docs so the indexer
+    keys by the final URL (``_redirTo`` chains,
+    ``bolt/FetcherBolt.java:732``); at batch scale the resolved map does
+    the same for the whole corpus at once. URLs with no redirect entry,
+    or whose chain is a cycle / over budget (resolve emits NULL), keep
+    their own URL — canonicalization never drops or nulls a document
+    key. Adds ``redirect_hops`` (0 for non-redirected docs).
+
+    Plan: redirect_resolve's log-bounded doubling (pointer table =
+    redirect subset, corpus-size independent) + ONE left join of docs
+    against the resolved map — at 10^9 docs the map is the small side
+    and AQE picks broadcast when it fits."""
+    resolved = redirect_resolve(redirects, max_hops=max_hops).select(
+        F.col("url").alias("__src"),
+        F.col("target").alias("__target"),
+        F.col("hops").alias("__hops"),
+    )
+    out = docs.join(
+        resolved, docs[url_col] == F.col("__src"), "left"
+    )
+    return out.select(
+        *[c for c in docs.columns if c != url_col],
+        F.coalesce(F.col("__target"), docs[url_col]).alias(url_col),
+        F.coalesce(F.col("__hops"), F.lit(0))
+        .cast("bigint")
+        .alias("redirect_hops"),
+    )

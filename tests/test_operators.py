@@ -1118,6 +1118,38 @@ def test_ivf_pq_adc_composition_matches_oracle_and_pruning_laws(
             assert d >= best_full[qid]
 
 
+def test_canonicalize_urls_rewrites_chains_keeps_cycles_and_unknowns(
+    spark,
+):
+    """The indexing-side consumer of redirect_resolve: a 5-hop chain's
+    doc is re-keyed to the terminal URL with its hop count, a doc
+    already at a terminal keeps its URL (so canonical collisions become
+    visible as two docs sharing a key — the dedup-by-digest stage's
+    input), a redirect-cycle doc and an unknown URL keep their own key
+    with hops 0 — canonicalization never drops or nulls a document."""
+    from incubator_stormcrawler_spark.operators.linkrank import (
+        canonicalize_urls,
+    )
+
+    docs = spark.createDataFrame(
+        [("u5", "d5"), ("u0", "d0"), ("u10", "dcyc"), ("u99", "dplain")],
+        "url string, body string",
+    )
+    redirects = spark.createDataFrame(
+        [("u5", "u4"), ("u4", "u3"), ("u3", "u2"), ("u2", "u1"),
+         ("u1", "u0"), ("u10", "u11"), ("u11", "u10")],
+        "src string, dst string",
+    )
+    rows = sorted(
+        (r.url, r.body, r.redirect_hops)
+        for r in canonicalize_urls(docs, redirects, max_hops=8).collect()
+    )
+    assert rows == [
+        ("u0", "d0", 0), ("u0", "d5", 5),
+        ("u10", "dcyc", 0), ("u99", "dplain", 0),
+    ]
+
+
 def test_weighted_minhash_separates_frequency_variants(spark):
     """The case unweighted shingle Jaccard cannot see: two docs with the
     SAME term set but different multiplicities ("x"*9 + "y" vs "x y")
