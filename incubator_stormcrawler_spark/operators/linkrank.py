@@ -648,6 +648,7 @@ def redirect_resolve(
     max_hops: int = 64,
     src_col: str = "src",
     dst_col: str = "dst",
+    cache_handle: list | None = None,
 ) -> DataFrame:
     """Collapse multi-hop redirect chains to their final targets by
     POINTER DOUBLING — the crawl-pipeline operator behind canonical
@@ -666,7 +667,12 @@ def redirect_resolve(
     ``(url, target, hops, resolved)``: the terminal URL and exact chain
     length when the walk terminates within the budget, or
     ``(NULL, NULL, 0)`` when it does not (a redirect CYCLE — including
-    self-loops — or a chain longer than the budget).
+    self-loops — or a chain longer than the budget). The budget is
+    EXACTLY ``max_hops``: the doubling walk internally covers the next
+    power of two, and a final clamp marks rows whose exact chain length
+    exceeds ``max_hops`` unresolved in BOTH engines (r10 shipped without
+    the clamp, so e.g. max_hops=100 silently resolved 128-hop chains —
+    the r10 ADVICE item).
 
     Scale shape: ``ceil(log2(max_hops))`` rounds, each ONE self-join of
     the pointer table on a UNIQUE key (no fanout, no skew: src is
@@ -688,6 +694,24 @@ def redirect_resolve(
     final SELECT), so the ``done`` flag never reaches the output: the
     oracle unrolls ALL rounds and unresolved rows emit NULLs in both
     engines regardless of where their cycle pointer sits.
+
+    Toy-scale overhead: the early-exit scan is a per-round Spark job,
+    which dominates wall-clock when the pointer table is tiny (the r10
+    driver row spent 10 s on a 3,940-row table — all job overhead). The
+    first ``rounds // 2`` rounds therefore skip the scan: chains shorter
+    than 2^(rounds/2) hops cannot all be absorbed before it, every round
+    still persists, and the deferred scan materializes the skipped
+    rounds' caches in one job (each round's cache backs the next, so
+    nothing recomputes). Exit timing is the only thing that moves.
+
+    Caching: intermediate rounds unpersist as the walk advances; the
+    pointer canonicalization ``f`` unpersists at the first
+    materialization (the final join derives the domain from the last
+    round's own src column, which equals f's domain by construction).
+    The LAST round stays persisted to back the returned plan — pass
+    ``cache_handle=[]`` to receive that DataFrame and ``.unpersist()``
+    it after materializing the output (the r10 ADVICE leak: repeated
+    resolves in one session accumulate cached blocks otherwise).
     """
     import math
 
@@ -707,10 +731,10 @@ def redirect_resolve(
         "src", "nxt", F.lit(1).cast("bigint").alias("hops"),
         F.lit(0).alias("done"),
     )
-    domain = f.select(F.col("src").alias("__dom"))
 
-    prev = None
-    for _ in range(rounds):
+    pending: list[DataFrame] = []  # persisted rounds not yet superseded
+    f_live = True
+    for r in range(rounds):
         a, b = g.alias("a"), g.alias("b")
         g = (
             a.join(b, F.col("a.nxt") == F.col("b.src"), "left")
@@ -727,23 +751,42 @@ def redirect_resolve(
             )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        pending.append(g)
+        if r + 1 <= rounds // 2 and r + 1 < rounds:
+            continue  # defer the early-exit scan (toy-scale job overhead)
         n_done = g.agg(F.sum("done")).first()[0] or 0
-        if prev is not None:
-            prev.unpersist(False)
-        prev = g
+        if f_live:
+            f.unpersist(False)
+            f_live = False
+        for stale in pending[:-1]:
+            stale.unpersist(False)
+        pending = [g]
         if n_done == n_total:
             break
+    if cache_handle is not None:
+        cache_handle.append(g)
     # mark terminality via a left join against the function's domain
-    # (done lags absorption by up to one round, so the flag is only the
-    # exit heuristic — the output's resolved bit comes from this join)
+    # (g.src IS f's domain — invariant under doubling — so the final
+    # round self-joins and f needs no cache here; done lags absorption
+    # by up to one round, so the flag is only the exit heuristic — the
+    # output's resolved bit comes from this join)
+    domain = g.select(F.col("src").alias("__dom"))
     marked = g.join(domain, g.nxt == F.col("__dom"), "left")
     return marked.select(
         F.col("src").alias("url"),
-        F.when(F.col("__dom").isNull(), F.col("nxt")).alias("target"),
-        F.when(F.col("__dom").isNull(), F.col("hops"))
+        F.when(
+            F.col("__dom").isNull() & (F.col("hops") <= F.lit(max_hops)),
+            F.col("nxt"),
+        ).alias("target"),
+        F.when(
+            F.col("__dom").isNull() & (F.col("hops") <= F.lit(max_hops)),
+            F.col("hops"),
+        )
         .cast("bigint")
         .alias("hops"),
-        F.col("__dom").isNull().cast("int").alias("resolved"),
+        (F.col("__dom").isNull() & (F.col("hops") <= F.lit(max_hops)))
+        .cast("int")
+        .alias("resolved"),
     )
 
 
@@ -755,7 +798,9 @@ def unrolled_redirect_resolve_sql(
     exponentially — the ``unrolled_kcore_sql`` trap). Rounds past the
     resolution fixpoint only rotate cycle pointers, and cycle rows emit
     NULLs in the output, so the final SELECT is round-count-insensitive
-    exactly like the Spark side's early exit."""
+    exactly like the Spark side's early exit. The final SELECT applies
+    the same ``hops <= max_hops`` clamp as the Spark side, so the budget
+    is exact, not rounded up to a power of two."""
     import math
 
     rounds = max(1, math.ceil(math.log2(max(2, max_hops))))
@@ -778,9 +823,11 @@ def unrolled_redirect_resolve_sql(
         + ",\n".join(parts)
         + f"""
 SELECT a.src AS url,
-       CASE WHEN d.src IS NULL THEN a.nxt END AS target,
-       CAST(CASE WHEN d.src IS NULL THEN a.hops END AS BIGINT) AS hops,
-       CAST(d.src IS NULL AS INT) AS resolved
+       CASE WHEN d.src IS NULL AND a.hops <= {max_hops}
+            THEN a.nxt END AS target,
+       CAST(CASE WHEN d.src IS NULL AND a.hops <= {max_hops}
+                 THEN a.hops END AS BIGINT) AS hops,
+       CAST((d.src IS NULL AND a.hops <= {max_hops}) AS INT) AS resolved
 FROM g{rounds} a LEFT JOIN f d ON a.nxt = d.src
 """
     )
@@ -791,6 +838,7 @@ def canonicalize_urls(
     redirects: DataFrame,
     url_col: str = "url",
     max_hops: int = 64,
+    cache_handle: list | None = None,
 ) -> DataFrame:
     """Rewrite ``docs[url_col]`` to each URL's terminal redirect target —
     the indexing-side consumer of :func:`redirect_resolve`: the
@@ -805,8 +853,16 @@ def canonicalize_urls(
     Plan: redirect_resolve's log-bounded doubling (pointer table =
     redirect subset, corpus-size independent) + ONE left join of docs
     against the resolved map — at 10^9 docs the map is the small side
-    and AQE picks broadcast when it fits."""
-    resolved = redirect_resolve(redirects, max_hops=max_hops).select(
+    and AQE picks broadcast when it fits. The output preserves docs'
+    column ORDER with the rewritten url in url_col's original position
+    (r10 ADVICE: moving it surprised positional consumers) and appends
+    ``redirect_hops``. ``cache_handle`` forwards to
+    :func:`redirect_resolve` so a caller that materializes the output
+    (e.g. the crawl loop's per-generation index upsert) can unpersist
+    the resolve's final pointer table."""
+    resolved = redirect_resolve(
+        redirects, max_hops=max_hops, cache_handle=cache_handle
+    ).select(
         F.col("url").alias("__src"),
         F.col("target").alias("__target"),
         F.col("hops").alias("__hops"),
@@ -815,9 +871,39 @@ def canonicalize_urls(
         resolved, docs[url_col] == F.col("__src"), "left"
     )
     return out.select(
-        *[c for c in docs.columns if c != url_col],
-        F.coalesce(F.col("__target"), docs[url_col]).alias(url_col),
+        *[
+            F.coalesce(F.col("__target"), docs[url_col]).alias(url_col)
+            if c == url_col
+            else c
+            for c in docs.columns
+        ],
         F.coalesce(F.col("__hops"), F.lit(0))
         .cast("bigint")
         .alias("redirect_hops"),
     )
+
+
+def canonicalize_urls_sql(
+    docs_cte: str,
+    redirects_cte: str,
+    doc_cols: list[str],
+    url_col: str = "url",
+    max_hops: int = 64,
+) -> str:
+    """DuckDB twin of :func:`canonicalize_urls` for the driver's
+    cross-engine gate: the unrolled pointer-doubling CTE chain from
+    :func:`unrolled_redirect_resolve_sql` wrapped in one docs left join,
+    with the identical coalesce-to-own-url semantics, column order, and
+    ``hops <= max_hops`` clamp."""
+    resolve = unrolled_redirect_resolve_sql(redirects_cte, max_hops=max_hops)
+    cols = ", ".join(
+        f"coalesce(r.target, d.{c}) AS {c}" if c == url_col else f"d.{c}"
+        for c in doc_cols
+    )
+    return f"""
+WITH resolved AS ({resolve}),
+docs_in AS (SELECT * FROM ({docs_cte}))
+SELECT {cols},
+       CAST(coalesce(r.hops, 0) AS BIGINT) AS redirect_hops
+FROM docs_in d LEFT JOIN resolved r ON d.{url_col} = r.url
+"""

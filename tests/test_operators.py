@@ -1290,6 +1290,96 @@ def test_redirect_resolve_matches_unrolled_oracle_on_long_chain(
     assert got == exp
 
 
+def test_redirect_resolve_clamps_budget_to_exact_max_hops(spark, duck):
+    """The r10 ADVICE contract fix: doubling internally covers the next
+    power of two, but the OUTPUT budget is exactly max_hops. A 7-hop
+    chain under max_hops=5 runs 3 rounds (budget 8) yet every prefix
+    longer than 5 hops comes back unresolved; prefixes <= 5 resolve with
+    exact hop counts. The unrolled oracle applies the identical clamp,
+    so both engines agree row-for-row at a non-power-of-two budget."""
+    from incubator_stormcrawler_spark.operators.linkrank import (
+        redirect_resolve,
+        unrolled_redirect_resolve_sql,
+    )
+
+    edges = [(i, i - 1) for i in range(1, 8)]  # 7 -> 6 -> ... -> 0
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r.url: (r.target, r.hops, r.resolved)
+           for r in redirect_resolve(df, max_hops=5).collect()}
+    assert got[5] == (0, 5, 1)
+    assert got[6] == (None, None, 0)  # 6 hops > budget 5
+    assert got[7] == (None, None, 0)
+    vals = ",".join(f"({s},{d})" for s, d in edges)
+    sql = unrolled_redirect_resolve_sql(
+        f"redirects AS (SELECT * FROM (VALUES {vals}) t(src, dst))",
+        max_hops=5,
+    )
+    exp = {r[0]: (r[1], r[2], r[3]) for r in duck.sql(sql).fetchall()}
+    assert got == exp
+
+
+def test_redirect_resolve_cache_handle_and_no_leaked_storage(spark):
+    """Cache hygiene (r10 ADVICE): after materializing the output, the
+    ONLY persisted frame left behind is the final round's pointer table,
+    and it is surfaced through cache_handle so the caller can release
+    it — unpersisting it leaves zero cached RDDs from the resolve."""
+    from incubator_stormcrawler_spark.operators.linkrank import (
+        redirect_resolve,
+    )
+
+    sc = spark.sparkContext
+    before = {rid for rid, _ in sc._jsc.getPersistentRDDs().items()}
+    edges = [(i, i - 1) for i in range(1, 20)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    handle = []
+    out = redirect_resolve(df, max_hops=32, cache_handle=handle)
+    assert out.count() == 19
+    assert len(handle) == 1
+    leaked = {
+        rid for rid, _ in sc._jsc.getPersistentRDDs().items()
+    } - before
+    assert len(leaked) <= 1  # the final round only — f and rounds freed
+    handle[0].unpersist(True)
+    leaked = {
+        rid for rid, _ in sc._jsc.getPersistentRDDs().items()
+    } - before
+    assert leaked == set()
+
+
+def test_canonicalize_urls_preserves_column_order(spark, duck):
+    """r10 ADVICE: url_col stays in its ORIGINAL position (here the
+    middle column) so positional consumers are unaffected; the appended
+    redirect_hops is the only new column. Cross-checked against the
+    canonicalize_urls_sql oracle composition."""
+    from incubator_stormcrawler_spark.operators.linkrank import (
+        canonicalize_urls,
+        canonicalize_urls_sql,
+    )
+
+    docs = spark.createDataFrame(
+        [("d3", "u3", 30), ("dx", "u99", 99)],
+        "body string, url string, score bigint",
+    )
+    redirects = spark.createDataFrame(
+        [("u3", "u2"), ("u2", "u1"), ("u1", "u0")],
+        "src string, dst string",
+    )
+    out = canonicalize_urls(docs, redirects, max_hops=8)
+    assert out.columns == ["body", "url", "score", "redirect_hops"]
+    got = sorted(tuple(r) for r in out.collect())
+    assert got == [("d3", "u0", 30, 3), ("dx", "u99", 99, 0)]
+    sql = canonicalize_urls_sql(
+        "SELECT * FROM (VALUES ('d3','u3',CAST(30 AS BIGINT)),"
+        " ('dx','u99',CAST(99 AS BIGINT))) t(body, url, score)",
+        "redirects AS (SELECT * FROM (VALUES ('u3','u2'),('u2','u1'),"
+        "('u1','u0')) t(src, dst))",
+        doc_cols=["body", "url", "score"],
+        max_hops=8,
+    )
+    exp = sorted(tuple(r) for r in duck.sql(sql).fetchall())
+    assert got == exp
+
+
 def test_frontier_topk_rank_ordered(spark):
     """Rank-prioritized bucket choice: the two highest-ranked hosts win,
     an unranked-but-due host scores 0 and is cut by max_buckets, and the
