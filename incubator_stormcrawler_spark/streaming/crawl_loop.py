@@ -63,6 +63,7 @@ class CrawlLoop:
         bloom_n_shards: int = 1,
         warc_dir: str | None = None,
         index=None,
+        canonicalize_redirects: bool = False,
         rank_priority: bool = False,
         rank_max_buckets: int = 10,
         rank_iterations: int = 3,
@@ -159,6 +160,20 @@ class CrawlLoop:
         # stream into DeletionBolt,
         # opensearch/.../bolt/DeletionBolt.java:53-58)
         self.index = index
+        # canonicalize_redirects=True keys indexed docs by their TERMINAL
+        # redirect url: each generation appends its observed redirect
+        # hops (protocol 3xx Location + meta-refresh targets — the
+        # reference's `_redirTo`, bolt/FetcherBolt.java:706-746, and the
+        # RedirectionBolt shunt, external/tika/.../RedirectionBolt.java:54)
+        # to a side store, and the upsert rewrites doc urls through
+        # linkrank.canonicalize_urls over the ACCUMULATED map — chains
+        # that took several generations to discover still collapse, so a
+        # doc reached via a->b->c indexes once under c. Deletions stay
+        # keyed by frontier url on purpose: a redirect SOURCE going
+        # terminal-ERROR must not delete the doc living under its target
+        # (the source never indexed a doc of its own), so the delete is
+        # a harmless no-op for redirected urls.
+        self.canonicalize_redirects = canonicalize_redirects
         # forecast_sizing=True caps each host's generation share at its
         # politeness-limited fetch forecast (frontier.fetch_forecast):
         # least(due backlog, floor(horizon/delay) + 1) for the configured
@@ -225,6 +240,9 @@ class CrawlLoop:
 
     def _host_edges_path(self) -> str:
         return self.frontier_path + "_host_edges"
+
+    def _redirect_edges_path(self) -> str:
+        return self.frontier_path + "_redirect_edges"
 
     def _host_ranks(self) -> DataFrame | None:
         """PageRank over the host graph observed so far (None before any
@@ -638,7 +656,57 @@ class CrawlLoop:
         n_docs = docs.count()
         n_deleted = 0
         if self.index is not None:
-            self.index.upsert(docs)
+            docs_to_index = docs
+            resolve_cache: list = []
+            if self.canonicalize_redirects:
+                import os
+
+                from ..operators.linkrank import canonicalize_urls
+
+                # append THIS generation's hops first so a chain whose
+                # last hop was just observed already collapses for the
+                # docs indexed below (the reference sees the same
+                # ordering: _redirTo lands in status before the target's
+                # eventual parse reaches the indexer)
+                rp = self._redirect_edges_path()
+                (
+                    redirect_links.select(
+                        F.col("source_url").alias("src"),
+                        F.col("target_url").alias("dst"),
+                    )
+                    .where(F.col("src") != F.col("dst"))
+                    .distinct()
+                    .write.mode("append")
+                    .parquet(rp)
+                )
+                if os.path.exists(rp):
+                    from pyspark.sql import Window
+
+                    docs_to_index = canonicalize_urls(
+                        docs,
+                        self.spark.read.parquet(rp),
+                        cache_handle=resolve_cache,
+                    )
+                    # within a batch, the doc actually FETCHED at the
+                    # terminal url (hops 0) beats a redirected stub
+                    # re-keyed onto it (a meta-refresh page parses as a
+                    # thin doc; the reference shunts those away from the
+                    # indexer entirely — RedirectionBolt.java:54 — we
+                    # keep them only when the terminal itself has no doc)
+                    w = Window.partitionBy("url").orderBy(
+                        "redirect_hops",
+                        F.md5(F.coalesce(F.col("text"), F.lit(""))),
+                    )
+                    docs_to_index = (
+                        docs_to_index.withColumn(
+                            "__rn", F.row_number().over(w)
+                        )
+                        .where(F.col("__rn") == 1)
+                        .drop("__rn")
+                    )
+            self.index.upsert(docs_to_index)
+            for cached in resolve_cache:
+                cached.unpersist(False)
         if self.index is not None:
             # frontier still holds the PREVIOUS state here; compare after
             # the merge below to find this generation's new ERRORs

@@ -555,6 +555,86 @@ def test_crawl_indexes_docs_and_applies_deletions(spark, tmp_path):
     assert sum(s["index_deleted"] for s in stats) == 1
 
 
+def test_canonicalize_redirects_keys_index_by_terminal_url(spark, tmp_path):
+    """canonicalize_redirects=True completes the RedirectionBolt +
+    `_redirTo` story (bolt/FetcherBolt.java:706-746,
+    external/tika/.../RedirectionBolt.java:54): a 301 -> meta-refresh
+    chain a -> b -> c accumulates hops in the loop's redirect side store
+    across generations, and the index ends up keyed by the TERMINAL url
+    only — the meta-refresh stub page b re-keys onto c but loses to c's
+    real doc (hops-0 preference), and neither a nor b ever holds an
+    index key of its own."""
+    from incubator_stormcrawler_spark.operators.indexing import IndexTable
+
+    site = {
+        # protocol-level 301: no doc of its own
+        "https://h0.example/a": (301, "https://h0.example/b"),
+        # meta refresh: parses as a thin doc with a redirect target
+        "https://h0.example/b":
+            '<html><head><title>stub</title>'
+            '<meta http-equiv="refresh" content="0;url=/c"></head></html>',
+        "https://h0.example/c":
+            "<html><head><title>real</title></head><body>money page</body>"
+            "</html>",
+    }
+    index = IndexTable(str(tmp_path / "index"))
+    loop = CrawlLoop(
+        spark,
+        frontier_path=str(tmp_path / "frontier"),
+        protocol_factory=lambda: MemoryProtocol(site),
+        server_delay=0.0,
+        index=index,
+        canonicalize_redirects=True,
+    )
+    loop.inject_seeds(
+        spark.createDataFrame([("https://h0.example/a",)], ["url"])
+    )
+    loop.run(4)
+    frontier = {r.url: r.status for r in loop.read_frontier().collect()}
+    assert frontier["https://h0.example/a"] == "REDIRECTION"
+    assert frontier["https://h0.example/b"] == "REDIRECTION"
+    assert frontier["https://h0.example/c"] == "FETCHED"
+    docs = {r.url: r.title for r in index.read(spark).collect()}
+    assert docs == {"https://h0.example/c": "real"}
+
+
+def test_canonicalize_redirects_stub_survives_until_terminal_fetched(
+    spark, tmp_path
+):
+    """The hops-0 preference is per-batch, not a blanket shunt: while the
+    meta-refresh TARGET is still unfetched, the stub's doc (the only
+    content known for the chain) indexes under the terminal key, and the
+    next generation's real fetch REPLACES it in place — same key, newer
+    doc wins, no duplicate."""
+    from incubator_stormcrawler_spark.operators.indexing import IndexTable
+
+    site = {
+        "https://h0.example/b":
+            '<html><head><title>stub</title>'
+            '<meta http-equiv="refresh" content="0;url=/c"></head></html>',
+        "https://h0.example/c":
+            "<html><head><title>real</title></head><body>x</body></html>",
+    }
+    index = IndexTable(str(tmp_path / "index"))
+    loop = CrawlLoop(
+        spark,
+        frontier_path=str(tmp_path / "frontier"),
+        protocol_factory=lambda: MemoryProtocol(site),
+        server_delay=0.0,
+        index=index,
+        canonicalize_redirects=True,
+    )
+    loop.inject_seeds(
+        spark.createDataFrame([("https://h0.example/b",)], ["url"])
+    )
+    loop.run(1)  # only the stub is known; it carries the chain's content
+    docs = {r.url: r.title for r in index.read(spark).collect()}
+    assert docs == {"https://h0.example/c": "stub"}
+    loop.run(1)  # the real page replaces the stub under the same key
+    docs = {r.url: r.title for r in index.read(spark).collect()}
+    assert docs == {"https://h0.example/c": "real"}
+
+
 def test_rank_prioritized_crawl_focuses_on_endorsed_host(spark, tmp_path):
     """OPIC-style focused crawl (rank_priority=True): every host's pages
     link to hub.example, so once generation 1 observes the link graph,
