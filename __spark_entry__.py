@@ -435,6 +435,55 @@ def q_graph_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return redirect_resolve(chains.unionByName(cycle), max_hops=64)
 
 
+def q_graph_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index keying by terminal redirect target
+    (linkrank.canonicalize_urls) — the consumer of redirect resolution
+    the crawl loop now runs at upsert time (CrawlLoop
+    canonicalize_redirects; the reference's RedirectionBolt +
+    ``_redirTo``, bolt/FetcherBolt.java:706-746,
+    external/tika/.../RedirectionBolt.java:54): every document's url is
+    rewritten through the resolved chain map, docs at terminals or on
+    cycles keep their own url, and redirect_hops counts the collapsed
+    chain. Fixture: urls u<doc_id> chained u_i -> u_{i-1} except at
+    multiples of 16 (chains up to 15 hops — ALWAYS above the seeded
+    budget, so the clamp binds at every seed) plus a planted 3-cycle at
+    a seeded base; BOTH the hop budget (seeded 5..12 — deliberately
+    non-power-of-two, so the green row certifies the exact-budget clamp)
+    and the cycle base derive from ROUND_SEED. Oracle: the unrolled
+    doubling CTEs wrapped in one docs left join
+    (canonicalize_urls_sql)."""
+    from incubator_stormcrawler_spark.operators.linkrank import (
+        canonicalize_urls,
+    )
+    from incubator_stormcrawler_spark.roundparams import seeded_int
+
+    budget = seeded_int("canon_max_hops", 5, 12)
+    cyc = seeded_int("canon_cycle_base", 100, 450)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").selectExpr(
+        "doc_id",
+        "'u' || cast(doc_id as string) as url",
+        "source",
+        "n_chars",
+    )
+    chains = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(
+            f"doc_id % 16 != 0 and doc_id not in ({cyc}, {cyc + 1}, {cyc + 2})"
+        )
+        .selectExpr(
+            "'u' || cast(doc_id as string) as src",
+            "'u' || cast(doc_id - 1 as string) as dst",
+        )
+    )
+    cycle = spark.range(0, 3).selectExpr(
+        f"'u' || cast({cyc} + id as string) as src",
+        f"'u' || cast({cyc} + (id + 1) % 3 as string) as dst",
+    )
+    return canonicalize_urls(
+        docs, chains.unionByName(cycle), max_hops=budget
+    )
+
+
 def q_events_decayed_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially-decayed hourly rates (metrics.decayed_rates): the
     dashboard smoothing on top of PerSecondReducer's raw buckets —
@@ -2591,6 +2640,32 @@ _ORACLES["graph_redirect_resolve"] = unrolled_redirect_resolve_sql(
     f" CAST({_REDIR_CYC} + (i + 1) % 3 AS BIGINT)"
     " FROM (VALUES (0), (1), (2)) c(i))",
     max_hops=64,
+)
+
+from incubator_stormcrawler_spark.operators.linkrank import (  # noqa: E402
+    canonicalize_urls_sql,
+)
+
+_CANON_CYC = _rp_seeded_int("canon_cycle_base", 100, 450)
+_ORACLES["graph_canonicalize"] = canonicalize_urls_sql(
+    docs_cte=(
+        "SELECT doc_id, 'u' || CAST(doc_id AS VARCHAR) AS url,"
+        " source, n_chars FROM documents"
+    ),
+    redirects_cte=(
+        "redirects AS ("
+        " SELECT 'u' || CAST(doc_id AS VARCHAR) AS src,"
+        " 'u' || CAST(doc_id - 1 AS VARCHAR) AS dst"
+        " FROM documents WHERE doc_id % 16 <> 0"
+        f" AND doc_id NOT IN ({_CANON_CYC}, {_CANON_CYC + 1},"
+        f" {_CANON_CYC + 2})"
+        " UNION ALL"
+        f" SELECT 'u' || CAST({_CANON_CYC} + i AS VARCHAR),"
+        f" 'u' || CAST({_CANON_CYC} + (i + 1) % 3 AS VARCHAR)"
+        " FROM (VALUES (0), (1), (2)) c(i))"
+    ),
+    doc_cols=["doc_id", "url", "source", "n_chars"],
+    max_hops=_rp_seeded_int("canon_max_hops", 5, 12),
 )
 
 from incubator_stormcrawler_spark.operators.similarity import (  # noqa: E402
@@ -5561,60 +5636,116 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     operating point. The r10 flip was PRE-PROVEN at r9 close (full
     148-query sweep at seed 10, 148/148 green at sf0.01).
 
-    Round 10's window EXECUTES THE ROTATION the r9 verdict called for:
-    (1) FIRST DRIVER ROWS for the four r9 pytest-only operators —
-    corpus_heavy_hitters (exact heavy hitters via the one-sided Count-Min
-    prefilter, seeded min_count), layout_zorder_stats (Morton-interleave
-    file-skipping stats, seeded predicate), multimodal_gif_roundtrip
-    (variable-width-LZW GIF89a codec, every image now crossing the
-    9->10-bit boundary), corpus_ngram_novelty (per-doc corpus-unique
-    n-gram fraction) — new queries cannot legally enter the tail (the
-    green-tail invariant), so they occupy window slots; (2) three seeded
-    TPC-H canaries certify the ROUND_SEED=10 flip in-window; (3) the full
-    r04-green remainder (12 queries: corpus_bigram_logprob/bm25,
-    doc_winnow, embedding_quantize/kmeans/pq/semdedup,
-    events_cube/correlation, text_tfidf_keywords,
-    multimodal_embeddings/frames) and the r06-green corpus cohort (10
-    queries); (4) 21 of the 31 r07-green entries, oldest-first — the
-    remaining 10 r07 rows rotate in r11. When the round RESTARTED with
-    fresh turns, the new layout_hilbert_stats, layout_hilbert3_stats,
-    graph_redirect_resolve, dedup_weighted_minhash and ann_ivfpq_topk
-    rows took window slots (first driver rows; new queries cannot
-    legally enter the tail) and displaced multimodal_audio_features,
-    multimodal_image_hash, text_card_audit, text_langid and
-    text_readability (all r07-green) back to the tail, so 15 r07 rows
-    now rotate in r11. Every displaced entry is green
-    in CORRECTNESS_r09.json; after this round no registry entry's newest
-    green row is older than r07. Every entry past position 50 is GREEN in
-    some committed CORRECTNESS_r*.json (tests/test_registry.py asserts
-    the green-tail invariant mechanically over the union of all committed
-    rounds). ALL registered queries are benched by the driver every
-    round, and the full local sweep artifact for THIS round is
-    VERIFY_ALL_r10.json (tools/verify_local.py at HEAD, written as the
-    round's final act)."""
+    Round 11's window EXECUTES THE ROTATION the r10 verdict called for:
+    (1) FIRST DRIVER ROW for graph_canonicalize — canonical index keying
+    by terminal redirect target, the operator the crawl loop now runs at
+    upsert time (canonicalize_redirects) — with a seeded NON-power-of-two
+    hop budget so the green row also certifies this round's exact-budget
+    clamp fix; new queries cannot legally enter the tail (the green-tail
+    invariant), so it takes window slot 1. (2) ALL 15 rows whose newest
+    green row was r07 (the five displaced by the restarted r10's
+    first-row entries — multimodal_audio_features, multimodal_image_hash,
+    text_card_audit, text_langid, text_readability — plus the 10-row r07
+    remainder) re-certify under ROUND_SEED=11. (3) 34 of the 42 r08-green
+    rows: eight seeded TPC-H canaries certify the ROUND_SEED=11 flip
+    in-window, then the complete non-TPC-H r08 remainder (26 — the whole
+    dedup/sketch/multimodal-codec/graph/ann cohort, including the two
+    rows the r10 verdict flagged for bench drift, dedup_containment and
+    ann_ivf_recall_clustered, so their freshness is re-proven the same
+    round their solo reruns land in BASELINE.md). The remaining 8
+    r08-green TPC-H rows lead the r12 rotation and head the tail below.
+    After this round no registry entry's newest green row is older than
+    r08. Every entry past position 50 is GREEN in some committed
+    CORRECTNESS_r*.json (tests/test_registry.py asserts the green-tail
+    invariant mechanically over the union of all committed rounds). ALL
+    registered queries are benched by the driver every round, and the
+    full local sweep artifact for THIS round is VERIFY_ALL_r11.json
+    (tools/verify_local.py at HEAD, written as the round's final
+    act)."""
     return {
         # ---- driver correctness window (first 50) -------------------
-        # First driver rows for the four r9 pytest-only operators ------
+        # First driver row: canonical index keying by terminal redirect
+        # target (new this round; seeded non-power-of-two budget also
+        # certifies the exact-budget clamp) ----------------------------
+        "graph_canonicalize": q_graph_canonicalize,
+        # r07-green rotation: all 15 rows whose newest green row was r07
+        "multimodal_audio_features": q_multimodal_audio_features,
+        "multimodal_image_hash": q_multimodal_image_hash,
+        "text_card_audit": q_text_card_audit,
+        "text_langid": q_text_langid,
+        "text_readability": q_text_readability,
+        "ann_ivf_recall_clustered": q_ann_ivf_recall_clustered,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_recall": q_ann_recall,
+        "corpus_batches": q_corpus_batches,
+        "corpus_bpe_encode": q_corpus_bpe_encode,
+        "dedup_clusters_star": q_dedup_clusters_star,
+        "events_retention": rel.events_retention,
+        "graph_triangles": q_graph_triangles,
+        "sketch_hll_bigrams": q_sketch_hll_bigrams,
+        # Seed-flip canaries (8): seeded TPC-H shapes re-certify the
+        # ROUND_SEED=11 constants in-window --------------------------
+        "tpch_brand_revenue": rel.brand_revenue,
+        "tpch_important_stock": rel.important_stock,
+        "tpch_volume_shipping": rel.volume_shipping,
+        "tpch_product_profit": rel.product_profit,
+        "tpch_top_supplier": rel.top_supplier,
+        "tpch_dormant_customers": rel.dormant_customers,
+        "tpch_customer_distribution": rel.customer_order_distribution,
+        "tpch_waiting_suppliers": rel.waiting_suppliers,
+        # The complete non-TPC-H r08-green cohort (26) ----------------
+        "dedup_bloom_prefilter": q_dedup_bloom_prefilter,
+        "dedup_bloom_sharded": q_dedup_bloom_sharded,
+        "dedup_incremental": q_dedup_incremental,
+        "dedup_minhash_incremental": q_dedup_minhash_incremental,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_ngram_jaccard_capped": q_dedup_ngram_jaccard_capped,
+        "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
+        "dedup_containment": q_dedup_containment,
+        "status_snapshot_diff": q_status_snapshot_diff,
+        "dedup_shard_overlap": q_dedup_shard_overlap,
+        "sketch_hll_overlap": q_sketch_hll_overlap,
+        "multimodal_bmp_roundtrip": q_multimodal_bmp_roundtrip,
+        "multimodal_png_roundtrip": q_multimodal_png_roundtrip,
+        "multimodal_wav_roundtrip": q_multimodal_wav_roundtrip,
+        "sketch_countmin_terms": q_sketch_countmin_terms,
+        "corpus_dsir_sample": q_corpus_dsir_sample,
+        "graph_kcore": q_graph_kcore,
+        "corpus_weighted_sample": q_corpus_weighted_sample,
+        "link_trustrank": q_link_trustrank,
+        "ann_pq_adc": q_ann_pq_adc,
+        "graph_seed_distance": q_graph_seed_distance,
+        "ann_jl_recall": q_ann_jl_recall,
+        "ann_jl_recall_clustered": q_ann_jl_recall_clustered,
+        "frontier_rank_blend": q_frontier_rank_blend,
+        "events_decayed_rate": q_events_decayed_rate,
+        "frontier_host_health": q_frontier_host_health,
+        # ---- past the 50-entry driver window: ALL green in a committed
+        # CORRECTNESS_r*.json. The 8 deferred r08-green TPC-H rows head
+        # the tail and lead the r12 rotation; then the r10 window
+        # (all r10-green), then the r09-green remainder ----------------
+        "tpch_local_supplier_volume": rel.local_supplier_volume,
+        "tpch_priority_waiting": rel.order_priority_waiting,
+        "tpch_returned_customers": rel.returned_item_customers,
+        "tpch_small_qty_revenue": rel.small_quantity_revenue,
+        "tpch_large_volume_customers": rel.large_volume_customers,
+        "tpch_shipmode_priority": rel.shipmode_priority,
+        "tpch_supplier_part_counts": rel.supplier_part_counts,
+        "tpch_excess_inventory": rel.excess_inventory_suppliers,
+        # the r10 window (newest green r10) ---------------------------
         "corpus_heavy_hitters": q_corpus_heavy_hitters,
         "layout_zorder_stats": q_layout_zorder_stats,
         "multimodal_gif_roundtrip": q_multimodal_gif_roundtrip,
         "corpus_ngram_novelty": q_corpus_ngram_novelty,
-        # First driver rows for the restarted-r10 additions: the Hilbert
-        # layout twins (2-D FSM + d-dimensional Skilling) and
-        # pointer-doubling redirect resolution (new queries cannot
-        # legally enter the tail) --------------------------------------
         "layout_hilbert_stats": q_layout_hilbert_stats,
         "layout_hilbert3_stats": q_layout_hilbert3_stats,
         "graph_redirect_resolve": q_graph_redirect_resolve,
         "dedup_weighted_minhash": q_dedup_weighted_minhash,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
-        # Seed-flip canaries (3): seeded TPC-H shapes re-certify the
-        # ROUND_SEED=10 constants in-window; the other seeded entries
-        # ride their committed green rows in the tail ------------------
         "tpch_min_cost_supplier": rel.min_cost_supplier,
         "tpch_shipping_priority": rel.shipping_priority,
         "tpch_promo_revenue": rel.promo_revenue,
-        # Stalest cohort: the r04 remainder (newest green r04) ---------
         "corpus_bigram_logprob": q_corpus_bigram_logprob,
         "corpus_bm25": q_corpus_bm25,
         "doc_winnow": q_doc_winnow,
@@ -5627,7 +5758,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_embeddings": q_multimodal_embeddings,
         "multimodal_frames": q_multimodal_frames,
         "text_tfidf_keywords": q_text_tfidf_keywords,
-        # r06-green corpus cohort --------------------------------------
         "corpus_chunks": q_corpus_chunks,
         "corpus_clean_funnel": q_corpus_clean_funnel,
         "corpus_mix": q_corpus_mix,
@@ -5638,7 +5768,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stratified_sample": q_corpus_stratified_sample,
         "corpus_unigram_logprob": q_corpus_unigram_logprob,
         "corpus_vocab": q_corpus_vocab,
-        # r07-green entries, oldest-first (21 of 31; the rest r11) -----
         "ann_ivf_recall": q_ann_ivf_recall,
         "corpus_bpe_merges": q_corpus_bpe_merges,
         "corpus_pack_sequences": q_corpus_pack_sequences,
@@ -5655,18 +5784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_gap_fill": q_events_gap_fill,
         "events_range_join": q_events_range_join,
         "events_rollup": q_events_rollup,
-        # ---- past the 50-entry driver window: ALL green in a committed
-        # CORRECTNESS_r*.json (multimodal_audio_features,
-        # multimodal_image_hash, text_card_audit, text_langid and
-        # text_readability — all r07-green — were displaced by the
-        # restarted round's five new first-row entries and rejoin the
-        # r11 rotation with the other r07 rows; then the displaced r09
-        # window, the r08 cohort, and the rest) -------------------------
-        "multimodal_audio_features": q_multimodal_audio_features,
-        "multimodal_image_hash": q_multimodal_image_hash,
-        "text_card_audit": q_text_card_audit,
-        "text_langid": q_text_langid,
-        "text_readability": q_text_readability,
+        # the r09-green remainder -------------------------------------
         "tpch_pricing_summary": rel.pricing_summary,
         "tpch_forecast_revenue": rel.forecast_revenue,
         "tpch_market_share": rel.market_share,
@@ -5717,58 +5835,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_hits": q_link_hits,
         "text_quality": q_text_quality,
         "multimodal_resize": q_multimodal_resize,
-        "tpch_important_stock": rel.important_stock,
-        "tpch_supplier_part_counts": rel.supplier_part_counts,
-        "tpch_excess_inventory": rel.excess_inventory_suppliers,
-        "tpch_local_supplier_volume": rel.local_supplier_volume,
-        "tpch_priority_waiting": rel.order_priority_waiting,
-        "tpch_volume_shipping": rel.volume_shipping,
-        "tpch_product_profit": rel.product_profit,
-        "tpch_returned_customers": rel.returned_item_customers,
-        "tpch_customer_distribution": rel.customer_order_distribution,
-        "tpch_top_supplier": rel.top_supplier,
-        "tpch_small_qty_revenue": rel.small_quantity_revenue,
-        "tpch_large_volume_customers": rel.large_volume_customers,
-        "tpch_dormant_customers": rel.dormant_customers,
-        "tpch_shipmode_priority": rel.shipmode_priority,
-        "tpch_waiting_suppliers": rel.waiting_suppliers,
-        "tpch_brand_revenue": rel.brand_revenue,
-        "dedup_bloom_prefilter": q_dedup_bloom_prefilter,
-        "dedup_bloom_sharded": q_dedup_bloom_sharded,
-        "dedup_incremental": q_dedup_incremental,
-        "dedup_minhash_incremental": q_dedup_minhash_incremental,
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
-        "dedup_ngram_jaccard_capped": q_dedup_ngram_jaccard_capped,
-        "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
-        "dedup_containment": q_dedup_containment,
-        "status_snapshot_diff": q_status_snapshot_diff,
-        "dedup_shard_overlap": q_dedup_shard_overlap,
-        "sketch_hll_overlap": q_sketch_hll_overlap,
-        "multimodal_bmp_roundtrip": q_multimodal_bmp_roundtrip,
-        "multimodal_png_roundtrip": q_multimodal_png_roundtrip,
-        "multimodal_wav_roundtrip": q_multimodal_wav_roundtrip,
-        "sketch_countmin_terms": q_sketch_countmin_terms,
-        "corpus_dsir_sample": q_corpus_dsir_sample,
-        "graph_kcore": q_graph_kcore,
-        "corpus_weighted_sample": q_corpus_weighted_sample,
-        "link_trustrank": q_link_trustrank,
-        "ann_pq_adc": q_ann_pq_adc,
-        "graph_seed_distance": q_graph_seed_distance,
-        "ann_jl_recall": q_ann_jl_recall,
-        "ann_jl_recall_clustered": q_ann_jl_recall_clustered,
-        "frontier_rank_blend": q_frontier_rank_blend,
-        "events_decayed_rate": q_events_decayed_rate,
-        "frontier_host_health": q_frontier_host_health,
-        "ann_ivf_recall_clustered": q_ann_ivf_recall_clustered,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_recall": q_ann_recall,
-        "corpus_batches": q_corpus_batches,
-        "corpus_bpe_encode": q_corpus_bpe_encode,
-        "dedup_clusters_star": q_dedup_clusters_star,
-        "events_retention": rel.events_retention,
-        "graph_triangles": q_graph_triangles,
-        "sketch_hll_bigrams": q_sketch_hll_bigrams,
     }
 
 

@@ -46,6 +46,13 @@ ROUND LOG (bump + append a line each round):
       final HEAD: the full 157-query sweep ran at ROUND_SEED = 11
       (failures: 0 at sf0.01), so the r11 bump cannot surface a red
       row.
+  r11: ROUND_SEED = 11 — fourth flip, pre-proven at r10 close (see
+      above). New seeded params this round: canon_max_hops (a
+      deliberately non-power-of-two redirect budget, 5..12, so the
+      graph_canonicalize row certifies the exact-budget clamp) and
+      canon_cycle_base, both verified non-degenerate at sf0.01 before
+      registration. The r12 flip proof is recorded below when the
+      round closes.
 """
 
 from __future__ import annotations
@@ -53,7 +60,7 @@ from __future__ import annotations
 import hashlib
 from datetime import date, timedelta
 
-ROUND_SEED = 10
+ROUND_SEED = 11
 
 REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
 NATIONS = [f"NATION_{i}" for i in range(25)]
