@@ -290,6 +290,19 @@ class FrontierTable:
 
         if self.partition_by != "bucket":
             raise ValueError("compact requires partition_by='bucket'")
+        # validate curve UNCONDITIONALLY (r10 ADVICE: a typo'd curve, or
+        # curve="hilbert" with zorder=False, used to be silently ignored
+        # — the caller believed they configured clustering and got none)
+        if curve not in ("morton", "hilbert"):
+            raise ValueError(
+                f"compact: unknown curve {curve!r}"
+                " (expected 'morton' or 'hilbert')"
+            )
+        if curve != "morton" and not zorder:
+            raise ValueError(
+                f"compact: curve={curve!r} has no effect with zorder=False"
+                " — pass zorder=True to cluster, or drop the curve"
+            )
         threshold = (
             max(max_files_per_bucket, 2 * zorder_files_per_bucket)
             if zorder
@@ -344,14 +357,9 @@ class FrontierTable:
                 keyed = hilbert_key(
                     aug, ["__z_kh", "__z_nfd"], bits=zorder_bits
                 ).withColumnRenamed("hkey", "zkey")
-            elif curve == "morton":
+            else:  # "morton" — curve validated at entry
                 keyed = zorder_key(
                     aug, ["__z_kh", "__z_nfd"], bits=zorder_bits
-                )
-            else:
-                raise ValueError(
-                    f"compact: unknown curve {curve!r}"
-                    " (expected 'morton' or 'hilbert')"
                 )
             # range-partition on (bucket, zkey): each task holds one
             # contiguous zkey slice of one bucket (row-count balanced by

@@ -661,6 +661,25 @@ def test_compact_zorder_clusters_buckets_and_real_footers_prune(
     assert table.compact(spark, zorder=True, zorder_files_per_bucket=16) == v2
 
 
+def test_compact_validates_curve_unconditionally(spark, tmp_path):
+    """r10 ADVICE: compact() used to read `curve` only inside the
+    zorder=True branch, so a typo'd name — or a deliberate
+    curve="hilbert" with zorder=False — was silently ignored and the
+    caller got NO clustering and NO error. Both now raise at entry,
+    before any listing or data work."""
+    from incubator_stormcrawler_spark.streaming.frontier_table import (
+        FrontierTable,
+    )
+
+    table = FrontierTable(str(tmp_path / "t"), partition_by="bucket")
+    with pytest.raises(ValueError, match="unknown curve"):
+        table.compact(spark, zorder=False, curve="hilbrt")
+    with pytest.raises(ValueError, match="unknown curve"):
+        table.compact(spark, zorder=True, curve="zorder")
+    with pytest.raises(ValueError, match="no effect with zorder=False"):
+        table.compact(spark, zorder=False, curve="hilbert")
+
+
 def test_compact_hilbert_curve_clusters_and_prunes(spark, tmp_path):
     """compact(zorder=True, curve="hilbert"): the FSM Hilbert key in
     place of the Morton interleave. Same correctness contract checked
