@@ -54,14 +54,15 @@ def _time_query(fn, spark, sf_dir: str, runs: int) -> float:
     return best
 
 
-def _run_slice(sf_dir: str, lo: int, hi: int) -> dict:
+def _run_slice(sf_dir: str, lo: int, hi: int, only: list | None = None) -> dict:
     """Time queries [lo, hi) of the registry in THIS process's JVM and
-    return {timings, loads, loads_after, post_hot}. Extracted so the
-    orchestrator can run each slice in a FRESH subprocess: the r9 bench
-    found ~4x inflation on late-position queries after ~110 queries in
-    one JVM (solo reruns were normal — cumulative codegen/metaspace/
+    return {timings, loads, loads_after, post_hot, chunk_meta}. Extracted
+    so the orchestrator can run each slice in a FRESH subprocess: the r9
+    bench found ~4x inflation on late-position queries after ~110 queries
+    in one JVM (solo reruns were normal — cumulative codegen/metaspace/
     block-manager state, not the operators), so cross-query JVM state is
-    now bounded by the chunk size instead of the registry size."""
+    now bounded by the chunk size instead of the registry size. ``only``
+    restricts the slice to the named queries (the sentinel re-run)."""
     import gc
     import math
     import multiprocessing
@@ -69,6 +70,8 @@ def _run_slice(sf_dir: str, lo: int, hi: int) -> dict:
     import __spark_entry__ as e
     from incubator_stormcrawler_spark.session import get_spark
 
+    t_slice0 = time.time()
+    load_slice0 = os.getloadavg()[0]
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     # Untimed per-chunk warmup (r10, from the r9 verdict): the chunked
@@ -96,6 +99,24 @@ def _run_slice(sf_dir: str, lo: int, hi: int) -> dict:
     spark.catalog.clearCache()
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    items = list(e.queries().items())[lo:hi]
+    if only is not None:
+        wanted = set(only)
+        items = [kv for kv in list(e.queries().items()) if kv[0] in wanted]
+    # r10 verdict item 5: the generic warmup above exercises engine
+    # SUBSYSTEMS but not the first timed query's own planning/codegen
+    # profile — three of r10's >=2x drift rows still sat at chunk
+    # offsets 0-1 (tpch_brand_revenue 2.47x at offset 0). Run the
+    # chunk's FIRST registered query once UNTIMED so the first timed row
+    # measures the operator, not its codegen cold start.
+    t_w0 = time.time()
+    if items:
+        try:
+            items[0][1](spark, sf_dir).count()
+        except Exception:
+            pass  # the timed loop reports the failure with its sentinel
+        spark.catalog.clearCache()
+    warmup_first_sec = round(time.time() - t_w0, 3)
     timings: dict[str, float] = {}
     loads: dict[str, float] = {}
     loads_after: dict[str, float] = {}
@@ -112,7 +133,6 @@ def _run_slice(sf_dir: str, lo: int, hi: int) -> dict:
     ncpu = float(os.environ.get(
         "SPARK_GRAFT_CPUS", multiprocessing.cpu_count()))
     post_hot: list[str] = []
-    items = list(e.queries().items())[lo:hi]
     for name, fn in items:
         try:
             q_load = None
@@ -164,6 +184,18 @@ def _run_slice(sf_dir: str, lo: int, hi: int) -> dict:
         "loads": loads,
         "loads_after": loads_after,
         "post_hot": post_hot,
+        # r10 verdict item 4: the drift DENOMINATOR. r10's uniform 1.21x
+        # fleet drift could only be attributed (environment vs operators)
+        # by cross-referencing two rounds' artifacts by hand; per-chunk
+        # wall + boundary loads let the next round's judge read it off.
+        "chunk_meta": {
+            "slice": f"{lo}:{hi}" if only is None else "sentinel",
+            "n_queries": len(items),
+            "wall_sec": round(time.time() - t_slice0, 3),
+            "warmup_first_sec": warmup_first_sec,
+            "load_1m_start": round(load_slice0, 2),
+            "load_1m_end": round(os.getloadavg()[0], 2),
+        },
     }
 
 
@@ -173,8 +205,10 @@ def main() -> None:
     # child mode: run one registry slice in this (fresh) JVM
     sl = os.environ.get("SPARK_GRAFT_BENCH_SLICE")
     if sl:
+        only_env = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+        only = only_env.split(",") if only_env else None
         lo, hi = (int(x) for x in sl.split(":"))
-        out = _run_slice(sf_dir, lo, hi)
+        out = _run_slice(sf_dir, lo, hi, only=only)
         with open(os.environ["SPARK_GRAFT_BENCH_OUT"], "w") as fh:
             json.dump(out, fh)
         return
@@ -189,10 +223,12 @@ def main() -> None:
     loads: dict[str, float] = {}
     loads_after: dict[str, float] = {}
     post_hot: list[str] = []
+    chunks_meta: list[dict] = []
     if chunk <= 0:
         res = _run_slice(sf_dir, 0, len(names))
         timings, loads = res["timings"], res["loads"]
         loads_after, post_hot = res["loads_after"], res["post_hot"]
+        chunks_meta.append(res.get("chunk_meta", {}))
     else:
         import subprocess
         import tempfile
@@ -219,6 +255,7 @@ def main() -> None:
                 loads.update(res["loads"])
                 loads_after.update(res["loads_after"])
                 post_hot.extend(res["post_hot"])
+                chunks_meta.append(res.get("chunk_meta", {}))
             except (OSError, json.JSONDecodeError) as ex:
                 print(f"bench: slice {lo}:{hi} output unreadable: {ex}",
                       file=sys.stderr)
@@ -231,6 +268,48 @@ def main() -> None:
                 except OSError:
                     pass
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+
+    # Sentinel solo re-run (r10 verdict item 4): a FIXED, unseeded,
+    # sub-second 10-query subset re-timed in its own fresh JVM at the
+    # very end of the run. Cross-round comparison of these rows isolates
+    # environment drift (run-time load, JVM/OS state) from operator
+    # changes — r10's uniform 1.21x fleet drift had no such denominator.
+    # The list is part of the artifact contract: do not edit casually.
+    sentinel_queries = [
+        "frontier_topk", "frontier_next_generation",
+        "frontier_status_counts", "status_merge_counts",
+        "url_partition_keys", "seeds_parse", "text_quality",
+        "events_rate_10s", "indexer_projection", "multimodal_resize",
+    ]
+    sentinel: dict = {}
+    if not os.environ.get("SPARK_GRAFT_SKIP_SENTINEL"):
+        import subprocess
+        import tempfile
+
+        with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
+            out_path = tf.name
+        env = dict(os.environ)
+        env["SPARK_GRAFT_BENCH_SLICE"] = "0:0"
+        env["SPARK_GRAFT_BENCH_ONLY"] = ",".join(sentinel_queries)
+        env["SPARK_GRAFT_BENCH_OUT"] = out_path
+        rc = subprocess.call(
+            [sys.executable, os.path.abspath(__file__)], env=env
+        )
+        try:
+            with open(out_path) as fh:
+                res = json.load(fh)
+            sentinel = {
+                "queries": res["timings"],
+                "chunk_meta": res.get("chunk_meta", {}),
+            }
+        except (OSError, json.JSONDecodeError) as ex:
+            print(f"bench: sentinel run unreadable (rc={rc}): {ex}",
+                  file=sys.stderr)
+        finally:
+            try:
+                os.unlink(out_path)
+            except OSError:
+                pass
 
     # BASELINE.md operator workloads (frontier/merge vs DuckDB, normalize +
     # parse throughput) — skippable via SPARK_GRAFT_SKIP_BASELINES=1.
@@ -279,6 +358,8 @@ def main() -> None:
         "n_hot_queries": sum(1 for v in loads.values() if v > LOAD_GATE),
         "n_post_hot_queries": len(post_hot),
         "post_hot_queries": post_hot,
+        "chunks": chunks_meta,
+        "sentinel": sentinel,
     }
     if baselines:
         print("baselines: " + json.dumps(baselines, separators=(",", ":")),
