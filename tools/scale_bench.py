@@ -885,6 +885,113 @@ def weighted_minhash_main():
     print(f"merged weighted_minhash into {path}")
 
 
+def curve_corpus_cluster(spark, tmp, sizes):
+    """write_clustered_corpus cost + real-footer skip ratio vs the
+    natural write at every size: synthetic documents with 64 skewed
+    sources (md5 residue), 8 langs, n_chars 0..999. The scan is the
+    maintenance shape the consumer exists for — ONE source + a length
+    band — plus the same predicate against the natural doc_id-ordered
+    layout. Claim: a flat-ish rewrite multiple over the natural write
+    and a majority footer-skip ratio at every size (the string dim
+    prunes because the lex dense index, not a hash, ordered the
+    cells)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from incubator_stormcrawler_spark.operators.layout import (
+        write_clustered_corpus,
+    )
+
+    def skip(d):
+        p = t = 0
+        for f in glob.glob(f"{d}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            if md.num_rows == 0:
+                continue
+            t += 1
+            mm: dict = {}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    c = g.column(ci)
+                    k = c.path_in_schema
+                    lo, hi = c.statistics.min, c.statistics.max
+                    mm[k] = (
+                        (min(mm[k][0], lo), max(mm[k][1], hi))
+                        if k in mm
+                        else (lo, hi)
+                    )
+            if (
+                ("src07" < mm["source"][0] or "src07" > mm["source"][1])
+                or mm["n_chars"][1] < 300
+                or mm["n_chars"][0] > 500
+            ):
+                p += 1
+        return p, t
+
+    out = []
+    for n in sizes:
+        docs = spark.range(n).selectExpr(
+            "id as doc_id",
+            "concat('src', lpad(cast(cast(conv(substr(md5(cast(id as"
+            " string)), 1, 8), 16, 10) as bigint) % 64 as string), 2,"
+            " '0')) as source",
+            "element_at(array('en','de','es','fr','zh','ru','pt','ja'),"
+            " cast(id % 8 as int) + 1) as lang",
+            "cast(conv(substr(md5(cast(id as string)), 9, 8), 16, 10) as"
+            " bigint) % 1000 as n_chars",
+        )
+        nat, hil = f"{tmp}/nat{n}", f"{tmp}/hil{n}"
+        _clean(spark)
+        t_nat = timed(
+            lambda: docs.repartition(64)
+            .write.mode("overwrite")
+            .parquet(nat),
+            warmup=(n == sizes[0]),
+        )
+        _clean(spark)
+        t_hil = timed(
+            lambda: write_clustered_corpus(
+                docs, ["source", "lang", "n_chars"], hil,
+                n_files=64, bits=6,
+            )
+        )
+        pc, tc = skip(hil)
+        pn, tn = skip(nat)
+        out.append({
+            "rows": n,
+            "sec": round(t_hil, 2),
+            "natural_sec": round(t_nat, 2),
+            "multiple": round(t_hil / t_nat, 2),
+            "skip_clustered": f"{pc}/{tc}",
+            "skip_natural": f"{pn}/{tn}",
+            "rows_per_sec": int(n / t_hil),
+        })
+        print(f"   {out[-1]}", flush=True)
+    return out
+
+
+def corpus_cluster_main():
+    """`--corpus-cluster`: clustered corpus-shard write cost + footer
+    skip vs natural, merged as corpus_cluster_write."""
+    from incubator_stormcrawler_spark.session import get_spark
+
+    spark = get_spark("scale-bench-corpus-cluster")
+    spark.sparkContext.setLogLevel("ERROR")
+    tmp = tempfile.mkdtemp(prefix="scale_bench_ccluster_")
+    try:
+        pts = curve_corpus_cluster(
+            spark, tmp, [1_000_000, 4_000_000, 16_000_000]
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    entry = {"points": pts, "alpha": alpha(pts)}
+    print(f"## corpus_cluster_write: alpha={entry['alpha']}", flush=True)
+    path = merge_scaling({"corpus_cluster_write": entry})
+    print(f"merged corpus_cluster_write into {path}")
+
+
 def redirect_main():
     """`--redirect`: pointer-doubling chain resolution cost curve,
     merged as redirect_resolve."""
@@ -1759,6 +1866,9 @@ def main():
         return
     if "--crawl-full-stack" in sys.argv:
         full_stack_crawl_main()
+        return
+    if "--corpus-cluster" in sys.argv:
+        corpus_cluster_main()
         return
     if "--zorder" in sys.argv:
         zorder_main()
