@@ -2352,9 +2352,9 @@ _ORACLES: dict[str, str] = {}
 _ORACLES["tpch_pricing_summary"] = f"""
 SELECT l_returnflag, l_linestatus,
   round(sum(l_quantity), 2) AS sum_qty,
-  round(sum(l_extendedprice), 2) AS sum_base_price,
-  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
+  CAST(round(sum((CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))), 2) AS DOUBLE) AS sum_disc_price,
+  CAST(round(sum((CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))), 2) AS DOUBLE) AS sum_charge,
   round(avg(l_quantity), 6) AS avg_qty,
   round(avg(l_discount), 6) AS avg_disc,
   count(*) AS count_order
@@ -2364,7 +2364,7 @@ GROUP BY l_returnflag, l_linestatus
 
 _ORACLES["tpch_shipping_priority"] = f"""
 SELECT l_orderkey, o_orderdate, o_orderpriority,
-  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  CAST(round(sum((CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -2376,7 +2376,7 @@ ORDER BY revenue DESC, l_orderkey LIMIT 10
 """
 
 _ORACLES["tpch_local_supplier_volume"] = f"""
-SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT n_name, CAST(round(sum((CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -2388,7 +2388,7 @@ GROUP BY n_name
 """
 
 _ORACLES["tpch_forecast_revenue"] = f"""
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(3,2))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '{RP['q6_start']} 00:00:00'
   AND l_shipdate < TIMESTAMP '{RP['q6_end']} 00:00:00'
@@ -2407,7 +2407,7 @@ SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
 
 _ORACLES["customer_value_bands"] = """
 WITH per_cust AS (
-  SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spend,
+  SELECT o_custkey, CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_spend,
          count(*) AS num_orders
   FROM orders GROUP BY o_custkey
 )
@@ -2415,7 +2415,7 @@ SELECT CASE WHEN total_spend >= 1000000 THEN 'platinum'
             WHEN total_spend >= 300000 THEN 'gold'
             ELSE 'standard' END AS band,
        count(*) AS num_customers,
-       round(avg(total_spend), 2) AS avg_spend
+       round(CAST(sum(CAST(total_spend AS DECIMAL(18,2))) AS DOUBLE) / count(*), 2) AS avg_spend
 FROM per_cust WHERE num_orders >= 2 GROUP BY 1
 """
 
@@ -4531,18 +4531,18 @@ GROUP BY doc_id
 """
 
 _ORACLES["tpch_promo_revenue"] = f"""
-SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
-                              THEN l_extendedprice * (1.0 - l_discount)
-                              ELSE 0.0 END)
-             / sum(l_extendedprice * (1.0 - l_discount)), 4) AS promo_pct,
-       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue
+SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                              THEN (CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+                              ELSE 0 END) AS DOUBLE)
+             / CAST(sum((CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))) AS DOUBLE), 4) AS promo_pct,
+       CAST(round(sum((CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))), 2) AS DOUBLE) AS total_revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '{RP['q14_start']}'
   AND l_shipdate < TIMESTAMP '{RP['q14_end']}'
 """
 
 _ORACLES["tpch_brand_revenue"] = f"""
-SELECT p_brand, round(sum(l_extendedprice * (1.0 - l_discount)), 2)
+SELECT p_brand, CAST(round(sum((CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))), 2) AS DOUBLE)
          AS revenue,
        count(*) AS n_lines
 FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -4609,11 +4609,11 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 
 _ORACLES["tpch_volume_shipping"] = f"""
 SELECT supp_nation, cust_nation, l_year,
-       round(sum(volume), 2) AS revenue
+       CAST(round(sum(volume), 2) AS DOUBLE) AS revenue
 FROM (
   SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
          year(l_shipdate) AS l_year,
-         l_extendedprice * (1.0 - l_discount) AS volume
+         (CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS volume
   FROM lineitem
   JOIN orders ON l_orderkey = o_orderkey
   JOIN supplier ON l_suppkey = s_suppkey
@@ -4631,11 +4631,11 @@ ORDER BY supp_nation, cust_nation, l_year
 
 _ORACLES["tpch_market_share"] = f"""
 SELECT year(o_orderdate) AS o_year,
-       round(sum(CASE WHEN sn.n_name = '{RP['q8_nation']}'
-                      THEN l_extendedprice * (1.0 - l_discount)
-                      ELSE 0.0 END)
-             / sum(l_extendedprice * (1.0 - l_discount)), 4) AS mkt_share,
-       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue
+       round(CAST(sum(CASE WHEN sn.n_name = '{RP['q8_nation']}'
+                      THEN (CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+                      ELSE 0 END) AS DOUBLE)
+             / CAST(sum((CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))) AS DOUBLE), 4) AS mkt_share,
+       CAST(round(sum((CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))), 2) AS DOUBLE) AS total_revenue
 FROM lineitem
 JOIN part ON l_partkey = p_partkey AND p_type = '{RP['q8_type']}'
 JOIN orders ON l_orderkey = o_orderkey
@@ -4668,7 +4668,7 @@ _ORACLES["tpch_returned_customers"] = f"""
 SELECT c_custkey, c_name, revenue,
        round(c_acctbal, 2) AS c_acctbal, n_name
 FROM (
-  SELECT o_custkey, round(sum(l_extendedprice * (1.0 - l_discount)), 2)
+  SELECT o_custkey, CAST(round(sum((CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))), 2) AS DOUBLE)
            AS revenue
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   WHERE l_returnflag = 'R'
@@ -4693,7 +4693,7 @@ GROUP BY c_count ORDER BY custdist DESC, c_count DESC
 
 _ORACLES["tpch_top_supplier"] = f"""
 WITH per_supp AS (
-  SELECT l_suppkey, round(sum(l_extendedprice * (1.0 - l_discount)), 2)
+  SELECT l_suppkey, CAST(round(sum((CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))), 2) AS DOUBLE)
            AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '{RP['q15_start']}'
@@ -4715,7 +4715,7 @@ WITH brand_lines AS (
   SELECT l_partkey AS ap, {RP['q17_frac']} * avg(l_quantity) AS qty_threshold
   FROM brand_lines GROUP BY l_partkey
 )
-SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 2) AS avg_yearly,
        count(*) AS n_lines
 FROM brand_lines JOIN thresholds ON l_partkey = ap
 WHERE l_quantity < qty_threshold
@@ -4736,10 +4736,11 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
 
 _ORACLES["tpch_dormant_customers"] = f"""
 SELECT n_name, count(*) AS numcust,
-       round(sum(c_acctbal), 2) AS totacctbal
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS totacctbal
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
-WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
+                            AS DOUBLE) / count(*) FROM customer
                    WHERE c_acctbal > 0.0)
   AND NOT EXISTS (SELECT 1 FROM orders
                   WHERE o_custkey = c_custkey

@@ -24,6 +24,48 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# --- exact money arithmetic (r11, the float-summation-order class) ------
+# The driver's money columns (l_extendedprice, l_discount, l_tax,
+# o_totalprice, c_acctbal) are 2-decimal values stored as doubles. A SUM
+# of doubles is ORDER-DEPENDENT in its low bits, and Spark's partial
+# aggregation visits rows in a different order than DuckDB, so
+# round(sum(...), 2) can land on opposite sides of a half-cent boundary —
+# the r11 seed-12 pre-proof tripped exactly this on the Q10 shape (one
+# customer's revenue rounded to a different cent in the two engines).
+# Casting each operand to DECIMAL before the aggregate makes the sum
+# EXACT and order-independent in both engines at any scale: Spark widens
+# sum(decimal) precision by 10 and DuckDB goes to DECIMAL(38,s), so
+# 10^9-row sums don't overflow where a bigint-cents encoding would.
+# Outputs cast back to double (the registry's DESCRIBE sweep rejects
+# DECIMAL output columns). product_profit's integer-cents encoding is the
+# same idea with a narrower range; these helpers are the general form.
+def _money(col):
+    """A 2-decimal money column as an exact decimal."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("decimal(18,2)")
+
+
+def _pct(col):
+    """A 2-decimal rate in [0,1) (discount/tax) as an exact decimal."""
+    return F.col(col).cast("decimal(3,2)")
+
+
+def _rev_exact():
+    """l_extendedprice * (1 - l_discount), exact (scale 4)."""
+    return _money("l_extendedprice") * (
+        F.lit(1).cast("decimal(3,2)") - _pct("l_discount")
+    )
+
+
+def _dsum(expr, scale: int = 2):
+    """Exact decimal sum surfaced as a rounded double. Round the DECIMAL
+    FIRST, then cast: both engines round decimals half-away-from-zero
+    (probed), while rounding the double detour diverges on half-cent
+    boundaries (Spark rounds the shortest decimal rendering, DuckDB the
+    binary value — an exact ...595 sum came back 307843.60 vs .59)."""
+    return F.round(F.sum(expr), scale).cast("double")
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events table with a true TIMESTAMP ``ts``.
 
@@ -51,16 +93,16 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shuffle moves O(#groups) rows per partition at any scale.
     """
     li = _t(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    disc_price = _rev_exact()
+    charge = disc_price * (F.lit(1).cast("decimal(3,2)") + _pct("l_tax"))
     return (
         li.where(F.col("l_shipdate") <= F.lit(RP["q1_cutoff"]))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
+            _dsum(_money("l_extendedprice")).alias("sum_base_price"),
+            _dsum(disc_price).alias("sum_disc_price"),
+            _dsum(charge).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
@@ -83,7 +125,7 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") > RP["q3_date"]
     )
-    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    revenue = F.sum(_rev_exact())
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
@@ -92,7 +134,7 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
             "o_orderpriority",
         )
-        .agg(F.round(revenue, 2).alias("revenue"))
+        .agg(F.round(revenue, 2).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
     )
@@ -108,7 +150,7 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     supp = _t(spark, sf_dir, "supplier")
-    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    revenue = F.sum(_rev_exact())
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
@@ -118,7 +160,7 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .where(F.col("r_name").isin(*RP["q5_regions"]))
         .groupBy("n_name")
-        .agg(F.round(revenue, 2).alias("revenue"))
+        .agg(F.round(revenue, 2).cast("double").alias("revenue"))
     )
 
 
@@ -135,7 +177,7 @@ def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < RP["q6_qty"])
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            _dsum(_money("l_extendedprice") * _pct("l_discount")).alias(
                 "revenue"
             )
         )
@@ -160,7 +202,7 @@ def customer_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregation + HAVING + CASE banding over a join."""
     orders = _t(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
-        F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        _dsum(_money("o_totalprice")).alias("total_spend"),
         F.count(F.lit(1)).alias("num_orders"),
     )
     band = (
@@ -174,7 +216,14 @@ def customer_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band")
         .agg(
             F.count(F.lit(1)).alias("num_customers"),
-            F.round(F.avg("total_spend"), 2).alias("avg_spend"),
+            # total_spend values are cent-exact; summing them as DECIMAL
+            # keeps the average's dividend identical in both engines
+            F.round(
+                F.sum(F.col("total_spend").cast("decimal(18,2)"))
+                .cast("double")
+                / F.count(F.lit(1)),
+                2,
+            ).alias("avg_spend"),
         )
     )
 
@@ -324,7 +373,8 @@ def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     the joined stream, no second pass."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    rev = _rev_exact()
+    zero = F.lit(0).cast("decimal(22,4)")
     return (
         li.where(
             (F.col("l_shipdate") >= RP["q14_start"])
@@ -335,12 +385,12 @@ def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.lit(100.0)
                 * F.sum(
-                    F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)
-                )
-                / F.sum(rev),
+                    F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)
+                ).cast("double")
+                / F.sum(rev).cast("double"),
                 4,
             ).alias("promo_pct"),
-            F.round(F.sum(rev), 2).alias("total_revenue"),
+            _dsum(rev).alias("total_revenue"),
         )
     )
 
@@ -353,7 +403,7 @@ def brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    rev = _rev_exact()
     brands = RP["q19_brands"]
     qlos, qhis = RP["q19_qty_los"], RP["q19_qty_his"]
     sizes = RP["q19_sizes"]
@@ -375,7 +425,7 @@ def brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(cond)
         .groupBy("p_brand")
         .agg(
-            F.round(F.sum(rev), 2).alias("revenue"),
+            _dsum(rev).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
         .orderBy("p_brand")
@@ -524,7 +574,7 @@ def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust_n = _t(spark, sf_dir, "customer").join(
         F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
     ).select("c_custkey", F.col("n_name").alias("cust_nation"))
-    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    rev = _rev_exact()
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
@@ -538,7 +588,7 @@ def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_nation",
             F.year("l_shipdate").alias("l_year"),
         )
-        .agg(F.round(F.sum(rev), 2).alias("revenue"))
+        .agg(_dsum(rev).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -570,7 +620,8 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("c_custkey")
     )
-    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    rev = _rev_exact()
+    zero = F.lit(0).cast("decimal(22,4)")
     return (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -581,14 +632,14 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(
                 F.sum(
-                    F.when(F.col("supp_nation") == RP["q8_nation"], rev).otherwise(
-                        0.0
-                    )
-                )
-                / F.sum(rev),
+                    F.when(
+                        F.col("supp_nation") == RP["q8_nation"], rev
+                    ).otherwise(zero)
+                ).cast("double")
+                / F.sum(rev).cast("double"),
                 4,
             ).alias("mkt_share"),
-            F.round(F.sum(rev), 2).alias("total_revenue"),
+            _dsum(rev).alias("total_revenue"),
         )
         .orderBy("o_year")
     )
@@ -650,11 +701,10 @@ def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < RP["q10_end"])
     )
     li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
-    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     per_cust = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_custkey")
-        .agg(F.round(F.sum(rev), 2).alias("revenue"))
+        .agg(_dsum(_rev_exact()).alias("revenue"))
     )
     return (
         per_cust.join(
@@ -706,9 +756,9 @@ def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < RP["q15_end"])
     )
     supp = _t(spark, sf_dir, "supplier")
-    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    rev = _rev_exact()
     per_supp = li.groupBy("l_suppkey").agg(
-        F.round(F.sum(rev), 2).alias("total_revenue")
+        _dsum(rev).alias("total_revenue")
     )
     mx = per_supp.agg(F.max("total_revenue").alias("mx"))
     return (
@@ -748,7 +798,9 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
-            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.round(
+                F.sum(_money("l_extendedprice")).cast("double") / 7.0, 2
+            ).alias("avg_yearly"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -794,7 +846,10 @@ def dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate") >= RP["q22_cutoff"]
     ).select("o_custkey")
     avg_bal = cust.where(F.col("c_acctbal") > 0.0).agg(
-        F.avg("c_acctbal").alias("avg_bal")
+        (
+            F.sum(_money("c_acctbal")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_bal")
     )
     return (
         cust.join(F.broadcast(avg_bal))
@@ -804,7 +859,7 @@ def dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            _dsum(_money("c_acctbal")).alias("totacctbal"),
         )
         .orderBy("n_name")
     )

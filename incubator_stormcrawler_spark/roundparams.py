@@ -51,8 +51,18 @@ ROUND LOG (bump + append a line each round):
       deliberately non-power-of-two redirect budget, 5..12, so the
       graph_canonicalize row certifies the exact-budget clamp) and
       canon_cycle_base, both verified non-degenerate at sf0.01 before
-      registration. The r12 flip proof is recorded below when the
-      round closes.
+      registration. The r12 flip is PRE-PROVEN: the full 158-query
+      sweep ran at ROUND_SEED = 12 (158/158 green at sf0.01) — and the
+      FIRST attempt of that proof surfaced a real cross-engine
+      landmine: seed 12's q10 quarter produced a customer revenue whose
+      exact sum ends in a half cent (…’595), and round(sum(double), 2)
+      rounded it to different cents in the two engines (Spark rounds
+      the shortest decimal rendering, DuckDB the binary value). The
+      whole money-aggregate family now sums EXACT DECIMALs and rounds
+      the decimal before casting to double (relational.py `_money` /
+      `_rev_exact` / `_dsum`), killing the float-summation-order class
+      that had survived four seed flips on luck; the seed-12 sweep was
+      re-run green after the fix.
 """
 
 from __future__ import annotations
