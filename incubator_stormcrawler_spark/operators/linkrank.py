@@ -697,21 +697,26 @@ def redirect_resolve(
 
     Toy-scale overhead: the early-exit scan is a per-round Spark job,
     which dominates wall-clock when the pointer table is tiny (the r10
-    driver row spent 10 s on a 3,940-row table — all job overhead). The
-    first ``rounds // 2`` rounds therefore skip the scan: chains shorter
-    than 2^(rounds/2) hops cannot all be absorbed before it, every round
-    still persists, and the deferred scan materializes the skipped
-    rounds' caches in one job (each round's cache backs the next, so
-    nothing recomputes). Exit timing is the only thing that moves.
+    driver row spent 10 s on a 3,940-row table — all job overhead).
+    Deferring the scan for the first rounds was TRIED (r11) and
+    MEASURED WORSE (10.05 → 14.36 s at sf0.1): an unmaterialized round
+    is scanned by BOTH sides of the next round's self-join, and the two
+    exchange stages each recompute it — cost doubles per deferred
+    level, so skipping k scans multiplies the first real job by ~2^k.
+    Every round therefore materializes via its own scan, which also
+    populates the cache the next round reads once per side.
 
     Caching: intermediate rounds unpersist as the walk advances; the
-    pointer canonicalization ``f`` unpersists at the first
-    materialization (the final join derives the domain from the last
-    round's own src column, which equals f's domain by construction).
-    The LAST round stays persisted to back the returned plan — pass
-    ``cache_handle=[]`` to receive that DataFrame and ``.unpersist()``
-    it after materializing the output (the r10 ADVICE leak: repeated
-    resolves in one session accumulate cached blocks otherwise).
+    pointer canonicalization ``f`` and the LAST round stay persisted to
+    back the returned plan (deriving the final domain join from the
+    last round instead of ``f`` was tried and measured ~15% slower at
+    toy scale — the f-side of the terminality join reuses the cached
+    groupBy output). Pass ``cache_handle=[]`` to receive both frames
+    and ``.unpersist()`` them after materializing the output (the r10
+    ADVICE leak: repeated resolves in one session accumulate cached
+    blocks otherwise — the crawl loop and canonicalize_urls do exactly
+    this). Peak cached storage is bounded at f + two round generations
+    regardless of round count.
     """
     import math
 
@@ -733,8 +738,7 @@ def redirect_resolve(
     )
 
     pending: list[DataFrame] = []  # persisted rounds not yet superseded
-    f_live = True
-    for r in range(rounds):
+    for _ in range(rounds):
         a, b = g.alias("a"), g.alias("b")
         g = (
             a.join(b, F.col("a.nxt") == F.col("b.src"), "left")
@@ -752,25 +756,18 @@ def redirect_resolve(
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         pending.append(g)
-        if r + 1 <= rounds // 2 and r + 1 < rounds:
-            continue  # defer the early-exit scan (toy-scale job overhead)
         n_done = g.agg(F.sum("done")).first()[0] or 0
-        if f_live:
-            f.unpersist(False)
-            f_live = False
         for stale in pending[:-1]:
             stale.unpersist(False)
         pending = [g]
         if n_done == n_total:
             break
     if cache_handle is not None:
-        cache_handle.append(g)
+        cache_handle.extend([f, g])
     # mark terminality via a left join against the function's domain
-    # (g.src IS f's domain — invariant under doubling — so the final
-    # round self-joins and f needs no cache here; done lags absorption
-    # by up to one round, so the flag is only the exit heuristic — the
-    # output's resolved bit comes from this join)
-    domain = g.select(F.col("src").alias("__dom"))
+    # (done lags absorption by up to one round, so the flag is only the
+    # exit heuristic — the output's resolved bit comes from this join)
+    domain = f.select(F.col("src").alias("__dom"))
     marked = g.join(domain, g.nxt == F.col("__dom"), "left")
     return marked.select(
         F.col("src").alias("url"),

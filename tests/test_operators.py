@@ -1320,9 +1320,10 @@ def test_redirect_resolve_clamps_budget_to_exact_max_hops(spark, duck):
 
 def test_redirect_resolve_cache_handle_and_no_leaked_storage(spark):
     """Cache hygiene (r10 ADVICE): after materializing the output, the
-    ONLY persisted frame left behind is the final round's pointer table,
-    and it is surfaced through cache_handle so the caller can release
-    it — unpersisting it leaves zero cached RDDs from the resolve."""
+    only persisted frames left behind are the pointer canonicalization
+    and the final round (bounded — never per-round accumulation), and
+    both are surfaced through cache_handle so the caller can release
+    them — unpersisting them leaves zero cached RDDs from the resolve."""
     from incubator_stormcrawler_spark.operators.linkrank import (
         redirect_resolve,
     )
@@ -1334,12 +1335,13 @@ def test_redirect_resolve_cache_handle_and_no_leaked_storage(spark):
     handle = []
     out = redirect_resolve(df, max_hops=32, cache_handle=handle)
     assert out.count() == 19
-    assert len(handle) == 1
+    assert len(handle) == 2  # f + the final round, nothing else
     leaked = {
         rid for rid, _ in sc._jsc.getPersistentRDDs().items()
     } - before
-    assert len(leaked) <= 1  # the final round only — f and rounds freed
-    handle[0].unpersist(True)
+    assert len(leaked) <= 2  # intermediate rounds all freed
+    for cached in handle:
+        cached.unpersist(True)
     leaked = {
         rid for rid, _ in sc._jsc.getPersistentRDDs().items()
     } - before
