@@ -432,7 +432,19 @@ def q_graph_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"cast({cyc} + id as bigint) as src",
         f"cast({cyc} + (id + 1) % 3 as bigint) as dst",
     )
-    return redirect_resolve(chains.unionByName(cycle), max_hops=64)
+    # r11 ADVICE leak fix: the resolve's rounds already RAN eagerly (the
+    # early-exit scans), and the returned plan is backed by the persisted
+    # f + final round. Unpersisting those before materialization would
+    # recompute the whole doubling cascade (2^rounds — the scan-deferral
+    # lesson), so materialize ONCE into local checkpoint blocks, then
+    # release the caches; the driver/bench count reads the checkpoint.
+    handle: list = []
+    out = redirect_resolve(
+        chains.unionByName(cycle), max_hops=64, cache_handle=handle
+    ).localCheckpoint(eager=True)
+    for cached in handle:
+        cached.unpersist(False)
+    return out
 
 
 def q_graph_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -479,9 +491,16 @@ def q_graph_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"'u' || cast({cyc} + id as string) as src",
         f"'u' || cast({cyc} + (id + 1) % 3 as string) as dst",
     )
-    return canonicalize_urls(
-        docs, chains.unionByName(cycle), max_hops=budget
-    )
+    # same leak discipline as q_graph_redirect_resolve: materialize once
+    # into local checkpoint blocks, then release the resolve's caches
+    handle: list = []
+    out = canonicalize_urls(
+        docs, chains.unionByName(cycle), max_hops=budget,
+        cache_handle=handle,
+    ).localCheckpoint(eager=True)
+    for cached in handle:
+        cached.unpersist(False)
+    return out
 
 
 def q_events_decayed_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2415,7 +2434,7 @@ SELECT CASE WHEN total_spend >= 1000000 THEN 'platinum'
             WHEN total_spend >= 300000 THEN 'gold'
             ELSE 'standard' END AS band,
        count(*) AS num_customers,
-       round(CAST(sum(CAST(total_spend AS DECIMAL(18,2))) AS DOUBLE) / count(*), 2) AS avg_spend
+       floor((CAST(sum(CAST(total_spend AS DECIMAL(18,2))) AS DOUBLE) / count(*)) * 100.0 + 0.5) / 100.0 AS avg_spend
 FROM per_cust WHERE num_orders >= 2 GROUP BY 1
 """
 
@@ -4531,10 +4550,10 @@ GROUP BY doc_id
 """
 
 _ORACLES["tpch_promo_revenue"] = f"""
-SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+SELECT floor((CAST(CAST(100 AS DECIMAL(3,0)) * sum(CASE WHEN p_type = 'PROMO'
                               THEN (CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
                               ELSE 0 END) AS DOUBLE)
-             / CAST(sum((CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))) AS DOUBLE), 4) AS promo_pct,
+             / CAST(sum((CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS promo_pct,
        CAST(round(sum((CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))), 2) AS DOUBLE) AS total_revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '{RP['q14_start']}'
@@ -4631,10 +4650,10 @@ ORDER BY supp_nation, cust_nation, l_year
 
 _ORACLES["tpch_market_share"] = f"""
 SELECT year(o_orderdate) AS o_year,
-       round(CAST(sum(CASE WHEN sn.n_name = '{RP['q8_nation']}'
+       floor((CAST(sum(CASE WHEN sn.n_name = '{RP['q8_nation']}'
                       THEN (CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
                       ELSE 0 END) AS DOUBLE)
-             / CAST(sum((CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))) AS DOUBLE), 4) AS mkt_share,
+             / CAST(sum((CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS mkt_share,
        CAST(round(sum((CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))), 2) AS DOUBLE) AS total_revenue
 FROM lineitem
 JOIN part ON l_partkey = p_partkey AND p_type = '{RP['q8_type']}'

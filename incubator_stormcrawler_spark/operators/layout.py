@@ -838,18 +838,28 @@ def write_clustered_corpus(
     for c in cols:
         if dtypes.get(c) == "string":
             # categorical-cardinality dim table: rank in sort order so
-            # the cell order IS the lex order the string footers prune by
+            # the cell order IS the lex order the string footers prune by.
+            # NULLs would never match the equi-join (null join keys), so
+            # they'd get a NULL dense index → NULL hkey → arbitrary file
+            # placement (the r11 ADVICE residual); coalesce to "\x00"
+            # (sorts before every real value, i.e. NULLS-FIRST rank 0) so
+            # null rows cluster together — parquet footers track null
+            # counts separately from min/max, so the sentinel never
+            # pollutes the string column's pruning range.
+            key = F.coalesce(F.col(c), F.lit("\x00")).alias(f"__k_{c}")
             dim = (
-                docs.select(c)
+                docs.select(key)
                 .distinct()
                 .select(
-                    c,
-                    (F.dense_rank().over(Window.orderBy(c)) - 1).alias(
-                        f"__d_{c}"
-                    ),
+                    f"__k_{c}",
+                    (
+                        F.dense_rank().over(Window.orderBy(f"__k_{c}")) - 1
+                    ).alias(f"__d_{c}"),
                 )
             )
-            aug = aug.join(F.broadcast(dim), c, "left")
+            aug = aug.withColumn(f"__k_{c}", key).join(
+                F.broadcast(dim), f"__k_{c}", "left"
+            )
             proj.append(F.col(f"__d_{c}"))
         else:
             proj.append(F.col(c).alias(f"__d_{c}"))

@@ -66,6 +66,23 @@ def _dsum(expr, scale: int = 2):
     return F.round(F.sum(expr), scale).cast("double")
 
 
+def _dratio(num, den, scale: int):
+    """Cross-engine-deterministic rounded ratio of two EXACT (decimal)
+    aggregates — the division-path twin of :func:`_dsum` (the r11 ADVICE
+    residual). Given identical exact operands, ``num/den`` is ONE IEEE
+    double op and bit-identical in Spark and DuckDB; the only divergence
+    left is ``round(q, s)`` itself, which Spark evaluates on q's
+    shortest-decimal rendering and DuckDB on its binary value — opposite
+    sides of a half-ulp boundary, the same class as the seed-12 sum
+    landmine. So round WITHOUT round(): ``floor(q * 10^s + 0.5) / 10^s``
+    is three more IEEE ops in a fixed order, identical in both engines by
+    construction (ratios here are non-negative, so floor(x+0.5) IS
+    half-up). The oracle SQL interpolates the SAME formula."""
+    p = float(10 ** scale)
+    q = num.cast("double") / den.cast("double")
+    return F.floor(q * F.lit(p) + F.lit(0.5)) / F.lit(p)
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events table with a true TIMESTAMP ``ts``.
 
@@ -217,11 +234,11 @@ def customer_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("num_customers"),
             # total_spend values are cent-exact; summing them as DECIMAL
-            # keeps the average's dividend identical in both engines
-            F.round(
-                F.sum(F.col("total_spend").cast("decimal(18,2)"))
-                .cast("double")
-                / F.count(F.lit(1)),
+            # keeps the average's dividend identical in both engines, and
+            # _dratio makes the rounded quotient engine-deterministic too
+            _dratio(
+                F.sum(F.col("total_spend").cast("decimal(18,2)")),
+                F.count(F.lit(1)),
                 2,
             ).alias("avg_spend"),
         )
@@ -382,12 +399,12 @@ def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
-            F.round(
-                F.lit(100.0)
+            _dratio(
+                F.lit(100).cast("decimal(3,0)")
                 * F.sum(
                     F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)
-                ).cast("double")
-                / F.sum(rev).cast("double"),
+                ),
+                F.sum(rev),
                 4,
             ).alias("promo_pct"),
             _dsum(rev).alias("total_revenue"),
@@ -630,13 +647,13 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
-            F.round(
+            _dratio(
                 F.sum(
                     F.when(
                         F.col("supp_nation") == RP["q8_nation"], rev
                     ).otherwise(zero)
-                ).cast("double")
-                / F.sum(rev).cast("double"),
+                ),
+                F.sum(rev),
                 4,
             ).alias("mkt_share"),
             _dsum(rev).alias("total_revenue"),
