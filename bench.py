@@ -217,6 +217,24 @@ def main() -> None:
 
     import __spark_entry__ as e
 
+    # Previous committed per-query numbers (for the >=2x auto-solo-rerun
+    # below) — read BEFORE this run overwrites the file. Prefer a row's
+    # prior SOLO reading when one exists: chunk numbers are position-
+    # sensitive (the r11 lesson), solo numbers are the adjudicated ones.
+    prev_detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL_latest.json"
+    )
+    prev_timings: dict = {}
+    try:
+        with open(prev_detail_path) as fh:
+            prev = json.load(fh)
+        prev_timings = dict(prev.get("queries") or {})
+        for nm, rec in (prev.get("solo_reruns") or {}).items():
+            if isinstance(rec, dict) and rec.get("solo_sec", -1) > 0:
+                prev_timings[nm] = rec["solo_sec"]
+    except (OSError, json.JSONDecodeError, ValueError):
+        pass
+
     names = list(e.queries())
     chunk = int(os.environ.get("SPARK_GRAFT_BENCH_CHUNK", "40"))
     timings: dict[str, float] = {}
@@ -235,6 +253,11 @@ def main() -> None:
 
         for lo in range(0, len(names), chunk):
             hi = min(lo + chunk, len(names))
+            # r11 verdict item 1a: the quiet gate used to run ONCE at
+            # launch, so a load spike BETWEEN chunks was measured, not
+            # waited out (the driver's r11 chunk 3 started at load 4.22,
+            # above the 4.0 gate). Gate before EVERY chunk.
+            _wait_for_quiet_box()
             with tempfile.NamedTemporaryFile(
                 suffix=".json", delete=False
             ) as tf:
@@ -269,6 +292,79 @@ def main() -> None:
                     pass
     total = round(sum(t for t in timings.values() if t >= 0), 3)
 
+    # Auto solo-rerun (r11 verdict item 1b): any row that measured >=2x
+    # its previous committed reading gets an automatic fresh-JVM
+    # best-of-3 rerun behind its own quiet gate — the manual adjudication
+    # protocol (BASELINE.md §r11) that consumed judge items in three
+    # consecutive rounds (graph_triangles r9, containment/ivf r10,
+    # trustrank/semdedup/ivf_topk r11), now part of the artifact. Both
+    # readings land in BENCH_DETAIL; the headline `queries` map keeps the
+    # in-chunk numbers (the driver contract), so cross-round comparison
+    # reads solo-vs-solo where chunk position inflated a row.
+    solo_reruns: dict = {}
+    flagged = sorted(
+        (
+            nm
+            for nm, t in timings.items()
+            if t >= 1.0
+            and prev_timings.get(nm, 0) > 0
+            and t >= 2.0 * prev_timings[nm]
+        ),
+        key=lambda nm: -(timings[nm] / prev_timings[nm]),
+    )
+    max_solo = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_SOLO", "12"))
+    if len(flagged) > max_solo:
+        print(
+            f"bench: {len(flagged)} rows >=2x prev; solo-rerunning the "
+            f"worst {max_solo} (cap SPARK_GRAFT_BENCH_MAX_SOLO), dropping "
+            + ",".join(flagged[max_solo:]),
+            file=sys.stderr,
+        )
+    if flagged and not os.environ.get("SPARK_GRAFT_SKIP_SOLO"):
+        import subprocess
+        import tempfile
+
+        for nm in flagged[:max_solo]:
+            _wait_for_quiet_box()
+            with tempfile.NamedTemporaryFile(
+                suffix=".json", delete=False
+            ) as tf:
+                out_path = tf.name
+            env = dict(os.environ)
+            env["SPARK_GRAFT_BENCH_SLICE"] = "0:0"
+            env["SPARK_GRAFT_BENCH_ONLY"] = nm
+            env["SPARK_GRAFT_BENCH_OUT"] = out_path
+            env["SPARK_GRAFT_BENCH_RUNS"] = "3"
+            rc = subprocess.call(
+                [sys.executable, os.path.abspath(__file__)], env=env
+            )
+            try:
+                with open(out_path) as fh:
+                    res = json.load(fh)
+                solo = res["timings"].get(nm, -1.0)
+                solo_reruns[nm] = {
+                    "prev_sec": prev_timings[nm],
+                    "chunk_sec": timings[nm],
+                    "solo_sec": solo,
+                    "ratio_chunk_vs_prev": round(
+                        timings[nm] / prev_timings[nm], 2
+                    ),
+                    "ratio_solo_vs_prev": (
+                        round(solo / prev_timings[nm], 2) if solo > 0 else None
+                    ),
+                    "load_1m": res["loads"].get(nm),
+                }
+            except (OSError, json.JSONDecodeError) as ex:
+                print(
+                    f"bench: solo rerun of {nm} unreadable (rc={rc}): {ex}",
+                    file=sys.stderr,
+                )
+            finally:
+                try:
+                    os.unlink(out_path)
+                except OSError:
+                    pass
+
     # Sentinel solo re-run (r10 verdict item 4): a FIXED, unseeded,
     # sub-second 10-query subset re-timed in its own fresh JVM at the
     # very end of the run. Cross-round comparison of these rows isolates
@@ -286,6 +382,8 @@ def main() -> None:
         import subprocess
         import tempfile
 
+        # the sentinel is the drift DENOMINATOR — never time it hot
+        _wait_for_quiet_box()
         with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
             out_path = tf.name
         env = dict(os.environ)
@@ -360,6 +458,8 @@ def main() -> None:
         "post_hot_queries": post_hot,
         "chunks": chunks_meta,
         "sentinel": sentinel,
+        "solo_reruns": solo_reruns,
+        "n_flagged_2x": len(flagged),
     }
     if baselines:
         print("baselines: " + json.dumps(baselines, separators=(",", ":")),
@@ -388,6 +488,8 @@ def main() -> None:
                 "max_load_1m": detail["max_load_1m"],
                 "n_hot_queries": detail["n_hot_queries"],
                 "n_post_hot_queries": detail["n_post_hot_queries"],
+                "n_flagged_2x": len(flagged),
+                "n_solo_reruns": len(solo_reruns),
                 "detail_file": "BENCH_DETAIL_latest.json",
             },
             separators=(",", ":"),
