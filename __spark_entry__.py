@@ -503,6 +503,65 @@ def q_graph_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_graph_redirect_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-generation ADVANCE of a resolved redirect map
+    (linkrank.incremental_redirect_resolve — the crawl loop's
+    steady-state path since r12): generation 1 resolves chains
+    src -> src-1 over orderkey residues with terminals at multiples of
+    16; generation 2 then (a) EXTENDS most terminals (multiples of 16
+    that aren't multiples of 64 gain an edge — invalidating every prior
+    chain that resolved to them, the de-terminalization class), (b)
+    re-observes existing srcs with CONFLICTING targets (dropped:
+    first-observation-wins), and (c) plants a fresh 3-cycle at a seeded
+    base. The budget is seeded NON-power-of-two (24..48) so composed
+    chains straddle it — the exact-clamp class rides along. The oracle
+    is a full from-scratch resolve (the identical unrolled doubling
+    CTEs) over the first-wins-merged edge set, so a green row proves the
+    delta-sized incremental walk — invalid-row jump compression,
+    keep-map pre-absorption, within-delta doubling — reproduces the
+    batch operator row-for-row."""
+    from incubator_stormcrawler_spark.operators.linkrank import (
+        incremental_redirect_resolve,
+        redirect_resolve,
+    )
+    from incubator_stormcrawler_spark.roundparams import seeded_int
+
+    budget = seeded_int("inc_max_hops", 24, 48)
+    cyc = seeded_int("inc_cycle_base", 5000, 9000)
+    keys = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .selectExpr("cast(o_orderkey % 4000 as bigint) as src")
+        .distinct()
+    )
+    old_edges = keys.where("src % 16 != 0").selectExpr(
+        "src", "src - 1 as dst"
+    )
+    extensions = keys.where(
+        "src % 16 = 0 and src % 64 != 0 and src > 0"
+    ).selectExpr("src", "src - 1 as dst")
+    conflicts = keys.where("src % 128 = 1").selectExpr(
+        "src", "src + 7 as dst"
+    )
+    cycle = spark.range(0, 3).selectExpr(
+        f"cast({cyc} + id as bigint) as src",
+        f"cast({cyc} + (id + 1) % 3 as bigint) as dst",
+    )
+    new_edges = extensions.unionByName(conflicts).unionByName(cycle)
+    h1: list = []
+    prior = redirect_resolve(
+        old_edges, max_hops=budget, cache_handle=h1
+    ).localCheckpoint(eager=True)
+    for cached in h1:
+        cached.unpersist(False)
+    h2: list = []
+    out = incremental_redirect_resolve(
+        prior, new_edges, max_hops=budget, cache_handle=h2
+    ).localCheckpoint(eager=True)
+    for cached in h2:
+        cached.unpersist(False)
+    return out
+
+
 def q_events_decayed_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially-decayed hourly rates (metrics.decayed_rates): the
     dashboard smoothing on top of PerSecondReducer's raw buckets —
@@ -1695,6 +1754,48 @@ def q_layout_hilbert3_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_cluster_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The clustered corpus-shard WRITE path's decision table
+    (layout.clustered_corpus_stats — the deterministic projection of
+    write_clustered_corpus, whose repartitionByRange boundaries come
+    from sampling no oracle can replay): documents clustered on the
+    mixed-type (source, lang, n_chars) dimensions — string dims via the
+    LEXICOGRAPHIC dense-rank index (measured 14/16 vs 6/16 files
+    skipped against hashing; footer min/max on a string column is a lex
+    range), numeric dims min-max scaled — through the 3-D Skilling
+    Hilbert key into 16 equal-width key-range buckets, with per-bucket
+    footer stats and the skip decisions for the two maintenance scans a
+    training pipeline actually runs: ONE SOURCE (seeded equality) and
+    ONE LENGTH BAND (seeded range). A green row certifies the dense-rank
+    mapping, the full Gray-code transform + bit transpose at 3x5 bits,
+    the bucket assignment, and both pruning rules cross-engine.
+    Reference analog: CollectionTagger / indexer filter metadata
+    (core/.../parse/filter/CollectionTagger.java) are the per-document
+    dimensions such maintenance scans key on."""
+    from incubator_stormcrawler_spark.operators.layout import (
+        clustered_corpus_stats,
+    )
+    from incubator_stormcrawler_spark.roundparams import (
+        seeded_choice,
+        seeded_int,
+    )
+
+    src = seeded_choice("ccw_source", [f"src{i}" for i in range(20)])
+    lo = seeded_int("ccw_chars_lo", 80, 350)
+    hi = lo + seeded_int("ccw_chars_span", 60, 160)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "source", "lang", "n_chars"
+    )
+    return clustered_corpus_stats(
+        docs,
+        ["source", "lang", "n_chars"],
+        n_buckets=16,
+        bits=5,
+        eq_predicates=[("source", src)],
+        range_predicates=[("n_chars", float(lo), float(hi))],
+    )
+
+
 def q_multimodal_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL-codec GIF89a path (multimodal.encode_gif/decode_gif/
     image_stats): 20 genuine GIF streams — logical screen descriptor,
@@ -2659,6 +2760,31 @@ _ORACLES["graph_redirect_resolve"] = unrolled_redirect_resolve_sql(
     f" CAST({_REDIR_CYC} + (i + 1) % 3 AS BIGINT)"
     " FROM (VALUES (0), (1), (2)) c(i))",
     max_hops=64,
+)
+
+# incremental advance == full resolve over the first-wins merge: fa is
+# generation 1's function, fb keeps only generation 2 srcs NOT already
+# recorded (the conflict re-observations drop here exactly as the
+# operator's anti-join drops them)
+_INC_CYC = _rp_seeded_int("inc_cycle_base", 5000, 9000)
+_ORACLES["graph_redirect_incremental"] = unrolled_redirect_resolve_sql(
+    "keys AS (SELECT DISTINCT CAST(o_orderkey % 4000 AS BIGINT) AS src"
+    " FROM orders),"
+    " olde AS (SELECT src, src - 1 AS dst FROM keys WHERE src % 16 <> 0),"
+    " newe AS ("
+    "  SELECT src, src - 1 AS dst FROM keys"
+    "  WHERE src % 16 = 0 AND src % 64 <> 0 AND src > 0"
+    "  UNION ALL"
+    "  SELECT src, src + 7 AS dst FROM keys WHERE src % 128 = 1"
+    "  UNION ALL"
+    f"  SELECT CAST({_INC_CYC} + i AS BIGINT),"
+    f"  CAST({_INC_CYC} + (i + 1) % 3 AS BIGINT)"
+    "  FROM (VALUES (0), (1), (2)) c(i)),"
+    " fa AS (SELECT src, min(dst) AS dst FROM olde GROUP BY src),"
+    " fb AS (SELECT src, min(dst) AS dst FROM newe"
+    "  WHERE src NOT IN (SELECT src FROM fa) GROUP BY src),"
+    " redirects AS (SELECT * FROM fa UNION ALL SELECT * FROM fb)",
+    max_hops=_rp_seeded_int("inc_max_hops", 24, 48),
 )
 
 from incubator_stormcrawler_spark.operators.linkrank import (  # noqa: E402
@@ -5228,6 +5354,26 @@ _ORACLES["layout_hilbert3_stats"] = _hilbert_nd_sql(
     predicates=[("ep", 0.0, float(_HILBERT3_EP_HI))],
 )
 
+# the clustered corpus write's decision table: same Skilling step list,
+# plus the lex dense-rank dim CTEs, string min/max stats, and the
+# seeded one-source / one-length-band skip rules
+from incubator_stormcrawler_spark.operators.layout import (  # noqa: E402
+    clustered_corpus_stats_sql as _ccs_sql,
+)
+
+_CCW_SRC = _seeded_choice("ccw_source", [f"src{i}" for i in range(20)])
+_CCW_LO = _seeded_int("ccw_chars_lo", 80, 350)
+_CCW_HI = _CCW_LO + _seeded_int("ccw_chars_span", 60, 160)
+_ORACLES["corpus_cluster_write"] = _ccs_sql(
+    "(SELECT source, lang, n_chars FROM documents)",
+    ["source", "lang", "n_chars"],
+    string_cols={"source", "lang"},
+    n_buckets=16,
+    bits=5,
+    eq_predicates=[("source", _CCW_SRC)],
+    range_predicates=[("n_chars", float(_CCW_LO), float(_CCW_HI))],
+)
+
 # GIF formula replay: the oracle never parses a byte — it recomputes the
 # exact integral stats from the pixel formula, so agreement proves the
 # variable-width LZW encode -> decode roundtrip recovered every pixel
@@ -5656,95 +5802,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     operating point. The r10 flip was PRE-PROVEN at r9 close (full
     148-query sweep at seed 10, 148/148 green at sf0.01).
 
-    Round 11's window EXECUTES THE ROTATION the r10 verdict called for:
-    (1) FIRST DRIVER ROW for graph_canonicalize — canonical index keying
-    by terminal redirect target, the operator the crawl loop now runs at
-    upsert time (canonicalize_redirects) — with a seeded NON-power-of-two
-    hop budget so the green row also certifies this round's exact-budget
-    clamp fix; new queries cannot legally enter the tail (the green-tail
-    invariant), so it takes window slot 1. (2) ALL 15 rows whose newest
-    green row was r07 (the five displaced by the restarted r10's
-    first-row entries — multimodal_audio_features, multimodal_image_hash,
-    text_card_audit, text_langid, text_readability — plus the 10-row r07
-    remainder) re-certify under ROUND_SEED=11. (3) 34 of the 42 r08-green
-    rows: eight seeded TPC-H canaries certify the ROUND_SEED=11 flip
-    in-window, then the complete non-TPC-H r08 remainder (26 — the whole
-    dedup/sketch/multimodal-codec/graph/ann cohort, including the two
-    rows the r10 verdict flagged for bench drift, dedup_containment and
-    ann_ivf_recall_clustered, so their freshness is re-proven the same
-    round their solo reruns land in BASELINE.md). The remaining 8
-    r08-green TPC-H rows lead the r12 rotation and head the tail below.
-    After this round no registry entry's newest green row is older than
-    r08. Every entry past position 50 is GREEN in some committed
-    CORRECTNESS_r*.json (tests/test_registry.py asserts the green-tail
-    invariant mechanically over the union of all committed rounds). ALL
-    registered queries are benched by the driver every round, and the
-    full local sweep artifact for THIS round is VERIFY_ALL_r11.json
-    (tools/verify_local.py at HEAD, written as the round's final
-    act)."""
+    Round 12's window EXECUTES THE ROTATION written at r11 close
+    (COVERAGE.md): (1) FIRST DRIVER ROWS for the two operators
+    registered this round — graph_redirect_incremental (the crawl
+    loop's new steady-state redirect path: delta-sized pointer doubling
+    against the prior resolved map, seeded non-power-of-two budget so
+    the exact clamp certifies on the incremental path too) and
+    corpus_cluster_write (the 3-D Hilbert consumer's deterministic
+    decision table — lex dense-rank string dims, Skilling key, bucket
+    stats, seeded one-source + one-length-band skip rules); new queries
+    cannot legally enter the tail (the green-tail invariant), so they
+    take window slots 1-2. (2) The 8 r08-green TPC-H rows deferred at
+    r11 — tpch_returned_customers is the CANARY for the r11
+    exact-decimal money fix (the query the first seed-12 pre-proof
+    tripped on). (3) tpch_promo_revenue, pulled forward from the r10
+    cohort because its promo_pct arithmetic changed this round
+    (relational._dratio — engine-deterministic rounded ratios); its
+    changed siblings tpch_market_share and customer_value_bands are in
+    the r09 cohort below. (4) 39 of the 50 r09-green rows in tail
+    order; the 11 deferred (dedup_exact through multimodal_resize) head
+    the r13 rotation. After this round no entry's newest green row is
+    older than r09. Every entry past position 50 is GREEN in some
+    committed CORRECTNESS_r*.json (tests/test_registry.py asserts the
+    green-tail invariant mechanically over the union of all committed
+    rounds). ALL registered queries are benched by the driver every
+    round, and the full local sweep artifact for THIS round is
+    VERIFY_ALL_r12.json (tools/verify_local.py at HEAD, written as the
+    round's final act)."""
     return {
         # ---- driver correctness window (first 50) -------------------
-        # First driver row: canonical index keying by terminal redirect
-        # target (new this round; seeded non-power-of-two budget also
-        # certifies the exact-budget clamp) ----------------------------
-        "graph_canonicalize": q_graph_canonicalize,
-        # r07-green rotation: all 15 rows whose newest green row was r07
-        "multimodal_audio_features": q_multimodal_audio_features,
-        "multimodal_image_hash": q_multimodal_image_hash,
-        "text_card_audit": q_text_card_audit,
-        "text_langid": q_text_langid,
-        "text_readability": q_text_readability,
-        "ann_ivf_recall_clustered": q_ann_ivf_recall_clustered,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_recall": q_ann_recall,
-        "corpus_batches": q_corpus_batches,
-        "corpus_bpe_encode": q_corpus_bpe_encode,
-        "dedup_clusters_star": q_dedup_clusters_star,
-        "events_retention": rel.events_retention,
-        "graph_triangles": q_graph_triangles,
-        "sketch_hll_bigrams": q_sketch_hll_bigrams,
-        # Seed-flip canaries (8): seeded TPC-H shapes re-certify the
-        # ROUND_SEED=11 constants in-window --------------------------
-        "tpch_brand_revenue": rel.brand_revenue,
-        "tpch_important_stock": rel.important_stock,
-        "tpch_volume_shipping": rel.volume_shipping,
-        "tpch_product_profit": rel.product_profit,
-        "tpch_top_supplier": rel.top_supplier,
-        "tpch_dormant_customers": rel.dormant_customers,
-        "tpch_customer_distribution": rel.customer_order_distribution,
-        "tpch_waiting_suppliers": rel.waiting_suppliers,
-        # The complete non-TPC-H r08-green cohort (26) ----------------
-        "dedup_bloom_prefilter": q_dedup_bloom_prefilter,
-        "dedup_bloom_sharded": q_dedup_bloom_sharded,
-        "dedup_incremental": q_dedup_incremental,
-        "dedup_minhash_incremental": q_dedup_minhash_incremental,
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
-        "dedup_ngram_jaccard_capped": q_dedup_ngram_jaccard_capped,
-        "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
-        "dedup_containment": q_dedup_containment,
-        "status_snapshot_diff": q_status_snapshot_diff,
-        "dedup_shard_overlap": q_dedup_shard_overlap,
-        "sketch_hll_overlap": q_sketch_hll_overlap,
-        "multimodal_bmp_roundtrip": q_multimodal_bmp_roundtrip,
-        "multimodal_png_roundtrip": q_multimodal_png_roundtrip,
-        "multimodal_wav_roundtrip": q_multimodal_wav_roundtrip,
-        "sketch_countmin_terms": q_sketch_countmin_terms,
-        "corpus_dsir_sample": q_corpus_dsir_sample,
-        "graph_kcore": q_graph_kcore,
-        "corpus_weighted_sample": q_corpus_weighted_sample,
-        "link_trustrank": q_link_trustrank,
-        "ann_pq_adc": q_ann_pq_adc,
-        "graph_seed_distance": q_graph_seed_distance,
-        "ann_jl_recall": q_ann_jl_recall,
-        "ann_jl_recall_clustered": q_ann_jl_recall_clustered,
-        "frontier_rank_blend": q_frontier_rank_blend,
-        "events_decayed_rate": q_events_decayed_rate,
-        "frontier_host_health": q_frontier_host_health,
-        # ---- past the 50-entry driver window: ALL green in a committed
-        # CORRECTNESS_r*.json. The 8 deferred r08-green TPC-H rows head
-        # the tail and lead the r12 rotation; then the r10 window
-        # (all r10-green), then the r09-green remainder ----------------
+        # First driver rows for the two r12 operators ------------------
+        "graph_redirect_incremental": q_graph_redirect_incremental,
+        "corpus_cluster_write": q_corpus_cluster_write,
+        # The 8 r08-green TPC-H rows deferred at r11; returned_customers
+        # doubles as the exact-decimal money-fix canary ----------------
         "tpch_local_supplier_volume": rel.local_supplier_volume,
         "tpch_priority_waiting": rel.order_priority_waiting,
         "tpch_returned_customers": rel.returned_item_customers,
@@ -5753,58 +5844,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_shipmode_priority": rel.shipmode_priority,
         "tpch_supplier_part_counts": rel.supplier_part_counts,
         "tpch_excess_inventory": rel.excess_inventory_suppliers,
-        # the r10 window (newest green r10) ---------------------------
-        "corpus_heavy_hitters": q_corpus_heavy_hitters,
-        "layout_zorder_stats": q_layout_zorder_stats,
-        "multimodal_gif_roundtrip": q_multimodal_gif_roundtrip,
-        "corpus_ngram_novelty": q_corpus_ngram_novelty,
-        "layout_hilbert_stats": q_layout_hilbert_stats,
-        "layout_hilbert3_stats": q_layout_hilbert3_stats,
-        "graph_redirect_resolve": q_graph_redirect_resolve,
-        "dedup_weighted_minhash": q_dedup_weighted_minhash,
-        "ann_ivfpq_topk": q_ann_ivfpq_topk,
-        "tpch_min_cost_supplier": rel.min_cost_supplier,
-        "tpch_shipping_priority": rel.shipping_priority,
+        # changed this round (_dratio promo_pct) — re-certify in-window
         "tpch_promo_revenue": rel.promo_revenue,
-        "corpus_bigram_logprob": q_corpus_bigram_logprob,
-        "corpus_bm25": q_corpus_bm25,
-        "doc_winnow": q_doc_winnow,
-        "embedding_kmeans": q_embedding_kmeans,
-        "embedding_pq": q_embedding_pq,
-        "embedding_quantize": q_embedding_quantize,
-        "embedding_semdedup": q_embedding_semdedup,
-        "events_correlation": q_events_correlation,
-        "events_cube": q_events_cube,
-        "multimodal_embeddings": q_multimodal_embeddings,
-        "multimodal_frames": q_multimodal_frames,
-        "text_tfidf_keywords": q_text_tfidf_keywords,
-        "corpus_chunks": q_corpus_chunks,
-        "corpus_clean_funnel": q_corpus_clean_funnel,
-        "corpus_mix": q_corpus_mix,
-        "corpus_pack_shards": q_corpus_pack_shards,
-        "corpus_quality_filter": q_corpus_quality_filter,
-        "corpus_sample": q_corpus_sample,
-        "corpus_segment_dedup": q_corpus_segment_dedup,
-        "corpus_stratified_sample": q_corpus_stratified_sample,
-        "corpus_unigram_logprob": q_corpus_unigram_logprob,
-        "corpus_vocab": q_corpus_vocab,
-        "ann_ivf_recall": q_ann_ivf_recall,
-        "corpus_bpe_merges": q_corpus_bpe_merges,
-        "corpus_pack_sequences": q_corpus_pack_sequences,
-        "corpus_postings": q_corpus_postings,
-        "corpus_substring_dedup": q_corpus_substring_dedup,
-        "corpus_temperature_mix": q_corpus_temperature_mix,
-        "corpus_token_stats": q_corpus_token_stats,
-        "corpus_vocab_coverage": q_corpus_vocab_coverage,
-        "dedup_clusters": q_dedup_clusters,
-        "events_anomalies": rel.events_anomalies,
-        "events_asof_join": q_events_asof_join,
-        "events_binned_quantiles": q_events_binned_quantiles,
-        "events_funnel": rel.events_funnel,
-        "events_gap_fill": q_events_gap_fill,
-        "events_range_join": q_events_range_join,
-        "events_rollup": q_events_rollup,
-        # the r09-green remainder -------------------------------------
+        # 39 of the 50 r09-green rows, tail order (the two _dratio
+        # changees market_share + customer_value_bands are among them) -
         "tpch_pricing_summary": rel.pricing_summary,
         "tpch_forecast_revenue": rel.forecast_revenue,
         "tpch_market_share": rel.market_share,
@@ -5844,6 +5887,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "parse_word_doc": q_parse_word_doc,
         "ann_cosine_topk": q_ann_cosine_topk,
+        # ---- past the 50-entry driver window: ALL green in a committed
+        # CORRECTNESS_r*.json. The 11 deferred r09-green rows head the
+        # tail and lead the r13 rotation; then the r11 window (all
+        # r11-green), then the r10 cohort -----------------------------
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "warc_roundtrip": q_warc_roundtrip,
@@ -5855,6 +5902,107 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_hits": q_link_hits,
         "text_quality": q_text_quality,
         "multimodal_resize": q_multimodal_resize,
+        # the r11 window (newest green r11) ---------------------------
+        "graph_canonicalize": q_graph_canonicalize,
+        "multimodal_audio_features": q_multimodal_audio_features,
+        "multimodal_image_hash": q_multimodal_image_hash,
+        "text_card_audit": q_text_card_audit,
+        "text_langid": q_text_langid,
+        "text_readability": q_text_readability,
+        "ann_ivf_recall_clustered": q_ann_ivf_recall_clustered,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_recall": q_ann_recall,
+        "corpus_batches": q_corpus_batches,
+        "corpus_bpe_encode": q_corpus_bpe_encode,
+        "dedup_clusters_star": q_dedup_clusters_star,
+        "events_retention": rel.events_retention,
+        "graph_triangles": q_graph_triangles,
+        "sketch_hll_bigrams": q_sketch_hll_bigrams,
+        "tpch_brand_revenue": rel.brand_revenue,
+        "tpch_important_stock": rel.important_stock,
+        "tpch_volume_shipping": rel.volume_shipping,
+        "tpch_product_profit": rel.product_profit,
+        "tpch_top_supplier": rel.top_supplier,
+        "tpch_dormant_customers": rel.dormant_customers,
+        "tpch_customer_distribution": rel.customer_order_distribution,
+        "tpch_waiting_suppliers": rel.waiting_suppliers,
+        "dedup_bloom_prefilter": q_dedup_bloom_prefilter,
+        "dedup_bloom_sharded": q_dedup_bloom_sharded,
+        "dedup_incremental": q_dedup_incremental,
+        "dedup_minhash_incremental": q_dedup_minhash_incremental,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_ngram_jaccard_capped": q_dedup_ngram_jaccard_capped,
+        "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
+        "dedup_containment": q_dedup_containment,
+        "status_snapshot_diff": q_status_snapshot_diff,
+        "dedup_shard_overlap": q_dedup_shard_overlap,
+        "sketch_hll_overlap": q_sketch_hll_overlap,
+        "multimodal_bmp_roundtrip": q_multimodal_bmp_roundtrip,
+        "multimodal_png_roundtrip": q_multimodal_png_roundtrip,
+        "multimodal_wav_roundtrip": q_multimodal_wav_roundtrip,
+        "sketch_countmin_terms": q_sketch_countmin_terms,
+        "corpus_dsir_sample": q_corpus_dsir_sample,
+        "graph_kcore": q_graph_kcore,
+        "corpus_weighted_sample": q_corpus_weighted_sample,
+        "link_trustrank": q_link_trustrank,
+        "ann_pq_adc": q_ann_pq_adc,
+        "graph_seed_distance": q_graph_seed_distance,
+        "ann_jl_recall": q_ann_jl_recall,
+        "ann_jl_recall_clustered": q_ann_jl_recall_clustered,
+        "frontier_rank_blend": q_frontier_rank_blend,
+        "events_decayed_rate": q_events_decayed_rate,
+        "frontier_host_health": q_frontier_host_health,
+        # the r10 cohort (promo_revenue pulled into the window) --------
+        "corpus_heavy_hitters": q_corpus_heavy_hitters,
+        "layout_zorder_stats": q_layout_zorder_stats,
+        "multimodal_gif_roundtrip": q_multimodal_gif_roundtrip,
+        "corpus_ngram_novelty": q_corpus_ngram_novelty,
+        "layout_hilbert_stats": q_layout_hilbert_stats,
+        "layout_hilbert3_stats": q_layout_hilbert3_stats,
+        "graph_redirect_resolve": q_graph_redirect_resolve,
+        "dedup_weighted_minhash": q_dedup_weighted_minhash,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        "tpch_min_cost_supplier": rel.min_cost_supplier,
+        "tpch_shipping_priority": rel.shipping_priority,
+        "corpus_bigram_logprob": q_corpus_bigram_logprob,
+        "corpus_bm25": q_corpus_bm25,
+        "doc_winnow": q_doc_winnow,
+        "embedding_kmeans": q_embedding_kmeans,
+        "embedding_pq": q_embedding_pq,
+        "embedding_quantize": q_embedding_quantize,
+        "embedding_semdedup": q_embedding_semdedup,
+        "events_correlation": q_events_correlation,
+        "events_cube": q_events_cube,
+        "multimodal_embeddings": q_multimodal_embeddings,
+        "multimodal_frames": q_multimodal_frames,
+        "text_tfidf_keywords": q_text_tfidf_keywords,
+        "corpus_chunks": q_corpus_chunks,
+        "corpus_clean_funnel": q_corpus_clean_funnel,
+        "corpus_mix": q_corpus_mix,
+        "corpus_pack_shards": q_corpus_pack_shards,
+        "corpus_quality_filter": q_corpus_quality_filter,
+        "corpus_sample": q_corpus_sample,
+        "corpus_segment_dedup": q_corpus_segment_dedup,
+        "corpus_stratified_sample": q_corpus_stratified_sample,
+        "corpus_unigram_logprob": q_corpus_unigram_logprob,
+        "corpus_vocab": q_corpus_vocab,
+        "ann_ivf_recall": q_ann_ivf_recall,
+        "corpus_bpe_merges": q_corpus_bpe_merges,
+        "corpus_pack_sequences": q_corpus_pack_sequences,
+        "corpus_postings": q_corpus_postings,
+        "corpus_substring_dedup": q_corpus_substring_dedup,
+        "corpus_temperature_mix": q_corpus_temperature_mix,
+        "corpus_token_stats": q_corpus_token_stats,
+        "corpus_vocab_coverage": q_corpus_vocab_coverage,
+        "dedup_clusters": q_dedup_clusters,
+        "events_anomalies": rel.events_anomalies,
+        "events_asof_join": q_events_asof_join,
+        "events_binned_quantiles": q_events_binned_quantiles,
+        "events_funnel": rel.events_funnel,
+        "events_gap_fill": q_events_gap_fill,
+        "events_range_join": q_events_range_join,
+        "events_rollup": q_events_rollup,
     }
 
 

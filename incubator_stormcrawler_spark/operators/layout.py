@@ -790,6 +790,214 @@ def hilbert_nd_rewrite(
     )
 
 
+def _augment_mixed_dims(docs: DataFrame, cols: list[str]) -> DataFrame:
+    """Shared dim mapping for the mixed-type clustering family: every
+    requested column becomes a numeric ``__d_{c}`` — string dims via
+    their LEXICOGRAPHIC dense index (distinct values ranked in sort
+    order, broadcast-joined back; hashing was measured worse — see
+    :func:`write_clustered_corpus`), numeric dims as-is. NULLs in a
+    string dim coalesce to "\\x00" (sorts before every real value, i.e.
+    NULLS-FIRST rank 0) so null rows cluster deterministically — they
+    would otherwise miss the equi-join and ride a NULL Hilbert key (the
+    r11 ADVICE residual); parquet footers track null counts separately
+    from min/max, so the sentinel never pollutes pruning ranges."""
+    from pyspark.sql import Window
+
+    dtypes = dict(docs.dtypes)
+    aug = docs
+    proj = []
+    for c in cols:
+        if dtypes.get(c) == "string":
+            key = F.coalesce(F.col(c), F.lit("\x00")).alias(f"__k_{c}")
+            dim = (
+                docs.select(key)
+                .distinct()
+                .select(
+                    f"__k_{c}",
+                    (
+                        F.dense_rank().over(Window.orderBy(f"__k_{c}")) - 1
+                    ).alias(f"__d_{c}"),
+                )
+            )
+            aug = aug.withColumn(f"__k_{c}", key).join(
+                F.broadcast(dim), f"__k_{c}", "left"
+            )
+            proj.append(F.col(f"__d_{c}"))
+        else:
+            proj.append(F.col(c).alias(f"__d_{c}"))
+    return aug.select(*docs.columns, *proj)
+
+
+def clustered_corpus_stats(
+    df: DataFrame,
+    cols: list[str],
+    n_buckets: int = 16,
+    bits: int = 5,
+    eq_predicates: list[tuple[str, str]] | None = None,
+    range_predicates: list[tuple[str, float, float]] | None = None,
+) -> DataFrame:
+    """The deterministic, oracle-checkable PROJECTION of
+    :func:`write_clustered_corpus` (the r11 verdict asked for a driver
+    row over the 3-D consumer): the identical lex-dense-rank dim mapping
+    and d-dimensional Hilbert key, bucketed by the key's TOP BITS (the
+    real write's ``repartitionByRange`` draws its boundaries by sampling,
+    which no oracle can replay; equal-width key ranges express the same
+    clustering decision deterministically), then per-bucket footer-style
+    stats — row count, min/max of every ORIGINAL column (strings as
+    strings: their footer range IS the lex range the dense index makes
+    tight) — and the skip decision for the two maintenance scans a
+    training pipeline runs: string EQUALITY (one source / one language)
+    and a numeric BAND (one length band). Plan: tiny per-string-dim
+    distinct+rank broadcast joins, one bounds broadcast, pure-codegen
+    Skilling arithmetic, ONE groupBy shuffle on the bucket."""
+    if n_buckets & (n_buckets - 1):
+        raise ValueError("clustered_corpus_stats: n_buckets must be 2^k")
+    keybits = bits * len(cols)
+    shift = keybits - n_buckets.bit_length() + 1
+    dtypes = dict(df.dtypes)
+    aug = _augment_mixed_dims(df, cols)
+    keyed = hilbert_key_nd(aug, [f"__d_{c}" for c in cols], bits=bits)
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    for c in cols:
+        if dtypes.get(c) == "string":
+            aggs.append(F.min(c).alias(f"{c}_min"))
+            aggs.append(F.max(c).alias(f"{c}_max"))
+        else:
+            aggs.append(F.floor(F.min(c)).cast("bigint").alias(f"{c}_min"))
+            aggs.append(F.floor(F.max(c)).cast("bigint").alias(f"{c}_max"))
+    stats = keyed.groupBy(
+        F.expr(f"hkey >> {shift}").alias("bucket")
+    ).agg(*aggs)
+    flags = []
+    terms = []
+    for c, v in eq_predicates or []:
+        t = (F.col(f"{c}_max") < F.lit(v)) | (F.col(f"{c}_min") > F.lit(v))
+        flags.append(t.cast("int").alias(f"prunable_{len(flags)}"))
+        terms.append(t)
+    for c, lo, hi in range_predicates or []:
+        t = (F.col(f"{c}_max") < F.lit(lo)) | (F.col(f"{c}_min") > F.lit(hi))
+        flags.append(t.cast("int").alias(f"prunable_{len(flags)}"))
+        terms.append(t)
+    out = stats.select("*", *flags)
+    if terms:
+        any_t = terms[0]
+        for t in terms[1:]:
+            any_t = any_t | t
+        out = out.withColumn("prunable_any", any_t.cast("int"))
+    return out
+
+
+def clustered_corpus_stats_sql(
+    table: str,
+    cols: list[str],
+    string_cols: set,
+    n_buckets: int = 16,
+    bits: int = 5,
+    eq_predicates: list[tuple[str, str]] | None = None,
+    range_predicates: list[tuple[str, float, float]] | None = None,
+) -> str:
+    """DuckDB twin of :func:`clustered_corpus_stats`: the same dense-rank
+    dim CTEs (``dense_rank() OVER (ORDER BY coalesce(c, chr(0))) - 1``,
+    binary string order in both engines), the same
+    :func:`_skilling_steps` unroll (DuckDB xor spelling), the identical
+    bucket/stats/flags tail with string min/max left as VARCHAR."""
+    if n_buckets & (n_buckets - 1):
+        raise ValueError("clustered_corpus_stats_sql: n_buckets must be 2^k")
+    keybits = bits * len(cols)
+    shift = keybits - n_buckets.bit_length() + 1
+    n = len(cols)
+    dims = []
+    aug_cols = []
+    joins = ""
+    for c in cols:
+        if c in string_cols:
+            dims.append(
+                f"dim_{c} AS (SELECT __k_{c},"
+                f" dense_rank() OVER (ORDER BY __k_{c}) - 1 AS __d_{c}"
+                f" FROM (SELECT DISTINCT coalesce({c}, chr(0)) AS __k_{c}"
+                f" FROM base))"
+            )
+            joins += (
+                f" JOIN dim_{c}"
+                f" ON coalesce(base.{c}, chr(0)) = dim_{c}.__k_{c}"
+            )
+            aug_cols.append(f"__d_{c}")
+        else:
+            aug_cols.append(f"{c} AS __d_{c}")
+    aug = (
+        "aug AS (SELECT "
+        + ", ".join([f"base.{c}" for c in cols] + aug_cols)
+        + f" FROM base{joins})"
+    )
+    dcols = [f"__d_{c}" for c in cols]
+    mins = ", ".join(f"min({d}) AS __mn_{d}" for d in dcols)
+    maxs = ", ".join(f"max({d}) AS __mx_{d}" for d in dcols)
+    init = ", ".join(
+        f"({_scale_expr(d, f'__mn_{d}', f'__mx_{d}', bits)}) AS __a{i}"
+        for i, d in enumerate(dcols)
+    )
+    carried_data = ", ".join(cols)
+    levels = [
+        f"s0 AS (\n  SELECT {carried_data}, {init},\n"
+        f"         CAST(0 AS BIGINT) AS __t\n"
+        f"  FROM aug t CROSS JOIN bounds\n)"
+    ]
+    carried = [f"__a{i}" for i in range(n)] + ["__t"]
+    for si, step in enumerate(_skilling_steps(n, bits, _duck_xor)):
+        sel = ", ".join(
+            [carried_data]
+            + [
+                (f"{step[c]} AS {c}" if c in step else c)
+                for c in carried
+            ]
+        )
+        levels.append(f"s{si + 1} AS (\n  SELECT {sel} FROM s{si}\n)")
+    n_steps = len(levels) - 1
+    stat_cols = ", ".join(
+        (
+            f"min({c}) AS {c}_min, max({c}) AS {c}_max"
+            if c in string_cols
+            else f"CAST(floor(min({c})) AS BIGINT) AS {c}_min,"
+            f" CAST(floor(max({c})) AS BIGINT) AS {c}_max"
+        )
+        for c in cols
+    )
+    flag_terms = [
+        f"({c}_max < '{v}' OR {c}_min > '{v}')"
+        for c, v in eq_predicates or []
+    ] + [
+        f"({c}_max < {lo} OR {c}_min > {hi})"
+        for c, lo, hi in range_predicates or []
+    ]
+    flag_cols = "".join(
+        f", CAST({t} AS INT) AS prunable_{i}"
+        for i, t in enumerate(flag_terms)
+    )
+    any_col = (
+        f", CAST(({' OR '.join(flag_terms)}) AS INT) AS prunable_any"
+        if flag_terms
+        else ""
+    )
+    level_ctes = ",\n".join(levels)
+    return f"""
+WITH base AS (SELECT * FROM {table}),
+{', '.join(dims) + ',' if dims else ''}
+{aug},
+bounds AS (SELECT {mins}, {maxs} FROM aug),
+{level_ctes},
+keyed AS (
+  SELECT {carried_data}, ({_skilling_interleave(n, bits)}) AS hkey
+  FROM s{n_steps}
+),
+stats AS (
+  SELECT hkey >> {shift} AS bucket,
+         CAST(count(*) AS BIGINT) AS n_rows, {stat_cols}
+  FROM keyed GROUP BY 1
+)
+SELECT *{flag_cols}{any_col} FROM stats
+"""
+
+
 def write_clustered_corpus(
     docs: DataFrame,
     cols: list[str],
@@ -830,40 +1038,7 @@ def write_clustered_corpus(
     axis; Hilbert's tighter per-file bounding boxes pay from 3
     dimensions up, which is exactly the (source, lang, length) shape
     here."""
-    from pyspark.sql import Window
-
-    dtypes = dict(docs.dtypes)
-    aug = docs
-    proj = []
-    for c in cols:
-        if dtypes.get(c) == "string":
-            # categorical-cardinality dim table: rank in sort order so
-            # the cell order IS the lex order the string footers prune by.
-            # NULLs would never match the equi-join (null join keys), so
-            # they'd get a NULL dense index → NULL hkey → arbitrary file
-            # placement (the r11 ADVICE residual); coalesce to "\x00"
-            # (sorts before every real value, i.e. NULLS-FIRST rank 0) so
-            # null rows cluster together — parquet footers track null
-            # counts separately from min/max, so the sentinel never
-            # pollutes the string column's pruning range.
-            key = F.coalesce(F.col(c), F.lit("\x00")).alias(f"__k_{c}")
-            dim = (
-                docs.select(key)
-                .distinct()
-                .select(
-                    f"__k_{c}",
-                    (
-                        F.dense_rank().over(Window.orderBy(f"__k_{c}")) - 1
-                    ).alias(f"__d_{c}"),
-                )
-            )
-            aug = aug.withColumn(f"__k_{c}", key).join(
-                F.broadcast(dim), f"__k_{c}", "left"
-            )
-            proj.append(F.col(f"__d_{c}"))
-        else:
-            proj.append(F.col(c).alias(f"__d_{c}"))
-    aug = aug.select(*docs.columns, *proj)
+    aug = _augment_mixed_dims(docs, cols)
     keyed = hilbert_key_nd(aug, [f"__d_{c}" for c in cols], bits=bits)
     (
         keyed.repartitionByRange(n_files, "hkey")

@@ -1035,14 +1035,27 @@ def canonicalize_urls(
     the resolve's final pointer table."""
     resolved = redirect_resolve(
         redirects, max_hops=max_hops, cache_handle=cache_handle
-    ).select(
+    )
+    return apply_resolved_map(docs, resolved, url_col=url_col)
+
+
+def apply_resolved_map(
+    docs: DataFrame, resolved: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """The join half of :func:`canonicalize_urls`: rewrite doc URLs
+    through an ALREADY-RESOLVED redirect map (url, target, hops,
+    resolved) — what the crawl loop does in steady state, where the map
+    is maintained incrementally (:func:`incremental_redirect_resolve`)
+    and read back from its side store instead of being re-derived from
+    raw edges every generation. One left join; the map is the small
+    side at any corpus size (redirect-subset cardinality), so AQE
+    broadcasts it."""
+    r = resolved.select(
         F.col("url").alias("__src"),
         F.col("target").alias("__target"),
         F.col("hops").alias("__hops"),
     )
-    out = docs.join(
-        resolved, docs[url_col] == F.col("__src"), "left"
-    )
+    out = docs.join(r, docs[url_col] == F.col("__src"), "left")
     return out.select(
         *[
             F.coalesce(F.col("__target"), docs[url_col]).alias(url_col)

@@ -63,6 +63,15 @@ ROUND LOG (bump + append a line each round):
       `_rev_exact` / `_dsum`), killing the float-summation-order class
       that had survived four seed flips on luck; the seed-12 sweep was
       re-run green after the fix.
+  r12: ROUND_SEED = 12 — fifth flip, pre-proven at r11 close (see
+      above; 158/158 at sf0.01 after the exact-decimal money fix —
+      tpch_returned_customers, the query the first seed-12 proof
+      tripped on, is an in-window canary this round). New seeded params
+      this round: inc_max_hops (24..48, deliberately non-power-of-two
+      so graph_redirect_incremental certifies the exact clamp on the
+      incremental path too), inc_cycle_base, and the clustered-write
+      scan point (ccw_source, ccw_chars_lo, ccw_chars_span) — all
+      verified non-degenerate at sf0.01 before registration.
 """
 
 from __future__ import annotations
@@ -70,7 +79,7 @@ from __future__ import annotations
 import hashlib
 from datetime import date, timedelta
 
-ROUND_SEED = 11
+ROUND_SEED = 12
 
 REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
 NATIONS = [f"NATION_{i}" for i in range(25)]

@@ -161,14 +161,17 @@ class CrawlLoop:
         # opensearch/.../bolt/DeletionBolt.java:53-58)
         self.index = index
         # canonicalize_redirects=True keys indexed docs by their TERMINAL
-        # redirect url: each generation appends its observed redirect
+        # redirect url: each generation folds its observed redirect
         # hops (protocol 3xx Location + meta-refresh targets — the
         # reference's `_redirTo`, bolt/FetcherBolt.java:706-746, and the
         # RedirectionBolt shunt, external/tika/.../RedirectionBolt.java:54)
-        # to a side store, and the upsert rewrites doc urls through
-        # linkrank.canonicalize_urls over the ACCUMULATED map — chains
-        # that took several generations to discover still collapse, so a
-        # doc reached via a->b->c indexes once under c. Deletions stay
+        # into a first-wins edge store AND an incrementally-maintained
+        # resolved map (linkrank.incremental_redirect_resolve — the
+        # doubling runs over the generation's DELTA, never the
+        # accumulated set), and the upsert rewrites doc urls through
+        # that map — chains that took several generations to discover
+        # still collapse, so a doc reached via a->b->c indexes once
+        # under c. Deletions stay
         # keyed by frontier url on purpose: a redirect SOURCE going
         # terminal-ERROR must not delete the doc living under its target
         # (the source never indexed a doc of its own), so the delete is
@@ -243,6 +246,67 @@ class CrawlLoop:
 
     def _redirect_edges_path(self) -> str:
         return self.frontier_path + "_redirect_edges"
+
+    # -- redirect side stores (r11 verdict item 4) -------------------------
+    # The edge store is FIRST-OBSERVATION-WINS and globally distinct (one
+    # row per src — only genuinely-new srcs append, so a steady-state
+    # crawl re-observing the same hops appends NOTHING), and the resolved
+    # map is maintained INCREMENTALLY (linkrank.incremental_redirect_resolve
+    # over the delta) as a versioned snapshot instead of re-doubling the
+    # whole accumulated chain set every generation. Reference analog: the
+    # status store is merged, never appended-and-rescanned
+    # (external/sql/.../StatusUpdaterBolt.java:103-219).
+    _RESOLVED_DDL = "url string, target string, hops bigint, resolved int"
+
+    def _resolved_map_versions(self) -> list:
+        import glob as _glob
+
+        base = self.frontier_path + "_redirect_resolved_v"
+        out = []
+        for p in _glob.glob(base + "*"):
+            suf = p[len(base):]
+            if suf.isdigit():
+                out.append((int(suf), p))
+        return sorted(out)
+
+    def _read_resolved_map(self) -> DataFrame:
+        versions = self._resolved_map_versions()
+        if not versions:
+            return self.spark.createDataFrame([], self._RESOLVED_DDL)
+        return self.spark.read.parquet(versions[-1][1])
+
+    def _write_resolved_map(self, resolved: DataFrame) -> None:
+        """Commit the new map as a fresh versioned snapshot, then drop
+        superseded versions — the read side always sees a complete
+        snapshot (a crash between write and cleanup leaves two; the next
+        read takes the max version)."""
+        import shutil
+
+        old = self._resolved_map_versions()
+        new_path = f"{self.frontier_path}_redirect_resolved_v{self.generation}"
+        resolved.write.mode("overwrite").parquet(new_path)
+        for _, p in old:
+            if p != new_path:
+                shutil.rmtree(p, ignore_errors=True)
+
+    def _compact_edge_stores(self) -> None:
+        """File-count hygiene for the append-only side stores, on the
+        same cadence as FrontierTable.compact: the stores are already
+        LOGICALLY distinct (anti-join appends), so this only rewrites the
+        accumulated one-file-per-generation fragments into a bounded file
+        count. Content is checkpointed before the overwrite (Spark cannot
+        lazily read a path it is truncating)."""
+        import os
+
+        for path in (self._host_edges_path(), self._redirect_edges_path()):
+            if not os.path.exists(path):
+                continue
+            snap = self.spark.read.parquet(path).localCheckpoint(eager=True)
+            (
+                snap.repartition(self.compact_max_files_per_bucket)
+                .write.mode("overwrite")
+                .parquet(path)
+            )
 
     def _host_ranks(self) -> DataFrame | None:
         """PageRank over the host graph observed so far (None before any
@@ -494,10 +558,18 @@ class CrawlLoop:
             # append this generation's observed host→host edges to the
             # side store the next generation's ranking reads — a
             # partial-aggregable distinct per generation, host-cardinality
-            # rows, never the raw outlink stream
+            # rows, never the raw outlink stream. Since r12 the append is
+            # DELTA-ONLY (anti-join against the store): re-observed edges
+            # used to duplicate across generations (r11 verdict item 4),
+            # silently double-weighting them in the host PageRank and
+            # growing the store without bound; now the store is globally
+            # distinct and a steady-state crawl appends nothing.
+            import os
+
             from ..functions.urls import host_key_expr
 
-            (
+            hp = self._host_edges_path()
+            gen_host_edges = (
                 outlinks.select(
                     host_key_expr(F.col("source_url")).alias("src"),
                     host_key_expr(F.col("target_url")).alias("dst"),
@@ -507,9 +579,14 @@ class CrawlLoop:
                     & (F.col("src") != F.col("dst"))
                 )
                 .distinct()
-                .write.mode("append")
-                .parquet(self._host_edges_path())
             )
+            if os.path.exists(hp):
+                gen_host_edges = gen_host_edges.join(
+                    self.spark.read.parquet(hp), ["src", "dst"], "left_anti"
+                )
+            gen_host_edges = gen_host_edges.localCheckpoint(eager=True)
+            if gen_host_edges.count():
+                gen_host_edges.write.mode("append").parquet(hp)
         # xml/other pages report FETCHED (pass-through bolts ack to status)
         xml_status = classified.where(F.col("kind") != "html").select(
             "url", F.lit("FETCHED").alias("status")
@@ -661,31 +738,68 @@ class CrawlLoop:
             if self.canonicalize_redirects:
                 import os
 
-                from ..operators.linkrank import canonicalize_urls
+                from ..operators.linkrank import (
+                    apply_resolved_map,
+                    incremental_redirect_resolve,
+                )
 
-                # append THIS generation's hops first so a chain whose
-                # last hop was just observed already collapses for the
-                # docs indexed below (the reference sees the same
-                # ordering: _redirTo lands in status before the target's
-                # eventual parse reaches the indexer)
-                rp = self._redirect_edges_path()
-                (
+                # fold THIS generation's hops into the resolved map
+                # first, so a chain whose last hop was just observed
+                # already collapses for the docs indexed below (the
+                # reference sees the same ordering: _redirTo lands in
+                # status before the target's eventual parse reaches the
+                # indexer). The map advances INCREMENTALLY — doubling
+                # over the delta, not the accumulated store — and the
+                # first-wins edge store appends only genuinely-new srcs
+                # (prior.url IS the store's src set, so the anti-join
+                # reuses the map read).
+                gen_edges = (
                     redirect_links.select(
                         F.col("source_url").alias("src"),
                         F.col("target_url").alias("dst"),
                     )
                     .where(F.col("src") != F.col("dst"))
-                    .distinct()
-                    .write.mode("append")
-                    .parquet(rp)
+                    .groupBy("src")
+                    .agg(F.min("dst").alias("dst"))
+                    .localCheckpoint(eager=True)
                 )
+                # edge store FIRST, map second — the crash-retry order:
+                # a retried generation re-observes the same hops, so a
+                # store-anti-joined append is idempotent, and a map that
+                # missed its write self-heals by folding the re-observed
+                # delta next attempt. (Map-first would strand edges out
+                # of the store forever: the anti-join would see them as
+                # already known.)
+                rp = self._redirect_edges_path()
+                fresh_edges = gen_edges
+                if os.path.exists(rp):
+                    fresh_edges = fresh_edges.join(
+                        self.spark.read.parquet(rp).select("src"),
+                        "src",
+                        "left_anti",
+                    )
+                fresh_edges = fresh_edges.localCheckpoint(eager=True)
+                if fresh_edges.count():
+                    fresh_edges.write.mode("append").parquet(rp)
+                # a generation that observed NO hops leaves the map
+                # untouched (the common steady-state case); observed
+                # hops — even pure re-observations — advance it, which
+                # keeps the crash-retry self-heal above sound
+                if gen_edges.count():
+                    prior = self._read_resolved_map()
+                    new_map = incremental_redirect_resolve(
+                        prior, gen_edges, max_hops=64,
+                        cache_handle=resolve_cache,
+                    )
+                    self._write_resolved_map(new_map)
+                    for cached in resolve_cache:
+                        cached.unpersist(False)
+                    resolve_cache = []
                 if os.path.exists(rp):
                     from pyspark.sql import Window
 
-                    docs_to_index = canonicalize_urls(
-                        docs,
-                        self.spark.read.parquet(rp),
-                        cache_handle=resolve_cache,
+                    docs_to_index = apply_resolved_map(
+                        docs, self._read_resolved_map()
                     )
                     # within a batch, the doc actually FETCHED at the
                     # terminal url (hops 0) beats a redirected stub
@@ -733,19 +847,23 @@ class CrawlLoop:
         }
         if (
             self.compact_every > 0
-            and self.bucket_partitioned
             and self.generation % self.compact_every == 0
-            and self.table.exists()
         ):
-            # lakehouse maintenance cadence: bound the table's file count
-            # after the generation's merge has committed (content is
-            # untouched; the exactly-once mark carries forward)
-            self.table.compact(
-                self.spark,
-                max_files_per_bucket=self.compact_max_files_per_bucket,
-                zorder=self.compact_zorder,
-                curve=self.compact_curve,
-            )
+            if self.bucket_partitioned and self.table.exists():
+                # lakehouse maintenance cadence: bound the table's file
+                # count after the generation's merge has committed
+                # (content is untouched; the exactly-once mark carries
+                # forward)
+                self.table.compact(
+                    self.spark,
+                    max_files_per_bucket=self.compact_max_files_per_bucket,
+                    zorder=self.compact_zorder,
+                    curve=self.compact_curve,
+                )
+            # the host/redirect edge side stores ride the same cadence:
+            # logically distinct already, but delta appends leave one
+            # file batch per new-edge generation
+            self._compact_edge_stores()
         if self.metrics_path:
             # per-generation metrics table (StatusMetricsBolt cadence)
             self.spark.createDataFrame(

@@ -781,3 +781,127 @@ def test_forecast_sizing_backfills_global_cap_from_unconstrained_hosts(
                if r.status == "FETCHED"}
     assert len([u for u in fetched if u.startswith("https://h0")]) == 4
     assert len([u for u in fetched if u.startswith("https://h1")]) == 8
+
+
+def test_redirect_side_stores_stay_distinct_and_match_full_resolve(
+    spark, tmp_path
+):
+    """r11 verdict item 4: (1) the redirect edge store stays GLOBALLY
+    distinct even when the same hop is re-observed across generations
+    (now_fn advances 2 days/gen, past the 1-day REDIRECTION interval, so
+    the 301 source refetches and re-reports its hop every generation);
+    (2) the incrementally-maintained resolved map equals a from-scratch
+    redirect_resolve over the edge store after every generation-pattern
+    (fresh chain, extension, steady-state re-observation)."""
+    from incubator_stormcrawler_spark.operators.indexing import IndexTable
+    from incubator_stormcrawler_spark.operators.linkrank import (
+        redirect_resolve,
+    )
+
+    site = {
+        "https://h0.example/a": (301, "https://h0.example/b"),
+        "https://h0.example/b": (301, "https://h0.example/c"),
+        "https://h0.example/c":
+            "<html><head><title>real</title></head><body>x</body></html>",
+    }
+    index = IndexTable(str(tmp_path / "index"))
+    loop = CrawlLoop(
+        spark,
+        frontier_path=str(tmp_path / "frontier"),
+        protocol_factory=lambda: MemoryProtocol(site),
+        server_delay=0.0,
+        index=index,
+        canonicalize_redirects=True,
+        now_fn=lambda gen: f"2024-01-{1 + 2 * gen:02d} 00:00:00",
+    )
+    loop.inject_seeds(
+        spark.createDataFrame([("https://h0.example/a",)], ["url"])
+    )
+    loop.run(5)  # a refetches ~every generation: hop a->b re-observed
+    edges = spark.read.parquet(loop._redirect_edges_path())
+    rows = [(r.src, r.dst) for r in edges.collect()]
+    assert len(rows) == len(set(rows)) == 2  # one row per observed hop
+    # the map the indexer consumed == full resolve over the store
+    got = {
+        r.url: (r.target, r.hops, r.resolved)
+        for r in loop._read_resolved_map().collect()
+    }
+    want = {
+        r.url: (r.target, r.hops, r.resolved)
+        for r in redirect_resolve(edges, max_hops=64).collect()
+    }
+    assert got == want
+    assert got["https://h0.example/a"] == ("https://h0.example/c", 2, 1)
+    docs = {r.url: r.title for r in index.read(spark).collect()}
+    assert docs == {"https://h0.example/c": "real"}
+
+
+def test_host_edge_store_stays_distinct_across_generations(
+    spark, tmp_path
+):
+    """The rank_priority host-edge store used to append per-generation
+    distinct rows, duplicating re-observed edges across generations
+    (double-weighting them in the host PageRank); the delta append keeps
+    it globally distinct while the focused crawl still converges."""
+    site = build_site(2, 4)
+    loop = CrawlLoop(
+        spark,
+        frontier_path=str(tmp_path / "frontier"),
+        protocol_factory=lambda: MemoryProtocol(site),
+        server_delay=0.0,
+        rank_priority=True,
+        # 2 days/gen: FETCHED pages refetch and re-report their outlinks
+        now_fn=lambda gen: f"2024-01-{1 + 2 * gen:02d} 00:00:00",
+    )
+    loop.inject_seeds(
+        spark.createDataFrame([("https://h0.example/p0",)], ["url"])
+    )
+    loop.run(5)
+    edges = [
+        (r.src, r.dst)
+        for r in spark.read.parquet(loop._host_edges_path()).collect()
+    ]
+    assert len(edges) == len(set(edges)) == 2  # h0<->h1, once each
+
+
+def test_crawl_compacts_edge_stores_on_cadence(spark, tmp_path):
+    """compact_every also bounds the side stores' file counts: delta
+    appends leave one file batch per new-edge generation; the cadence
+    rewrite collapses them without changing content."""
+    import glob
+
+    from incubator_stormcrawler_spark.operators.indexing import IndexTable
+
+    site = {
+        "https://h0.example/a": (301, "https://h0.example/b"),
+        "https://h0.example/b":
+            '<html><body><a href="https://h1.example/c">x</a></body></html>',
+        "https://h1.example/c": (301, "https://h1.example/d"),
+        "https://h1.example/d": "<html><body>end</body></html>",
+    }
+    loop = CrawlLoop(
+        spark,
+        frontier_path=str(tmp_path / "frontier"),
+        protocol_factory=lambda: MemoryProtocol(site),
+        server_delay=0.0,
+        canonicalize_redirects=True,
+        rank_priority=True,
+        index=IndexTable(str(tmp_path / "index")),
+        compact_every=2,
+        compact_max_files_per_bucket=1,
+    )
+    loop.inject_seeds(
+        spark.createDataFrame([("https://h0.example/a",)], ["url"])
+    )
+    loop.run(4)
+    for path in (loop._redirect_edges_path(), loop._host_edges_path()):
+        files = glob.glob(f"{path}/part-*.parquet")
+        assert 1 <= len(files) <= 1, (path, files)
+    edges = {
+        (r.src, r.dst)
+        for r in spark.read.parquet(loop._redirect_edges_path()).collect()
+    }
+    assert edges == {
+        ("https://h0.example/a", "https://h0.example/b"),
+        ("https://h1.example/c", "https://h1.example/d"),
+    }
