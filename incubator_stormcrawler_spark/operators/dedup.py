@@ -905,6 +905,7 @@ def incremental_lsh_dedup(
     band_rows: int = 2,
     n: int = 3,
     min_est_sim: float = 0.5,
+    batch_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental NEAR-dup dedup: match a NEW batch against a STORED
     MinHash signature index (plus within-batch pairs) — the daily-delta
@@ -926,9 +927,13 @@ def incremental_lsh_dedup(
     id-ordered within-batch pairs. Returns (doc1, doc2, est_sim) with
     doc2 always the batch doc and est_sim ≥ ``min_est_sim``.
     """
-    batch_sigs = minhash_signatures(new_docs, num_hashes, n).localCheckpoint(
-        eager=False
-    )
+    # ``batch_sigs``: a caller that also PERSISTS the batch signatures
+    # (the crawl loop appends kept docs' sigs to its side store) passes
+    # them in to avoid re-shingling the batch
+    if batch_sigs is None:
+        batch_sigs = minhash_signatures(
+            new_docs, num_hashes, n
+        ).localCheckpoint(eager=False)
     batch_ids = batch_sigs.select("doc_id").distinct()
     fresh_index = index_sigs.join(batch_ids, "doc_id", "left_anti")
     all_sigs = fresh_index.unionByName(batch_sigs).localCheckpoint(

@@ -64,6 +64,11 @@ class CrawlLoop:
         warc_dir: str | None = None,
         index=None,
         canonicalize_redirects: bool = False,
+        near_dedup: bool = False,
+        near_dedup_min_sim: float = 0.9,
+        near_dedup_num_hashes: int = 8,
+        near_dedup_band_rows: int = 2,
+        near_dedup_ngram: int = 3,
         rank_priority: bool = False,
         rank_max_buckets: int = 10,
         rank_iterations: int = 3,
@@ -177,6 +182,28 @@ class CrawlLoop:
         # (the source never indexed a doc of its own), so the delete is
         # a harmless no-op for redirected urls.
         self.canonicalize_redirects = canonicalize_redirects
+        # near_dedup=True drops NEAR-duplicate pages from the index
+        # stream each generation (r11 verdict item 6 — the way a
+        # production crawl actually consumes the MinHash family): the
+        # batch's signatures band against an accumulated SIGNATURE side
+        # store (dedup.incremental_lsh_dedup — only the batch ever
+        # shingles; the store contributes stored (doc_id, h, v) rows),
+        # matched batch docs are dropped before the upsert, and KEPT
+        # docs' signatures append to the store first-observation-wins
+        # (a refetched page keeps its original signatures — it never
+        # matches itself, and the store stays append-only + globally
+        # distinct by doc, riding the same compaction cadence as the
+        # edge stores). The index therefore holds one representative
+        # per near-dup cluster, discovered across ANY generation gap.
+        # Reference analog: the reference dedups EXACT urls via status
+        # (AbstractStatusUpdaterBolt.java:150-161) but ships no content
+        # near-dedup; this is the 100 TB training-pipeline requirement
+        # layered onto the same loop.
+        self.near_dedup = near_dedup
+        self.near_dedup_min_sim = near_dedup_min_sim
+        self.near_dedup_num_hashes = near_dedup_num_hashes
+        self.near_dedup_band_rows = near_dedup_band_rows
+        self.near_dedup_ngram = near_dedup_ngram
         # forecast_sizing=True caps each host's generation share at its
         # politeness-limited fetch forecast (frontier.fetch_forecast):
         # least(due backlog, floor(horizon/delay) + 1) for the configured
@@ -289,6 +316,68 @@ class CrawlLoop:
             if p != new_path:
                 shutil.rmtree(p, ignore_errors=True)
 
+    def _minhash_sigs_path(self) -> str:
+        return self.frontier_path + "_minhash_sigs"
+
+    def _near_dedup_filter(self, docs: DataFrame) -> tuple:
+        """Drop near-duplicate docs from this generation's index stream
+        and grow the signature store with the KEPT docs' signatures.
+        Returns (kept_docs, n_dropped). Docs with no text pass through
+        (no shingles, no signature). Plan: the batch shingles ONCE
+        (signatures checkpointed and shared by the band join and the
+        store append); the store contributes stored rows only."""
+        import os
+
+        from ..operators.dedup import (
+            incremental_lsh_dedup,
+            minhash_signatures,
+        )
+
+        batch = docs.select(
+            F.col("url").alias("doc_id"), F.col("text")
+        ).where(F.col("text").isNotNull() & (F.col("text") != ""))
+        batch_sigs = minhash_signatures(
+            batch, self.near_dedup_num_hashes, self.near_dedup_ngram
+        ).localCheckpoint(eager=True)
+        sp = self._minhash_sigs_path()
+        if os.path.exists(sp):
+            index_sigs = self.spark.read.parquet(sp)
+        else:
+            index_sigs = self.spark.createDataFrame(
+                [], batch_sigs.schema
+            )
+        pairs = incremental_lsh_dedup(
+            batch,
+            index_sigs,
+            num_hashes=self.near_dedup_num_hashes,
+            band_rows=self.near_dedup_band_rows,
+            n=self.near_dedup_ngram,
+            min_est_sim=self.near_dedup_min_sim,
+            batch_sigs=batch_sigs,
+        )
+        # doc2 is always the batch side (within-batch pairs id-ordered),
+        # so dropping distinct doc2 keeps one representative per cluster
+        drops = pairs.select(
+            F.col("doc2").alias("url")
+        ).distinct().localCheckpoint(eager=True)
+        n_dropped = drops.count()
+        kept = docs.join(drops, "url", "left_anti")
+        # first-observation-wins store append of KEPT docs' signatures
+        kept_sigs = batch_sigs.join(
+            kept.select(F.col("url").alias("doc_id")), "doc_id", "left_semi"
+        )
+        if os.path.exists(sp):
+            kept_sigs = kept_sigs.join(
+                index_sigs.select("doc_id").distinct(),
+                "doc_id",
+                "left_anti",
+            )
+        kept_sigs = kept_sigs.localCheckpoint(eager=True)
+        if kept_sigs.count():
+            kept_sigs.write.mode("append").parquet(sp)
+        batch_sigs.unpersist(False)
+        return kept, n_dropped
+
     def _compact_edge_stores(self) -> None:
         """File-count hygiene for the append-only side stores, on the
         same cadence as FrontierTable.compact: the stores are already
@@ -298,7 +387,11 @@ class CrawlLoop:
         lazily read a path it is truncating)."""
         import os
 
-        for path in (self._host_edges_path(), self._redirect_edges_path()):
+        for path in (
+            self._host_edges_path(),
+            self._redirect_edges_path(),
+            self._minhash_sigs_path(),
+        ):
             if not os.path.exists(path):
                 continue
             snap = self.spark.read.parquet(path).localCheckpoint(eager=True)
@@ -732,6 +825,7 @@ class CrawlLoop:
         fetched_ok = pages.count()
         n_docs = docs.count()
         n_deleted = 0
+        n_near_dups = 0
         if self.index is not None:
             docs_to_index = docs
             resolve_cache: list = []
@@ -818,6 +912,10 @@ class CrawlLoop:
                         .where(F.col("__rn") == 1)
                         .drop("__rn")
                     )
+            if self.near_dedup:
+                docs_to_index, n_near_dups = self._near_dedup_filter(
+                    docs_to_index
+                )
             self.index.upsert(docs_to_index)
             for cached in resolve_cache:
                 cached.unpersist(False)
@@ -844,6 +942,7 @@ class CrawlLoop:
             "discovered": discovered.count(),
             "cache_hits": cache_hits,
             "index_deleted": n_deleted,
+            "near_dups_dropped": n_near_dups,
         }
         if (
             self.compact_every > 0

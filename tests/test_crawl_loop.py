@@ -905,3 +905,69 @@ def test_crawl_compacts_edge_stores_on_cadence(spark, tmp_path):
         ("https://h0.example/a", "https://h0.example/b"),
         ("https://h1.example/c", "https://h1.example/d"),
     }
+
+
+def test_near_dedup_drops_cross_generation_near_duplicate(spark, tmp_path):
+    """r11 verdict item 6 — incremental near-dup IN the loop: page B,
+    discovered a generation AFTER near-identical page A was indexed, is
+    dropped from the index stream by banding against the accumulated
+    signature store (only the batch ever shingles); a genuinely
+    different page C indexes normally; a REFETCH of A does not match
+    itself (stale store signatures for re-ingested docs are dropped) and
+    stays indexed; and the store holds signatures for KEPT docs only."""
+    from incubator_stormcrawler_spark.operators.indexing import IndexTable
+
+    common = ("alpha beta gamma delta epsilon zeta eta theta "
+              "iota kappa lam mu nu xi omicron pi " * 4)
+    site = {
+        "https://h0.example/a": (
+            f"<html><body><p>{common}</p>"
+            '<a href="https://h1.example/b">x</a>'
+            '<a href="https://h2.example/c">y</a></body></html>'
+        ),
+        "https://h1.example/b": f"<html><body><p>{common}</p>x y</body></html>",
+        "https://h2.example/c": (
+            "<html><body>totally different tiny page about turnips"
+            " and quarterly parsnip futures</body></html>"
+        ),
+    }
+    index = IndexTable(str(tmp_path / "index"))
+    loop = CrawlLoop(
+        spark,
+        frontier_path=str(tmp_path / "frontier"),
+        protocol_factory=lambda: MemoryProtocol(site),
+        server_delay=0.0,
+        index=index,
+        near_dedup=True,
+        near_dedup_min_sim=0.6,
+        now_fn=lambda gen: f"2024-01-{1 + 2 * gen:02d} 00:00:00",
+    )
+    loop.inject_seeds(
+        spark.createDataFrame([("https://h0.example/a",)], ["url"])
+    )
+    c1 = loop.run_generation()          # fetches + indexes A
+    assert c1["near_dups_dropped"] == 0
+    c2 = loop.run_generation()          # fetches B (near-dup) and C
+    assert c2["near_dups_dropped"] == 1
+    urls = {r.url for r in index.read(spark).collect()}
+    assert "https://h0.example/a" in urls
+    assert "https://h2.example/c" in urls
+    assert "https://h1.example/b" not in urls
+    # refetch of A (2 days later) must not self-match and stays indexed
+    c3 = loop.run_generation()
+    assert c3["near_dups_dropped"] in (0, 1)  # B refetches and re-drops
+    urls = {r.url for r in index.read(spark).collect()}
+    assert "https://h0.example/a" in urls
+    # store: kept docs only, one signature set per doc (first-wins)
+    from pyspark.sql import functions as F
+
+    sigs = spark.read.parquet(loop._minhash_sigs_path())
+    per_doc = {
+        r["doc_id"]: r["n"]
+        for r in sigs.groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert "https://h1.example/b" not in per_doc
+    assert set(per_doc) == {"https://h0.example/a", "https://h2.example/c"}
+    assert all(n == 8 for n in per_doc.values())
