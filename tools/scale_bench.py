@@ -992,6 +992,99 @@ def corpus_cluster_main():
     print(f"merged corpus_cluster_write into {path}")
 
 
+def curve_redirect_incremental(spark, sizes):
+    """incremental_redirect_resolve cost curve — the r11 verdict item 4
+    'Done' criterion: per-generation advance cost stays FLAT as the
+    accumulated resolved map grows. For each accumulated size N the
+    prior map is a full resolve over N rows of 64-block chains
+    (i -> i-1, multiples of 64 terminal), materialized to parquet the
+    way the crawl loop stores it; the measured step then advances it
+    with a FIXED delta — 1,000 terminal extensions (invalidating their
+    63-row chains: the de-terminalization class) + 25,000 brand-new
+    chain edges + a 3-cycle. The doubling runs over the ~88k-row G0
+    regardless of N; only the prior-map scans (classification joins +
+    the store anti-join) grow with N, so alpha should sit far below the
+    full re-resolve's ~0.7."""
+    import shutil
+    import tempfile
+
+    from incubator_stormcrawler_spark.operators.linkrank import (
+        incremental_redirect_resolve,
+        redirect_resolve,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="scale_redirect_inc_")
+    out = []
+    try:
+        for n in sizes:
+            edges = spark.range(n).selectExpr(
+                "id as src", "id - 1 as dst"
+            ).where("id % 64 != 0")
+            h: list = []
+            prior_path = f"{tmp}/prior_{n}"
+            redirect_resolve(
+                edges, max_hops=64, cache_handle=h
+            ).write.mode("overwrite").parquet(prior_path)
+            for c in h:
+                c.unpersist(False)
+            prior = spark.read.parquet(prior_path)
+            # fixed delta: extend the first 1000 terminals, add 25k new
+            # chain edges above N, plant a cycle
+            ext = spark.range(1, 1001).selectExpr(
+                "id * 64 as src", "id * 64 - 1 as dst"
+            )
+            new_chains = spark.range(n + 64, n + 64 + 25_000).selectExpr(
+                "id as src", "id - 1 as dst"
+            ).where("id % 64 != 0")
+            cyc = spark.range(3).selectExpr(
+                f"cast({n} + 10_000_000 + id as bigint) as src",
+                f"cast({n} + 10_000_000 + (id + 1) % 3 as bigint) as dst",
+            )
+            delta = ext.unionByName(new_chains).unionByName(cyc)
+            _clean(spark)
+            t0 = time.time()
+            h2: list = []
+            res = incremental_redirect_resolve(
+                prior, delta, max_hops=64, cache_handle=h2
+            )
+            agg = res.selectExpr(
+                "count(*) as n_rows",
+                "sum(resolved) as n_resolved",
+                "sum(case when resolved = 0 then 1 else 0 end)"
+                " as n_unresolved",
+            ).collect()[0]
+            sec = time.time() - t0
+            for c in h2:
+                c.unpersist(False)
+            assert agg.n_unresolved >= 3, agg  # the cycle at minimum
+            out.append({
+                "rows": n, "sec": round(sec, 2),
+                "rows_per_sec": int(n / sec),
+                "map_rows": int(agg.n_rows),
+                "resolved": int(agg.n_resolved),
+            })
+            print(f"   {out[-1]}", flush=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def redirect_incremental_main():
+    """`--redirect-incremental`: per-generation advance cost vs
+    accumulated map size, merged as redirect_incremental."""
+    from incubator_stormcrawler_spark.session import get_spark
+
+    spark = get_spark("scale-bench-redirect-inc")
+    spark.sparkContext.setLogLevel("ERROR")
+    pts = curve_redirect_incremental(
+        spark, [4_000_000, 16_000_000, 64_000_000]
+    )
+    entry = {"points": pts, "alpha": alpha(pts)}
+    print(f"## redirect_incremental: alpha={entry['alpha']}", flush=True)
+    path = merge_scaling({"redirect_incremental": entry})
+    print(f"merged redirect_incremental into {path}")
+
+
 def redirect_main():
     """`--redirect`: pointer-doubling chain resolution cost curve,
     merged as redirect_resolve."""
