@@ -643,6 +643,48 @@ def unrolled_seed_distance_sql(
     )
 
 
+class _CheckpointHandle:
+    """Deterministic release for a localCheckpoint's storage blocks.
+
+    ``DataFrame.unpersist()`` only talks to the CacheManager and is a
+    no-op for checkpointed frames, and empirically the blocks do NOT
+    free on GC either (tested: 30 s of forced two-sided GC left every
+    round's RDD in persistentRdds), so the doubling loops track the RDD
+    ids each checkpoint registers and release superseded rounds through
+    ``SparkContext.unpersistRDD``. Duck-types ``unpersist(blocking)`` so
+    it can ride the existing ``cache_handle`` contract next to real
+    DataFrames."""
+
+    def __init__(self, sc, rdd_ids):
+        self._sc, self._ids = sc, list(rdd_ids)
+
+    def unpersist(self, blocking: bool = False):
+        for rid in self._ids:
+            try:
+                self._sc._jsc.sc().unpersistRDD(rid, bool(blocking))
+            except Exception:
+                pass  # already released / context shut down
+
+
+def _local_checkpoint_tracked(df: DataFrame):
+    """localCheckpoint(eager) + the id set it registered, as a
+    releasable handle. Blocks store SERIALIZED (PySpark's
+    MEMORY_AND_DISK; the JVM default is the DESER variant):
+    the default deserialized level thrashed the GC once pointer tables
+    hit 64M rows (353 s vs 221 s serialized for the full resolve — the
+    JVM object-per-row overhead is several times the serialized size,
+    and two round generations are live at once)."""
+    from pyspark import StorageLevel
+
+    sc = df.sparkSession.sparkContext
+    before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    out = df.localCheckpoint(
+        eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+    )
+    after = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    return out, _CheckpointHandle(sc, after - before)
+
+
 def redirect_resolve(
     redirects: DataFrame,
     max_hops: int = 64,
@@ -686,10 +728,16 @@ def redirect_resolve(
     all-resolved early exit costs one scan of the just-materialized
     table — no extra join per round (the first cut paid a per-round
     left-anti + count and measured SUPERLINEAR at 16M; see BASELINE.md).
-    Each round persists its output, materializes it via that scan, and
-    unpersists the previous round, so peak storage is two pointer-table
-    generations. Cycle inputs simply run all ceil(log2(max_hops))
-    rounds — the round count is log-bounded by construction. The final
+    Each round materializes via localCheckpoint — lineage TRUNCATION,
+    not just caching: a persisted round's logical plan still embeds both
+    self-join sides' full history, so round r's tree grows ~3^r nodes
+    and Catalyst re-analyzes all of it every round (the r10-r11 "fixed
+    per-round job overhead" was this planning cascade — 10.3 s on a
+    3,940-row pointer table, 2-3 s truncated). Superseded rounds' blocks
+    free via the ContextCleaner on GC; peak live storage remains two
+    pointer-table generations. Cycle inputs simply run all
+    ceil(log2(max_hops)) rounds — the round count is log-bounded by
+    construction. The final
     terminality marking is ONE domain join (unchanged from the oracle's
     final SELECT), so the ``done`` flag never reaches the output: the
     oracle unrolls ALL rounds and unresolved rows emit NULLs in both
@@ -706,17 +754,15 @@ def redirect_resolve(
     Every round therefore materializes via its own scan, which also
     populates the cache the next round reads once per side.
 
-    Caching: intermediate rounds unpersist as the walk advances; the
-    pointer canonicalization ``f`` and the LAST round stay persisted to
-    back the returned plan (deriving the final domain join from the
-    last round instead of ``f`` was tried and measured ~15% slower at
-    toy scale — the f-side of the terminality join reuses the cached
-    groupBy output). Pass ``cache_handle=[]`` to receive both frames
-    and ``.unpersist()`` them after materializing the output (the r10
-    ADVICE leak: repeated resolves in one session accumulate cached
-    blocks otherwise — the crawl loop and canonicalize_urls do exactly
-    this). Peak cached storage is bounded at f + two round generations
-    regardless of round count.
+    Caching: intermediate rounds are localCheckpoint snapshots whose
+    blocks free via the ContextCleaner once superseded (GC-driven); the
+    pointer canonicalization ``f`` stays persist()ed (shallow plan, used
+    by both g0 and the final domain join — deriving the final join from
+    the last round instead of ``f`` was tried and measured ~15% slower
+    at toy scale). Pass ``cache_handle=[]`` to receive [f, last round]
+    and ``.unpersist()`` them after materializing the output — releasing
+    f immediately; the checkpointed round's unpersist is a no-op and its
+    blocks free on GC (bounded: one pointer-table generation).
     """
     import math
 
@@ -737,10 +783,25 @@ def redirect_resolve(
         F.lit(0).alias("done"),
     )
 
-    pending: list[DataFrame] = []  # persisted rounds not yet superseded
+    # Each round materializes via localCheckpoint(eager) rather than
+    # persist: a persisted round's LOGICAL plan still embeds both join
+    # sides' full lineage, so round r's tree grows ~3^r nodes and
+    # Catalyst re-analyzes all of it every round — measured 10.3 s on a
+    # 3,940-row pointer table (the "fixed per-round job overhead" r10/r11
+    # chased) vs 2-3 s with per-round lineage truncation, and 101 -> 15 s
+    # on the incremental operator's 4M-map advance. Execution was hitting
+    # the cache all along; PLANNING was the cascade. The checkpoint
+    # truncates the plan to a LogicalRDD. Trade-off: checkpoint blocks
+    # are freed by the ContextCleaner when superseded rounds are GC'd
+    # (not by explicit unpersist), and lineage cannot recompute a lost
+    # block — on a multi-node cluster prefer reliable checkpointing
+    # (sc.setCheckpointDir + .checkpoint()) if executor loss matters;
+    # the round is cheap to re-derive from the store either way.
+    prev_ck: _CheckpointHandle | None = None
+    ck: _CheckpointHandle | None = None
     for _ in range(rounds):
         a, b = g.alias("a"), g.alias("b")
-        g = (
+        g, ck = _local_checkpoint_tracked(
             a.join(b, F.col("a.nxt") == F.col("b.src"), "left")
             .select(
                 F.col("a.src").alias("src"),
@@ -753,17 +814,15 @@ def redirect_resolve(
                 .otherwise(F.col("b.done"))
                 .alias("done"),
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        pending.append(g)
         n_done = g.agg(F.sum("done")).first()[0] or 0
-        for stale in pending[:-1]:
-            stale.unpersist(False)
-        pending = [g]
+        if prev_ck is not None:
+            prev_ck.unpersist(False)
+        prev_ck = ck
         if n_done == n_total:
             break
     if cache_handle is not None:
-        cache_handle.extend([f, g])
+        cache_handle.extend([f, ck])
     # mark terminality via a left join against the function's domain
     # (done lags absorption by up to one round, so the flag is only the
     # exit heuristic — the output's resolved bit comes from this join)
@@ -887,8 +946,9 @@ def incremental_redirect_resolve(
     Output: the complete NEW resolved map, identical (tested row-for-row,
     and driver-oracle-checked as ``graph_redirect_incremental``) to
     :func:`redirect_resolve` over the first-wins-merged edge set.
-    ``cache_handle`` receives the persisted G0 rounds as in the base
-    operator."""
+    ``cache_handle`` receives [keep, last round]; keep is persist()ed
+    (caller unpersists), the checkpointed round frees on GC — same
+    contract as the base operator."""
     import math
 
     from pyspark import StorageLevel
@@ -950,15 +1010,17 @@ def incremental_redirect_resolve(
             .otherwise(F.lit(0))
             .alias("dead"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    g, ck = _local_checkpoint_tracked(g)
     n_g0 = g.count()
     rounds = max(1, math.ceil(math.log2(max(2, max_hops))))
-    pending: list[DataFrame] = [g]
+    # per-round lineage truncation + tracked release — see the base
+    # operator's round loop for the measured planning-cascade rationale
+    prev_ck = ck
     for _ in range(rounds):
         a, b = g.alias("a"), g.alias("b")
         adv = F.col("b.src").isNotNull() & (F.col("a.done") == 0)
-        g = (
+        g, ck = _local_checkpoint_tracked(
             a.join(b, F.col("a.nxt") == F.col("b.src"), "left")
             .select(
                 F.col("a.src").alias("src"),
@@ -978,18 +1040,15 @@ def incremental_redirect_resolve(
                 .otherwise(F.col("b.dead"))
                 .alias("dead"),
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        pending.append(g)
         n_done = g.agg(F.sum("done")).first()[0] or 0
-        for stale in pending[:-1]:
-            stale.unpersist(False)
-        pending = [g]
+        prev_ck.unpersist(False)
+        prev_ck = ck
         if n_done == n_g0:
             break
     fresh.unpersist(False)
     if cache_handle is not None:
-        cache_handle.extend([keep, g])
+        cache_handle.extend([keep, ck])
     ok = (
         (F.col("done") == 1)
         & (F.col("dead") == 0)

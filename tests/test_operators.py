@@ -1319,11 +1319,16 @@ def test_redirect_resolve_clamps_budget_to_exact_max_hops(spark, duck):
 
 
 def test_redirect_resolve_cache_handle_and_no_leaked_storage(spark):
-    """Cache hygiene (r10 ADVICE): after materializing the output, the
-    only persisted frames left behind are the pointer canonicalization
-    and the final round (bounded — never per-round accumulation), and
-    both are surfaced through cache_handle so the caller can release
-    them — unpersisting them leaves zero cached RDDs from the resolve."""
+    """Cache hygiene (r10 ADVICE, revised r12): rounds are now
+    localCheckpoint snapshots — lineage truncation killed the 3^r
+    planning cascade — with each round's storage blocks TRACKED by RDD
+    id and released as it is superseded (DataFrame.unpersist is a no-op
+    for checkpoints, and the blocks were measured NOT to free on GC
+    either). After materializing the output, the only storage left is
+    the persisted pointer canonicalization f + the final round's
+    checkpoint, both surfaced through cache_handle (the checkpoint as a
+    duck-typed release handle); unpersisting them leaves zero residual
+    RDDs from the resolve."""
     from incubator_stormcrawler_spark.operators.linkrank import (
         redirect_resolve,
     )
@@ -1335,17 +1340,53 @@ def test_redirect_resolve_cache_handle_and_no_leaked_storage(spark):
     handle = []
     out = redirect_resolve(df, max_hops=32, cache_handle=handle)
     assert out.count() == 19
-    assert len(handle) == 2  # f + the final round, nothing else
+    assert len(handle) == 2  # f + the final round's checkpoint handle
     leaked = {
         rid for rid, _ in sc._jsc.getPersistentRDDs().items()
     } - before
-    assert len(leaked) <= 2  # intermediate rounds all freed
+    assert len(leaked) <= 2, leaked  # superseded rounds freed in-loop
     for cached in handle:
         cached.unpersist(True)
     leaked = {
         rid for rid, _ in sc._jsc.getPersistentRDDs().items()
     } - before
-    assert leaked == set()
+    assert leaked == set(), leaked
+
+
+def test_incremental_redirect_resolve_no_leaked_storage(spark):
+    """Same contract for the incremental operator: fresh unpersists
+    in-operator, superseded rounds release as they are superseded, and
+    the handle surfaces [keep, final-round checkpoint]."""
+    from incubator_stormcrawler_spark.operators.linkrank import (
+        incremental_redirect_resolve,
+        redirect_resolve,
+    )
+
+    sc = spark.sparkContext
+    prior = redirect_resolve(
+        spark.createDataFrame(
+            [(i, i - 1) for i in range(1, 20)], "src bigint, dst bigint"
+        ),
+        max_hops=32,
+    ).localCheckpoint(eager=True)
+    before = {rid for rid, _ in sc._jsc.getPersistentRDDs().items()}
+    handle = []
+    out = incremental_redirect_resolve(
+        prior,
+        spark.createDataFrame([(25, 24), (0, 30)], "src bigint, dst bigint"),
+        max_hops=32,
+        cache_handle=handle,
+    )
+    assert out.count() == 21
+    assert len(handle) == 2
+    for cached in handle:
+        cached.unpersist(True)
+    leaked = {
+        rid for rid, _ in sc._jsc.getPersistentRDDs().items()
+    } - before
+    # fresh is unpersisted in-operator with blocking=False; allow its
+    # async release to be the only in-flight residue
+    assert len(leaked) <= 1, leaked
 
 
 def _resolve_rows(df):

@@ -1036,9 +1036,10 @@ def curve_redirect_incremental(spark, sizes):
             new_chains = spark.range(n + 64, n + 64 + 25_000).selectExpr(
                 "id as src", "id - 1 as dst"
             ).where("id % 64 != 0")
+            cyc_base = n + 10_000_000
             cyc = spark.range(3).selectExpr(
-                f"cast({n} + 10_000_000 + id as bigint) as src",
-                f"cast({n} + 10_000_000 + (id + 1) % 3 as bigint) as dst",
+                f"cast({cyc_base} + id as bigint) as src",
+                f"cast({cyc_base} + (id + 1) % 3 as bigint) as dst",
             )
             delta = ext.unionByName(new_chains).unionByName(cyc)
             _clean(spark)
@@ -1968,6 +1969,9 @@ def main():
         return
     if "--hilbert" in sys.argv:
         hilbert_main()
+        return
+    if "--redirect-incremental" in sys.argv:
+        redirect_incremental_main()
         return
     if "--redirect" in sys.argv:
         redirect_main()
