@@ -152,6 +152,8 @@ class CrawlLoop:
         self.rank_refresh_every = rank_refresh_every
         self._ranks_cache = None
         self._ranks_built_gen = -(10**9)
+        self._ranks_ckpt = None   # tracked blocks of the live rank table
+        self._gen_ckpts: list = []  # per-generation checkpoint handles
         # warc_dir archives every generation's successful fetches as
         # rotating .warc.gz files (the reference's WARCHdfsBolt sitting on
         # the fetcher's output stream: external/warc/.../WARCHdfsBolt);
@@ -319,6 +321,25 @@ class CrawlLoop:
     def _minhash_sigs_path(self) -> str:
         return self.frontier_path + "_minhash_sigs"
 
+    def _ckpt(self, df: DataFrame) -> DataFrame:
+        """Eager localCheckpoint with TRACKED storage (the r12 finding:
+        checkpoint blocks are invisible to DataFrame.unpersist and do
+        NOT free on GC, so every per-generation checkpoint would leak
+        its blocks for the life of the crawl — unbounded over thousands
+        of generations). Handles collect on the generation and release
+        at its end, once everything derived from them has been written
+        or counted."""
+        from ..operators.linkrank import _local_checkpoint_tracked
+
+        out, handle = _local_checkpoint_tracked(df)
+        self._gen_ckpts.append(handle)
+        return out
+
+    def _release_gen_ckpts(self) -> None:
+        for h in self._gen_ckpts:
+            h.unpersist(False)
+        self._gen_ckpts = []
+
     def _near_dedup_filter(self, docs: DataFrame) -> tuple:
         """Drop near-duplicate docs from this generation's index stream
         and grow the signature store with the KEPT docs' signatures.
@@ -332,13 +353,22 @@ class CrawlLoop:
             incremental_lsh_dedup,
             minhash_signatures,
         )
+        from ..operators.linkrank import _CheckpointHandle
+
+        # blanket storage tracking: incremental_lsh_dedup checkpoints
+        # internal relations (the unioned signature set, the banded
+        # flags) that the caller cannot reach — register EVERYTHING this
+        # block creates for the generation-end release (double-release
+        # of the explicitly tracked frames below is a no-op)
+        sc = self.spark.sparkContext
+        ids_before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
 
         batch = docs.select(
             F.col("url").alias("doc_id"), F.col("text")
         ).where(F.col("text").isNotNull() & (F.col("text") != ""))
-        batch_sigs = minhash_signatures(
+        batch_sigs = self._ckpt(minhash_signatures(
             batch, self.near_dedup_num_hashes, self.near_dedup_ngram
-        ).localCheckpoint(eager=True)
+        ))
         sp = self._minhash_sigs_path()
         if os.path.exists(sp):
             index_sigs = self.spark.read.parquet(sp)
@@ -357,9 +387,9 @@ class CrawlLoop:
         )
         # doc2 is always the batch side (within-batch pairs id-ordered),
         # so dropping distinct doc2 keeps one representative per cluster
-        drops = pairs.select(
-            F.col("doc2").alias("url")
-        ).distinct().localCheckpoint(eager=True)
+        drops = self._ckpt(
+            pairs.select(F.col("doc2").alias("url")).distinct()
+        )
         n_dropped = drops.count()
         kept = docs.join(drops, "url", "left_anti")
         # first-observation-wins store append of KEPT docs' signatures
@@ -372,10 +402,13 @@ class CrawlLoop:
                 "doc_id",
                 "left_anti",
             )
-        kept_sigs = kept_sigs.localCheckpoint(eager=True)
+        kept_sigs = self._ckpt(kept_sigs)
         if kept_sigs.count():
             kept_sigs.write.mode("append").parquet(sp)
-        batch_sigs.unpersist(False)
+        ids_after = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+        self._gen_ckpts.append(
+            _CheckpointHandle(sc, ids_after - ids_before)
+        )
         return kept, n_dropped
 
     def _compact_edge_stores(self) -> None:
@@ -394,7 +427,7 @@ class CrawlLoop:
         ):
             if not os.path.exists(path):
                 continue
-            snap = self.spark.read.parquet(path).localCheckpoint(eager=True)
+            snap = self._ckpt(self.spark.read.parquet(path))
             (
                 snap.repartition(self.compact_max_files_per_bucket)
                 .write.mode("overwrite")
@@ -421,10 +454,29 @@ class CrawlLoop:
             < self.rank_refresh_every
         )
         if not fresh_enough:
+            from ..operators.linkrank import (
+                _CheckpointHandle,
+                _local_checkpoint_tracked,
+            )
+
+            sc = self.spark.sparkContext
+            before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
             edges = self.spark.read.parquet(path)
-            self._ranks_cache = link_rank(
-                edges, iterations=self.rank_iterations
-            ).localCheckpoint()
+            ranks_plan = link_rank(edges, iterations=self.rank_iterations)
+            new_cache, new_ckpt = _local_checkpoint_tracked(ranks_plan)
+            # everything ELSE the refresh registered (link_rank's
+            # internal per-iteration checkpoints and node/edge caches)
+            # is released now that the final table is materialized; the
+            # PREVIOUS generation's rank table releases on replacement —
+            # without this, every refresh leaked its blocks for the life
+            # of the crawl (checkpoints neither unpersist nor GC-free)
+            after = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+            _CheckpointHandle(
+                sc, (after - before) - set(new_ckpt._ids)
+            ).unpersist(False)
+            if self._ranks_ckpt is not None:
+                self._ranks_ckpt.unpersist(False)
+            self._ranks_cache, self._ranks_ckpt = new_cache, new_ckpt
             self._ranks_built_gen = self.generation
         return self._ranks_cache
 
@@ -677,7 +729,7 @@ class CrawlLoop:
                 gen_host_edges = gen_host_edges.join(
                     self.spark.read.parquet(hp), ["src", "dst"], "left_anti"
                 )
-            gen_host_edges = gen_host_edges.localCheckpoint(eager=True)
+            gen_host_edges = self._ckpt(gen_host_edges)
             if gen_host_edges.count():
                 gen_host_edges.write.mode("append").parquet(hp)
         # xml/other pages report FETCHED (pass-through bolts ack to status)
@@ -855,8 +907,8 @@ class CrawlLoop:
                     .where(F.col("src") != F.col("dst"))
                     .groupBy("src")
                     .agg(F.min("dst").alias("dst"))
-                    .localCheckpoint(eager=True)
                 )
+                gen_edges = self._ckpt(gen_edges)
                 # edge store FIRST, map second — the crash-retry order:
                 # a retried generation re-observes the same hops, so a
                 # store-anti-joined append is idempotent, and a map that
@@ -872,7 +924,7 @@ class CrawlLoop:
                         "src",
                         "left_anti",
                     )
-                fresh_edges = fresh_edges.localCheckpoint(eager=True)
+                fresh_edges = self._ckpt(fresh_edges)
                 if fresh_edges.count():
                     fresh_edges.write.mode("append").parquet(rp)
                 # a generation that observed NO hops leaves the map
@@ -982,6 +1034,10 @@ class CrawlLoop:
             df.unpersist()
         if hits is not None:
             hits.unpersist()
+        # ...and every tracked checkpoint this generation created (side
+        # stores, near-dedup signatures, resolve delta): by here all of
+        # them have been written or counted
+        self._release_gen_ckpts()
         return counts
 
     def run(self, generations: int) -> list[dict]:
