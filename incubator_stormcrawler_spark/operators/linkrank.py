@@ -733,9 +733,14 @@ def redirect_resolve(
     self-join sides' full history, so round r's tree grows ~3^r nodes
     and Catalyst re-analyzes all of it every round (the r10-r11 "fixed
     per-round job overhead" was this planning cascade — 10.3 s on a
-    3,940-row pointer table, 2-3 s truncated). Superseded rounds' blocks
-    free via the ContextCleaner on GC; peak live storage remains two
-    pointer-table generations. Cycle inputs simply run all
+    3,940-row pointer table, 2-3 s truncated). Superseded rounds'
+    blocks are released EXPLICITLY: each round's checkpoint-registered
+    RDD ids are tracked by ``_CheckpointHandle`` and unpersisted via
+    ``SparkContext.unpersistRDD`` the moment the next round
+    materializes (checkpoint blocks are invisible to
+    ``DataFrame.unpersist`` and measured NOT to free on GC — see the
+    handle's docstring); peak live storage remains two pointer-table
+    generations. Cycle inputs simply run all
     ceil(log2(max_hops)) rounds — the round count is log-bounded by
     construction. The final
     terminality marking is ONE domain join (unchanged from the oracle's
@@ -755,14 +760,19 @@ def redirect_resolve(
     populates the cache the next round reads once per side.
 
     Caching: intermediate rounds are localCheckpoint snapshots whose
-    blocks free via the ContextCleaner once superseded (GC-driven); the
+    blocks each round RELEASES explicitly once superseded
+    (``_CheckpointHandle.unpersist`` → ``SparkContext.unpersistRDD``;
+    the r12 finding was that neither DataFrame.unpersist nor GC frees
+    them — pinned by
+    test_redirect_resolve_cache_handle_and_no_leaked_storage); the
     pointer canonicalization ``f`` stays persist()ed (shallow plan, used
     by both g0 and the final domain join — deriving the final join from
     the last round instead of ``f`` was tried and measured ~15% slower
-    at toy scale). Pass ``cache_handle=[]`` to receive [f, last round]
-    and ``.unpersist()`` them after materializing the output — releasing
-    f immediately; the checkpointed round's unpersist is a no-op and its
-    blocks free on GC (bounded: one pointer-table generation).
+    at toy scale). Pass ``cache_handle=[]`` to receive [f, last-round
+    handle] and ``.unpersist()`` them after materializing the output —
+    releasing f via the CacheManager and the final round's checkpoint
+    blocks via the tracked unpersistRDD (every earlier round was
+    already released in-loop).
     """
     import math
 
@@ -791,9 +801,9 @@ def redirect_resolve(
     # chased) vs 2-3 s with per-round lineage truncation, and 101 -> 15 s
     # on the incremental operator's 4M-map advance. Execution was hitting
     # the cache all along; PLANNING was the cascade. The checkpoint
-    # truncates the plan to a LogicalRDD. Trade-off: checkpoint blocks
-    # are freed by the ContextCleaner when superseded rounds are GC'd
-    # (not by explicit unpersist), and lineage cannot recompute a lost
+    # truncates the plan to a LogicalRDD; each superseded round's blocks
+    # are released through its tracked _CheckpointHandle below (measured
+    # NOT to free on GC). Trade-off: lineage cannot recompute a lost
     # block — on a multi-node cluster prefer reliable checkpointing
     # (sc.setCheckpointDir + .checkpoint()) if executor loss matters;
     # the round is cheap to re-derive from the store either way.
@@ -896,6 +906,7 @@ def incremental_redirect_resolve(
     src_col: str = "src",
     dst_col: str = "dst",
     cache_handle: list | None = None,
+    delta_handle: list | None = None,
 ) -> DataFrame:
     """Advance a resolved redirect map by ONE generation of new
     observations WITHOUT re-doubling the whole accumulated chain set —
@@ -946,9 +957,11 @@ def incremental_redirect_resolve(
     Output: the complete NEW resolved map, identical (tested row-for-row,
     and driver-oracle-checked as ``graph_redirect_incremental``) to
     :func:`redirect_resolve` over the first-wins-merged edge set.
-    ``cache_handle`` receives [keep, last round]; keep is persist()ed
-    (caller unpersists), the checkpointed round frees on GC — same
-    contract as the base operator."""
+    ``cache_handle`` receives [keep, last-round handle]; keep is
+    persist()ed (caller unpersists via the CacheManager), the final
+    round's checkpoint blocks release through the handle's tracked
+    ``unpersistRDD`` — same contract as the base operator (earlier
+    rounds release in-loop)."""
     import math
 
     from pyspark import StorageLevel
@@ -1060,6 +1073,12 @@ def incremental_redirect_resolve(
         F.when(ok, F.col("hops")).cast("bigint").alias("hops"),
         ok.cast("int").alias("resolved"),
     )
+    if delta_handle is not None:
+        # the delta-sized rows that DIFFER from prior (fresh + invalid) —
+        # derived from the checkpointed final round, so a caller reading
+        # it (e.g. the bucket-pruned snapshot write collecting touched
+        # buckets) pays a cache read, not a recompute
+        delta_handle.append(out_g)
     return keep.select("url", "target", "hops", "resolved").unionByName(
         out_g
     )

@@ -77,6 +77,16 @@ ROUND LOG (bump + append a line each round):
       after the _dratio ratio rewrite, the two new registrations, and
       the pointer-doubling checkpoint fix), so the r13 bump cannot
       surface a red row.
+  r13: ROUND_SEED = 13 — sixth flip, pre-proven at r12 close (see
+      above; 160/160 at sf0.01). No new seeded params this round — the
+      r13 work delta-bounded the loop's two remaining store-sized costs
+      (near-dedup banding, resolved-map writes) rather than adding
+      query surface; the two harnesses whose CODE changed
+      (dedup_minhash_incremental — stored-band-key path;
+      graph_redirect_incremental — arithmetic lattice prior) re-certify
+      in-window. The r14 flip is PRE-PROVEN: the full 160-query sweep
+      ran at ROUND_SEED = 14 at the final r13 HEAD (160/160 green at
+      sf0.01), so the r14 bump cannot surface a red row.
 """
 
 from __future__ import annotations
@@ -84,7 +94,7 @@ from __future__ import annotations
 import hashlib
 from datetime import date, timedelta
 
-ROUND_SEED = 12
+ROUND_SEED = 13
 
 REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
 NATIONS = [f"NATION_{i}" for i in range(25)]

@@ -64,6 +64,7 @@ class CrawlLoop:
         warc_dir: str | None = None,
         index=None,
         canonicalize_redirects: bool = False,
+        resolved_map_buckets: int = 32,
         near_dedup: bool = False,
         near_dedup_min_sim: float = 0.9,
         near_dedup_num_hashes: int = 8,
@@ -184,6 +185,12 @@ class CrawlLoop:
         # (the source never indexed a doc of its own), so the delete is
         # a harmless no-op for redirected urls.
         self.canonicalize_redirects = canonicalize_redirects
+        from .frontier_table import ResolvedMapStore
+
+        self._resolved_store = ResolvedMapStore(
+            frontier_path + "_redirect_resolved_v",
+            n_buckets=resolved_map_buckets,
+        )
         # near_dedup=True drops NEAR-duplicate pages from the index
         # stream each generation (r11 verdict item 6 — the way a
         # production crawl actually consumes the MinHash family): the
@@ -285,41 +292,26 @@ class CrawlLoop:
     # whole accumulated chain set every generation. Reference analog: the
     # status store is merged, never appended-and-rescanned
     # (external/sql/.../StatusUpdaterBolt.java:103-219).
-    _RESOLVED_DDL = "url string, target string, hops bigint, resolved int"
-
-    def _resolved_map_versions(self) -> list:
-        import glob as _glob
-
-        base = self.frontier_path + "_redirect_resolved_v"
-        out = []
-        for p in _glob.glob(base + "*"):
-            suf = p[len(base):]
-            if suf.isdigit():
-                out.append((int(suf), p))
-        return sorted(out)
-
     def _read_resolved_map(self) -> DataFrame:
-        versions = self._resolved_map_versions()
-        if not versions:
-            return self.spark.createDataFrame([], self._RESOLVED_DDL)
-        return self.spark.read.parquet(versions[-1][1])
+        return self._resolved_store.read(self.spark)
 
-    def _write_resolved_map(self, resolved: DataFrame) -> None:
-        """Commit the new map as a fresh versioned snapshot, then drop
-        superseded versions — the read side always sees a complete
-        snapshot (a crash between write and cleanup leaves two; the next
-        read takes the max version)."""
-        import shutil
-
-        old = self._resolved_map_versions()
-        new_path = f"{self.frontier_path}_redirect_resolved_v{self.generation}"
-        resolved.write.mode("overwrite").parquet(new_path)
-        for _, p in old:
-            if p != new_path:
-                shutil.rmtree(p, ignore_errors=True)
+    def _write_resolved_map(
+        self, resolved: DataFrame, changed: DataFrame | None = None
+    ) -> None:
+        """Commit the new map via the bucket-pruned ResolvedMapStore
+        (streaming/frontier_table.py): only buckets containing
+        ``changed`` urls (the incremental resolve's delta) rewrite;
+        untouched buckets hard-link into the new snapshot, and the
+        monotonic version counter + ``_COMMIT`` marker make a
+        crash-retried generation write a FRESH snapshot instead of
+        overwriting the one its own plan still reads ``prior`` from."""
+        self._resolved_store.write(resolved, changed=changed)
 
     def _minhash_sigs_path(self) -> str:
         return self.frontier_path + "_minhash_sigs"
+
+    def _minhash_bands_path(self) -> str:
+        return self.frontier_path + "_minhash_bands"
 
     def _ckpt(self, df: DataFrame) -> DataFrame:
         """Eager localCheckpoint with TRACKED storage (the r12 finding:
@@ -342,14 +334,36 @@ class CrawlLoop:
 
     def _near_dedup_filter(self, docs: DataFrame) -> tuple:
         """Drop near-duplicate docs from this generation's index stream
-        and grow the signature store with the KEPT docs' signatures.
-        Returns (kept_docs, n_dropped). Docs with no text pass through
-        (no shingles, no signature). Plan: the batch shingles ONCE
-        (signatures checkpointed and shared by the band join and the
-        store append); the store contributes stored rows only."""
+        and grow the signature store with the KEPT docs' signatures AND
+        band keys. Returns (kept_docs, n_dropped). Docs with no text
+        pass through (no shingles, no signature). Plan: the batch
+        shingles ONCE (signatures checkpointed and shared by the band
+        join and the store append); the store contributes STORED rows
+        only — signatures for the est-sim rerank (scan + join) and band
+        keys for the match (scan + join), so steady state never
+        re-aggregates the accumulated store (the r12 residual: banding
+        the whole store was a docs × num_hashes groupBy shuffle per
+        generation; SCALING.json ``neardedup_incremental`` pins the
+        fixed-batch cost flat as the store grows).
+
+        RE-INGEST SEMANTICS — first-observation-wins, deliberately: a
+        re-crawled doc's FRESH signatures are used for matching this
+        generation (its stale store rows are dropped inside
+        ``incremental_lsh_dedup``), but the store keeps the ORIGINAL
+        rows (the append anti-joins on stored doc_ids). Consequence,
+        pinned by test_near_dedup_reingest_keeps_first_signatures: if a
+        page's content CHANGES between crawls, future generations band
+        new docs against its OLD content — a doc near-duplicating the
+        new content is NOT dropped (blind spot), one near-duplicating
+        the original still is. The alternative (replace-by-doc_id)
+        would rewrite store rows in place — an O(store) merge per
+        generation, exactly the cost shape this path exists to avoid;
+        a changed page is the rare case and its dup-blind window closes
+        when the near-dup itself is kept and stored."""
         import os
 
         from ..operators.dedup import (
+            band_keys,
             incremental_lsh_dedup,
             minhash_signatures,
         )
@@ -370,12 +384,22 @@ class CrawlLoop:
             batch, self.near_dedup_num_hashes, self.near_dedup_ngram
         ))
         sp = self._minhash_sigs_path()
+        bp = self._minhash_bands_path()
         if os.path.exists(sp):
             index_sigs = self.spark.read.parquet(sp)
+            if not os.path.exists(bp):
+                # one-time backfill for a store written before band keys
+                # were persisted (the only store-sized banding groupBy
+                # this path ever runs again)
+                band_keys(
+                    index_sigs, self.near_dedup_band_rows
+                ).write.mode("overwrite").parquet(bp)
+            index_bands = self.spark.read.parquet(bp)
         else:
             index_sigs = self.spark.createDataFrame(
                 [], batch_sigs.schema
             )
+            index_bands = None
         pairs = incremental_lsh_dedup(
             batch,
             index_sigs,
@@ -384,6 +408,7 @@ class CrawlLoop:
             n=self.near_dedup_ngram,
             min_est_sim=self.near_dedup_min_sim,
             batch_sigs=batch_sigs,
+            index_bands=index_bands,
         )
         # doc2 is always the batch side (within-batch pairs id-ordered),
         # so dropping distinct doc2 keeps one representative per cluster
@@ -404,6 +429,16 @@ class CrawlLoop:
             )
         kept_sigs = self._ckpt(kept_sigs)
         if kept_sigs.count():
+            # BANDS FIRST: store membership (the first-wins anti-join)
+            # is decided by the SIGNATURE store, so a crash between the
+            # two appends leaves band rows whose doc the retry re-appends
+            # whole — duplicate band rows only ever duplicate candidate
+            # pairs, which the match's distinct() absorbs. (Sigs-first
+            # would strand docs with signatures but no bands: invisible
+            # to the band match forever.)
+            band_keys(kept_sigs, self.near_dedup_band_rows).write.mode(
+                "append"
+            ).parquet(bp)
             kept_sigs.write.mode("append").parquet(sp)
         ids_after = set(sc._jsc.getPersistentRDDs().keySet().toArray())
         self._gen_ckpts.append(
@@ -424,6 +459,7 @@ class CrawlLoop:
             self._host_edges_path(),
             self._redirect_edges_path(),
             self._minhash_sigs_path(),
+            self._minhash_bands_path(),
         ):
             if not os.path.exists(path):
                 continue
@@ -933,11 +969,15 @@ class CrawlLoop:
                 # keeps the crash-retry self-heal above sound
                 if gen_edges.count():
                     prior = self._read_resolved_map()
+                    delta_h: list = []
                     new_map = incremental_redirect_resolve(
                         prior, gen_edges, max_hops=64,
                         cache_handle=resolve_cache,
+                        delta_handle=delta_h,
                     )
-                    self._write_resolved_map(new_map)
+                    self._write_resolved_map(
+                        new_map, changed=delta_h[0].select("url")
+                    )
                     for cached in resolve_cache:
                         cached.unpersist(False)
                     resolve_cache = []

@@ -945,6 +945,38 @@ def test_incremental_lsh_nonmonotone_ids_and_reingest(spark, docs):
     assert not any(a == b for a, b in got2)
 
 
+def test_incremental_lsh_stored_band_keys_identical(spark, docs):
+    """The delta-bounded path: passing the PERSISTED (doc_id, b, bkey)
+    band-key table (``index_bands``) must reproduce the on-the-fly
+    result exactly — including the re-ingest rule (a doc_id in both
+    index and batch drops its STORED band keys, so its fresh batch
+    bands stand alone). This is the steady-state crawl-loop plan that
+    replaces the store-sized banding groupBy with scan + join."""
+    index_docs = docs.where((F.col("doc_id") >= 3) | (F.col("doc_id") == 1))
+    index_sigs = dd.minhash_signatures(index_docs)
+    index_bands = dd.band_keys(index_sigs)
+    batch = docs.where(F.col("doc_id") <= 2)
+    baseline = {(r.doc1, r.doc2, r.est_sim) for r in
+                dd.incremental_lsh_dedup(batch, index_sigs).collect()}
+    banded = {(r.doc1, r.doc2, r.est_sim) for r in
+              dd.incremental_lsh_dedup(
+                  batch, index_sigs, index_bands=index_bands
+              ).collect()}
+    assert banded == baseline
+    assert (3, 1) in {(a, b) for a, b, _ in banded}
+    # a doc_id seen ONLY in the band store (sigs missing — a torn store)
+    # can band-match but contributes no v1 rows, so its est_sim group is
+    # empty and it silently drops rather than corrupting the rerank
+    torn_bands = index_bands.unionByName(
+        dd.band_keys(dd.minhash_signatures(batch)).where(F.lit(False))
+    )
+    still = {(r.doc1, r.doc2, r.est_sim) for r in
+             dd.incremental_lsh_dedup(
+                 batch, index_sigs, index_bands=torn_bands
+             ).collect()}
+    assert still == baseline
+
+
 def test_star_contraction_string_ids(spark):
     """Ids keep their native type: string doc ids (URL fingerprints — the
     id type dedup_clusters accepts) must resolve identically, with the

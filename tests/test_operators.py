@@ -1463,6 +1463,35 @@ def test_incremental_redirect_resolve_empty_delta_is_identity(spark):
     assert _resolve_rows(inc) == _resolve_rows(prior)
 
 
+def test_lattice_prior_matches_redirect_resolve(spark):
+    """The graph_redirect_incremental harness builds its prior map
+    arithmetically (gaps-and-islands — __spark_entry__.lattice_prior)
+    instead of running a second full resolve; on the seeded lattice
+    edge set the two must agree row-for-row, including at a budget
+    BELOW the longest island (the exact-clamp class) and across gaps
+    in the src domain (sparse keys at small SF)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from __spark_entry__ import lattice_prior
+
+    from incubator_stormcrawler_spark.operators.linkrank import (
+        redirect_resolve,
+    )
+
+    # sparse src domain with gaps and one 12-run island: 20..31 minus
+    # multiples of 16 (the harness's exclusion), plus isolated srcs
+    srcs = [s for s in range(20, 32)] + [40, 41, 55, 99, 100, 101]
+    srcs = [s for s in srcs if s % 16 != 0]
+    edges = spark.createDataFrame(
+        [(s, s - 1) for s in srcs], "src bigint, dst bigint"
+    )
+    for budget in (64, 5):
+        got = _resolve_rows(lattice_prior(edges, budget))
+        want = _resolve_rows(redirect_resolve(edges, max_hops=budget))
+        assert got == want, (budget, got, want)
+
+
 def test_incremental_redirect_resolve_multi_generation_chain_growth(
     spark,
 ):
@@ -2815,8 +2844,9 @@ def test_write_clustered_corpus_null_string_dims_cluster_together(
 ):
     """r11 ADVICE: NULL values in a string dimension used to miss the
     dense-rank equi-join (null join keys), landing a NULL Hilbert key and
-    scattering arbitrarily. Now NULLs coalesce to a before-everything
-    sentinel (rank 0, NULLS-FIRST): (1) every row round-trips, (2) the
+    scattering arbitrarily. Now NULLs rank 0 EXPLICITLY (non-null values
+    dense-rank from 1; NULLS-FIRST by construction, not by sentinel —
+    the r12 ADVICE fix): (1) every row round-trips, (2) the
     null-dim rows land in the MINIMAL number of files for their count —
     i.e. they actually cluster — and (3) no file mixes nulls with the lex
     TAIL of the real values (nulls sit at the low end of the curve)."""
@@ -2867,6 +2897,33 @@ def test_write_clustered_corpus_null_string_dims_cluster_together(
     # with no deterministic placement. Observed 4/16 at this shape.
     assert files_with_nulls <= len(files) // 2, (files_with_nulls, len(files))
     assert rows_per_file > 0
+
+
+def test_augment_mixed_dims_null_ranks_below_empty_string(spark):
+    """The r12 ADVICE item, pinned: the old "\\x00" NULL sentinel sorted
+    ABOVE the empty string ('' < '\\x00') and collided with literal NUL
+    values, so 'NULL clusters before every real value' was false on
+    corpora with empty-string dims. The explicit mapping ranks NULL at
+    0 below '', below a literal NUL string, below everything — and
+    distinct real values keep distinct ranks in lex order."""
+    from pyspark.sql import Row
+
+    from incubator_stormcrawler_spark.operators.layout import (
+        _augment_mixed_dims,
+    )
+
+    docs = spark.createDataFrame([
+        Row(doc_id=0, source=None),
+        Row(doc_id=1, source=""),
+        Row(doc_id=2, source="\x00"),
+        Row(doc_id=3, source="a"),
+        Row(doc_id=4, source=""),
+    ])
+    d = {
+        r["doc_id"]: r["__d_source"]
+        for r in _augment_mixed_dims(docs, ["source"]).collect()
+    }
+    assert d == {0: 0, 1: 1, 2: 2, 3: 3, 4: 1}
 
 
 def test_ngram_novelty_semantics_and_duckdb_parity(spark):

@@ -1086,6 +1086,205 @@ def redirect_incremental_main():
     print(f"merged redirect_incremental into {path}")
 
 
+def curve_neardedup_incremental(spark, sizes):
+    """incremental_lsh_dedup cost curve on the STORED-BAND-KEY path —
+    the r12 verdict item 1 'Done' criterion: per-generation near-dedup
+    cost stays FLAT as the signature store grows. For each store size N
+    (signature ROWS = docs × 8 hashes) the side store is synthesized
+    the way the crawl loop persists it — a (doc_id, h, v) signature
+    table plus its (doc_id, b, bkey) band-key table (band keys built at
+    store-construction time; that one groupBy is exactly the cost the
+    steady state no longer pays) — and the measured step matches a
+    FIXED 25k-doc batch (1,000 planted exact near-dups of store docs +
+    24k uniques) against it via ``index_bands``. Every store-touching
+    stage is scan + join with the batch side broadcastable: no
+    store-sized aggregation, so the curve should track the parquet scan
+    only (the redirect_incremental treatment). At the largest size an
+    A/B against the legacy store-banding path quantifies the win."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from incubator_stormcrawler_spark.operators.dedup import (
+        band_keys,
+        incremental_lsh_dedup,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="scale_neardedup_inc_")
+    out = []
+    try:
+        # the FIXED batch: doc b{j} for j < 1000 copies store doc s{j}'s
+        # signatures exactly (est_sim 1.0 planted pairs); the rest are
+        # unique. Identical across store sizes, so deltas measure the
+        # store, not the batch.
+        batch_path = f"{tmp}/batch_sigs"
+        (
+            spark.range(25_000)
+            .selectExpr("id", "explode(sequence(0, 7)) as h")
+            .selectExpr(
+                "concat('b', id) as doc_id",
+                "h",
+                "md5(concat(if(id < 1000, concat('s', id), concat('b', id)),"
+                " '|', h)) as v",
+            )
+            .write.mode("overwrite")
+            .parquet(batch_path)
+        )
+        for n in sizes:
+            n_docs = n // 8
+            sig_path, band_path = f"{tmp}/sigs_{n}", f"{tmp}/bands_{n}"
+            sigs = spark.range(n_docs).selectExpr(
+                "concat('s', id) as doc_id",
+                "explode(sequence(0, 7)) as h",
+            ).selectExpr(
+                "doc_id", "h", "md5(concat(doc_id, '|', h)) as v"
+            )
+            sigs.write.mode("overwrite").parquet(sig_path)
+            band_keys(spark.read.parquet(sig_path)).write.mode(
+                "overwrite"
+            ).parquet(band_path)
+            index_sigs = spark.read.parquet(sig_path)
+            index_bands = spark.read.parquet(band_path)
+            batch_sigs = spark.read.parquet(batch_path)
+            _clean(spark)
+            t0 = time.time()
+            pairs = incremental_lsh_dedup(
+                None,  # batch_sigs passed directly; docs never shingled
+                index_sigs,
+                min_est_sim=0.9,
+                batch_sigs=batch_sigs,
+                index_bands=index_bands,
+            )
+            n_pairs = pairs.count()
+            sec = time.time() - t0
+            assert n_pairs == 1000, n_pairs  # exactly the planted dups
+            pt = {
+                "rows": n, "sec": round(sec, 2),
+                "rows_per_sec": int(n / sec),
+                "store_docs": n_docs, "batch_docs": 25_000,
+                "pairs": n_pairs,
+            }
+            if n == max(sizes):
+                # A/B: the legacy path re-bands the whole store
+                _clean(spark)
+                t0 = time.time()
+                legacy = incremental_lsh_dedup(
+                    None, index_sigs, min_est_sim=0.9,
+                    batch_sigs=batch_sigs,
+                )
+                assert legacy.count() == 1000
+                pt["legacy_store_groupby_sec"] = round(time.time() - t0, 2)
+            out.append(pt)
+            print(f"   {out[-1]}", flush=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def curve_resolved_map_write(spark, tmp, sizes):
+    """ResolvedMapStore commit cost — the r12 verdict item 2 'Done'
+    criterion: the per-generation snapshot write tracks the DELTA, not
+    the map. n_buckets scales with the map (fixed ~250k-row buckets,
+    the 'bounded file size, growing file count' shape of any real table
+    format), so a fixed 16-url delta touches ≤ 16 buckets = a fixed
+    number of rewritten rows regardless of map size; every other bucket
+    hard-links. The A/B full (unpruned) write at each size shows what
+    the r12 loop paid every generation."""
+    from incubator_stormcrawler_spark.streaming.frontier_table import (
+        ResolvedMapStore,
+    )
+
+    out = []
+    for n in sizes:
+        nb = max(16, n // 250_000)
+        store = ResolvedMapStore(f"{tmp}/map_{n}_v", n_buckets=nb)
+        base = spark.range(n).selectExpr(
+            "concat('u', id) as url",
+            "concat('t', id % 1000) as target",
+            "cast(1 as bigint) as hops",
+            "cast(1 as int) as resolved",
+        )
+        store.write(base)
+        prior = store.read(spark)
+        changed = spark.range(8).selectExpr(
+            "concat('u', id * 1001) as url"
+        )
+        fresh = spark.range(8).selectExpr(
+            "concat('new', id) as url", "'tN' as target",
+            "cast(2 as bigint) as hops", "cast(1 as int) as resolved",
+        )
+        new_map = (
+            prior.join(changed, "url", "left_anti")
+            .unionByName(changed.selectExpr(
+                "url", "'tC' as target", "cast(9 as bigint) as hops",
+                "cast(1 as int) as resolved"))
+            .unionByName(fresh)
+        )
+        delta = changed.unionByName(fresh.select("url"))
+        _clean(spark)
+        t0 = time.time()
+        v = store.write(new_map, changed=delta)
+        sec = time.time() - t0
+        assert store.read(spark).count() == n + 8
+        # A/B: the unpruned full rewrite of the SAME map (re-read from
+        # the committed snapshot — new_map's plan lineage points at the
+        # vacuumed prior version and must not be re-executed)
+        _clean(spark)
+        t0 = time.time()
+        store.write(store.read(spark))
+        sec_full = time.time() - t0
+        out.append({
+            "rows": n, "sec": round(sec, 2),
+            "rows_per_sec": int(n / sec),
+            "n_buckets": nb, "delta_rows": 16,
+            "full_write_sec": round(sec_full, 2),
+            "version": v,
+        })
+        print(f"   {out[-1]}", flush=True)
+    return out
+
+
+def resolved_map_write_main():
+    """`--resolved-map-write`: bucket-pruned resolved-map commit cost vs
+    map size, merged as resolved_map_write."""
+    import shutil
+    import tempfile
+
+    from incubator_stormcrawler_spark.session import get_spark
+
+    spark = get_spark("scale-bench-resolved-map")
+    spark.sparkContext.setLogLevel("ERROR")
+    tmp = tempfile.mkdtemp(prefix="scale_resolved_map_")
+    try:
+        pts = curve_resolved_map_write(
+            spark, tmp, [4_000_000, 16_000_000, 64_000_000]
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    entry = {"points": pts, "alpha": alpha(pts)}
+    print(f"## resolved_map_write: alpha={entry['alpha']}", flush=True)
+    path = merge_scaling({"resolved_map_write": entry})
+    print(f"merged resolved_map_write into {path}")
+
+
+def neardedup_incremental_main():
+    """`--neardedup-incremental`: fixed-batch near-dedup cost vs
+    signature-store size on the stored-band-key path, merged as
+    neardedup_incremental."""
+    from incubator_stormcrawler_spark.session import get_spark
+
+    spark = get_spark("scale-bench-neardedup-inc")
+    spark.sparkContext.setLogLevel("ERROR")
+    pts = curve_neardedup_incremental(
+        spark, [4_000_000, 16_000_000, 64_000_000]
+    )
+    entry = {"points": pts, "alpha": alpha(pts)}
+    print(f"## neardedup_incremental: alpha={entry['alpha']}", flush=True)
+    path = merge_scaling({"neardedup_incremental": entry})
+    print(f"merged neardedup_incremental into {path}")
+
+
 def redirect_main():
     """`--redirect`: pointer-doubling chain resolution cost curve,
     merged as redirect_resolve."""
@@ -1143,11 +1342,14 @@ def full_stack_crawl_main():
     """`--crawl-full-stack`: the whole feature surface ON at once —
     rank-prioritized bucket choice, politeness forecast sizing (no-op cap
     at server_delay 0: coverage must stay identical), the array-SHARDED
-    Bloom prefilter, per-generation WARC archiving, and the live index
-    with the deletion stream — run to exhaustion at 100k pages with the
-    exactly-once checks. The measurement is the integration overhead vs
-    the plain crawl; the assertion is that five features composed do not
-    bend exactly-once."""
+    Bloom prefilter, per-generation WARC archiving, the live index with
+    the deletion stream, and (since r13) incremental MinHash near-dedup
+    on the index stream with its band-key side store — run to exhaustion
+    at 100k pages with the exactly-once checks. The measurement is the
+    integration overhead vs the plain crawl; the assertion is that SIX
+    features composed do not bend exactly-once (near-dedup only filters
+    the INDEX stream — fetch counts and frontier state must be
+    untouched by it)."""
     import shutil as _shutil
     import tempfile as _tempfile
 
@@ -1175,6 +1377,7 @@ def full_stack_crawl_main():
             forecast_horizon_s=3600.0,
             warc_dir=os.path.join(tmp, "warcs"),
             index=IndexTable(os.path.join(tmp, "index")),
+            near_dedup=True,
         )
     finally:
         _shutil.rmtree(tmp, ignore_errors=True)
@@ -1188,7 +1391,8 @@ def full_stack_crawl_main():
             "exactly_once")},
         "overhead_x": round(full["wall_sec"] / plain["wall_sec"], 2),
         "features": ["rank_priority", "forecast_sizing",
-                     "bloom_sharded8", "warc", "index+deletions"],
+                     "bloom_sharded8", "warc", "index+deletions",
+                     "near_dedup"],
     }
     print(f"## full_stack_crawl: {entry}", flush=True)
     path = merge_scaling({"full_stack_crawl": entry})
@@ -1969,6 +2173,12 @@ def main():
         return
     if "--hilbert" in sys.argv:
         hilbert_main()
+        return
+    if "--neardedup-incremental" in sys.argv:
+        neardedup_incremental_main()
+        return
+    if "--resolved-map-write" in sys.argv:
+        resolved_map_write_main()
         return
     if "--redirect-incremental" in sys.argv:
         redirect_incremental_main()
