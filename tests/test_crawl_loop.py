@@ -555,6 +555,49 @@ def test_crawl_indexes_docs_and_applies_deletions(spark, tmp_path):
     assert sum(s["index_deleted"] for s in stats) == 1
 
 
+def test_crawl_with_log_structured_index_matches_snapshot(
+    spark, tmp_path
+):
+    """The LSM index mode through the FULL loop (upserts + the deletion
+    stream + the compact_every cadence): final index content identical
+    to the snapshot mode, per-generation commits are O(batch) segment
+    appends, and the cadenced compaction bounds the segment count."""
+    from incubator_stormcrawler_spark.operators.indexing import IndexTable
+
+    site = {
+        "https://h0.example/p0":
+            '<html><head><title>zero</title></head>'
+            '<body><a href="https://h1.example/p1">a</a>'
+            '<a href="https://h0.example/missing">x</a>ok</body></html>',
+        "https://h1.example/p1":
+            "<html><head><title>one</title></head><body>b</body></html>",
+    }
+
+    def run(idx, path):
+        loop = CrawlLoop(
+            spark,
+            frontier_path=str(tmp_path / path),
+            protocol_factory=lambda: MemoryProtocol(site),
+            server_delay=0.0,
+            index=idx,
+            compact_every=2,
+        )
+        loop.inject_seeds(
+            spark.createDataFrame([("https://h0.example/p0",)], ["url"])
+        )
+        loop.run(6)
+        return {r.url: r.title for r in idx.read(spark).collect()}
+
+    snap = run(IndexTable(str(tmp_path / "snap")), "f_snap")
+    log_idx = IndexTable(str(tmp_path / "log"), log_structured=True)
+    log = run(log_idx, "f_log")
+    assert log == snap == {
+        "https://h0.example/p0": "zero", "https://h1.example/p1": "one",
+    }
+    # the cadence kept the log bounded (compacted at gens 2/4/6)
+    assert len(log_idx.log.segments()) <= 3
+
+
 def test_canonicalize_redirects_keys_index_by_terminal_url(spark, tmp_path):
     """canonicalize_redirects=True completes the RedirectionBolt +
     `_redirTo` story (bolt/FetcherBolt.java:706-746,

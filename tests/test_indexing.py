@@ -247,3 +247,77 @@ def test_cloudsearch_batching_limits():
     big = build_add_doc("https://a.example/big", {}, "y" * 2000,
                         {"content": "text"})
     assert list(batch_sdf_documents([big], max_doc_bytes=500)) == []
+
+
+def _drive(idx, spark):
+    """The shared op sequence for the two-mode equivalence check:
+    upserts (including an overwrite), a delete, then a re-upsert of the
+    deleted url — order-sensitive on purpose."""
+    idx.upsert(docs_df(spark, [
+        ("https://a.com/1", "One", "body one"),
+        ("https://a.com/2", "Two", "body two"),
+    ]))
+    idx.upsert(docs_df(spark, [
+        ("https://a.com/1", "One v2", "body one v2"),
+        ("https://a.com/3", "Three", "body three"),
+    ]))
+    idx.delete(spark.createDataFrame([("https://a.com/2",)], ["url"]))
+    idx.upsert(docs_df(spark, [
+        ("https://a.com/2", "Two reborn", "body two again"),
+    ]))
+    return {
+        r.url: (r.title, r.text) for r in idx.read(spark).collect()
+    }
+
+
+def test_log_structured_index_equivalent_to_snapshot(spark, tmp_path):
+    """The LSM mode (O(batch) segment appends + newest-wins
+    merge-on-read) must be observationally identical to the snapshot
+    mode through upsert-overwrite-delete-reinsert sequences — the
+    storage layout is the only difference. Also pins that upserts never
+    read the store: four commits produce exactly four segments."""
+    snap = IndexTable(str(tmp_path / "snap"))
+    log = IndexTable(str(tmp_path / "log"), log_structured=True)
+    want = _drive(snap, spark)
+    got = _drive(log, spark)
+    assert got == want
+    assert len(log.log.segments()) == 4
+    # compaction folds to one base, content unchanged, old dirs gone
+    log.compact(spark)
+    assert len(log.log.segments()) == 1
+    assert {
+        r.url: (r.title, r.text) for r in log.read(spark).collect()
+    } == want
+    import os
+
+    seg_dirs = [d for d in os.listdir(str(tmp_path / "log"))
+                if d.startswith("seg")]
+    assert seg_dirs == log.log.segments()
+    # post-compaction ops keep working (sequence numbers keep rising)
+    log.upsert(docs_df(spark, [("https://a.com/9", "Nine", "n")]))
+    assert log.read(spark).count() == len(want) + 1
+
+
+def test_log_structured_index_crash_unlisted_segment_ignored(
+    spark, tmp_path
+):
+    """Crash contract: a segment directory not in the _SEGMENTS listing
+    (a torn write) is invisible to readers, and the next commit to that
+    sequence number overwrites it rather than double-counting."""
+    import os
+
+    log = IndexTable(str(tmp_path / "log"), log_structured=True)
+    log.upsert(docs_df(spark, [("https://a.com/1", "One", "x")]))
+    # torn write at the NEXT sequence number
+    torn = str(tmp_path / "log" / "seg000002")
+    os.makedirs(torn)
+    docs_df(spark, [("https://evil.example/", "Torn", "y")]).write.mode(
+        "overwrite"
+    ).parquet(torn)
+    assert {r.url for r in log.read(spark).collect()} == {
+        "https://a.com/1"
+    }
+    log.upsert(docs_df(spark, [("https://a.com/2", "Two", "z")]))
+    assert {r.url for r in log.read(spark).collect()} == {
+        "https://a.com/1", "https://a.com/2"
+    }

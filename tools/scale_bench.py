@@ -1245,6 +1245,83 @@ def curve_resolved_map_write(spark, tmp, sizes):
     return out
 
 
+def curve_index_upsert(spark, tmp, sizes):
+    """IndexTable commit cost — the r13 LSM mode's 'Done' criterion:
+    a generation's index upsert tracks the BATCH, not the accumulated
+    index. For each index size N (docs) the log-structured table gets a
+    one-segment base, then the measured step upserts a FIXED 25k-doc
+    batch: an O(batch) segment append that never reads the store. The
+    A/B snapshot-mode upsert at each size is the r12 loop's cost —
+    read-the-index + anti-join + full rewrite, linear in N. The
+    read-side price of the log (newest-wins window over base + delta)
+    is probed alongside, bounded in the loop by the compact_every
+    cadence."""
+    from incubator_stormcrawler_spark.operators.indexing import IndexTable
+
+    def synth_docs_sql(n, prefix):
+        return spark.range(n).selectExpr(
+            f"concat('https://{prefix}', id, '.example/p') as url",
+            "concat('t', id) as title",
+            "concat('body ', id, ' lorem ipsum dolor sit') as text",
+        )
+
+    out = []
+    for n in sizes:
+        log = IndexTable(f"{tmp}/log_{n}", log_structured=True)
+        log.upsert(synth_docs_sql(n, "base"))  # one-segment base
+        batch = synth_docs_sql(25_000, "fresh").localCheckpoint(eager=True)
+        _clean(spark)
+        t0 = time.time()
+        log.upsert(batch)
+        sec = time.time() - t0
+        t0 = time.time()
+        n_resolved = log.read(spark).count()
+        sec_read = time.time() - t0
+        assert n_resolved == n + 25_000, n_resolved
+        snap = IndexTable(f"{tmp}/snap_{n}")
+        snap.upsert(synth_docs_sql(n, "base"))
+        _clean(spark)
+        t0 = time.time()
+        snap.upsert(batch)
+        sec_snap = time.time() - t0
+        out.append({
+            "rows": n, "sec": round(sec, 2),
+            "rows_per_sec": int(n / sec),
+            "batch_docs": 25_000,
+            "read_resolve_sec": round(sec_read, 2),
+            "snapshot_upsert_sec": round(sec_snap, 2),
+        })
+        print(f"   {out[-1]}", flush=True)
+        import shutil as _sh
+
+        _sh.rmtree(f"{tmp}/log_{n}", ignore_errors=True)
+        _sh.rmtree(f"{tmp}/snap_{n}", ignore_errors=True)
+    return out
+
+
+def index_upsert_main():
+    """`--index-upsert`: log-structured vs snapshot index commit cost
+    vs index size, merged as index_upsert."""
+    import shutil
+    import tempfile
+
+    from incubator_stormcrawler_spark.session import get_spark
+
+    spark = get_spark("scale-bench-index-upsert")
+    spark.sparkContext.setLogLevel("ERROR")
+    tmp = tempfile.mkdtemp(prefix="scale_index_upsert_")
+    try:
+        pts = curve_index_upsert(
+            spark, tmp, [4_000_000, 16_000_000, 64_000_000]
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    entry = {"points": pts, "alpha": alpha(pts)}
+    print(f"## index_upsert: alpha={entry['alpha']}", flush=True)
+    path = merge_scaling({"index_upsert": entry})
+    print(f"merged index_upsert into {path}")
+
+
 def resolved_map_write_main():
     """`--resolved-map-write`: bucket-pruned resolved-map commit cost vs
     map size, merged as resolved_map_write."""
@@ -1376,8 +1453,13 @@ def full_stack_crawl_main():
             forecast_sizing=True,
             forecast_horizon_s=3600.0,
             warc_dir=os.path.join(tmp, "warcs"),
-            index=IndexTable(os.path.join(tmp, "index")),
+            # the 100 TB index mode: O(batch) segment appends, cadenced
+            # compaction instead of a full rewrite per generation
+            index=IndexTable(
+                os.path.join(tmp, "index"), log_structured=True
+            ),
             near_dedup=True,
+            compact_every=3,
         )
     finally:
         _shutil.rmtree(tmp, ignore_errors=True)
@@ -1391,8 +1473,8 @@ def full_stack_crawl_main():
             "exactly_once")},
         "overhead_x": round(full["wall_sec"] / plain["wall_sec"], 2),
         "features": ["rank_priority", "forecast_sizing",
-                     "bloom_sharded8", "warc", "index+deletions",
-                     "near_dedup"],
+                     "bloom_sharded8", "warc",
+                     "log_structured_index+deletions", "near_dedup"],
     }
     print(f"## full_stack_crawl: {entry}", flush=True)
     path = merge_scaling({"full_stack_crawl": entry})
@@ -2179,6 +2261,9 @@ def main():
         return
     if "--resolved-map-write" in sys.argv:
         resolved_map_write_main()
+        return
+    if "--index-upsert" in sys.argv:
+        index_upsert_main()
         return
     if "--redirect-incremental" in sys.argv:
         redirect_incremental_main()
