@@ -228,10 +228,17 @@ def main() -> None:
     try:
         with open(prev_detail_path) as fh:
             prev = json.load(fh)
-        prev_timings = dict(prev.get("queries") or {})
-        for nm, rec in (prev.get("solo_reruns") or {}).items():
-            if isinstance(rec, dict) and rec.get("solo_sec", -1) > 0:
-                prev_timings[nm] = rec["solo_sec"]
+        # SCALE GUARD (r13 incident): a fast probe at another sf (the
+        # verify recipe runs sf0.001) overwrites the detail file, and
+        # comparing sf0.1 chunk readings against sf0.001 baselines
+        # flagged 40 rows >=2x and burned 12 solo reruns on phantom
+        # regressions. Prev readings only adjudicate SAME-sf runs.
+        cur_sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+        if str(prev.get("sf")) == cur_sf:
+            prev_timings = dict(prev.get("queries") or {})
+            for nm, rec in (prev.get("solo_reruns") or {}).items():
+                if isinstance(rec, dict) and rec.get("solo_sec", -1) > 0:
+                    prev_timings[nm] = rec["solo_sec"]
     except (OSError, json.JSONDecodeError, ValueError):
         pass
 

@@ -261,12 +261,26 @@ CACHE_DDL = "cache_key string, url string, content binary, stored_at string"
 
 class ContentCache:
     """Content-addressed page cache (S3Cacher/S3CacheChecker semantics):
-    store fetched bytes once, skip refetching cached URLs."""
+    store fetched bytes once, skip refetching cached URLs.
 
-    def __init__(self, path: str):
-        self.table = _VersionedTable(path, CACHE_DDL)
+    ``log_structured=True`` gives the cache the same LSM shape as the
+    index — the snapshot mode's ``store()`` rewrites the ENTIRE cache
+    per generation, and a content cache is the loop's LARGEST side
+    table (raw page bytes: at 100 TB of crawl this store IS the
+    corpus). Keys are content-addressed (sha256(url)), so newest-wins
+    resolution is a no-op in effect — but the same segment machinery
+    applies unchanged, and compaction rides the loop cadence."""
+
+    def __init__(self, path: str, log_structured: bool = False):
+        self.log_structured = log_structured
+        if log_structured:
+            self.log = _LogStructuredTable(path, CACHE_DDL, "cache_key")
+        else:
+            self.table = _VersionedTable(path, CACHE_DDL)
 
     def read(self, spark: SparkSession) -> DataFrame:
+        if self.log_structured:
+            return self.log.read_resolved(spark)
         return self.table.read(spark)
 
     def store(self, pages: DataFrame, stored_at: str = "2024-01-15") -> int:
@@ -276,9 +290,16 @@ class ContentCache:
             "content",
             F.lit(stored_at).alias("stored_at"),
         ).dropDuplicates(["cache_key"])
+        if self.log_structured:
+            return self.log.append(new.withColumn("__op", F.lit("u")))
         old = self.read(pages.sparkSession)
         kept = old.join(new.select("cache_key"), "cache_key", "left_anti")
         return self.table.commit(kept.unionByName(new))
+
+    def compact(self, spark: SparkSession) -> None:
+        """No-op in snapshot mode."""
+        if self.log_structured:
+            self.log.compact(spark)
 
     def split_cached(self, batch: DataFrame) -> tuple[DataFrame, DataFrame]:
         """(hits, misses): hits carry cached content — the S3CacheChecker

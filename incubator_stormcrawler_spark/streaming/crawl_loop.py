@@ -1055,13 +1055,15 @@ class CrawlLoop:
             # logically distinct already, but delta appends leave one
             # file batch per new-edge generation
             self._compact_edge_stores()
-            # a log-structured index folds its delta segments back into
-            # one base on the same cadence (per-generation upserts are
-            # O(batch) appends; this bounds the read-side merge width)
-            if self.index is not None and getattr(
-                self.index, "log_structured", False
-            ):
-                self.index.compact(self.spark)
+            # a log-structured index / content cache folds its delta
+            # segments back into one base on the same cadence
+            # (per-generation commits are O(batch) appends; this bounds
+            # the read-side merge width)
+            for side in (self.index, self.content_cache):
+                if side is not None and getattr(
+                    side, "log_structured", False
+                ):
+                    side.compact(self.spark)
         if self.metrics_path:
             # per-generation metrics table (StatusMetricsBolt cadence)
             self.spark.createDataFrame(

@@ -321,3 +321,35 @@ def test_log_structured_index_crash_unlisted_segment_ignored(
     assert {r.url for r in log.read(spark).collect()} == {
         "https://a.com/1", "https://a.com/2"
     }
+
+
+def test_content_cache_log_structured_split_and_compact(spark, tmp_path):
+    """The LSM content-cache mode: stores are O(batch) segment appends
+    (the snapshot mode rewrote the WHOLE cache per generation — and the
+    content cache is the loop's largest side table), split_cached
+    resolves hits/misses identically, re-stores of the same key do not
+    duplicate, and compaction folds to one base with content intact."""
+    cache = ContentCache(str(tmp_path / "cache"), log_structured=True)
+    cache.store(spark.createDataFrame(
+        [Row(url="https://a.com/1", content=bytearray(b"ONE"))]
+    ))
+    cache.store(spark.createDataFrame(
+        [Row(url="https://a.com/1", content=bytearray(b"ONE")),
+         Row(url="https://a.com/2", content=bytearray(b"TWO"))]
+    ))
+    assert len(cache.log.segments()) == 2  # appends, never rewrites
+    assert cache.read(spark).count() == 2  # newest-wins dedups the rekey
+
+    batch = spark.createDataFrame(
+        [Row(url="https://a.com/1", key="a.com"),
+         Row(url="https://a.com/9", key="a.com")]
+    )
+    hits, misses = cache.split_cached(batch)
+    h = hits.collect()
+    assert len(h) == 1 and bytes(h[0].content) == b"ONE"
+    assert [r.url for r in misses.collect()] == ["https://a.com/9"]
+
+    cache.compact(spark)
+    assert len(cache.log.segments()) == 1
+    hits2, misses2 = cache.split_cached(batch)
+    assert len(hits2.collect()) == 1 and len(misses2.collect()) == 1
