@@ -244,7 +244,10 @@ def merge_status_updates(
     u_keys = u.select("url")
     untouched = f.join(F.broadcast(u_keys), "url", "left_anti")
     f_matched = f.join(F.broadcast(u_keys), "url", "left_semi")
-    j = u.join(f_matched, on="url", how="left")
+    # f_matched is bounded by the update batch (≤ |u| rows) — the same
+    # author-proven contract as the key broadcasts above, stated
+    # explicitly now that the engine never broadcasts from estimates.
+    j = u.join(F.broadcast(f_matched), on="url", how="left")
     merged = merged_cols(j)
     # Project untouched rows through the merged column list so both legs
     # union cleanly even when the frontier carries columns updates lack.

@@ -39,7 +39,37 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Broadcast policy (r13 optimization round): joins broadcast from
+        # MEASURED sizes, never from plan-time estimates. Catalyst's size
+        # estimates are garbage downstream of explode/window/localCheckpoint
+        # (lazy checkpoints keep the original lineage stats), and an
+        # estimate-driven broadcast of a corpus-sized side is the #1
+        # driver-OOM class at 100 TB (hit by the r9 scale curve on the
+        # prefix-join family). So: plan-time auto-broadcast OFF (explicit
+        # F.broadcast() hints — author-proven bounded sides — still apply),
+        # and AQE converts shuffle joins to broadcast at RUNTIME from the
+        # actual shuffle sizes. Same policy at every scale; production
+        # overrides via the env knobs.
+        .config(
+            "spark.sql.autoBroadcastJoinThreshold",
+            os.environ.get("SPARK_GRAFT_AUTO_BROADCAST", "-1"),
+        )
+        .config(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            os.environ.get(
+                "SPARK_GRAFT_RUNTIME_BROADCAST", str(64 * 1024 * 1024)
+            ),
+        )
+        # Runtime shuffled-hash joins: with plan-time auto-broadcast off,
+        # plan-time SHJ selection can't trigger either (its size gate is
+        # threshold-derived), so every conversion below comes from AQE's
+        # per-partition MEASURED map sizes — skips the sort of sort-merge
+        # exactly when the build side is proven to fit.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_LOCAL_MAP", str(128 * 1024 * 1024)),
+        )
         # Parquet scans: push filters + prune columns (Catalyst default, kept
         # explicit because frontier queries depend on it at scale).
         .config("spark.sql.parquet.filterPushdown", "true")
