@@ -723,12 +723,13 @@ def segment_dedup(
     keeper = segs.groupBy("__h").agg(
         F.min(F.struct(F.col(id_col), F.col("chunk_idx"))).alias("__k")
     )
-    # hint("merge"): same fix as substring_dedup's dup join — the keeper
-    # aggregate is corpus-sized but Catalyst's plan-time estimate can put
-    # it under the broadcast threshold; SMJ keeps the join-back linear
-    # and AQE-skew-splittable on a hot boilerplate segment.
+    # Unhinted since the r13 broadcast policy (session.py): plan-time
+    # auto-broadcast is off engine-wide, so the corpus-sized keeper
+    # aggregate can no longer broadcast off its garbage plan-time
+    # estimate; AQE keeps the join-back linear (and skew-splittable on a
+    # hot boilerplate segment) unless the keeper is measured small.
     return (
-        segs.join(keeper.hint("merge"), "__h")
+        segs.join(keeper, "__h")
         .where(
             (F.col(id_col) == F.col(f"__k.{id_col}"))
             & (F.col("chunk_idx") == F.col("__k.chunk_idx"))
@@ -1855,10 +1856,12 @@ def ngram_novelty(
     rounded division, so the oracle replays it bit-for-bit.
 
     Scale shape: distinct (doc, shingle) stream → one partial-aggregable
-    DF count per shingle → hint("merge") join-back (the DF relation is
-    corpus-sized; Catalyst's estimate of an aggregate output is garbage,
-    the same broadcast trap the r9 curves caught in jaccard_prefix_pairs)
-    → one groupBy(doc). Two uniform-key shuffles, nothing quadratic.
+    DF count per shingle → unhinted join-back (the DF relation is
+    corpus-sized; the session-level r13 broadcast policy keeps plan-time
+    estimates out of the strategy choice — the broadcast trap the r9
+    curves caught in jaccard_prefix_pairs — and AQE sizes the join from
+    measured bytes) → one groupBy(doc). Two uniform-key shuffles,
+    nothing quadratic.
     Docs with fewer than n tokens have no shingles and drop out (both
     engines agree).
     """
@@ -1868,7 +1871,7 @@ def ngram_novelty(
                        id_alias=id_col)
     df_t = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     return (
-        sh.join(df_t.hint("merge"), "shingle")
+        sh.join(df_t, "shingle")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_shingles"),

@@ -241,7 +241,19 @@ def jaccard_prefix_pairs(
     t = Fraction(str(threshold))
     tc = t - Fraction(1, 5000)
     num, den = tc.numerator, tc.denominator
-    sh = with_shingles(docs, n, text_col).localCheckpoint(eager=False)
+    # One by-shingle exchange serves BOTH the set-dedup and the df
+    # window: repartition("shingle") hash-clusters the stream once, the
+    # (doc_id, shingle) dropDuplicates is satisfied by that partitioning
+    # (same pair ⇒ same shingle ⇒ same partition), and the df window
+    # needs only a local sort on top. The previous shape paid a full
+    # (doc_id, shingle) exchange for the dedup and a SECOND full
+    # by-shingle exchange for the window.
+    sh = (
+        with_shingles(docs, n, text_col, distinct=False)
+        .repartition("shingle")
+        .dropDuplicates(["doc_id", "shingle"])
+        .localCheckpoint(eager=False)
+    )
     w_df = Window.partitionBy("shingle")
     w_doc = Window.partitionBy("doc_id")
     w_pos = w_doc.orderBy("df", "shingle")
@@ -257,17 +269,16 @@ def jaccard_prefix_pairs(
     prefix = ranked.where(
         F.col("pos") <= F.col("n_sh") - ceil_ts + 1
     ).select("doc_id", "shingle", "n_sh")
-    # hint("merge") on the self-join and the verify joins: the prefix
-    # relation derives from two windows over a lazily-checkpointed
-    # stream, so Catalyst's plan-time size estimate is garbage and it
-    # will happily pick a BROADCAST build of a corpus-sized side — at
-    # 400k docs that kills the driver ("Not enough memory to build and
-    # broadcast", found by the r9 scale curve; same defect class as
-    # substring_dup_starts' join-back). SMJ keeps every corpus-sized
-    # join linear and AQE-skew-splittable; the candidate side stays
-    # broadcast-eligible when AQE's RUNTIME size says so.
+    # Join strategies are deliberately UNHINTED: the session-level
+    # broadcast policy (session.py) turns plan-time auto-broadcast off,
+    # so Catalyst can never broadcast a corpus-sized side off the
+    # garbage post-window/checkpoint estimates (the r9 scale-curve
+    # driver-OOM this family used to carry hint("merge") against), and
+    # AQE picks broadcast/shuffled-hash per join from MEASURED shuffle
+    # sizes — the candidate side broadcasts when it is actually small,
+    # corpus-sized sides stay linear shuffle joins.
     a = prefix.alias("a")
-    b = prefix.alias("b").hint("merge")
+    b = prefix.alias("b")
     cand = (
         a.join(b, "shingle")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -285,13 +296,9 @@ def jaccard_prefix_pairs(
         .distinct()
     )
     common = (
-        cand.join(
-            sh.withColumnRenamed("doc_id", "doc1").hint("merge"), "doc1"
-        )
+        cand.join(sh.withColumnRenamed("doc_id", "doc1"), "doc1")
         .join(
-            sh.select(
-                F.col("doc_id").alias("doc2"), "shingle"
-            ).hint("merge"),
+            sh.select(F.col("doc_id").alias("doc2"), "shingle"),
             ["doc2", "shingle"],
         )
         .groupBy("doc1", "doc2", "n1", "n2")
@@ -633,15 +640,16 @@ def substring_dup_starts(
     sliding ``window``-token gram occurrence that is NOT its hash's
     first (doc_id, pos) occurrence. substring_dedup's stage (1)+(2),
     factored out pre-checkpoint so tests/test_plans.py can pin the
-    physical plan. hint("merge") on the join-back: Catalyst's plan-time
-    size estimate for the keeper aggregate sails under the broadcast
-    threshold, so it BROADCASTS a corpus-sized build side — measured
-    48 s vs 16 s (SMJ) for this stage at 400k docs / 19.6M grams, and
-    the gap grows with the corpus (the r7 scaling curves caught this as
-    alpha = 1.12). SMJ keeps the shuffle linear AND stays eligible for
-    AQE skew-splitting on a mega-hot boilerplate gram (which a
-    window-over-h formulation — the other way to find non-keepers —
-    can never split).
+    physical plan. The join-back is UNHINTED since the r13 broadcast
+    policy (session.py): plan-time auto-broadcast is off engine-wide,
+    so Catalyst can no longer broadcast the corpus-sized keeper
+    aggregate off its under-threshold plan-time estimate (measured
+    48 s vs 16 s for that bad plan at 400k docs / 19.6M grams — the r7
+    alpha-1.12 curve), and AQE picks the strategy from MEASURED sizes:
+    a shuffle join that stays linear and skew-splittable on a mega-hot
+    boilerplate gram (which a window-over-h formulation — the other way
+    to find non-keepers — can never split), broadcast only when the
+    keeper side is actually small at runtime.
 
     ``hash_fn``: md5 (default) hashes the space-joined gram so DuckDB
     replays it; ``xxhash64`` hashes the token-slice ARRAY directly —
@@ -680,7 +688,7 @@ def substring_dup_starts(
         F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__k")
     )
     return (
-        grams.join(keeper.hint("merge"), "h")
+        grams.join(keeper, "h")
         .where(
             (F.col(id_col) != F.col(f"__k.{id_col}"))
             | (F.col("pos") != F.col("__k.pos"))
@@ -1275,15 +1283,15 @@ def bloom_unseen_sharded(
         ).select(key_col).distinct()
         exact_new = possible.join(F.broadcast(found), key_col, "left_anti")
     else:
-        # hint("merge"): Catalyst's plan-time estimate of the seen set can
-        # sit under the broadcast threshold (spark.range-derived fixtures
-        # estimate bytes pre-widening) and a broadcast anti-join BUILD of
-        # the full seen relation kills the driver — found by the r9 scale
-        # curve at 16M keys. SMJ keeps the residue linear; the possible
-        # side still downgrades to broadcast when AQE's runtime size
-        # justifies it.
+        # Unhinted since the r13 broadcast policy (session.py): plan-time
+        # auto-broadcast is off, so the under-estimated seen set (spark.
+        # range-derived fixtures estimate bytes pre-widening) can no
+        # longer be picked as a broadcast anti-join BUILD — the r9
+        # 16M-key driver kill. AQE sizes the join from measured shuffle
+        # bytes: the residue stays linear, broadcast only fires when a
+        # side is actually small at runtime.
         exact_new = possible.join(
-            seen.select(F.col(key_col)).distinct().hint("merge"),
+            seen.select(F.col(key_col)).distinct(),
             key_col,
             "left_anti",
         )
@@ -1464,8 +1472,10 @@ def bloom_unseen_broadcast_sharded(
         ).select(key_col).distinct()
         exact_new = possible.join(F.broadcast(found), key_col, "left_anti")
     else:
+        # unhinted — see bloom_unseen_join: the r13 broadcast policy
+        # removes the plan-time-estimate broadcast hazard engine-wide
         exact_new = possible.join(
-            seen.select(F.col(key_col)).distinct().hint("merge"),
+            seen.select(F.col(key_col)).distinct(),
             key_col,
             "left_anti",
         )
