@@ -241,19 +241,16 @@ def jaccard_prefix_pairs(
     t = Fraction(str(threshold))
     tc = t - Fraction(1, 5000)
     num, den = tc.numerator, tc.denominator
-    # One by-shingle exchange serves BOTH the set-dedup and the df
-    # window: repartition("shingle") hash-clusters the stream once, the
-    # (doc_id, shingle) dropDuplicates is satisfied by that partitioning
-    # (same pair ⇒ same shingle ⇒ same partition), and the df window
-    # needs only a local sort on top. The previous shape paid a full
-    # (doc_id, shingle) exchange for the dedup and a SECOND full
-    # by-shingle exchange for the window.
-    sh = (
-        with_shingles(docs, n, text_col, distinct=False)
-        .repartition("shingle")
-        .dropDuplicates(["doc_id", "shingle"])
-        .localCheckpoint(eager=False)
-    )
+    # NOTE (r13): a "one by-shingle exchange for dedup + df window"
+    # restructure (repartition("shingle") → dropDuplicates) was tried
+    # and REVERTED: hashing the raw stream by shingle alone concentrates
+    # every occurrence of a hot boilerplate shingle into one partition
+    # (AQE splits skewed JOINS, not aggregates) and forfeits
+    # dropDuplicates' map-side partial dedup — 1.5× slower at the
+    # 400k-doc boilerplate curve despite winning at sf0.1. The
+    # (doc_id, shingle)-keyed dedup exchange spreads hot shingles by
+    # construction.
+    sh = with_shingles(docs, n, text_col).localCheckpoint(eager=False)
     w_df = Window.partitionBy("shingle")
     w_doc = Window.partitionBy("doc_id")
     w_pos = w_doc.orderBy("df", "shingle")

@@ -54,21 +54,39 @@ def get_spark(
             "spark.sql.autoBroadcastJoinThreshold",
             os.environ.get("SPARK_GRAFT_AUTO_BROADCAST", "-1"),
         )
+        # CALIBRATION NOTE: adaptive thresholds compare COMPRESSED
+        # shuffle bytes, while the plan-time threshold they replace
+        # compared uncompressed logical estimates — carrying the old
+        # 64m over verbatim made runtime broadcast ~5× more aggressive
+        # than intended and OOM'd the 1.6M-doc jaccard-prefix curve
+        # (a ~64m-compressed shingle side explodes into a multi-hundred-
+        # MB hashed relation). 24m compressed ≈ the old 64m logical;
+        # measured equal to 64m on the sf0.1 subset and green on the
+        # 1.6M-doc curve.
         .config(
             "spark.sql.adaptive.autoBroadcastJoinThreshold",
             os.environ.get(
-                "SPARK_GRAFT_RUNTIME_BROADCAST", str(64 * 1024 * 1024)
+                "SPARK_GRAFT_RUNTIME_BROADCAST", str(24 * 1024 * 1024)
             ),
         )
         # Runtime shuffled-hash joins: with plan-time auto-broadcast off,
         # plan-time SHJ selection can't trigger either (its size gate is
         # threshold-derived), so every conversion below comes from AQE's
         # per-partition MEASURED map sizes — skips the sort of sort-merge
-        # exactly when the build side is proven to fit.
+        # exactly when the build side is proven to fit. The threshold
+        # must be CONCURRENCY-honest, not just partition-honest: a build
+        # that fits per-partition still OOMs when every core builds one
+        # simultaneously (measured: 128m per partition × 32 local cores
+        # in an 8g heap killed the 400k-doc jaccard-prefix curve with
+        # "not enough memory to build hash map" — SMJ spills, SHJ
+        # doesn't), and the threshold reads COMPRESSED map bytes (see
+        # the calibration note above). Default 8m ⇒ worst case
+        # cores × ~3-5×8m of concurrent decompressed builds locally;
+        # size to executor heap/cores in production via the env knob.
         .config("spark.sql.join.preferSortMergeJoin", "false")
         .config(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
-            os.environ.get("SPARK_GRAFT_SHJ_LOCAL_MAP", str(128 * 1024 * 1024)),
+            os.environ.get("SPARK_GRAFT_SHJ_LOCAL_MAP", str(8 * 1024 * 1024)),
         )
         # Parquet scans: push filters + prune columns (Catalyst default, kept
         # explicit because frontier queries depend on it at scale).

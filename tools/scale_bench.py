@@ -1902,12 +1902,51 @@ def jaccard_prefix_curve_main():
     """`--jaccard-prefix-curve`: the r8 verdict's missing SCALING entry —
     PPJoin to >= 1.6M docs (16x the A/B ceiling, where the full join is
     already 30x slower and off the chart), merged as
-    jaccard_prefix_pairs."""
-    from incubator_stormcrawler_spark.session import get_spark
+    jaccard_prefix_pairs.
 
-    spark = get_spark("scale-bench-jacpfx")
-    spark.sparkContext.setLogLevel("ERROR")
-    pts = curve_jaccard_prefix(spark, [100_000, 400_000, 1_600_000])
+    Each point runs in a FRESH subprocess JVM (r13): the sequential
+    one-JVM form OOM'd at the 1.6M point while the same point alone was
+    green — prior points' checkpoint blocks and AQE broadcast relations
+    are freed only asynchronously (py4j ref drop → ContextCleaner), so
+    cross-point heap state accumulates. Same per-point methodology
+    (warmup + timed run); this is the bench.py chunking lesson applied
+    to the curve harness."""
+    import json as _json
+    import subprocess
+
+    one = os.environ.get("SPARK_GRAFT_JACPFX_POINT")
+    if one:
+        from incubator_stormcrawler_spark.session import get_spark
+
+        spark = get_spark("scale-bench-jacpfx")
+        spark.sparkContext.setLogLevel("ERROR")
+        pts = curve_jaccard_prefix(spark, [int(one)])
+        with open(os.environ["SPARK_GRAFT_JACPFX_OUT"], "w") as fh:
+            _json.dump(pts, fh)
+        return
+
+    pts = []
+    for n in [100_000, 400_000, 1_600_000]:
+        with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
+            out_path = tf.name
+        env = dict(os.environ)
+        env["SPARK_GRAFT_JACPFX_POINT"] = str(n)
+        env["SPARK_GRAFT_JACPFX_OUT"] = out_path
+        rc = subprocess.call(
+            [sys.executable, os.path.abspath(__file__),
+             "--jaccard-prefix-curve"],
+            env=env,
+        )
+        try:
+            with open(out_path) as fh:
+                pts.extend(_json.load(fh))
+        except (OSError, ValueError) as ex:
+            print(f"point {n} unreadable (rc={rc}): {ex}", flush=True)
+        finally:
+            try:
+                os.unlink(out_path)
+            except OSError:
+                pass
     entry = {"points": pts, "alpha": alpha(pts)}
     print(f"## jaccard_prefix_pairs: alpha={entry['alpha']}", flush=True)
     for p in pts:
