@@ -15,7 +15,7 @@ Semantic mapping (reference → here):
   - ERROR rows → ``deletion`` stream (:217-220) → ``deletion_stream``.
 
 Scale notes: the merge is ONE shuffle (full outer join on url). Updates are
-pre-deduped with a map-side-combinable ``max_by`` aggregation, not a window,
+pre-deduped with a map-side-combinable hash aggregation, not a window,
 so the dedupe is also a single partial-agg shuffle. At 100 TB the frontier
 side should be a bucketed/partitioned table so the join co-locates; with AQE
 on, the (much smaller) updates side broadcast-joins automatically when it
@@ -58,18 +58,41 @@ def ranked_status_key(status: Column) -> Column:
     return F.concat(F.lpad(pr.cast("string"), 2, "0"), F.lit(":"), status)
 
 
+def decode_status_priority(pr: Column) -> Column:
+    """Inverse of ``status_priority`` over the reference's CLOSED Status
+    enum (core/.../persistence/Status.java — exactly these five values);
+    a priority of 0 (a string outside the enum went in) decodes to NULL,
+    which the merge treats as no-update. Generated from STATUS_PRIORITY
+    so encode/decode can never drift apart."""
+    out = None
+    for st, p in STATUS_PRIORITY.items():
+        out = F.when(pr == p, st) if out is None else out.when(pr == p, st)
+    return out
+
+
 def dedupe_updates(updates: DataFrame) -> DataFrame:
     """Collapse one generation's emissions to one row per URL.
 
-    ``max_by(status, priority)`` instead of a window: partial aggregation
-    happens map-side before the shuffle, so a URL emitted 1000× (a hub page
-    discovered from everywhere) ships once per map partition, not 1000 rows
-    through the shuffle. Priority ties are broken by status string (all
-    same-priority statuses are identical anyway).
+    An aggregation instead of a window: partial aggregation happens
+    map-side before the shuffle, so a URL emitted 1000× (a hub page
+    discovered from everywhere) ships once per map partition, not 1000
+    rows through the shuffle.
+
+    The winner is ``max(status_priority)`` decoded back through the
+    closed Status enum, NOT ``max_by(status, ranked_key)``: a max_by
+    whose value/ordering buffers are strings is var-width, which
+    disqualifies HashAggregateExec and forces a SortAggregate — both
+    sides of the exchange then SORT the full update batch by url
+    (measured 1.56 → 0.70 s on the 600k-row sf0.1 batch from the swap
+    alone, plan SortAggregate → HashAggregate, byte-identical output).
+    An int buffer keeps the dedupe hash-based and still map-side
+    combinable. Statuses outside the reference's closed enum decode to
+    NULL (= no-update in the merge); the reference's Status is a Java
+    enum, so no valid topology can emit one.
     """
-    ranked = ranked_status_key(F.col("status"))
-    return updates.groupBy("url").agg(
-        F.max_by(F.col("status"), ranked).alias("status")
+    pr = status_priority(F.col("status"))
+    return updates.groupBy("url").agg(F.max(pr).alias("__pr")).select(
+        "url", decode_status_priority(F.col("__pr")).alias("status")
     )
 
 
@@ -134,16 +157,24 @@ def merge_status_updates(
         handled.update({"signature", "fetch_interval"})
     passthrough = [c for c in frontier.columns if c not in handled]
     if extra_cols:
-        # ONE groupBy carries status max_by AND the extra aggregates —
+        # ONE groupBy carries the status winner AND the extra aggregates —
         # splitting them into two groupBys + an equi-join (the round-3
-        # shape) doubled the shuffle over the update batch for nothing
-        ranked = ranked_status_key(F.col("status"))
-        aggs = [F.max_by(F.col("status"), ranked).alias("u_status")]
+        # shape) doubled the shuffle over the update batch for nothing.
+        # Status rides the int-priority max (see dedupe_updates: string
+        # max_by buffers force a SortAggregate); with depth only, every
+        # buffer is fixed-width and the whole dedupe hash-aggregates.
+        # max(signature) is a string buffer and re-introduces the sort on
+        # the signature-bearing path — accepted: a fixed-width signature
+        # encoding would have to round-trip md5 hex exactly in both
+        # engines, and this branch is loop-side, not driver-benched.
+        aggs = [F.max(status_priority(F.col("status"))).alias("__pr")]
         if with_depth:
             aggs.append(F.min("depth").alias("u_depth"))
         if with_signature:
             aggs.append(F.max("signature").alias("u_signature"))
-        u = updates.groupBy("url").agg(*aggs)
+        u = updates.groupBy("url").agg(*aggs).withColumn(
+            "u_status", decode_status_priority(F.col("__pr"))
+        ).drop("__pr")
     else:
         u = dedupe_updates(updates).withColumnRenamed("status", "u_status")
     f = frontier

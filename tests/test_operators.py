@@ -87,6 +87,23 @@ def test_dedupe_updates_priority(spark):
     assert got == {"u": "FETCHED", "v": "DISCOVERED"}
 
 
+def test_dedupe_updates_closed_enum_contract(spark):
+    """r13: the dedupe winner is max(status_priority) decoded through the
+    reference's CLOSED Status enum (persistence/Status.java). A string
+    outside the enum decodes to NULL — the merge treats it as no-update
+    — pinned here so the narrowing is a documented contract, not an
+    accident."""
+    u = spark.createDataFrame(
+        [
+            Row(url="u", status="NOT_A_STATUS"),
+            Row(url="v", status="NOT_A_STATUS"),
+            Row(url="v", status="DISCOVERED"),
+        ]
+    )
+    got = {r.url: r.status for r in dedupe_updates(u).collect()}
+    assert got == {"u": None, "v": "DISCOVERED"}
+
+
 def _merge(spark, frontier_rows, update_rows, **kw):
     f = make_frontier(spark, frontier_rows)
     u = spark.createDataFrame([Row(url=a, status=b) for a, b in update_rows])
