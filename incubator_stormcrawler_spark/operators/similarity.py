@@ -18,6 +18,8 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from incubator_stormcrawler_spark.session import cut_iteration_lineage
+
 
 def clustered_embeddings(
     spark,
@@ -649,21 +651,12 @@ def kmeans_embeddings(
                 ).alias("cv"),
             )
         )
-        cents = kept
-        # Truncate lineage every 3rd round only (never after the last —
-        # the caller's action compiles the tail anyway). r13: the
-        # previous per-iteration localCheckpoint(eager=False) was the
-        # query's dominant cost — even a LAZY checkpoint compiles its
-        # plan to an RDD immediately (full Catalyst analysis +
-        # physical planning, measured 1.0-2.1 s per round) — while the
-        # repeated cents subtrees it guarded against are deduplicated at
-        # runtime by exchange reuse (the broadcast/shuffle exchanges
-        # canonicalize identically), so plan GROWTH (≤8× between cuts),
-        # not re-execution, is the only thing the cut must bound.
-        # Measured on the registered query (k=8, 2 iterations): 1.36 →
-        # 0.48 s, byte-identical assignments.
-        if (it + 1) % 3 == 0 and (it + 1) < iterations:
-            cents = cents.localCheckpoint(eager=False)
+        # Lineage cut on the shared cadence (rationale + measurements in
+        # session.cut_iteration_lineage: a lazy checkpoint compiles its
+        # plan at call time, exchange reuse dedupes the repeated cents
+        # subtrees between cuts; 1.36 -> 0.48 s solo on the registered
+        # query, byte-identical assignments).
+        cents = cut_iteration_lineage(kept, it, iterations)
     final = assign(cents)
 
     return final.select(
@@ -881,23 +874,26 @@ def random_projection(
         ),
     )
 
+    # Each component is built as ONE parsed SQL expression instead of the
+    # equivalent ~70 py4j DSL calls (F.lit per matrix entry + the fold
+    # lambdas): the parser produces the IDENTICAL Catalyst tree (same
+    # fold, same casts, same IEEE op order — verified exceptAll = 0 both
+    # ways), but the 64×8 matrix costs 8 driver→JVM round-trips instead
+    # of ~1500, which measured ~0.6 s of pure plan-BUILD time per call on
+    # the profiled JL queries (each builds two projections).
     def dot_row(row):
+        arr = "array(" + ",".join(str(s) for s in row) + ")"
         if not unroll:
-            return F.aggregate(
-                F.zip_with(
-                    F.col("v"),
-                    F.array(*[F.lit(s) for s in row]).cast("array<double>"),
-                    lambda x, s: x.cast("double") * s,
-                ),
-                F.lit(0.0),
-                lambda acc, z: acc + z,
+            return F.expr(
+                f"aggregate(zip_with(v, CAST({arr} AS ARRAY<DOUBLE>),"
+                " (x, s) -> CAST(x AS DOUBLE) * s),"
+                " 0.0D, (acc, z) -> acc + z)"
             )
-        acc = F.lit(0.0)
-        for i, s in enumerate(row):
-            acc = acc + F.element_at("v", i + 1).cast("double") * F.lit(
-                float(s)
-            )
-        return acc
+        terms = " + ".join(
+            f"CAST(element_at(v, {i + 1}) AS DOUBLE) * {float(s)}D"
+            for i, s in enumerate(row)
+        )
+        return F.expr(f"0.0D + {terms}")
 
     comps = [
         F.round(

@@ -113,6 +113,38 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def cut_iteration_lineage(df, step: int, total: int, every: int = 3):
+    """Lineage cut for fixed-iteration loops: localCheckpoint only every
+    ``every``-th step and never after the last.
+
+    Even a LAZY ``localCheckpoint(eager=False)`` compiles its full plan to
+    an RDD at call time (Catalyst analysis + physical planning, measured
+    1.0-2.1 s per call on the kmeans assignment plan), while the repeated
+    per-iteration subtrees it guards against are deduplicated at runtime by
+    exchange reuse — every iteration of these loops ends in a shuffle whose
+    exchange canonicalizes identically. So plan GROWTH (bounded by the
+    reference fan-out ^ ``every`` between cuts), not re-execution, is the
+    only thing the cut must bound. Skipping the post-last-step cut is free:
+    the caller's action compiles that tail anyway. Measured on
+    embedding_kmeans (k=8, 2 iterations): 1.36 -> 0.48 s solo at sf0.1,
+    byte-identical assignments.
+
+    NOT a universal win: applied to the node-cardinality graph loops
+    (link_rank / trustrank / hits / dedup_clusters) the same cadence
+    measured 1.1-1.9x SLOWER solo at sf0.1 — their per-iteration state is
+    referenced twice (neighbor aggregation + the update's left-join base)
+    and under the runtime-broadcast policy AQE converts ONE reference to a
+    broadcast exchange while the other stays a shuffle exchange, so the
+    subtrees no longer canonicalize identically and the iteration
+    re-executes instead of reusing. Those loops keep their per-iteration
+    cut; use this helper only where the repeated state is tiny (centroid-
+    sized) or provably single-referenced-per-exchange-form.
+    """
+    if (step + 1) % every == 0 and (step + 1) < total:
+        return df.localCheckpoint(eager=False)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
     """Register the driver's parquet tables as temp views and return them.
 
