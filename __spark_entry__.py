@@ -38,6 +38,17 @@ from incubator_stormcrawler_spark.functions.urls import (
     strip_fragment_expr,
 )
 
+from incubator_stormcrawler_spark.session import read_input as _read_input
+
+
+def _read(spark: SparkSession, path: str) -> DataFrame:
+    """All driver-table reads go through session.read_input: a plain
+    parquet read plus a footer-gated repartition that restores scan
+    parallelism on unsplittable (single-row-group) files — a no-op on
+    any layout that already yields enough splits (see its docstring)."""
+    return _read_input(spark, path)
+
+
 SF_SMOKE = "/root/testdata/sf0.001"
 
 # Shared constants (must match operators/synthetic.py)
@@ -125,7 +136,7 @@ def q_url_normalize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     URLs: strip #fragment (BasicURLNormalizer.java:101-106), drop utm_*
     params, lowercase scheme+host. The exact-parity Python port is exercised
     in tests/test_urls.py against the reference's own test table."""
-    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    part = _read(spark, f"{sf_dir}/part.parquet")
     messy = part.selectExpr(
         "p_partkey",
         "'https://Shop' || cast(mod(p_partkey, 50) as string) || '.Example.COM/item/'"
@@ -188,7 +199,7 @@ def q_frontier_host_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_anchor_text_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Web-graph anchor aggregation: all anchor texts pointing at a target
     URL, deduped + sorted (the classic link-text relevance signal)."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = _read(spark, f"{sf_dir}/lineitem.parquet")
     edges = li.selectExpr(
         "'https://shop.example/item/' || cast(mod(l_partkey, 300) as string)"
         " as target_url",
@@ -207,7 +218,7 @@ def q_link_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical iterations as chained SQL CTEs."""
     from incubator_stormcrawler_spark.operators.linkrank import link_rank
 
-    edges = spark.read.parquet(f"{sf_dir}/lineitem.parquet").selectExpr(
+    edges = _read(spark, f"{sf_dir}/lineitem.parquet").selectExpr(
         "'o' || cast(mod(l_orderkey, 500) as string) as src",
         "'p' || cast(mod(l_partkey, 300) as string) as dst",
     )
@@ -220,7 +231,7 @@ def q_link_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/linkrank.py:hits)."""
     from incubator_stormcrawler_spark.operators.linkrank import hits
 
-    edges = spark.read.parquet(f"{sf_dir}/lineitem.parquet").selectExpr(
+    edges = _read(spark, f"{sf_dir}/lineitem.parquet").selectExpr(
         "'o' || cast(mod(l_orderkey, 500) as string) as src",
         "'p' || cast(mod(l_partkey, 300) as string) as dst",
     )
@@ -240,7 +251,7 @@ def q_link_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from incubator_stormcrawler_spark.roundparams import seeded_int
 
     lo = seeded_int("trust_lo", 0, 460)
-    edges = spark.read.parquet(f"{sf_dir}/lineitem.parquet").selectExpr(
+    edges = _read(spark, f"{sf_dir}/lineitem.parquet").selectExpr(
         "'o' || cast(mod(l_orderkey, 500) as string) as src",
         "'p' || cast(mod(l_partkey, 300) as string) as dst",
     )
@@ -274,7 +285,7 @@ def q_embedding_random_projection(
     from incubator_stormcrawler_spark.roundparams import ROUND_SEED, seeded_int
 
     out_dim = seeded_int("jl_dim", 6, 10)
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _read(spark, f"{sf_dir}/embeddings.parquet")
     proj = random_projection(emb, out_dim=out_dim, seed=ROUND_SEED)
     return proj.select(
         "vec_id", F.posexplode("proj").alias("pos", "component")
@@ -294,7 +305,7 @@ def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     qids = seeded_distinct("adc_q", list(range(200)), 3)
     topk = seeded_int("adc_topk", 4, 8)
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _read(spark, f"{sf_dir}/embeddings.parquet")
     return pq_adc_topk(emb, qids, m=8, k=16, topk=topk)
 
 
@@ -315,7 +326,7 @@ def q_frontier_rank_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
     from incubator_stormcrawler_spark.roundparams import seeded_int
 
     lo = seeded_int("blend_lo", 0, 90)
-    hosts = spark.read.parquet(f"{sf_dir}/orders.parquet").selectExpr(
+    hosts = _read(spark, f"{sf_dir}/orders.parquet").selectExpr(
         "'host' || cast(mod(o_orderkey, 100) as string) || '.example' as src",
         "'host' || cast(mod(o_custkey, 100) as string) || '.example' as dst",
     )
@@ -389,7 +400,7 @@ def q_graph_seed_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     lo = seeded_int("bfs_lo", 0, 980)
     edges = (
-        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        _read(spark, f"{sf_dir}/orders.parquet")
         .where(F.col("o_orderkey") < 15000)
         .selectExpr(
             "cast(o_orderkey % 1000 as bigint) as src",
@@ -422,7 +433,7 @@ def q_graph_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cyc = seeded_int("redirect_cycle_base", 5000, 9000)
     chains = (
-        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        _read(spark, f"{sf_dir}/orders.parquet")
         .selectExpr("cast(o_orderkey % 4000 as bigint) as src")
         .where("src % 64 != 0")
         .distinct()
@@ -471,14 +482,14 @@ def q_graph_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     budget = seeded_int("canon_max_hops", 5, 12)
     cyc = seeded_int("canon_cycle_base", 100, 450)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").selectExpr(
+    docs = _read(spark, f"{sf_dir}/documents.parquet").selectExpr(
         "doc_id",
         "'u' || cast(doc_id as string) as url",
         "source",
         "n_chars",
     )
     chains = (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        _read(spark, f"{sf_dir}/documents.parquet")
         .where(
             f"doc_id % 16 != 0 and doc_id not in ({cyc}, {cyc + 1}, {cyc + 2})"
         )
@@ -538,7 +549,7 @@ def q_graph_redirect_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget = seeded_int("inc_max_hops", 24, 48)
     cyc = seeded_int("inc_cycle_base", 5000, 9000)
     keys = (
-        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        _read(spark, f"{sf_dir}/orders.parquet")
         .selectExpr("cast(o_orderkey % 4000 as bigint) as src")
         .distinct()
     )
@@ -617,7 +628,7 @@ def q_seeds_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata values for the oracle."""
     from incubator_stormcrawler_spark.sources.seeds import parse_seed_line_native
 
-    lines = spark.read.parquet(f"{sf_dir}/part.parquet").selectExpr(
+    lines = _read(spark, f"{sf_dir}/part.parquet").selectExpr(
         "'https://seed' || cast(mod(p_partkey, 100) as string) || '.example/p'"
         " || cast(p_partkey as string) ||"
         " case mod(p_partkey, 3) when 0 then ''"
@@ -642,7 +653,7 @@ def q_indexer_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     text trim, over docs synthesized from part with MAP metadata."""
     from incubator_stormcrawler_spark.operators.metadata import indexer_projection
 
-    docs = spark.read.parquet(f"{sf_dir}/part.parquet").selectExpr(
+    docs = _read(spark, f"{sf_dir}/part.parquet").selectExpr(
         "'https://shop.example/item/' || cast(p_partkey as string) as url",
         "p_name as text",
         "map('parse.title', array(p_brand),"
@@ -682,7 +693,7 @@ def q_adaptive_scheduler(spark: SparkSession, sf_dir: str) -> DataFrame:
     default 1440. Inputs synthesized deterministically from orders."""
     from incubator_stormcrawler_spark.operators.scheduler import adaptive_interval
 
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = _read(spark, f"{sf_dir}/orders.parquet")
     base = orders.selectExpr(
         "o_orderkey as id",
         "case when mod(o_orderkey, 10) < 7 then 'FETCHED' else 'REDIRECTION' end"
@@ -711,7 +722,7 @@ def q_adaptive_scheduler(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _docs_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents + deterministic exact copies (4%) and near copies (4%) so
     dedup operators have known positives; identical CTE on the DuckDB side."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs = _read(spark, f"{sf_dir}/documents.parquet").select("doc_id", "text")
     dups = docs.where(F.expr("mod(doc_id, 25) = 0")).select(
         (F.col("doc_id") + 100000).alias("doc_id"), "text"
     )
@@ -822,7 +833,7 @@ def q_dedup_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from incubator_stormcrawler_spark.roundparams import seeded_int
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, f"{sf_dir}/documents.parquet")
     return weighted_pair_audit(
         tf_terms(docs), num_hashes=8,
         max_weight=seeded_int("wmh_max_weight", 8, 24),
@@ -852,25 +863,25 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, f"{sf_dir}/documents.parquet")
     return dd.simhash(docs)
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-scoring metrics per document."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, f"{sf_dir}/documents.parquet")
     return quality_metrics(docs)
 
 
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-anchor language ID with per-language scores."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, f"{sf_dir}/documents.parquet")
     return langid_scores(docs)
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprint + 8-token anchor hash per document."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, f"{sf_dir}/documents.parquet")
     return doc_fingerprint(docs)
 
 
@@ -883,7 +894,7 @@ def q_corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs_augmented(spark, sf_dir)
     eval_docs = (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        _read(spark, f"{sf_dir}/documents.parquet")
         .where(F.expr("mod(doc_id, 97) = 0"))
         .select("doc_id", "text")
     )
@@ -895,7 +906,7 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction and top-2-gram share per document."""
     from incubator_stormcrawler_spark.operators.corpus import repetition_metrics
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, f"{sf_dir}/documents.parquet")
     return repetition_metrics(docs, n=2)
 
 
@@ -905,7 +916,7 @@ def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     scrub has known positives to find."""
     from incubator_stormcrawler_spark.functions.text import pii_scrub
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, f"{sf_dir}/documents.parquet")
     did = F.col("doc_id")
     salted = docs.select(
         "doc_id",
@@ -952,7 +963,7 @@ def q_parse_richdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from incubator_stormcrawler_spark.parse.router import parse_routed
 
     docs = (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        _read(spark, f"{sf_dir}/documents.parquet")
         .where(F.col("doc_id") < 50)
         .select("doc_id", "text")
     )
@@ -1003,7 +1014,7 @@ def q_parse_word_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from incubator_stormcrawler_spark.parse.router import parse_routed
 
     docs = (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        _read(spark, f"{sf_dir}/documents.parquet")
         .where(F.col("doc_id") < 50)
         .select("doc_id", "text")
     )
@@ -1053,7 +1064,7 @@ def q_xpath_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        _read(spark, f"{sf_dir}/documents.parquet")
         .where(F.col("doc_id") < 100)
         .select("doc_id", "text")
     )
@@ -1095,7 +1106,7 @@ def q_xpath_html(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for the first 20 query vectors."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _read(spark, f"{sf_dir}/embeddings.parquet")
     queries = emb.where(F.col("vec_id") < 20)
     return sim.cosine_topk(emb, queries, k=5)
 
@@ -1107,7 +1118,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross join beyond broadcastable query sets. Config from a measured
     recall/cost sweep: recall@5 = 0.86 (sf0.01) / 0.92 (sf0.1) scoring
     ~46% of worst-case random vectors; see BASELINE.md."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _read(spark, f"{sf_dir}/embeddings.parquet")
     queries = emb.where(F.col("vec_id") < 20)
     return sim.lsh_cosine_topk(emb, queries, k=5)
 
@@ -1144,7 +1155,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall@5 = 0.86 at sf0.01 with the default 12×8×Hamming≤3 config
     (0.56 under the r4 4×6 no-probe config — the tuning round's fix).
     The oracle composes the same two SQL pipelines."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _read(spark, f"{sf_dir}/embeddings.parquet")
     queries = emb.where(F.col("vec_id") < 20)
     exact = sim.cosine_topk(emb, queries, k=5).select("query_id", "vec_id")
     lsh = sim.lsh_cosine_topk(emb, queries, k=5).select(
@@ -1159,7 +1170,7 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ANN paths carry a driver-measured quality number. Mean recall@5 =
     0.69 at sf0.01 / 0.75 at sf0.1 with the 32-cell × 12-probe default
     (random vectors are IVF's worst case: recall tracks scan fraction)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _read(spark, f"{sf_dir}/embeddings.parquet")
     queries = emb.where(F.col("vec_id") < 20)
     exact = sim.cosine_topk(emb, queries, k=5).select("query_id", "vec_id")
     ivf = sim.ivf_cosine_topk(emb, queries, k=5).select(
@@ -1180,7 +1191,7 @@ def q_ann_jl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from incubator_stormcrawler_spark.roundparams import ROUND_SEED, seeded_int
 
     out_dim = seeded_int("jl_dim", 6, 10)
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _read(spark, f"{sf_dir}/embeddings.parquet")
     queries = emb.where(F.col("vec_id") < 20)
     exact = sim.cosine_topk(emb, queries, k=5).select("query_id", "vec_id")
     jl = sim.jl_cosine_topk(
@@ -1237,7 +1248,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: 32 deterministic sample centroids, probe the 12 nearest
     cells per query, exact rerank — the cluster-pruned index path beside
     the LSH one (config from the measured BASELINE.md recall/cost curve)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _read(spark, f"{sf_dir}/embeddings.parquet")
     queries = emb.where(F.col("vec_id") < 20)
     return sim.ivf_cosine_topk(emb, queries, k=5)
 
@@ -1259,7 +1270,7 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from incubator_stormcrawler_spark.roundparams import seeded_int
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _read(spark, f"{sf_dir}/embeddings.parquet")
     return ivf_pq_adc_topk(
         emb, list(range(20)),
         n_probe=seeded_int("ivfpq_n_probe", 8, 14),
@@ -1268,7 +1279,7 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs with cosine ≥ 0.4 (corpus max ≈ 0.51)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _read(spark, f"{sf_dir}/embeddings.parquet")
     return sim.embedding_cosine_dedup(emb, threshold=0.4)
 
 
@@ -1276,14 +1287,14 @@ def q_corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace + BPE-ish-regex token accounting per document."""
     from incubator_stormcrawler_spark.operators.corpus import token_stats
 
-    return token_stats(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return token_stats(_read(spark, f"{sf_dir}/documents.parquet"))
 
 
 def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 10% hash sample — stable across engines/reshards."""
     from incubator_stormcrawler_spark.operators.corpus import hash_sample
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, f"{sf_dir}/documents.parquet")
     return hash_sample(docs, 0.1).select("doc_id", "source", "lang")
 
 
@@ -1291,7 +1302,7 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-weighted data mixing (100% src0 / 50% src1 / 20% src2)."""
     from incubator_stormcrawler_spark.operators.corpus import mix_sources
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, f"{sf_dir}/documents.parquet")
     return mix_sources(
         docs, {"src0": 1.0, "src1": 0.5, "src2": 0.2}
     ).select("doc_id", "source")
@@ -1328,7 +1339,7 @@ def q_corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     span, in-sequence offset) per document."""
     from incubator_stormcrawler_spark.operators.corpus import pack_sequences
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, f"{sf_dir}/documents.parquet")
     return pack_sequences(docs, seq_len=512, num_buckets=8).select(
         "doc_id", "n_tokens", "global_offset", "first_seq", "last_seq",
         "n_seqs", "offset_in_seq",
@@ -1343,7 +1354,7 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return readability_scores(
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        _read(spark, f"{sf_dir}/documents.parquet")
     )
 
 
@@ -1354,7 +1365,7 @@ def q_corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/corpus.py:temperature_mix)."""
     from incubator_stormcrawler_spark.operators.corpus import temperature_mix
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, f"{sf_dir}/documents.parquet")
     return temperature_mix(docs, alpha=0.5)
 
 
@@ -1366,7 +1377,7 @@ def q_corpus_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         length_bucketed_batches,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, f"{sf_dir}/documents.parquet")
     return length_bucketed_batches(docs, batch_size=8, bucket_bits=6)
 
 
@@ -1375,7 +1386,7 @@ def q_corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     the OOV-rate tokenizer-fit signal (operators/corpus.py:vocab_coverage)."""
     from incubator_stormcrawler_spark.operators.corpus import vocab_coverage
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, f"{sf_dir}/documents.parquet")
     return vocab_coverage(docs, vocab_size=10)
 
 
@@ -1383,7 +1394,7 @@ def q_corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/Gopher-style keep/drop with failing-rule audit tags."""
     from incubator_stormcrawler_spark.operators.corpus import quality_filter
 
-    return quality_filter(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return quality_filter(_read(spark, f"{sf_dir}/documents.parquet"))
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1583,7 +1594,7 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     edges = (
-        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        _read(spark, f"{sf_dir}/orders.parquet")
         # pin the graph size: keys are dense 0..N-1, so this pushed range
         # keeps |E| (and the bench cost) CONSTANT at every sf >= 0.01 —
         # without it the fixed 1000-node space densifies as sf grows and
@@ -1615,7 +1626,7 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     k = seeded_int("kcore_k", 18, 21)
     edges = (
-        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        _read(spark, f"{sf_dir}/orders.parquet")
         # same constant-size pin as graph_triangles: dense 0..N-1 keys,
         # pushed range keeps |E| flat across sf
         .where(F.col("o_orderkey") < 15000)
@@ -1641,7 +1652,7 @@ def q_corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from incubator_stormcrawler_spark.roundparams import seeded_int
 
     k = seeded_int("wsample_k", 200, 400)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, f"{sf_dir}/documents.parquet")
     return weighted_sample(docs, k=k)
 
 
@@ -1665,7 +1676,7 @@ def q_corpus_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from incubator_stormcrawler_spark.roundparams import seeded_int
 
     n = seeded_int("clf_buckets", 256, 1024)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, f"{sf_dir}/documents.parquet")
     return hashed_linear_score(docs, hashed_weight_table(spark, n), n)
 
 
@@ -1690,7 +1701,7 @@ def q_corpus_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     min_count = seeded_int("hh_min_count", 60, 140)
     occ = (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        _read(spark, f"{sf_dir}/documents.parquet")
         .selectExpr("explode(split(text, ' ')) as tok")
         .where("tok is not null and tok <> ''")
     )
@@ -1717,7 +1728,7 @@ def q_layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         zorder_skipping_stats,
     )
 
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").selectExpr(
+    orders = _read(spark, f"{sf_dir}/orders.parquet").selectExpr(
         "o_custkey as ck", "cast(floor(o_totalprice) as bigint) as tp"
     )
     return zorder_skipping_stats(
@@ -1748,7 +1759,7 @@ def q_layout_hilbert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         hilbert_skipping_stats,
     )
 
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").selectExpr(
+    orders = _read(spark, f"{sf_dir}/orders.parquet").selectExpr(
         "o_custkey as ck", "cast(floor(o_totalprice) as bigint) as tp"
     )
     return hilbert_skipping_stats(
@@ -1775,7 +1786,7 @@ def q_layout_hilbert3_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         hilbert_nd_skipping_stats,
     )
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").selectExpr(
+    li = _read(spark, f"{sf_dir}/lineitem.parquet").selectExpr(
         "l_partkey as pk",
         "l_suppkey as sk",
         "cast(floor(l_extendedprice) as bigint) as ep",
@@ -1815,7 +1826,7 @@ def q_corpus_cluster_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = seeded_choice("ccw_source", [f"src{i}" for i in range(20)])
     lo = seeded_int("ccw_chars_lo", 80, 350)
     hi = lo + seeded_int("ccw_chars_span", 60, 160)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = _read(spark, f"{sf_dir}/documents.parquet").select(
         "source", "lang", "n_chars"
     )
     return clustered_corpus_stats(
@@ -1864,7 +1875,7 @@ def q_corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded division, replayed bit-for-bit by ngram_novelty_sql."""
     from incubator_stormcrawler_spark.operators.corpus import ngram_novelty
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, f"{sf_dir}/documents.parquet")
     return ngram_novelty(docs, n=3)
 
 
@@ -1877,7 +1888,7 @@ def _source_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     at sf0.1 where the codegen explode+concat_ws form costs 0.15 s —
     identical (source, bg) rows, 28× cheaper stream."""
     return dd.with_shingles(
-        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        _read(spark, f"{sf_dir}/documents.parquet"),
         2,
         "text",
         distinct=False,
@@ -1929,7 +1940,7 @@ def q_sketch_countmin_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     width, top = RP["cm_width"], RP["cm_top"]
     terms = (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        _read(spark, f"{sf_dir}/documents.parquet")
         .select(F.explode(F.split("text", " ")).alias("term"))
         .where(F.col("term") != "")
     )
@@ -1958,7 +1969,7 @@ def q_corpus_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (score DESC, doc_id) selection."""
     from incubator_stormcrawler_spark.operators.corpus import dsir_resample
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, f"{sf_dir}/documents.parquet")
     picked = dsir_resample(
         docs,
         f"lang = '{RP['dsir_target_lang']}'",
@@ -1996,7 +2007,7 @@ def q_status_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     # GONE/NEW residues, silently skipping the null-compare branches
     # this query exists to certify
     nul = seeded_choice("snapdiff_null", [7, 9, 11, 13])
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = _read(spark, f"{sf_dir}/orders.parquet")
     prev = orders.where("o_orderkey % 5 != 0").selectExpr(
         "concat('https://ex.com/', cast(o_orderkey as string)) as url",
         f"case when o_orderkey % {nul} = 0 then null "
@@ -2025,7 +2036,7 @@ def q_dedup_shard_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from incubator_stormcrawler_spark.roundparams import seeded_int
 
     nh = seeded_int("shard_mh_hashes", 12, 24)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, f"{sf_dir}/documents.parquet")
     sig = dd.shard_minhash(docs, "source", num_hashes=nh, n=3)
     return dd.shard_similarity_pairs(sig)
 
@@ -2142,7 +2153,7 @@ def q_corpus_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard = offset // budget (operators/corpus.py)."""
     from incubator_stormcrawler_spark.operators.corpus import pack_shards
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, f"{sf_dir}/documents.parquet")
     return pack_shards(docs, tokens_per_shard=5000, num_buckets=8)
 
 
@@ -2151,7 +2162,7 @@ def q_corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     smallest-salted-hash picks) — operators/corpus.py."""
     from incubator_stormcrawler_spark.operators.corpus import stratified_sample
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, f"{sf_dir}/documents.parquet")
     return stratified_sample(docs, "lang", 30).select(
         "doc_id", "lang", "sample_rank"
     )
@@ -2163,14 +2174,14 @@ def q_corpus_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     from incubator_stormcrawler_spark.operators.corpus import vocab_topk
 
     return vocab_topk(
-        spark.read.parquet(f"{sf_dir}/documents.parquet"), k=100
+        _read(spark, f"{sf_dir}/documents.parquet"), k=100
     )
 
 
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector symmetric int8 quantization with reconstruction RMSE
     (operators/similarity.py) — the 4× candidate-store shrink for ANN."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _read(spark, f"{sf_dir}/embeddings.parquet")
     return sim.quantize_embeddings(emb)
 
 
@@ -2178,7 +2189,7 @@ def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means (k=8, 2 iterations, deterministic seeds) over the
     embedding table — the IVF centroid-training step; oracle = the same
     iterations unrolled as SQL CTEs (operators/similarity.py)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _read(spark, f"{sf_dir}/embeddings.parquet")
     return sim.kmeans_embeddings(emb, k=8, iterations=2)
 
 
@@ -2187,7 +2198,7 @@ def q_embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     every vector shadowed by a smaller-id same-cluster twin at cosine
     >= 0.4 (operators/similarity.py:semdedup); oracle = the kmeans CTEs
     plus the intra-cluster pair rule in SQL."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _read(spark, f"{sf_dir}/embeddings.parquet")
     return sim.semdedup(emb, k=8, iterations=2, threshold=0.4)
 
 
@@ -2216,7 +2227,7 @@ def q_corpus_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from incubator_stormcrawler_spark.operators.corpus import bigram_logprob
 
     return bigram_logprob(
-        spark.read.parquet(f"{sf_dir}/documents.parquet"), lam=0.8
+        _read(spark, f"{sf_dir}/documents.parquet"), lam=0.8
     )
 
 
@@ -2249,7 +2260,7 @@ def q_corpus_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     from incubator_stormcrawler_spark.operators.corpus import bm25_search
 
     return bm25_search(
-        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        _read(spark, f"{sf_dir}/documents.parquet"),
         query_terms=["spark", "window", "merge"],
         k=10,
     )
@@ -2264,7 +2275,7 @@ def q_corpus_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return inverted_postings(
-        spark.read.parquet(f"{sf_dir}/documents.parquet"), max_terms=50
+        _read(spark, f"{sf_dir}/documents.parquet"), max_terms=50
     )
 
 
@@ -2276,7 +2287,7 @@ def q_text_card_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (functions/text.py:card_audit)."""
     from incubator_stormcrawler_spark.functions.text import card_audit
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = _read(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id",
         F.when(
             F.expr("mod(doc_id, 50) = 0"),
@@ -2316,7 +2327,7 @@ def q_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents table (operators/dedup.py:winnow_fingerprints): k=4 grams,
     w=4 windows, packed-min selection, per-doc digest."""
     return dd.winnow_fingerprints(
-        spark.read.parquet(f"{sf_dir}/documents.parquet"), k=4, w=4
+        _read(spark, f"{sf_dir}/documents.parquet"), k=4, w=4
     )
 
 
@@ -2327,7 +2338,7 @@ def q_corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from incubator_stormcrawler_spark.operators.corpus import bpe_pair_merges
 
     return bpe_pair_merges(
-        spark.read.parquet(f"{sf_dir}/documents.parquet"), k=20
+        _read(spark, f"{sf_dir}/documents.parquet"), k=20
     )
 
 
@@ -2353,7 +2364,7 @@ def q_corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the one training-pipeline operator that was pytest-only through r6."""
     from incubator_stormcrawler_spark.operators.corpus import bpe_encode
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, f"{sf_dir}/documents.parquet")
     return bpe_encode(docs, _BPE_ENCODE_MERGES)
 
 
@@ -2363,7 +2374,7 @@ def q_text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     from incubator_stormcrawler_spark.operators.corpus import tfidf_keywords
 
     return tfidf_keywords(
-        spark.read.parquet(f"{sf_dir}/documents.parquet"), top_n=3
+        _read(spark, f"{sf_dir}/documents.parquet"), top_n=3
     )
 
 
@@ -2375,7 +2386,7 @@ def q_corpus_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from incubator_stormcrawler_spark.operators.corpus import chunk_documents
 
     return chunk_documents(
-        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        _read(spark, f"{sf_dir}/documents.parquet"),
         chunk_tokens=64,
         overlap=8,
     )
@@ -2386,7 +2397,7 @@ def q_corpus_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     under the corpus's own unigram model (operators/corpus.py)."""
     from incubator_stormcrawler_spark.operators.corpus import unigram_logprob
 
-    return unigram_logprob(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return unigram_logprob(_read(spark, f"{sf_dir}/documents.parquet"))
 
 
 def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2402,7 +2413,7 @@ def q_embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization: 8 subspaces × 16-entry deterministic
     codebooks over the embedding table (operators/similarity.py) — the
     IVF-PQ candidate-store encoding, value-checked code strings + rmse."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _read(spark, f"{sf_dir}/embeddings.parquet")
     return sim.pq_encode(emb, m=8, k=16)
 
 
@@ -2421,7 +2432,7 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from incubator_stormcrawler_spark.sources.warc import read_warc, write_warc
 
-    pages = spark.read.parquet(f"{sf_dir}/part.parquet").where(
+    pages = _read(spark, f"{sf_dir}/part.parquet").where(
         "p_partkey <= 200"  # deterministic subset (limit() picks arbitrary rows)
     ).selectExpr(
         "'https://warc.example/p' || cast(p_partkey as string) as url",

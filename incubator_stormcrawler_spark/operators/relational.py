@@ -21,7 +21,9 @@ from ..roundparams import RP
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from ..session import read_input
+
+    return read_input(spark, f"{sf_dir}/{name}.parquet")
 
 
 # --- exact money arithmetic (r11, the float-summation-order class) ------

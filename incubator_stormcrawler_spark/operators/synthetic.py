@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..session import read_input
+
 # Fixed "now" for all scheduling math — determinism across engines and runs.
 NOW = "2024-01-15 00:00:00"
 # next_fetch_date base: NOW - 7 days; offsets span 14 days → ~half the
@@ -49,7 +51,7 @@ def synthetic_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
       error_count     = 1 + mod(o_orderkey, 2) on FETCH_ERROR rows else 0
       bucket          = mod(first-32-hash-bits(md5(key)), 10)
     """
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = read_input(spark, f"{sf_dir}/orders.parquet")
     return orders.selectExpr(
         "o_orderkey",
         f"'https://host' || cast(mod(o_orderkey, {NUM_HOSTS}) as string) || "
@@ -103,7 +105,7 @@ def synthetic_status_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
     the l_orderkey FK. Statuses from mod(l_partkey, 100):
     55% DISCOVERED / 25% FETCHED / 15% FETCH_ERROR / 5% REDIRECTION.
     """
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = read_input(spark, f"{sf_dir}/lineitem.parquet")
     return li.selectExpr(
         f"'https://host' || cast(mod(l_orderkey, {NUM_HOSTS}) as string) || "
         "'.example/p' || cast(l_orderkey as string) || "
