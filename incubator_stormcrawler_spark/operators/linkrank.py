@@ -267,6 +267,12 @@ def triangle_counts(
             F.when(lt, F.col("b")).otherwise(F.col("a")).alias("v"),
             F.when(lt, F.col("degb")).otherwise(F.col("dega")).alias("degv"),
         )
+        # Materialize ONCE: three consumers (wedge sides e1/e2 and the
+        # closing-edge probe) — e1/e2 share the exchange on u, but the
+        # closure joins on (v1, v2), a different key, so that branch
+        # otherwise re-executes the full orientation lineage (scan →
+        # distinct → two degree joins) from scratch (r13, guide §2.4).
+        .localCheckpoint(eager=False)
     )
     e1 = oriented.select(F.col("u"), F.col("v").alias("v1"), F.col("degv").alias("degv1"))
     e2 = oriented.select(F.col("u").alias("u2"), F.col("v").alias("v2"), F.col("degv").alias("degv2"))

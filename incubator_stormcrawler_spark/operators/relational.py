@@ -1149,7 +1149,9 @@ partsupp AS (
 """
 
 
-def observed_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+def observed_partsupp(
+    spark: SparkSession, sf_dir: str, part_keys: DataFrame | None = None
+) -> DataFrame:
     """The OBSERVED supply-relationship table: distinct (l_partkey,
     l_suppkey) pairs actually present in lineitem, with a deterministic
     md5-derived ps_availqty in 1..100 (sized against real per-pair shipped
@@ -1162,10 +1164,23 @@ def observed_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     it is the honest cost of reconstructing a relationship table from
     facts. Queries that never touch lineitem should use
     ``derived_partsupp`` instead (dimension-only, no fact scan).
+
+    ``part_keys`` (optional, a (p_partkey) frame): semi-reduces the FACT
+    SCAN before the pair-distinct, so the distinct's shuffle carries only
+    candidate-part lines. Provably identical to filtering afterwards —
+    the semi predicate is on the distinct key itself, and ps_availqty is
+    a pure per-pair function — but the shuffle shrinks by the filter's
+    selectivity (guide §3.2: reduce the big side before shuffling it).
     """
+    li = _t(spark, sf_dir, "lineitem")
+    if part_keys is not None:
+        li = li.join(
+            F.broadcast(part_keys),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
     pairs = (
-        _t(spark, sf_dir, "lineitem")
-        .select(
+        li.select(
             F.col("l_partkey").alias("ps_partkey"),
             F.col("l_suppkey").alias("ps_suppkey"),
         )
@@ -1354,10 +1369,13 @@ def excess_inventory_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_name").like(RP["q20_color"] + "%")
     )
     red_keys = F.broadcast(red_parts.select("p_partkey"))
-    ps = (
-        observed_partsupp(spark, sf_dir)
-        .join(red_keys, F.col("ps_partkey") == F.col("p_partkey"), "left_semi")
-        .select("ps_partkey", "ps_suppkey", "ps_availqty")
+    # r13: the red-keys semi-join is pushed BELOW observed_partsupp's
+    # pair-distinct (part_keys=), so the distinct's shuffle carries only
+    # candidate-part lines (~1/25 of the fact table) instead of the full
+    # observed pair space — identical rows either way (the semi predicate
+    # is on the distinct key; availqty is a pure per-pair function).
+    ps = observed_partsupp(spark, sf_dir, part_keys=red_keys).select(
+        "ps_partkey", "ps_suppkey", "ps_availqty"
     )
     li = (
         _t(spark, sf_dir, "lineitem")

@@ -247,9 +247,12 @@ def lsh_cosine_topk(
     # scale (a hamming-distance theta join would plan a nested loop).
     masks = [m for m in range(1 << n_planes)
              if bin(m).count("1") <= mp_depth]
+    # one parsed expr string instead of ~300 F.lit py4j round trips
+    # (identical Catalyst tree — same lesson as random_projection, r13)
+    mask_arr = F.expr(f"array({','.join(str(m) for m in masks)})")
     probes = (
         with_buckets(q, "qv")
-        .withColumn("mask", F.explode(F.array(*[F.lit(m) for m in masks])))
+        .withColumn("mask", F.explode(mask_arr))
         .withColumn("bucket", F.col("bucket").bitwiseXOR(F.col("mask")))
         .drop("mask")
     )
