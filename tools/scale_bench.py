@@ -1824,12 +1824,9 @@ def synth_boiler_docs(spark, n: int, boiler_every: int = 4):
     )
 
 
-def jaccard_prefix_ab(spark, n: int, threshold: str = "0.6"):
-    """Full self-join vs prefix filter on the boilerplate corpus, same
-    EXACT result (asserted). The full join pays |hot_df|² per hot
-    shingle; prefix filtering excludes boilerplate structurally (hot
-    shingles are globally common → they sort to every doc's suffix and
-    never enter the index)."""
+def _jacab_leg(spark, leg: str, n: int, threshold: str = "0.6"):
+    """One A/B leg on the boilerplate corpus: 'prefix' / 'full' timing,
+    or 'equal' (exact result-set equality of the two forms)."""
     from incubator_stormcrawler_spark.operators.dedup import (
         jaccard_prefix_pairs,
         ngram_jaccard_pairs,
@@ -1837,39 +1834,100 @@ def jaccard_prefix_ab(spark, n: int, threshold: str = "0.6"):
 
     docs = synth_boiler_docs(spark, n)
     _clean(spark)
-    t_prefix = timed(
-        lambda: jaccard_prefix_pairs(docs, n=3, threshold=threshold).count(),
-        warmup=True,
-    )
-    _clean(spark)
-    t_full = timed(
-        lambda: ngram_jaccard_pairs(
-            docs, n=3, threshold=float(threshold)
-        ).count(),
-        warmup=True,
-    )
+    if leg == "prefix":
+        return {"prefix_sec": round(timed(
+            lambda: jaccard_prefix_pairs(
+                docs, n=3, threshold=threshold
+            ).count(),
+            warmup=True,
+        ), 2)}
+    if leg == "full":
+        return {"full_sec": round(timed(
+            lambda: ngram_jaccard_pairs(
+                docs, n=3, threshold=float(threshold)
+            ).count(),
+            warmup=True,
+        ), 2)}
     a = {(r.doc1, r.doc2) for r in
          jaccard_prefix_pairs(docs, n=3, threshold=threshold).collect()}
     b = {(r.doc1, r.doc2) for r in
          ngram_jaccard_pairs(docs, n=3, threshold=float(threshold)).collect()}
     assert a == b, "prefix filter diverged from full self-join"
-    return {"rows": n, "full_sec": round(t_full, 2),
-            "prefix_sec": round(t_prefix, 2),
-            "speedup": round(t_full / t_prefix, 2)}
+    return {"equal": True, "pairs": len(a)}
 
 
 def jaccard_prefix_ab_main():
     """`--jaccard-ab`: the measurement that earns jaccard_prefix_pairs'
     claim — on a hot-boilerplate corpus the prefix filter must beat the
-    full self-join, widening with scale; merged into SCALING.json."""
-    from incubator_stormcrawler_spark.session import get_spark
+    full self-join, widening with scale; merged into SCALING.json.
 
-    spark = get_spark("scale-bench-jacab")
-    spark.sparkContext.setLogLevel("ERROR")
-    pts = [jaccard_prefix_ab(spark, n) for n in (25_000, 100_000)]
-    for p in pts:
+    Each leg of each point runs in a FRESH subprocess JVM (the
+    curve-harness lesson: cross-leg heap state — checkpoint blocks, AQE
+    broadcast relations — frees only asynchronously). The FULL-self-join
+    BASELINE leg additionally pins plan-time auto-broadcast ON
+    (SPARK_GRAFT_AUTO_BROADCAST=10m): under the shipped measured-size
+    broadcast policy the quadratic baseline cannot complete the 100k
+    point in the 8 GiB local JVM at any partition count (measured: OOM
+    at 32-512 initial partitions, old and new operator shape alike) —
+    which is precisely the pathology the prefix filter exists to avoid.
+    The PREFIX leg and the exact-equality assertion (25k, where both
+    forms complete) run under the shipped policy, unmodified."""
+    import json as _json
+    import subprocess
+
+    leg_req = os.environ.get("SPARK_GRAFT_JACAB_LEG")
+    if leg_req:
+        from incubator_stormcrawler_spark.session import get_spark
+
+        leg, n = leg_req.split(":")
+        spark = get_spark("scale-bench-jacab")
+        spark.sparkContext.setLogLevel("ERROR")
+        res = _jacab_leg(spark, leg, int(n))
+        with open(os.environ["SPARK_GRAFT_JACAB_OUT"], "w") as fh:
+            _json.dump(res, fh)
+        return
+
+    def run_leg(leg: str, n: int, extra_env=None):
+        with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
+            out_path = tf.name
+        env = dict(os.environ)
+        env["SPARK_GRAFT_JACAB_LEG"] = f"{leg}:{n}"
+        env["SPARK_GRAFT_JACAB_OUT"] = out_path
+        env.update(extra_env or {})
+        rc = subprocess.call(
+            [sys.executable, os.path.abspath(__file__), "--jaccard-ab"],
+            env=env,
+        )
+        try:
+            with open(out_path) as fh:
+                return _json.load(fh)
+        except (OSError, ValueError) as ex:
+            print(f"leg {leg}:{n} unreadable (rc={rc}): {ex}", flush=True)
+            return {}
+        finally:
+            try:
+                os.unlink(out_path)
+            except OSError:
+                pass
+
+    baseline_env = {"SPARK_GRAFT_AUTO_BROADCAST": str(10 * 1024 * 1024)}
+    eq = run_leg("equal", 25_000)
+    print(f"   equality@25k: {eq}", flush=True)
+    assert eq.get("equal"), "prefix/full equality leg failed"
+    pts = []
+    for n in (25_000, 100_000):
+        p = {"rows": n}
+        p.update(run_leg("prefix", n))
+        p.update(run_leg("full", n, baseline_env))
+        if "full_sec" in p and "prefix_sec" in p:
+            p["speedup"] = round(p["full_sec"] / p["prefix_sec"], 2)
+        pts.append(p)
         print(f"   {p}", flush=True)
-    path = merge_scaling({"jaccard_prefix_boilerplate_ab": {"points": pts}})
+    path = merge_scaling({"jaccard_prefix_boilerplate_ab": {
+        "points": pts,
+        "note": ("full-join baseline leg measured with plan-time "
+                 "auto-broadcast on; see jaccard_prefix_ab_main docstring"),
+    }})
     print(f"merged jaccard_prefix_boilerplate_ab into {path}")
 
 
