@@ -473,14 +473,29 @@ def main() -> None:
               file=sys.stderr)
     print("queries: " + json.dumps(timings, separators=(",", ":")),
           file=sys.stderr)
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL_latest.json"
+    # r13 verdict item 2: the driver benches the SAME tree at several
+    # configs (32-core run, 8-core scaling rerun, other SFs), and each run
+    # used to overwrite BENCH_DETAIL_latest.json — so the driver's
+    # per-query comparator found nothing to compare (PERF_r13.per_query
+    # was empty; the 8-core rerun had clobbered the 32-core detail). Every
+    # run now ALSO writes a per-config file, BENCH_DETAIL_<sf>_c<cpus>.json,
+    # that a cross-config rerun can never clobber; `_latest` stays for the
+    # tooling that reads it.
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    cpus_label = os.environ.get("SPARK_GRAFT_CPUS") or str(
+        os.cpu_count() or 0
     )
-    try:
-        with open(detail_path, "w") as fh:
-            json.dump(detail, fh, indent=1)
-    except OSError as ex:
-        print(f"could not write {detail_path}: {ex}", file=sys.stderr)
+    detail["cpus"] = cpus_label
+    for fname in (
+        "BENCH_DETAIL_latest.json",
+        f"BENCH_DETAIL_{sf}_c{cpus_label}.json",
+    ):
+        detail_path = os.path.join(repo_dir, fname)
+        try:
+            with open(detail_path, "w") as fh:
+                json.dump(detail, fh, indent=1)
+        except OSError as ex:
+            print(f"could not write {detail_path}: {ex}", file=sys.stderr)
     n_err = sum(1 for t in timings.values() if t < 0)
     print(
         json.dumps(

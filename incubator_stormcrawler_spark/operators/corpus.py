@@ -13,6 +13,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..session import warn_if_plan_time_broadcast
+
 # GPT-2-ish pretokenizer shape: contractions | letter-runs | digit-runs |
 # punct-runs (whitespace-prefixed). Kept regex-portable between Spark
 # (Java regex) and DuckDB (RE2): no lookarounds.
@@ -708,6 +710,7 @@ def segment_dedup(
     the hash; the knob exists for interface consistency across the
     dedup family.
     """
+    warn_if_plan_time_broadcast(docs.sparkSession)
     segs = chunk_documents(
         docs,
         chunk_tokens=segment_tokens,
@@ -1867,6 +1870,7 @@ def ngram_novelty(
     """
     from .dedup import with_shingles
 
+    warn_if_plan_time_broadcast(docs.sparkSession)
     sh = with_shingles(docs, n, text_col, distinct=True, id_expr=id_col,
                        id_alias=id_col)
     df_t = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))

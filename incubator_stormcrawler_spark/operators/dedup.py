@@ -31,6 +31,8 @@ from functools import reduce
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import warn_if_plan_time_broadcast
+
 TOKEN_SPLIT = " "
 
 
@@ -261,6 +263,7 @@ def jaccard_prefix_pairs(
     # 400k-doc boilerplate curve despite winning at sf0.1. The
     # (doc_id, shingle)-keyed dedup exchange spreads hot shingles by
     # construction.
+    warn_if_plan_time_broadcast(docs.sparkSession)
     sh = with_shingles(docs, n, text_col).localCheckpoint(eager=False)
     w_df = Window.partitionBy("shingle")
     w_doc = Window.partitionBy("doc_id")
@@ -684,6 +687,7 @@ def substring_dup_starts(
     14.6 s) — unlike the MinHash family, this operator is bound by the
     SMJ join-back and the span window, not the hash; the knob exists
     for consistency and for corpora where profiling shows otherwise."""
+    warn_if_plan_time_broadcast(docs.sparkSession)
     toks = F.split(F.col(text_col), " ")
     base = docs.select(F.col(id_col), toks.alias("__toks"))
     grams = (
@@ -1156,6 +1160,7 @@ def bloom_unseen(
         # measured 3x the anti join it is meant to beat); the bitmap is
         # m_bits/64 rows, cache-sized by construction
         bitmap = bloom_bitmap(seen, key_col, m_bits=m_bits, k=k).persist()
+    warn_if_plan_time_broadcast(candidates.sparkSession)
     probed, present = _bloom_probe(candidates, bitmap, key_col, m_bits, k)
     # the definite-new and possible-member branches both re-evaluate the
     # probe subtree, but with the bitmap PERSISTED the broadcast exchanges
@@ -1275,6 +1280,7 @@ def bloom_unseen_sharded(
         bitmap = bloom_bitmap_sharded(
             seen, key_col, n_shards, m_bits=m_bits, k=k
         ).persist()
+    warn_if_plan_time_broadcast(candidates.sparkSession)
     out_cols = list(candidates.columns)
     _check_bf_namespace(candidates.columns)
     # Materialize (candidates + shard key) ONCE: every shard branch —

@@ -177,6 +177,15 @@ def merge_status_updates(
         ).drop("__pr")
     else:
         u = dedupe_updates(updates).withColumnRenamed("status", "u_status")
+    # Out-of-enum statuses decode to NULL u_status (= no-update). Drop
+    # those rows BEFORE the merge join (r13 advice): under the full-outer
+    # merge a brand-new URL whose only emission is out-of-enum would
+    # otherwise INSERT a frontier row with NULL status/next_fetch_date —
+    # an invalid emission must be a true no-op. On the reference's closed
+    # Status enum this filter matches nothing (no valid topology emits an
+    # out-of-enum string), so merge results are unchanged on the enum
+    # domain; it also tells the planner u's join key side is non-null.
+    u = u.where(F.col("u_status").isNotNull())
     f = frontier
 
     def merged_cols(j: DataFrame) -> DataFrame:
@@ -275,10 +284,14 @@ def merge_status_updates(
     u_keys = u.select("url")
     untouched = f.join(F.broadcast(u_keys), "url", "left_anti")
     f_matched = f.join(F.broadcast(u_keys), "url", "left_semi")
-    # f_matched is bounded by the update batch (≤ |u| rows) — the same
-    # author-proven contract as the key broadcasts above, stated
-    # explicitly now that the engine never broadcasts from estimates.
-    j = u.join(F.broadcast(f_matched), on="url", how="left")
+    # f_matched is ROW-bounded by the update batch (≤ |u| rows) but NOT
+    # byte-bounded: it carries full frontier-width rows (every passthrough
+    # column), so a forced broadcast hard-fails/OOMs the driver on a wide
+    # or large batch where the previous unhinted form degraded to a
+    # shuffle join (r13 advice). Only the url KEYS are author-proven
+    # broadcastable (the anti/semi legs above); this wide join is left to
+    # AQE, which broadcasts from the MEASURED size when it actually fits.
+    j = u.join(f_matched, on="url", how="left")
     merged = merged_cols(j)
     # Project untouched rows through the merged column list so both legs
     # union cleanly even when the frontier carries columns updates lack.

@@ -111,6 +111,23 @@ def _merge(spark, frontier_rows, update_rows, **kw):
     return {r.url: r for r in out.collect()}
 
 
+def test_merge_out_of_enum_status_is_true_noop(spark):
+    """r14 (r13 advice): an out-of-enum emission decodes to NULL u_status
+    and must be a TRUE no-op — in particular a brand-new URL whose only
+    emission is invalid must NOT insert a NULL-status frontier row."""
+    got = _merge(
+        spark,
+        [("https://a.com/old", "FETCHED", "2024-01-10 00:00:00", 0, "a.com")],
+        [("https://a.com/old", "NOT_A_STATUS"),
+         ("https://a.com/new", "NOT_A_STATUS")],
+    )
+    assert "https://a.com/new" not in got  # no NULL-status insert
+    assert got["https://a.com/old"].status == "FETCHED"  # row unchanged
+    assert (
+        str(got["https://a.com/old"].next_fetch_date) == "2024-01-10 00:00:00"
+    )
+
+
 def test_merge_discovered_insert_if_absent(spark):
     got = _merge(
         spark,

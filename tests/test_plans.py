@@ -25,9 +25,21 @@ def final_plan_of(df) -> str:
     from plan-time estimates (autoBroadcastJoinThreshold=-1), so initial
     plans show shuffle joins and AQE installs the broadcast/ hash
     strategies from measured sizes at runtime — the executed plan is the
-    one the scale story is about."""
-    df.write.format("noop").mode("overwrite").save()
-    return df._jdf.queryExecution().executedPlan().toString()
+    one the scale story is about.
+
+    The action must run THIS Dataset's own QueryExecution: a noop write
+    (or .count()) wraps the plan in a NEW QueryExecution, executes that,
+    and leaves this df's adaptive plan unfinalized (isFinalPlan=false —
+    i.e. the pin silently asserts the INITIAL plan; r14 found exactly
+    that). ``collect()`` executes the dataset's own plan; fixtures here
+    are test-sized, so the driver transfer is noise. The executed
+    AdaptiveSparkPlanExec prints BOTH '== Final Plan ==' and
+    '== Initial Plan ==' sections — return only the final one, or a
+    negative pin ('SortMergeJoin' not in ...) would re-assert the very
+    initial plan this helper exists to look past."""
+    df.collect()
+    s = df._jdf.queryExecution().executedPlan().toString()
+    return s.split("== Initial Plan ==")[0]
 
 
 def test_q6_pushdown_and_pruning(spark):
@@ -154,13 +166,21 @@ def test_broadcast_merge_never_shuffles_frontier(spark, tmp_path):
         frontier, updates, "2024-01-02 00:00:00", assume_small_updates=True
     )
     plan = plan_of(merged)
-    # frontier side enters only BroadcastHashJoins (anti + semi); the only
-    # Exchanges hash-partition the small updates or broadcast
+    # The FULL frontier enters only key-broadcast joins (anti + semi), so
+    # every hashpartitioning Exchange carries an update-batch-BOUNDED side
+    # (the dedupe, or the ≤|u|-row matched slice feeding the wide join —
+    # no longer force-broadcast since the r13 advice: full-width frontier
+    # rows are not author-proven byte-bounded, AQE decides from measured
+    # size). All exchanges key on url.
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
-            assert "url#" in line  # updates dedupe shuffle (tiny side)
-    assert plan.count("BroadcastHashJoin") >= 3
-    assert "SortMergeJoin" not in plan
+            assert "url#" in line  # update-bounded sides only
+    assert plan.count("BroadcastHashJoin") >= 2  # the key anti + semi legs
+    # executed plan: AQE measures the matched slice (tiny here) and
+    # installs the broadcast at runtime — the frontier is never sorted
+    fp = final_plan_of(merged)
+    assert fp.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in fp
 
 
 def test_full_outer_merge_is_single_join(spark):

@@ -1919,6 +1919,10 @@ def jaccard_prefix_ab_main():
         p = {"rows": n}
         p.update(run_leg("prefix", n))
         p.update(run_leg("full", n, baseline_env))
+        # per-point self-description (r13 advice): the two legs run under
+        # DIFFERENT engine configs — quoting a point's speedup out of
+        # context must carry that flag with it, not just the merged note
+        p["full_leg_config"] = "auto_broadcast=10m"
         if "full_sec" in p and "prefix_sec" in p:
             p["speedup"] = round(p["full_sec"] / p["prefix_sec"], 2)
         pts.append(p)
