@@ -41,12 +41,15 @@ from incubator_stormcrawler_spark.functions.urls import (
 from incubator_stormcrawler_spark.session import read_input as _read_input
 
 
-def _read(spark: SparkSession, path: str) -> DataFrame:
-    """All driver-table reads go through session.read_input: a plain
-    parquet read plus a footer-gated repartition that restores scan
-    parallelism on unsplittable (single-row-group) files — a no-op on
-    any layout that already yields enough splits (see its docstring)."""
-    return _read_input(spark, path)
+def _read(spark: SparkSession, path: str, spread: bool = False) -> DataFrame:
+    """All driver-table reads go through session.read_input. Queries
+    whose scan feeds a genuinely compute-heavy map stage (MinHash/SimHash
+    signatures, full-pairwise scoring, per-row parsing, iterative loops)
+    pass ``spread=True`` to restore scan parallelism on unsplittable
+    single-row-group files; for every other shape the exchange measured
+    as pure overhead (r14 full-registry A/B — see read_input's
+    docstring) and the read stays plain."""
+    return _read_input(spark, path, spread=spread)
 
 
 SF_SMOKE = "/root/testdata/sf0.001"
@@ -218,7 +221,7 @@ def q_link_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical iterations as chained SQL CTEs."""
     from incubator_stormcrawler_spark.operators.linkrank import link_rank
 
-    edges = _read(spark, f"{sf_dir}/lineitem.parquet").selectExpr(
+    edges = _read(spark, f"{sf_dir}/lineitem.parquet", spread=True).selectExpr(
         "'o' || cast(mod(l_orderkey, 500) as string) as src",
         "'p' || cast(mod(l_partkey, 300) as string) as dst",
     )
@@ -251,7 +254,7 @@ def q_link_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from incubator_stormcrawler_spark.roundparams import seeded_int
 
     lo = seeded_int("trust_lo", 0, 460)
-    edges = _read(spark, f"{sf_dir}/lineitem.parquet").selectExpr(
+    edges = _read(spark, f"{sf_dir}/lineitem.parquet", spread=True).selectExpr(
         "'o' || cast(mod(l_orderkey, 500) as string) as src",
         "'p' || cast(mod(l_partkey, 300) as string) as dst",
     )
@@ -285,7 +288,7 @@ def q_embedding_random_projection(
     from incubator_stormcrawler_spark.roundparams import ROUND_SEED, seeded_int
 
     out_dim = seeded_int("jl_dim", 6, 10)
-    emb = _read(spark, f"{sf_dir}/embeddings.parquet")
+    emb = _read(spark, f"{sf_dir}/embeddings.parquet", spread=True)
     proj = random_projection(emb, out_dim=out_dim, seed=ROUND_SEED)
     return proj.select(
         "vec_id", F.posexplode("proj").alias("pos", "component")
@@ -305,7 +308,7 @@ def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     qids = seeded_distinct("adc_q", list(range(200)), 3)
     topk = seeded_int("adc_topk", 4, 8)
-    emb = _read(spark, f"{sf_dir}/embeddings.parquet")
+    emb = _read(spark, f"{sf_dir}/embeddings.parquet", spread=True)
     return pq_adc_topk(emb, qids, m=8, k=16, topk=topk)
 
 
@@ -719,10 +722,15 @@ def q_adaptive_scheduler(spark: SparkSession, sf_dir: str) -> DataFrame:
 # LLM-data-pipeline queries (dedup / similarity / text analysis)
 # ---------------------------------------------------------------------------
 
-def _docs_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _docs_augmented(
+    spark: SparkSession, sf_dir: str, spread: bool = False
+) -> DataFrame:
     """documents + deterministic exact copies (4%) and near copies (4%) so
-    dedup operators have known positives; identical CTE on the DuckDB side."""
-    docs = _read(spark, f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    dedup operators have known positives; identical CTE on the DuckDB side.
+    ``spread`` forwards to _read for the signature-heavy consumers."""
+    docs = _read(
+        spark, f"{sf_dir}/documents.parquet", spread=spread
+    ).select("doc_id", "text")
     dups = docs.where(F.expr("mod(doc_id, 25) = 0")).select(
         (F.col("doc_id") + 100000).alias("doc_id"), "text"
     )
@@ -844,7 +852,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidates (8 hashes, 4 bands × 2 rows) with est_sim at
     the seeded threshold (RP['minhash_min_sim'])."""
     return dd.lsh_candidate_pairs(
-        _docs_augmented(spark, sf_dir),
+        _docs_augmented(spark, sf_dir, spread=True),
         num_hashes=8,
         band_rows=2,
         min_est_sim=float(RP["minhash_min_sim"]),
@@ -856,7 +864,7 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the banded candidate join is pigeonhole-complete only to 3) via
     byte-band candidate join; oracle is the equivalent all-pairs form."""
     return dd.simhash_pairs(
-        _docs_augmented(spark, sf_dir),
+        _docs_augmented(spark, sf_dir, spread=True),
         max_hamming=RP["simhash_max_hamming"],
     )
 
@@ -1014,7 +1022,7 @@ def q_parse_word_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from incubator_stormcrawler_spark.parse.router import parse_routed
 
     docs = (
-        _read(spark, f"{sf_dir}/documents.parquet")
+        _read(spark, f"{sf_dir}/documents.parquet", spread=True)
         .where(F.col("doc_id") < 50)
         .select("doc_id", "text")
     )
@@ -1106,7 +1114,7 @@ def q_xpath_html(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for the first 20 query vectors."""
-    emb = _read(spark, f"{sf_dir}/embeddings.parquet")
+    emb = _read(spark, f"{sf_dir}/embeddings.parquet", spread=True)
     queries = emb.where(F.col("vec_id") < 20)
     return sim.cosine_topk(emb, queries, k=5)
 
@@ -1155,7 +1163,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall@5 = 0.86 at sf0.01 with the default 12×8×Hamming≤3 config
     (0.56 under the r4 4×6 no-probe config — the tuning round's fix).
     The oracle composes the same two SQL pipelines."""
-    emb = _read(spark, f"{sf_dir}/embeddings.parquet")
+    emb = _read(spark, f"{sf_dir}/embeddings.parquet", spread=True)
     queries = emb.where(F.col("vec_id") < 20)
     exact = sim.cosine_topk(emb, queries, k=5).select("query_id", "vec_id")
     lsh = sim.lsh_cosine_topk(emb, queries, k=5).select(
@@ -1170,7 +1178,7 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ANN paths carry a driver-measured quality number. Mean recall@5 =
     0.69 at sf0.01 / 0.75 at sf0.1 with the 32-cell × 12-probe default
     (random vectors are IVF's worst case: recall tracks scan fraction)."""
-    emb = _read(spark, f"{sf_dir}/embeddings.parquet")
+    emb = _read(spark, f"{sf_dir}/embeddings.parquet", spread=True)
     queries = emb.where(F.col("vec_id") < 20)
     exact = sim.cosine_topk(emb, queries, k=5).select("query_id", "vec_id")
     ivf = sim.ivf_cosine_topk(emb, queries, k=5).select(
@@ -1191,7 +1199,7 @@ def q_ann_jl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from incubator_stormcrawler_spark.roundparams import ROUND_SEED, seeded_int
 
     out_dim = seeded_int("jl_dim", 6, 10)
-    emb = _read(spark, f"{sf_dir}/embeddings.parquet")
+    emb = _read(spark, f"{sf_dir}/embeddings.parquet", spread=True)
     queries = emb.where(F.col("vec_id") < 20)
     exact = sim.cosine_topk(emb, queries, k=5).select("query_id", "vec_id")
     jl = sim.jl_cosine_topk(
@@ -1320,7 +1328,7 @@ def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy), and reranks. Pairs whose newer side is a batch doc,
     est_sim at the seeded threshold; the index/batch split point is
     seeded too."""
-    aug = _docs_augmented(spark, sf_dir)
+    aug = _docs_augmented(spark, sf_dir, spread=True)
     split = RP["dedup_split"]
     index_sigs = dd.minhash_signatures(aug.where(f"doc_id < {split}"))
     batch = aug.where(f"doc_id >= {split}")
@@ -1701,7 +1709,7 @@ def q_corpus_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     min_count = seeded_int("hh_min_count", 60, 140)
     occ = (
-        _read(spark, f"{sf_dir}/documents.parquet")
+        _read(spark, f"{sf_dir}/documents.parquet", spread=True)
         .selectExpr("explode(split(text, ' ')) as tok")
         .where("tok is not null and tok <> ''")
     )
@@ -1969,7 +1977,7 @@ def q_corpus_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (score DESC, doc_id) selection."""
     from incubator_stormcrawler_spark.operators.corpus import dsir_resample
 
-    docs = _read(spark, f"{sf_dir}/documents.parquet")
+    docs = _read(spark, f"{sf_dir}/documents.parquet", spread=True)
     picked = dsir_resample(
         docs,
         f"lang = '{RP['dsir_target_lang']}'",
@@ -2036,7 +2044,7 @@ def q_dedup_shard_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from incubator_stormcrawler_spark.roundparams import seeded_int
 
     nh = seeded_int("shard_mh_hashes", 12, 24)
-    docs = _read(spark, f"{sf_dir}/documents.parquet")
+    docs = _read(spark, f"{sf_dir}/documents.parquet", spread=True)
     sig = dd.shard_minhash(docs, "source", num_hashes=nh, n=3)
     return dd.shard_similarity_pairs(sig)
 
@@ -2189,7 +2197,7 @@ def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means (k=8, 2 iterations, deterministic seeds) over the
     embedding table — the IVF centroid-training step; oracle = the same
     iterations unrolled as SQL CTEs (operators/similarity.py)."""
-    emb = _read(spark, f"{sf_dir}/embeddings.parquet")
+    emb = _read(spark, f"{sf_dir}/embeddings.parquet", spread=True)
     return sim.kmeans_embeddings(emb, k=8, iterations=2)
 
 
@@ -2198,7 +2206,7 @@ def q_embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     every vector shadowed by a smaller-id same-cluster twin at cosine
     >= 0.4 (operators/similarity.py:semdedup); oracle = the kmeans CTEs
     plus the intra-cluster pair rule in SQL."""
-    emb = _read(spark, f"{sf_dir}/embeddings.parquet")
+    emb = _read(spark, f"{sf_dir}/embeddings.parquet", spread=True)
     return sim.semdedup(emb, k=8, iterations=2, threshold=0.4)
 
 

@@ -20,10 +20,12 @@ from pyspark.sql import functions as F
 from ..roundparams import RP
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
     from ..session import read_input
 
-    return read_input(spark, f"{sf_dir}/{name}.parquet")
+    return read_input(spark, f"{sf_dir}/{name}.parquet", spread=spread)
 
 
 # --- exact money arithmetic (r11, the float-summation-order class) ------
@@ -85,7 +87,9 @@ def _dratio(num, den, scale: int):
     return F.floor(q * F.lit(p) + F.lit(0.5)) / F.lit(p)
 
 
-def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def load_events(
+    spark: SparkSession, sf_dir: str, spread: bool = False
+) -> DataFrame:
     """events table with a true TIMESTAMP ``ts``.
 
     The driver's parquet stores TIMESTAMP(NANOS), which Spark cannot read
@@ -96,7 +100,7 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     timestamps at the scan — the cast composes with column pruning.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", spread=spread)
     if dict(ev.dtypes).get("ts") in ("bigint", "long"):
         # integer division — ts/1000 in double arithmetic loses precision
         # at 1.7e18 ns (ulp is 256 ns there), which can shift a value by
@@ -372,8 +376,11 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON scalar surface (LDJsonParseFilter-alike): extract props.k,
-    aggregate by its decile."""
-    ev = load_events(spark, sf_dir)
+    aggregate by its decile. The per-row JSON parse is the one events
+    shape heavy enough to pay for spreading a single-row-group scan
+    (r14 A/B: 0.31 -> 0.47 s unspread; every other events query is
+    faster unspread)."""
+    ev = load_events(spark, sf_dir, spread=True)
     k = F.get_json_object(F.col("props"), "$.k").cast("int")
     return (
         ev.withColumn("k", k)

@@ -196,28 +196,46 @@ def warn_if_plan_time_broadcast(spark) -> None:
         )
 
 
-def read_input(spark: SparkSession, path: str):
+def read_input(spark: SparkSession, path: str, spread: bool = False):
     """Read a driver-supplied parquet table, restoring scan parallelism
-    when the FILE LAYOUT cannot provide it.
+    when the FILE LAYOUT cannot provide it AND the caller declares the
+    downstream map stage heavy enough to pay for an exchange.
 
     Spark splits parquet scans by byte range but can never split below a
     row-group boundary, so a single-row-group file pins every scan-rooted
-    map stage (explode, hashing, per-pair scoring, partial aggregation)
-    onto ONE core no matter the cluster size — the unsplittable-input
-    case of the optimization guide (§2.5 input skew). The driver's test
-    tables are exactly that shape (every sf0.1 table is one row group),
-    and it measured as the bench's largest systemic cost: e.g. the
-    simhash signature pass 1.90 -> 0.74 s solo once spread.
+    map stage onto ONE core no matter the cluster size — the
+    unsplittable-input case of the optimization guide (§2.5 input skew).
+    The driver's test tables are exactly that shape (every sf0.1 table is
+    one row group).
 
-    The fix is a round-robin ``repartition`` straight after the read,
-    GATED on the actual footer metadata so it is scale-adaptive, not a
-    local[32] constant: if the path already yields at least
-    ``SPARK_GRAFT_SCAN_MIN_SPLITS`` (default: defaultParallelism) row
-    groups — every healthy production table — the gate short-circuits
-    and no exchange is added. Tiny tables (< 1000 rows) are left alone:
-    the exchange would cost more than the parallelism is worth. The
-    footer probe is a driver-side metadata read (~ms), recomputed per
-    call — nothing is memoized across runs.
+    ``spread`` is the r14 recalibration of the r13 round's unconditional
+    round-robin repartition. The exchange is NOT free: it pays a local
+    sort of the scan output (``spark.sql.execution.sortBeforeRepartition``,
+    required for retry-determinism), a full write+read of the scanned
+    bytes, and an extra AQE stage. Whether that buys anything depends on
+    the DOWNSTREAM work per row — a property only the caller knows (guide
+    §1.2: fix the algorithm before the config; §8: use what you know the
+    optimizer doesn't). A full 160-query A/B at sf0.1 (r14, fresh-JVM
+    chunked protocol, details in OPTIMIZATION_r14.md) measured:
+
+    - spread pays ONLY for genuinely compute-heavy map stages rooted at
+      the scan: MinHash/SimHash signature passes (8-64 hashes per
+      shingle), full-pairwise cosine scoring, per-row JSON/binary-doc
+      parsing, iterative graph loops re-reading the scan. Those rows ran
+      1.2-4.0x slower unspread (dedup_shard_overlap 0.70 -> 2.80 s).
+    - for everything else — scan -> filter/project -> one aggregation or
+      window, scan -> join — the exchange is pure overhead: 110 of 160
+      queries ran >10% FASTER unspread (total 159.4 -> 133.7 s), the r13
+      verdict's 41-query "small-query tail" among them.
+
+    So the repartition is now opt-in per call site (``spread=True`` at
+    the heavy operators' reads), and remains layout-gated when opted in:
+    if the path already yields at least ``SPARK_GRAFT_SCAN_MIN_SPLITS``
+    (default: defaultParallelism) row groups — every healthy production
+    table — the gate short-circuits and no exchange is added, so at
+    100 TB this is a no-op either way. Tiny tables (< 1000 rows) are
+    left alone. The footer probe is a driver-side metadata read (~ms),
+    recomputed per call — nothing is memoized across runs.
 
     Probe scope (r13 advice): the directory probe lists TOP-LEVEL
     ``*.parquet`` files on a DRIVER-LOCAL path only. Hive-partitioned
@@ -228,6 +246,8 @@ def read_input(spark: SparkSession, path: str):
     gate would short-circuit on anyway.
     """
     df = spark.read.parquet(path)
+    if not spread:
+        return df
     try:
         min_splits = int(
             os.environ.get("SPARK_GRAFT_SCAN_MIN_SPLITS", "0")
