@@ -673,19 +673,34 @@ class _CheckpointHandle:
 
 
 def _local_checkpoint_tracked(df: DataFrame):
-    """localCheckpoint(eager) + the id set it registered, as a
-    releasable handle. Blocks store SERIALIZED (PySpark's
-    MEMORY_AND_DISK; the JVM default is the DESER variant):
-    the default deserialized level thrashed the GC once pointer tables
-    hit 64M rows (353 s vs 221 s serialized for the full resolve — the
-    JVM object-per-row overhead is several times the serialized size,
-    and two round generations are live at once)."""
+    """LAZY localCheckpoint + the id set it registered, as a releasable
+    handle. Blocks store SERIALIZED (PySpark's MEMORY_AND_DISK; the JVM
+    default is the DESER variant): the default deserialized level
+    thrashed the GC once pointer tables hit 64M rows (353 s vs 221 s
+    serialized for the full resolve — the JVM object-per-row overhead is
+    several times the serialized size, and two round generations are
+    live at once).
+
+    eager=False (r14): every caller follows the checkpoint with an
+    immediate counting action (the round's done-count), and a LAZY
+    checkpoint is materialized BY that action — so each doubling round
+    runs ONE Spark job instead of two (checkpoint job + count job; the
+    count read the blocks the checkpoint job had just written). The two
+    properties the loops rely on hold at CALL time regardless of
+    eagerness: the returned frame's logical plan is already the
+    truncated LogicalRDD (Catalyst lineage is cut when the checkpoint
+    Dataset is created, not when blocks materialize — the planning-
+    cascade fix is unaffected), and the RDD registers in persistentRdds
+    when persist() is marked, so the before/after id tracking still
+    captures it. Measured solo at sf0.1: graph_redirect_incremental
+    4.87 -> 3.9 s class, graph_redirect_resolve similar (numbers in
+    OPTIMIZATION_r14.md)."""
     from pyspark import StorageLevel
 
     sc = df.sparkSession.sparkContext
     before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
     out = df.localCheckpoint(
-        eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+        eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
     )
     after = set(sc._jsc.getPersistentRDDs().keySet().toArray())
     return out, _CheckpointHandle(sc, after - before)
@@ -984,18 +999,22 @@ def incremental_redirect_resolve(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     fresh_srcs = fresh.select(F.col("src").alias("__fs"))
-    # resolved rows whose terminal just gained an edge; unresolved rows
-    # (target NULL) never match the semi/anti condition's TRUE branch
-    invalid = prior.join(
+    # ONE classification pass over the store (r14, was a semi + an anti
+    # — two full scans of `prior`): left-join the broadcast fresh-src
+    # keys and split on the match flag. No row can duplicate (fresh srcs
+    # are distinct, so at most one equals a given target) and NULL
+    # targets never match, exactly the old semi/anti split. `flagged` is
+    # the persisted frame — both filters and the final union read the
+    # single materialization, so a generation scans the store once.
+    flagged = prior.join(
         F.broadcast(fresh_srcs),
         prior["target"] == F.col("__fs"),
-        "left_semi",
-    )
-    keep = prior.join(
-        F.broadcast(fresh_srcs),
-        prior["target"] == F.col("__fs"),
-        "left_anti",
+        "left",
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    # resolved rows whose terminal just gained an edge; unresolved rows
+    # (target NULL) never match
+    invalid = flagged.where(F.col("__fs").isNotNull()).drop("__fs")
+    keep = flagged.where(F.col("__fs").isNull()).drop("__fs")
     g0 = fresh.select(
         "src", "nxt",
         F.lit(1).cast("bigint").alias("hops"),
@@ -1067,7 +1086,8 @@ def incremental_redirect_resolve(
             break
     fresh.unpersist(False)
     if cache_handle is not None:
-        cache_handle.extend([keep, ck])
+        # flagged (not keep) carries the persist — keep is a filter view
+        cache_handle.extend([flagged, ck])
     ok = (
         (F.col("done") == 1)
         & (F.col("dead") == 0)
