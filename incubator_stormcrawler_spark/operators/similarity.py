@@ -55,9 +55,17 @@ def clustered_embeddings(
             f" * {noise}"
         )
         elems.append(f"({c} + {nz})")
+    # Truncate the fixture's lineage (r14): the projection above is a
+    # ~dim*2 md5/conv expression FOREST, and every consumer (query
+    # filter, exact baseline, projection, rerank) clones it into its own
+    # analysis/compile — the recall queries repeated it 4-6x per plan.
+    # A lazy localCheckpoint materializes the 2000-row fixture once and
+    # hands consumers a LogicalRDD; values are unchanged (deterministic
+    # md5 arithmetic). Measured on ann_jl_recall_clustered at sf0.1:
+    # build+exec 1.73 -> 1.32 s warm (5.8 -> 1.8 cold).
     return spark.range(n).selectExpr(
         "id as vec_id", f"array({', '.join(elems)}) as embedding"
-    )
+    ).localCheckpoint(eager=False)
 
 
 def ivf_scan_stats(
@@ -575,6 +583,7 @@ def kmeans_embeddings(
     iterations: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cut_every: int = 3,
 ) -> DataFrame:
     """Lloyd's k-means over the embedding column, fixed iterations,
     deterministic seeding — the centroid-training step ``ivf_cosine_topk``
@@ -659,7 +668,15 @@ def kmeans_embeddings(
         # plan at call time, exchange reuse dedupes the repeated cents
         # subtrees between cuts; 1.36 -> 0.48 s solo on the registered
         # query, byte-identical assignments).
-        cents = cut_iteration_lineage(kept, it, iterations)
+        # cut_every: the per-centroid-tree lineage-cut cadence. The
+        # default 3 is the measured optimum for kmeans consumed DIRECTLY
+        # (embedding_kmeans: a per-iteration cut costs more compile than
+        # it saves at iterations=2). A consumer that re-truncates the
+        # final assignment itself (semdedup persists it for its pair
+        # stage) passes cut_every=1: there the downstream persist/compile
+        # pays O(plan depth) AGAIN, and keeping the centroid tree shallow
+        # measured 2.5 -> 1.9 s warm on the full semdedup build+exec.
+        cents = cut_iteration_lineage(kept, it, iterations, every=cut_every)
     final = assign(cents)
 
     return final.select(
@@ -775,13 +792,21 @@ def semdedup(
     the pair join and the final survivor join don't each replay Lloyd's
     iterations.
     """
+    # persist(), not localCheckpoint (r14): both make the two consumers
+    # (the pair join and the final survivor join) share ONE computation
+    # of the assignment, but a lazy localCheckpoint COMPILES the full
+    # Lloyd plan at call time (measured 1.7-5.3 s of pure driver-side
+    # physical planning on the k=8/2-iteration plan) while persist defers
+    # to the single action. cut_every=1 keeps the centroid lineage
+    # shallow so that one compile is cheap. A/B warm totals at sf0.1:
+    # checkpoint 2.51 s, persist 2.37, cut_every=1 + persist 1.92.
     assigned = (
         kmeans_embeddings(
             embeddings, k=k, iterations=iterations,
-            id_col=id_col, vec_col=vec_col,
+            id_col=id_col, vec_col=vec_col, cut_every=1,
         )
         .select("vec_id", "cid")
-        .localCheckpoint(eager=False)
+        .persist()
     )
     e = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
