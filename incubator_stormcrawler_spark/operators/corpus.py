@@ -1266,7 +1266,16 @@ def star_contraction_components(
     prev = None
     converged = False
     for _ in range(max_iterations):
-        e2 = star(star(e, large=True), large=False).distinct().localCheckpoint()
+        # lazy checkpoint: sig()'s collect (immediately below) is the
+        # action that materializes the round, so each double-round runs
+        # ONE job instead of checkpoint-job + sig-job (r14, the same
+        # fusion as linkrank._local_checkpoint_tracked; lineage is
+        # truncated at call time either way)
+        e2 = (
+            star(star(e, large=True), large=False)
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
         cur = sig(e2)
         e = e2
         if cur == prev:

@@ -590,7 +590,11 @@ def seed_distance(
             "left_semi",
         )
         .withColumn("hops", F.lit(0).cast("bigint"))
-        .localCheckpoint()
+        # lazy checkpoints here and per hop below: the reached-count
+        # action right after each one materializes it, so every BFS hop
+        # runs ONE job instead of two (r14 — same fusion as
+        # _local_checkpoint_tracked; lineage still truncates at call)
+        .localCheckpoint(eager=False)
     )
     n_reached = dist.count()
     for _ in range(max_hops):
@@ -602,7 +606,7 @@ def seed_distance(
             dist.unionByName(cands)
             .groupBy("node")
             .agg(F.min("hops").alias("hops"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         now_reached = dist.count()
         if now_reached == n_reached:
