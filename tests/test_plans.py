@@ -353,15 +353,31 @@ def test_segment_dedup_partial_agg_no_cartesian(spark):
 
 
 def test_semdedup_pair_join_is_hash_join_on_cid(spark):
+    import re
+
     from incubator_stormcrawler_spark.operators.similarity import semdedup
 
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
-    plan = plan_of(semdedup(emb, k=4, iterations=1, threshold=0.4))
+    df = semdedup(emb, k=4, iterations=1, threshold=0.4)
+    plan = plan_of(df)
     # the intra-cluster pair stage must be an equi-join on cid — never a
     # nested-loop over all pairs (that would be the all-pairs quadratic
     # plan SemDeDup exists to avoid)
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(
+        r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[cid", plan
+    )
+    # Since the r14 persist() change the k-means lineage is VISIBLE in
+    # the plan text (the old lazy checkpoint hid it behind a LogicalRDD,
+    # and each of the three cached-subtree references prints the cached
+    # child again), so count nested-loop joins on the EXECUTED plan: the
+    # assignment cache builds once and contains exactly the two
+    # legitimate corpus × broadcast(k seed centroids) passes (one Lloyd
+    # iteration + the final assignment at iterations=1). The pair stage
+    # must never add one.
+    fp = final_plan_of(df)
+    assert fp.count("BroadcastNestedLoopJoin") == 2
+    assert "CartesianProduct" not in fp
 
 
 def test_promo_revenue_broadcasts_part_and_pushes_shipdate(spark):
