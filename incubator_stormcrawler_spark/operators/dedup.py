@@ -1822,6 +1822,12 @@ def weighted_pair_audit(
     exact). Consecutive pairs keep the audit linear in docs; the
     LSH banding path for all-pairs candidates is ``band_keys`` over
     ``weighted_minhash_signatures`` unchanged."""
+    # Materialize the term table ONCE (r14): the estimate leg (via the
+    # signature expansion) and the exact Σmin/Σmax leg are separate
+    # subtrees over `terms`, so without the cut the corpus-sized
+    # tokenize+explode+tf-groupBy ran twice per action. Lazy — the
+    # caller's single action materializes it.
+    terms = terms.localCheckpoint(eager=False)
     sig = weighted_minhash_signatures(
         terms, num_hashes=num_hashes, hash_fn=hash_fn,
         max_weight=max_weight,
